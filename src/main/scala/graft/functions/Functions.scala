@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column-level building blocks shared by operators and queries.
+  *
+  * All helpers return `Column` expressions built from
+  * `org.apache.spark.sql.functions` so they stay inside whole-stage
+  * codegen — no Scala UDFs in the hot path.
+  */
+object Functions {
+
+  /** Exact money type. The reference quantizes money to 2 dp with
+    * ROUND_HALF_UP (reference `data_gen/generate_and_load_script.py:55-56`)
+    * and defers casts to the warehouse (`:18`); we cast at the edge so
+    * every downstream sum is exact decimal arithmetic — deterministic
+    * regardless of partitioning / aggregation order, which double sums
+    * are not. */
+  val Money: DecimalType = DecimalType(18, 2)
+
+  /** Cast a double money column to exact decimal(18,2). */
+  def money(c: Column): Column = c.cast(Money)
+
+  /** Exact decimal sum of a double column, surfaced back as double so
+    * output schemas stay stable for the oracle compare. */
+  def sumMoney(c: Column): Column = sum(money(c)).cast("double")
+
+  /** Deterministic mean: exact decimal sum / count, rounded. */
+  def avgMoney(c: Column, dp: Int = 6): Column =
+    round(sum(money(c)).cast("double") / count(c), dp)
+
+  /** Parse a date that may arrive in any of the reference's inconsistent
+    * formats (reference `data_gen/pseudo_code_rules.txt:57-65`:
+    * MM/DD/YYYY vs DD-MM-YYYY vs ISO). */
+  def multiFormatDate(c: Column): Column = coalesce(
+    to_date(c, "yyyy-MM-dd"),
+    to_date(c, "MM/dd/yyyy"),
+    to_date(c, "dd-MM-yyyy"))
+
+  /** Parse a numeric string that may use comma decimal separators
+    * (reference `data_gen/pseudo_code_rules.txt:57-65`). */
+  def multiFormatNumber(c: Column): Column =
+    regexp_replace(c, ",", ".").cast("double")
+
+  /** Generic email / PII detector (reference injects `leaked_email` into
+    * event properties at 2%: `data_gen/generate_and_load_script.py:158`;
+    * PII check declared `README.md:59`). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  def containsPii(c: Column): Column = c.rlike(EmailPattern)
+
+  // ---------------------------------------------------------------- text
+
+  /** Whitespace tokenizer over lowercased text. */
+  def tokens(c: Column): Column =
+    split(trim(lower(c)), "\\s+")
+
+  /** BPE-ish token count: words, numbers, and punctuation runs each
+    * count as one token — a cheap proxy for subword tokenizers. */
+  def bpeishTokenCount(c: Column): Column =
+    size(filter(split(c, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => t =!= "" && t =!= " "))
+
+  /** Punctuation character ratio, a quality-score feature. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  // ------------------------------------------------------------- vectors
+
+  /** Dot product of two array<double> columns via the `zip_with` /
+    * `aggregate` higher-order functions — sequential fold, so the result
+    * is bit-deterministic (same value on every engine that folds
+    * left-to-right in double precision). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cast array<float> (the fixtures' embedding type) to array<double>
+    * so all arithmetic is double-precision end to end. */
+  def toDoubleArray(a: Column): Column = transform(a, x => x.cast("double"))
+
+  // ------------------------------------------------------------- hashing
+
+  /** Portable 60-bit hash: the first 15 hex chars of md5, as a positive
+    * long. MD5 is bit-identical across engines (Spark, DuckDB, any SQL
+    * dialect), which makes hash-based operators (dedup, minhash, simhash)
+    * oracle-checkable. 15 hex chars = 60 bits < Long.MaxValue, so the
+    * base-16 → base-10 conversion never overflows. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for minhash families: hash of seed-prefixed value. */
+  def md5LongSeeded(c: Column, seed: Int): Column =
+    md5Long(concat_ws(":", lit(seed.toString), c))
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over the driver-provided parquet fixtures
+  * (`/root/testdata/sf*`; see /root/repo/TESTDATA.md).
+  *
+  * Mirrors the reference's dbt `sources:` block
+  * (reference `models/schema.yml:4-9`): every relation is addressed by
+  * name, resolved lazily, and carries an optional event-time column for
+  * freshness checks (`models/schema.yml:13-14`).
+  *
+  * Scale posture: these are plain parquet scans — Catalyst pushes filters
+  * and prunes columns into the scan, so callers should express projection
+  * and predicates declaratively and never pre-collect.
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Event-time / freshness column per table, where one exists
+    * (reference `models/schema.yml:9,13-14` — `loaded_at_field`). */
+  val loadedAtField: Map[String, String] = Map(
+    "orders" -> "o_orderdate",
+    "lineitem" -> "l_shipdate",
+    "events" -> "ts")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every fixture table as a temp view so `spark.sql` queries
+    * can address them by bare name — the analogue of dbt's `ref()`/
+    * `source()` resolution (reference `example/my_second_dbt_model.sql:5`). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
