@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions._
+
+/** Mart-layer operators the reference declares (reference `README.md:9,
+  * 38-40`: "revenue, funnel, operations, attribution marts", anomaly
+  * detection) plus its custom DQ aggregates (`README.md:56-57`).
+  *
+  * All are `DataFrame => DataFrame` compositions of built-in operators;
+  * every aggregate is partial-aggregatable, every window is a single
+  * shuffle on its partition key.
+  */
+object Marts {
+
+  /** Sequential funnel (SURVEY W3): for each ordered stage, a user
+    * converts iff they hit that stage strictly after their conversion
+    * time for the previous stage. Returns (stage_index, stage, users).
+    *
+    * One shuffle on user (conditional min-aggregation per stage), then a
+    * tiny rollup — no joins, no re-scan per stage. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    // per-user min ts per stage, as stage_0..stage_k columns
+    val perUser = events
+      .filter(col(typeCol).isin(stages: _*))
+      .groupBy(col(userCol))
+      .agg(stages.zipWithIndex.map { case (s, i) =>
+        min(when(col(typeCol) === s, col(tsCol))).as(s"__t$i")
+      }.head, stages.zipWithIndex.tail.map { case (s, i) =>
+        min(when(col(typeCol) === s, col(tsCol))).as(s"__t$i")
+      }: _*)
+    // conversion time at stage i = first hit strictly after stage i-1 conv;
+    // with min-ts semantics this telescopes: conv_i valid iff t_i > conv_{i-1}
+    val withConv = stages.indices.tail.foldLeft(
+      perUser.withColumn("__c0", col("__t0"))) { (d, i) =>
+      d.withColumn(s"__c$i",
+        when(col(s"__c${i - 1}").isNotNull &&
+          col(s"__t$i") > col(s"__c${i - 1}"), col(s"__t$i")))
+    }
+    val counts = withConv.agg(
+      sum(when(col("__c0").isNotNull, 1).otherwise(0)).cast("long").as("s0"),
+      stages.indices.tail.map(i =>
+        sum(when(col(s"__c$i").isNotNull, 1).otherwise(0))
+          .cast("long").as(s"s$i")): _*)
+    val legs = stages.zipWithIndex.map { case (s, i) =>
+      counts.select(lit(i).as("stage_index"), lit(s).as("stage"),
+        col(s"s$i").as("users"))
+    }
+    legs.reduce(_ unionByName _)
+  }
+
+  /** First/last-touch attribution (SURVEY W4): per user, the first and
+    * last event type over the full history (explicit full frame for
+    * last_value), then counts per (first_touch, last_touch) path. */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, tieBreak.asc)
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    events
+      .withColumn("first_touch", first(col(typeCol)).over(full))
+      .withColumn("last_touch", last(col(typeCol)).over(full))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("users"))
+  }
+
+  /** Top-share concentration (SURVEY W5/A6; reference skew rule: top 5%
+    * orgs ≈ 50% of volume, `pseudo_code_rules.txt:2-10`). Returns one row
+    * (top_n, top_revenue, total_revenue, share). The per-key aggregate
+    * shuffles once; the percent_rank window runs over keys (not raw
+    * rows), which is orders of magnitude smaller. */
+  def topShare(df: DataFrame, keyCol: String, amount: Column,
+      topFraction: Double): DataFrame = {
+    val perKey = df.groupBy(col(keyCol)).agg(sum(money(amount)).as("__rev"))
+    val ranked = perKey.withColumn("__pr",
+      percent_rank().over(Window.orderBy(col("__rev").desc)))
+    ranked.agg(
+      sum(when(col("__pr") < topFraction, 1).otherwise(0))
+        .cast("long").as("top_n"),
+      sum(when(col("__pr") < topFraction, col("__rev")))
+        .cast("double").as("top_revenue"),
+      sum(col("__rev")).cast("double").as("total_revenue"))
+      .withColumn("share",
+        round(col("top_revenue") / col("total_revenue"), 6))
+  }
+
+  /** Daily z-score anomalies (SURVEY A7; reference Sprint 5
+    * `README.md:40`). Exact decimal daily sums; z-scores from the
+    * population of daily totals. */
+  def dailyAnomalies(events: DataFrame, tsCol: String, valueCol: Column,
+      zThreshold: Double): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(money(valueCol)).cast("double").as("daily_value"))
+    val stats = daily.agg(
+      avg(col("daily_value")).as("__mu"),
+      stddev_samp(col("daily_value")).as("__sigma"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("z",
+        round((col("daily_value") - col("__mu")) / col("__sigma"), 6))
+      .filter(abs(col("z")) > zThreshold)
+      .select(col("day"), col("daily_value"), col("z"))
+  }
+
+  /** Order↔lineitem reconciliation (SURVEY J4; reference "Payment
+    * reconciliation (orders ≈ payments)", `README.md:56`): header total
+    * vs exact sum of line amounts, tolerance-classified summary. */
+  def reconcile(orders: DataFrame, lines: DataFrame, orderKey: String,
+      lineOrderKey: String, headerAmount: Column, lineAmount: Column,
+      tolerance: Double): DataFrame = {
+    val lineSums = lines.groupBy(col(lineOrderKey).as(orderKey))
+      .agg(sum(money(lineAmount)).cast("double").as("line_total"))
+    val joined = orders
+      .select(col(orderKey), money(headerAmount).cast("double")
+        .as("header_total"))
+      .join(lineSums, Seq(orderKey), "left")
+      .withColumn("abs_diff",
+        abs(col("header_total") - coalesce(col("line_total"), lit(0.0))))
+    joined.agg(
+      count(lit(1)).as("n_orders"),
+      sum(when(col("line_total").isNull, 1).otherwise(0))
+        .cast("long").as("n_missing_lines"),
+      sum(when(col("abs_diff") > tolerance, 1).otherwise(0))
+        .cast("long").as("n_mismatch"),
+      round(sum(money(col("abs_diff"))).cast("double"), 2)
+        .as("total_abs_diff"))
+  }
+
+  /** Gap-based sessionization (operations mart; SURVEY §2.9 adjacency):
+    * a new session starts when the gap to the user's previous event
+    * exceeds `gapMinutes`. Two windows over the same (user, ts) shuffle —
+    * Spark reuses the exchange. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      tieBreak: Column, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, tieBreak.asc)
+    val gapSec = gapMinutes * 60.0
+    // timestamp→double cast keeps fractional seconds, matching SQL
+    // engines' epoch() semantics (unix_timestamp truncates to seconds)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col(tsCol).cast("double") - col("__prev").cast("double") > gapSec,
+        1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+  }
+
+  /** Late-arrival rate (SURVEY A4; reference `README.md:57`, lateness =
+    * received - event, `generate_and_load_script.py:162`). */
+  def lateArrivalRate(df: DataFrame, eventTs: Column, receivedTs: Column,
+      thresholdSeconds: Long): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_events"),
+      sum(when(unix_timestamp(receivedTs) - unix_timestamp(eventTs) >
+        thresholdSeconds, 1).otherwise(0)).cast("long").as("n_late"))
+      .withColumn("late_rate",
+        round(col("n_late").cast("double") / col("n_events"), 6))
+}

@@ -1,0 +1,106 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality check ADT — Spark-native form of the reference's dbt
+  * schema tests (reference `models/schema.yml`: `unique`, `not_null`,
+  * `relationships`, `accepted_values`, freshness `:13-14`) plus its
+  * declared custom checks (`README.md:54-59`).
+  *
+  * Each check produces a *violations* DataFrame (dbt semantics: a test
+  * compiles to a SELECT returning offending rows; non-zero rows = fail)
+  * and the runner folds them into one summary frame. Violations are
+  * computed lazily; the runner triggers one aggregate per check.
+  *
+  * Scale notes: `Unique` is a group-count (map-side combinable);
+  * `Relationship` is a broadcast/shuffled left-anti join with the
+  * null-key exclusion dbt applies (null child keys are NOT violations);
+  * `Freshness` is a single max() scan.
+  */
+sealed trait Check {
+  def name: String
+  def violations(df: DataFrame): DataFrame
+}
+
+/** PK uniqueness (reference `models/schema.yml:17,29,47,58,85,105`). */
+final case class Unique(cols: Seq[String]) extends Check {
+  val name = s"unique_${cols.mkString("_")}"
+  def violations(df: DataFrame): DataFrame =
+    df.groupBy(cols.map(col): _*).count().filter(col("count") > 1)
+}
+
+/** Column not-null (reference `models/schema.yml:17,29-30,...`). */
+final case class NotNull(c: String) extends Check {
+  val name = s"not_null_$c"
+  def violations(df: DataFrame): DataFrame = df.filter(col(c).isNull)
+}
+
+/** Enum membership (reference `accepted_values` pattern; enums cited in
+  * SURVEY §1.2). */
+final case class AcceptedValues(c: String, values: Seq[String]) extends Check {
+  val name = s"accepted_values_$c"
+  def violations(df: DataFrame): DataFrame =
+    df.filter(col(c).isNotNull && !col(c).isin(values: _*))
+}
+
+/** FK integrity (reference `relationships` tests,
+  * `models/schema.yml:31-35,59-73,86-90,108-117`). dbt ignores null child
+  * keys, so the anti-join filters them first (SURVEY §7.3 risk note). */
+final case class Relationship(childCol: String, parent: DataFrame,
+    parentCol: String, broadcastParent: Boolean = true) extends Check {
+  val name = s"relationship_$childCol"
+  def violations(df: DataFrame): DataFrame = {
+    val p = parent.select(col(parentCol)).distinct()
+    val pk = if (broadcastParent) broadcast(p) else p
+    df.filter(col(childCol).isNotNull)
+      .join(pk, df(childCol) === pk(parentCol), "left_anti")
+  }
+}
+
+/** Source freshness (reference `models/schema.yml:9,13-14`:
+  * `loaded_at_field` + `warn_after: 24 hours`). `asOf` is injected rather
+  * than `current_timestamp()` so checks are reproducible. */
+final case class Freshness(loadedAt: String, warnAfterHours: Int,
+    asOf: java.sql.Timestamp) extends Check {
+  val name = s"freshness_$loadedAt"
+  def violations(df: DataFrame): DataFrame =
+    df.agg(max(col(loadedAt)).as("max_loaded_at"))
+      .filter(col("max_loaded_at") <
+        lit(asOf) - expr(s"INTERVAL $warnAfterHours HOURS"))
+}
+
+/** Arbitrary predicate check (the reference's declared custom tests:
+  * no-negative-price, PII-in-JSON, late-arrival rate — `README.md:54-59`).
+  * Violations are rows where `bad` holds. */
+final case class Predicate(name: String, bad: Column) extends Check {
+  def violations(df: DataFrame): DataFrame = df.filter(bad)
+}
+
+object Quality {
+
+  /** dbt-style severity: any violation row fails the check. */
+  final case class Result(check: String, violations: Long, passed: Boolean)
+
+  /** Run checks against a table; one count() action per check.
+    * For a single-pass variant over one table, see `summarize`. */
+  def run(df: DataFrame, checks: Seq[Check]): Seq[Result] =
+    checks.map { c =>
+      val n = c.violations(df).count()
+      Result(c.name, n, n == 0)
+    }
+
+  /** Single-job summary: unions per-check violation counts into one
+    * DataFrame so the driver can execute all checks as one Spark job
+    * (each leg is an aggregate; Spark shares the scan via plan reuse
+    * where possible). */
+  def summarize(spark: SparkSession,
+      legs: Seq[(String, DataFrame)]): DataFrame = {
+    val frames = legs.map { case (name, violations) =>
+      violations.agg(count(lit(1)).cast("long").as("violations"))
+        .select(lit(name).as("check_name"), col("violations"),
+          (col("violations") === 0).as("passed"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,427 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.functions.Functions._
+import graft.operators.{Marts, Scd2}
+import graft.quality._
+import graft.sources.Tables
+import graft.stage.Staging
+
+/** Warehouse-layer queries: staging dedup, SCD2 + as-of, window marts,
+  * quality suite, reconciliation, freshness — the reference's declared
+  * pipeline semantics (SURVEY §2.2-2.9) exercised over the fixture
+  * tables, each with a DuckDB oracle.
+  */
+object Warehouse {
+
+  /** W1 keep-latest dedup (reference dup-row rule
+    * `pseudo_code_rules.txt:39-47`). */
+  val q5 = Query(
+    "q5_dedup_latest",
+    """SELECT user_id, event_type, event_id, ts, value FROM events
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY user_id, event_type
+      |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin) { (s, dir) =>
+    Staging.dedupLatest(Tables.events(s, dir),
+      Seq("user_id", "event_type"), col("ts"), Seq(col("event_id")))
+      .select("user_id", "event_type", "event_id", "ts", "value")
+  }
+
+  /** W2 SCD2 versioning (reference `README.md:37`): each event is a state
+    * change of its user; intervals are half-open `[valid_from, valid_to)`. */
+  val q6 = Query(
+    "q6_scd2_dim",
+    """SELECT user_id, event_id, event_type,
+      |  ts AS valid_from,
+      |  LEAD(ts) OVER w AS valid_to,
+      |  (LEAD(ts) OVER w IS NULL) AS is_current,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+    (s, dir) =>
+      Scd2.build(Tables.events(s, dir), Seq("user_id"), "ts", Seq("event_id"))
+        .select("user_id", "event_id", "event_type",
+          "valid_from", "valid_to", "is_current", "version")
+  }
+
+  /** J5 as-of join: purchases pick the 'view' state valid at purchase
+    * time (point-in-time lookup against the SCD2 dim). */
+  val q7 = Query(
+    "q7_asof_join",
+    """WITH dim AS (
+      |  SELECT user_id, value AS state_value, ts AS valid_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM events WHERE event_type = 'view'),
+      |fact AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, f.ts, d.valid_from, d.state_value
+      |FROM fact f JOIN dim d
+      |  ON f.user_id = d.user_id AND f.ts >= d.valid_from
+      |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)""".stripMargin) {
+    (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val dim = Scd2.build(ev.filter(col("event_type") === "view"),
+        Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("value").as("state_value"),
+          col("valid_from"), col("valid_to"))
+      val fact = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      Scd2.asOfJoin(fact, dim, Seq("user_id"), fact("ts"))
+        .select(fact("event_id"), fact("user_id"), fact("ts"),
+          dim("valid_from"), dim("state_value"))
+  }
+
+  /** Running revenue window (SURVEY §2.5 frame specs): exact decimal
+    * running total per customer. */
+  val q8 = Query(
+    "q8_running_total",
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_total
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        sum(money(col("o_totalprice"))).over(w).cast("double")
+          .as("running_total"))
+  }
+
+  private val funnelStages = Seq("signup", "view", "click", "purchase")
+
+  /** W3 funnel mart (first-touch-ordered: stage i counts iff its first
+    * hit is strictly after the stage i-1 conversion). */
+  val q9 = Query(
+    "q9_funnel",
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type='signup' THEN ts END) AS t0,
+      |    min(CASE WHEN event_type='view' THEN ts END) AS t1,
+      |    min(CASE WHEN event_type='click' THEN ts END) AS t2,
+      |    min(CASE WHEN event_type='purchase' THEN ts END) AS t3
+      |  FROM events GROUP BY user_id),
+      |conv AS (
+      |  SELECT t0 AS c0,
+      |    CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN t1 END AS c1,
+      |    CASE WHEN (CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN t1 END) IS NOT NULL
+      |         AND t2 > (CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN t1 END)
+      |         THEN t2 END AS c2,
+      |    CASE WHEN (CASE WHEN (CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN t1 END) IS NOT NULL
+      |              AND t2 > (CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN t1 END) THEN t2 END) IS NOT NULL
+      |         AND t3 > (CASE WHEN (CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN t1 END) IS NOT NULL
+      |              AND t2 > (CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN t1 END) THEN t2 END)
+      |         THEN t3 END AS c3
+      |  FROM per_user),
+      |counts AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN c0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+      |    CAST(SUM(CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(SUM(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s3
+      |  FROM conv)
+      |SELECT 0 AS stage_index, 'signup' AS stage, s0 AS users FROM counts
+      |UNION ALL SELECT 1, 'view', s1 FROM counts
+      |UNION ALL SELECT 2, 'click', s2 FROM counts
+      |UNION ALL SELECT 3, 'purchase', s3 FROM counts""".stripMargin) {
+    (s, dir) =>
+      Marts.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+        funnelStages)
+  }
+
+  /** W4 attribution (first/last touch per user over the full frame). */
+  val q10 = Query(
+    "q10_attribution",
+    """WITH t AS (
+      |  SELECT user_id,
+      |    first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_touch,
+      |    last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_touch,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT first_touch, last_touch, CAST(COUNT(*) AS BIGINT) AS users
+      |FROM t WHERE rn = 1 GROUP BY first_touch, last_touch""".stripMargin) {
+    (s, dir) =>
+      Marts.attribution(Tables.events(s, dir), "user_id", "event_type",
+        "ts", col("event_id"))
+  }
+
+  /** W5/A6 top-share concentration (reference org-skew rule
+    * `pseudo_code_rules.txt:2-10`). */
+  val q11 = Query(
+    "q11_top_share",
+    """WITH per AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (SELECT rev, percent_rank() OVER (ORDER BY rev DESC) AS pr FROM per)
+      |SELECT
+      |  CAST(SUM(CASE WHEN pr < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS top_n,
+      |  CAST(SUM(CASE WHEN pr < 0.05 THEN rev END) AS DOUBLE) AS top_revenue,
+      |  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+      |  ROUND(CAST(SUM(CASE WHEN pr < 0.05 THEN rev END) AS DOUBLE) /
+      |        CAST(SUM(rev) AS DOUBLE), 6) AS share
+      |FROM r""".stripMargin) { (s, dir) =>
+    Marts.topShare(Tables.orders(s, dir), "o_custkey",
+      col("o_totalprice"), 0.05)
+  }
+
+  /** A7 anomaly detection: daily totals more than 2σ from the mean. */
+  val q12 = Query(
+    "q12_daily_anomalies",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1),
+      |stats AS (
+      |  SELECT avg(daily_value) AS mu, stddev_samp(daily_value) AS sigma
+      |  FROM daily)
+      |SELECT day, daily_value,
+      |  ROUND((daily_value - mu) / sigma, 6) AS z
+      |FROM daily, stats
+      |WHERE ABS((daily_value - mu) / sigma) > 2.0""".stripMargin) { (s, dir) =>
+    // note: filter on unrounded z in both engines; z is rounded for output
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(money(col("value"))).cast("double").as("daily_value"))
+    val stats = daily.agg(avg(col("daily_value")).as("__mu"),
+      stddev_samp(col("daily_value")).as("__sigma"))
+    daily.crossJoin(broadcast(stats))
+      .filter(abs((col("daily_value") - col("__mu")) / col("__sigma")) > 2.0)
+      .select(col("day"), col("daily_value"),
+        round((col("daily_value") - col("__mu")) / col("__sigma"), 6).as("z"))
+  }
+
+  /** A1-A3/S4 quality suite — dbt schema-test parity
+    * (reference `models/schema.yml`) as one summary frame. */
+  val q13 = Query(
+    "q13_quality_suite",
+    """SELECT 'unique_o_orderkey' AS check_name,
+      |  CAST(COUNT(*) AS BIGINT) AS violations, COUNT(*) = 0 AS passed
+      |FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+      |UNION ALL
+      |SELECT 'not_null_o_custkey', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+      |FROM orders WHERE o_custkey IS NULL
+      |UNION ALL
+      |SELECT 'relationship_l_orderkey', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+      |FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'accepted_values_event_type', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+      |FROM events WHERE event_type IS NOT NULL
+      |  AND event_type NOT IN ('signup','view','click','purchase','error')
+      |UNION ALL
+      |SELECT 'no_negative_price', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+      |FROM lineitem WHERE l_extendedprice < 0 OR l_quantity <= 0
+      |UNION ALL
+      |SELECT 'freshness_ts',
+      |  CAST(CASE WHEN max(ts) < TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 24 HOURS
+      |       THEN 1 ELSE 0 END AS BIGINT),
+      |  max(ts) >= TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 24 HOURS
+      |FROM events""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val events = Tables.events(s, dir)
+    Quality.summarize(s, Seq(
+      "unique_o_orderkey" ->
+        Unique(Seq("o_orderkey")).violations(orders),
+      "not_null_o_custkey" ->
+        NotNull("o_custkey").violations(orders),
+      "relationship_l_orderkey" ->
+        Relationship("l_orderkey", orders, "o_orderkey").violations(lineitem),
+      "accepted_values_event_type" ->
+        AcceptedValues("event_type",
+          Seq("signup", "view", "click", "purchase", "error"))
+          .violations(events),
+      "no_negative_price" ->
+        Predicate("no_negative_price",
+          col("l_extendedprice") < 0 || col("l_quantity") <= 0)
+          .violations(lineitem),
+      "freshness_ts" ->
+        Freshness("ts", 24, Timestamp.valueOf("2024-02-01 00:00:00"))
+          .violations(events)))
+  }
+
+  /** J4 reconciliation: order header totals vs exact line sums. */
+  val q14 = Query(
+    "q14_reconciliation",
+    """WITH ls AS (
+      |  SELECT l_orderkey AS o_orderkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+      |      AS DECIMAL(18,2))) AS DOUBLE) AS line_total
+      |  FROM lineitem GROUP BY l_orderkey),
+      |j AS (
+      |  SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS header_total,
+      |    ls.line_total,
+      |    ABS(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+      |        - COALESCE(ls.line_total, 0.0)) AS abs_diff
+      |  FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.o_orderkey)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN line_total IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missing_lines,
+      |  CAST(SUM(CASE WHEN abs_diff > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_mismatch,
+      |  ROUND(CAST(SUM(CAST(abs_diff AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS total_abs_diff
+      |FROM j""".stripMargin) { (s, dir) =>
+    Marts.reconcile(Tables.orders(s, dir), Tables.lineitem(s, dir),
+      "o_orderkey", "l_orderkey", col("o_totalprice"),
+      col("l_extendedprice") * (lit(1) - col("l_discount")) *
+        (lit(1) + col("l_tax")),
+      0.01)
+  }
+
+  /** S4 freshness report across sources (reference
+    * `models/schema.yml:13-14`), with injected as-of times for
+    * reproducibility. */
+  val q15 = Query(
+    "q15_freshness_report",
+    """SELECT 'orders' AS table_name, max(o_orderdate) AS max_loaded_at,
+      |  CAST(FLOOR((epoch(TIMESTAMP '2001-09-01 00:00:00') - epoch(max(o_orderdate))) / 3600) AS BIGINT) AS hours_stale,
+      |  max(o_orderdate) >= TIMESTAMP '2001-09-01 00:00:00' - INTERVAL 24 HOURS AS fresh
+      |FROM orders
+      |UNION ALL
+      |SELECT 'lineitem', max(l_shipdate),
+      |  CAST(FLOOR((epoch(TIMESTAMP '2001-09-01 00:00:00') - epoch(max(l_shipdate))) / 3600) AS BIGINT),
+      |  max(l_shipdate) >= TIMESTAMP '2001-09-01 00:00:00' - INTERVAL 24 HOURS
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'events', max(ts),
+      |  CAST(FLOOR((epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(max(ts))) / 3600) AS BIGINT),
+      |  max(ts) >= TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 24 HOURS
+      |FROM events""".stripMargin) { (s, dir) =>
+    def leg(df: org.apache.spark.sql.DataFrame, name: String, tsCol: String,
+        asOf: String) = {
+      val asOfTs = lit(Timestamp.valueOf(asOf))
+      df.agg(max(col(tsCol)).as("max_loaded_at"))
+        .select(
+          lit(name).as("table_name"),
+          col("max_loaded_at"),
+          floor((asOfTs.cast("double") - col("max_loaded_at").cast("double"))
+            / 3600).cast("long").as("hours_stale"),
+          (col("max_loaded_at") >=
+            asOfTs - expr("INTERVAL 24 HOURS")).as("fresh"))
+    }
+    leg(Tables.orders(s, dir), "orders", "o_orderdate", "2001-09-01 00:00:00")
+      .unionByName(leg(Tables.lineitem(s, dir), "lineitem", "l_shipdate",
+        "2001-09-01 00:00:00"))
+      .unionByName(leg(Tables.events(s, dir), "events", "ts",
+        "2024-02-01 00:00:00"))
+  }
+
+  /** F6 JSON extraction + aggregation over the extracted key. */
+  val q16 = Query(
+    "q16_json_extract",
+    """SELECT CAST(FLOOR(CAST(props->>'k' AS INTEGER) / 10) AS BIGINT) AS k_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE CAST(props->>'k' AS INTEGER) IS NOT NULL
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("__k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("__k").isNotNull)
+      .groupBy(floor(col("__k") / 10).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("total_value"))
+  }
+
+  /** Gap-based sessionization (operations mart). */
+  val q17 = Query(
+    "q17_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+    Marts.sessionize(Tables.events(s, dir), "user_id", "ts",
+      col("event_id"), 30)
+  }
+
+  /** ST5 tumbling-window rollup, batch form: monthly revenue. */
+  val q18 = Query(
+    "q18_monthly_revenue",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** U1/set ops: customers with completed ('F') orders but no open ('O')
+    * orders — EXCEPT (distinct semantics in both engines). */
+  val q19 = Query(
+    "q19_set_except",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin) {
+    (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+  }
+
+  /** F7/F8 audit: malformed JSON, schema drift, PII scan
+    * (reference rules `pseudo_code_rules.txt:30-38`,
+    * `generate_and_load_script.py:157-158`, `README.md:59`). */
+  val q20 = Query(
+    "q20_json_pii_audit",
+    """SELECT 'events' AS table_name, 'malformed_json' AS check_name,
+      |  CAST(SUM(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n
+      |FROM events
+      |UNION ALL
+      |SELECT 'events', 'json_drift_keys',
+      |  CAST(SUM(CASE WHEN json_valid(props) AND json_keys(props) != ['k']
+      |    THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM events
+      |UNION ALL
+      |SELECT 'documents', 'pii_email',
+      |  CAST(SUM(CASE WHEN regexp_matches(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+      |    THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val ev = Staging.parseJsonTolerant(Tables.events(s, dir), "props")
+    val malformed = ev.agg(
+      sum(when(col("props").isNotNull && col("parsed").isNull, 1)
+        .otherwise(0)).cast("long").as("n"))
+      .select(lit("events").as("table_name"),
+        lit("malformed_json").as("check_name"), col("n"))
+    val drift = ev.agg(
+      sum(when(col("parsed").isNotNull &&
+        map_keys(col("parsed")) =!= array(lit("k")), 1)
+        .otherwise(0)).cast("long").as("n"))
+      .select(lit("events").as("table_name"),
+        lit("json_drift_keys").as("check_name"), col("n"))
+    val pii = Tables.documents(s, dir).agg(
+      sum(when(containsPii(col("text")), 1).otherwise(0)).cast("long")
+        .as("n"))
+      .select(lit("documents").as("table_name"),
+        lit("pii_email").as("check_name"), col("n"))
+    malformed.unionByName(drift).unionByName(pii)
+  }
+
+  val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
+    q15, q16, q17, q18, q19, q20)
+}

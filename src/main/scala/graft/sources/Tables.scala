@@ -30,6 +30,23 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's TimestampType (microseconds) cannot represent — the scan
+    * fails with PARQUET_TYPE_ILLEGAL by default. Read nanos as raw longs
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros,
+    * matching how microsecond engines (e.g. DuckDB) read the same file.
+    * Integer `div` (not `/`) — ns epochs exceed double's exact range. */
+  private def loadNanosAware(spark: SparkSession, dir: String,
+      name: String, tsCol: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(spark, dir, name)
+    if (df.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn(tsCol,
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"$tsCol div 1000")))
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
@@ -37,7 +54,8 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    loadNanosAware(s, d, "events", "ts")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
@@ -45,5 +63,8 @@ object Tables {
     * can address them by bare name — the analogue of dbt's `ref()`/
     * `source()` resolution (reference `example/my_second_dbt_model.sql:5`). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -1,0 +1,116 @@
+package graft.stage
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, MapType, StringType}
+
+import graft.functions.Functions
+
+/** Staging-layer transforms: the reference's raw → staging contract
+  * (reference `README.md:36` "staging, rejects"; dirty-data rulebook
+  * `data_gen/pseudo_code_rules.txt`).
+  *
+  * Every function is `DataFrame => DataFrame` (or a clean/reject pair) so
+  * layers compose like dbt models (reference `dbt_project.yml:25-43`),
+  * with Catalyst free to optimize across the whole composed plan.
+  */
+object Staging {
+
+  /** Clean/reject split (SURVEY U2): one predicate, two complementary
+    * outputs. Both reuse the same parent plan; Spark computes the scan
+    * once per action — at scale, persist the parent if both sides are
+    * consumed in the same job. */
+  def splitValid(df: DataFrame, valid: Column): (DataFrame, DataFrame) =
+    (df.filter(valid), df.filter(!coalesce(valid, lit(false))))
+
+  /** Keep-latest dedup (SURVEY W1; reference injects 5-10% duplicate rows,
+    * `data_gen/pseudo_code_rules.txt:39-47`). One shuffle on the key;
+    * `row_number` needs a total order, so `tieBreakers` must make the
+    * ordering deterministic.
+    *
+    * Scale note: this is the standard top-1-per-key pattern; Spark runs it
+    * as a single window over key-partitioned, sorted data. For heavily
+    * skewed keys, pre-aggregate with `max_by` semantics instead. */
+  def dedupLatest(df: DataFrame, keys: Seq[String], orderCol: Column,
+      tieBreakers: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((orderCol.desc +: tieBreakers.map(_.desc)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Soft-delete filter (SURVEY P7; reference `is_deleted` 10% true,
+    * `generate_and_load_script.py:88`). */
+  def dropSoftDeleted(df: DataFrame, flag: String = "is_deleted"): DataFrame =
+    df.filter(!coalesce(col(flag), lit(false)))
+
+  /** Negative/zero money sanitization (SURVEY P6; reference injects 0.2%
+    * negative price / 0.5% zero qty, `generate_and_load_script.py:112-113`;
+    * declared test `README.md:55`). */
+  def sanitizeMoney(df: DataFrame, price: String, qty: String)
+      : (DataFrame, DataFrame) =
+    splitValid(df, col(price) >= 0 && col(qty) > 0)
+
+  /** Tolerant JSON parse with reject routing (SURVEY F6-F7; reference
+    * injects 1-2% malformed JSON, `pseudo_code_rules.txt:30-38`, and 5%
+    * schema drift, `generate_and_load_script.py:157`).
+    *
+    * Parses into `MapType(String,String)` so unknown/drifting keys are
+    * retained instead of dropped; `from_json` yields null on malformed
+    * input, which (with the raw column kept alongside) distinguishes
+    * "malformed" from "absent". */
+  def parseJsonTolerant(df: DataFrame, jsonCol: String,
+      parsedCol: String = "parsed"): DataFrame =
+    df.withColumn(parsedCol,
+      from_json(col(jsonCol), MapType(StringType, StringType)))
+
+  /** Rows whose JSON failed to parse (malformed, not merely null). */
+  def malformedJson(df: DataFrame, jsonCol: String): DataFrame =
+    parseJsonTolerant(df, jsonCol, "__p")
+      .filter(col("__p").isNull && col(jsonCol).isNotNull)
+      .drop("__p")
+
+  /** Typed cast with reject routing: rows where any requested cast of a
+    * non-null input produced null are routed to rejects (BigQuery
+    * autodetect parity — reference defers casts to staging,
+    * `generate_and_load_script.py:18`). */
+  def castStrict(df: DataFrame, casts: Map[String, DataType])
+      : (DataFrame, DataFrame) = {
+    val casted = casts.foldLeft(df) { case (d, (c, t)) =>
+      d.withColumn(c + "__cast", col(c).cast(t))
+    }
+    val bad = casts.keys.map(c =>
+      col(c).isNotNull && col(c + "__cast").isNull).reduce(_ || _)
+    val clean = casted.filter(!bad)
+      .select(df.columns.map(c =>
+        if (casts.contains(c)) col(c + "__cast").as(c) else col(c)): _*)
+    val rejects = casted.filter(bad).select(df.columns.map(col): _*)
+    (clean, rejects)
+  }
+
+  /** Country normalization via a broadcast seed (SURVEY F12; the
+    * reference stores full names on orgs but ISO codes on users,
+    * `generate_and_load_script.py:74,87`, normalized through the
+    * `iso_countries` seed, `README.md:22`). `seed` must carry
+    * (country_name, iso_code). */
+  def normalizeCountry(df: DataFrame, countryCol: String, seed: DataFrame)
+      : DataFrame = {
+    val s = broadcast(seed.select(
+      upper(trim(col("country_name"))).as("__cn"),
+      upper(trim(col("iso_code"))).as("__ci")))
+    val k = upper(trim(col(countryCol)))
+    df.join(s, k === col("__cn") || k === col("__ci"), "left")
+      .withColumn(countryCol + "_iso", coalesce(col("__ci"),
+        when(length(k) === 2, k)))
+      .drop("__cn", "__ci")
+  }
+
+  /** Multi-format date/number repair (SURVEY F4; reference rule
+    * `pseudo_code_rules.txt:57-65`). */
+  def repairDates(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, Functions.multiFormatDate(col(c)))
+  def repairNumbers(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, Functions.multiFormatNumber(col(c)))
+}
