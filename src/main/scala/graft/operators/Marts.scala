@@ -74,13 +74,15 @@ object Marts {
   /** Top-share concentration (SURVEY W5/A6; reference skew rule: top 5%
     * orgs ≈ 50% of volume, `pseudo_code_rules.txt:2-10`). Returns one row
     * (top_n, top_revenue, total_revenue, share). The per-key aggregate
-    * shuffles once; the percent_rank window runs over keys (not raw
-    * rows), which is orders of magnitude smaller. */
+    * shuffles once; the percent rank over keys is computed with
+    * [[Ranking.withGlobalPercentRank]] — exact `percent_rank()`
+    * semantics with no single-partition window, so the ranking stays
+    * parallel even when the key count is fact-sized. */
   def topShare(df: DataFrame, keyCol: String, amount: Column,
       topFraction: Double): DataFrame = {
     val perKey = df.groupBy(col(keyCol)).agg(sum(money(amount)).as("__rev"))
-    val ranked = perKey.withColumn("__pr",
-      percent_rank().over(Window.orderBy(col("__rev").desc)))
+    val ranked = Ranking.withGlobalPercentRank(perKey,
+      col("__rev").desc, "__pr")
     ranked.agg(
       sum(when(col("__pr") < topFraction, 1).otherwise(0))
         .cast("long").as("top_n"),
@@ -96,40 +98,52 @@ object Marts {
     * population of daily totals. */
   def dailyAnomalies(events: DataFrame, tsCol: String, valueCol: Column,
       zThreshold: Double): DataFrame = {
+    // cache: the daily frame (one row per day — tiny) feeds both the
+    // stats aggregate and the z-score join; without it Spark recomputes
+    // the full event scan + shuffle twice
     val daily = events
       .groupBy(date_trunc("day", col(tsCol)).as("day"))
       .agg(sum(money(valueCol)).cast("double").as("daily_value"))
+      .cache()
     val stats = daily.agg(
       avg(col("daily_value")).as("__mu"),
       stddev_samp(col("daily_value")).as("__sigma"))
+    // filter on the unrounded z; round only for output (matches the SQL
+    // oracle, which does the same)
     daily.crossJoin(broadcast(stats))
-      .withColumn("z",
-        round((col("daily_value") - col("__mu")) / col("__sigma"), 6))
-      .filter(abs(col("z")) > zThreshold)
-      .select(col("day"), col("daily_value"), col("z"))
+      .filter(abs((col("daily_value") - col("__mu")) / col("__sigma")) >
+        zThreshold)
+      .select(col("day"), col("daily_value"),
+        round((col("daily_value") - col("__mu")) / col("__sigma"), 6)
+          .as("z"))
   }
 
   /** Order↔lineitem reconciliation (SURVEY J4; reference "Payment
     * reconciliation (orders ≈ payments)", `README.md:56`): header total
-    * vs exact sum of line amounts, tolerance-classified summary. */
+    * vs exact sum of line amounts, tolerance-classified summary.
+    *
+    * All money stays DECIMAL end-to-end — `lineAmount` must already be a
+    * decimal expression (decimal subtraction is exact, so no engine ever
+    * has to break a rounding tie); the only double cast is in the final
+    * projection. */
   def reconcile(orders: DataFrame, lines: DataFrame, orderKey: String,
       lineOrderKey: String, headerAmount: Column, lineAmount: Column,
-      tolerance: Double): DataFrame = {
+      tolerance: String): DataFrame = {
     val lineSums = lines.groupBy(col(lineOrderKey).as(orderKey))
-      .agg(sum(money(lineAmount)).cast("double").as("line_total"))
+      .agg(sum(lineAmount).as("line_total"))
     val joined = orders
-      .select(col(orderKey), money(headerAmount).cast("double")
-        .as("header_total"))
+      .select(col(orderKey), money(headerAmount).as("header_total"))
       .join(lineSums, Seq(orderKey), "left")
       .withColumn("abs_diff",
-        abs(col("header_total") - coalesce(col("line_total"), lit(0.0))))
+        abs(col("header_total") -
+          coalesce(col("line_total"), lit(0).cast(Money))))
     joined.agg(
       count(lit(1)).as("n_orders"),
       sum(when(col("line_total").isNull, 1).otherwise(0))
         .cast("long").as("n_missing_lines"),
-      sum(when(col("abs_diff") > tolerance, 1).otherwise(0))
+      sum(when(col("abs_diff") > expr(tolerance), 1).otherwise(0))
         .cast("long").as("n_mismatch"),
-      round(sum(money(col("abs_diff"))).cast("double"), 2)
+      round(sum(col("abs_diff")).cast("double"), 2)
         .as("total_abs_diff"))
   }
 

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking without a single-partition window.
+  *
+  * `rank().over(Window.orderBy(...))` with no partition spec moves every
+  * row to one task — the classic 100 TB scale-killer (Spark logs
+  * `WindowExec: No Partition Defined`). This operator computes the exact
+  * same rank in parallel:
+  *
+  *   1. range-repartition on the order column (equal values land in the
+  *      same partition, so ties never straddle a boundary);
+  *   2. rank within each partition (parallel windows);
+  *   3. add the count of rows in all earlier partitions (a tiny
+  *      triangular self-join over the per-partition counts — no window,
+  *      so nothing ever collapses to one task).
+  *
+  * The reference's skew rule ("top 5% orgs ≈ 50% of order value",
+  * reference `data_gen/pseudo_code_rules.txt:2-10`) needs exactly this:
+  * a full ranking of per-key aggregates that still works when the key
+  * count is billions.
+  */
+object Ranking {
+
+  /** Append an exact global `rank()` (ties share rank, gaps follow) over
+    * `order` (use `col.desc`/`col.asc`). One range shuffle + one hash
+    * shuffle on partition id; no single-partition stage. */
+  def withGlobalRank(df: DataFrame, order: Column,
+      rankCol: String = "rank", numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nPart =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(nPart, order)
+      .withColumn("__pid", spark_partition_id())
+    // per-range-partition row counts: at most nPart rows
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // offset(p) = rows in partitions strictly before p — triangular join
+    // over the tiny counts frame instead of an unpartitioned window
+    val a = counts.select(col("__pid"))
+    val b = counts.select(col("__pid").as("__pid_b"), col("__cnt"))
+    val offsets = a.join(b, b("__pid_b") < a("__pid"), "left")
+      .groupBy(a("__pid"))
+      .agg(coalesce(sum(col("__cnt")), lit(0L)).as("__offset"))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(order)
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankCol, (rank().over(wLocal) + col("__offset")).cast("long"))
+      .drop("__pid", "__offset")
+  }
+
+  /** Exact `percent_rank()` — `(rank - 1) / (n - 1)`, 0.0 for a single
+    * row — built on [[withGlobalRank]], same scale posture. */
+  def withGlobalPercentRank(df: DataFrame, order: Column,
+      prCol: String = "percent_rank"): DataFrame = {
+    val ranked = withGlobalRank(df, order, "__rank")
+    val n = df.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn(prCol,
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__rank") - 1).cast("double") /
+            (col("__n") - 1).cast("double")))
+      .drop("__rank", "__n")
+  }
+}

@@ -39,14 +39,27 @@ object Scd2 {
   }
 
   /** Point-in-time join (SURVEY J5): each fact row picks the dim version
-    * whose `[valid_from, valid_to)` interval contains `factTs`.
-    * Inner by default; current (open-ended) versions match any later ts. */
+    * whose `[valid_from, valid_to)` interval contains the fact's
+    * `factTsCol`. Inner by default; current (open-ended) versions match
+    * any later ts.
+    *
+    * Both sides are explicitly aliased so the join condition is
+    * unambiguous even when fact and dim derive from the same scan (the
+    * self-join case that otherwise degenerates to a trivially-true
+    * predicate after a refactor). Returns all fact columns plus the
+    * dim's non-key columns. */
   def asOfJoin(fact: DataFrame, dim: DataFrame, key: Seq[String],
-      factTs: Column, joinType: String = "inner"): DataFrame = {
-    val cond = key.map(k => fact(k) === dim(k)).reduce(_ && _) &&
-      factTs >= dim("valid_from") &&
-      (dim("valid_to").isNull || factTs < dim("valid_to"))
-    fact.join(dim, cond, joinType)
+      factTsCol: String, joinType: String = "inner"): DataFrame = {
+    val f = fact.alias("__f")
+    val d = dim.alias("__d")
+    val ts = col(s"__f.$factTsCol")
+    val cond = key.map(k => col(s"__f.$k") === col(s"__d.$k"))
+      .reduce(_ && _) &&
+      ts >= col("__d.valid_from") &&
+      (col("__d.valid_to").isNull || ts < col("__d.valid_to"))
+    val dimCols = dim.columns.filterNot(key.contains)
+      .map(c => col(s"__d.$c"))
+    f.join(d, cond, joinType).select(col("__f.*") +: dimCols: _*)
   }
 
   /** Overlap violations (reference `README.md:58` "SCD2 window overlap

@@ -46,9 +46,14 @@ final case class AcceptedValues(c: String, values: Seq[String]) extends Check {
 
 /** FK integrity (reference `relationships` tests,
   * `models/schema.yml:31-35,59-73,86-90,108-117`). dbt ignores null child
-  * keys, so the anti-join filters them first (SURVEY §7.3 risk note). */
+  * keys, so the anti-join filters them first (SURVEY §7.3 risk note).
+  *
+  * `broadcastParent` defaults to false: the parent's distinct-key set is
+  * fact-sized whenever the parent is a fact (orders at 100 TB = billions
+  * of keys through the driver — OOM). Opt in only for true constant-size
+  * dims; otherwise AQE picks broadcast by itself when the side is small. */
 final case class Relationship(childCol: String, parent: DataFrame,
-    parentCol: String, broadcastParent: Boolean = true) extends Check {
+    parentCol: String, broadcastParent: Boolean = false) extends Check {
   val name = s"relationship_$childCol"
   def violations(df: DataFrame): DataFrame = {
     val p = parent.select(col(parentCol)).distinct()

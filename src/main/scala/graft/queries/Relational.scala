@@ -64,8 +64,10 @@ object Relational {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
+    // customer scales with SF — no broadcast hint (AQE decides); nation
+    // is a true constant-size dim, so its hint is safe at any scale
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(n("n_name").as("nation"))
       .agg(
@@ -88,7 +90,7 @@ object Relational {
       |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin) { (s, dir) =>
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(
         sumMoney(col("o_totalprice")).as("revenue"),
@@ -112,7 +114,7 @@ object Relational {
       |ORDER BY mktsegment, orderstatus""".stripMargin) { (s, dir) =>
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .rollup(col("c_mktsegment"), col("o_orderstatus"))
       .agg(
         sumMoney(col("o_totalprice")).as("revenue"),

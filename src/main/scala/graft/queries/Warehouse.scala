@@ -71,9 +71,8 @@ object Warehouse {
           col("valid_from"), col("valid_to"))
       val fact = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts")
-      Scd2.asOfJoin(fact, dim, Seq("user_id"), fact("ts"))
-        .select(fact("event_id"), fact("user_id"), fact("ts"),
-          dim("valid_from"), dim("state_value"))
+      Scd2.asOfJoin(fact, dim, Seq("user_id"), "ts")
+        .select("event_id", "user_id", "ts", "valid_from", "state_value")
   }
 
   /** Running revenue window (SURVEY §2.5 frame specs): exact decimal
@@ -187,16 +186,8 @@ object Warehouse {
       |  ROUND((daily_value - mu) / sigma, 6) AS z
       |FROM daily, stats
       |WHERE ABS((daily_value - mu) / sigma) > 2.0""".stripMargin) { (s, dir) =>
-    // note: filter on unrounded z in both engines; z is rounded for output
-    val daily = Tables.events(s, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum(money(col("value"))).cast("double").as("daily_value"))
-    val stats = daily.agg(avg(col("daily_value")).as("__mu"),
-      stddev_samp(col("daily_value")).as("__sigma"))
-    daily.crossJoin(broadcast(stats))
-      .filter(abs((col("daily_value") - col("__mu")) / col("__sigma")) > 2.0)
-      .select(col("day"), col("daily_value"),
-        round((col("daily_value") - col("__mu")) / col("__sigma"), 6).as("z"))
+    // filter on unrounded z in both engines; z is rounded for output
+    Marts.dailyAnomalies(Tables.events(s, dir), "ts", col("value"), 2.0)
   }
 
   /** A1-A3/S4 quality suite — dbt schema-test parity
@@ -249,33 +240,38 @@ object Warehouse {
           .violations(events)))
   }
 
-  /** J4 reconciliation: order header totals vs exact line sums. */
+  /** J4 reconciliation: order header totals vs exact line sums. Money is
+    * DECIMAL end-to-end in BOTH engines (inputs cast to decimal before
+    * any arithmetic; decimal subtraction is exact, so no rounding ties
+    * ever occur); the only double cast is the final projection. */
   val q14 = Query(
     "q14_reconciliation",
     """WITH ls AS (
       |  SELECT l_orderkey AS o_orderkey,
-      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-      |      AS DECIMAL(18,2))) AS DOUBLE) AS line_total
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      |        * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS line_total
       |  FROM lineitem GROUP BY l_orderkey),
       |j AS (
-      |  SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS header_total,
-      |    ls.line_total,
-      |    ABS(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
-      |        - COALESCE(ls.line_total, 0.0)) AS abs_diff
+      |  SELECT ls.line_total,
+      |    ABS(CAST(o.o_totalprice AS DECIMAL(18,2))
+      |        - COALESCE(ls.line_total, 0)) AS abs_diff
       |  FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.o_orderkey)
       |SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
       |  CAST(SUM(CASE WHEN line_total IS NULL THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_missing_lines,
       |  CAST(SUM(CASE WHEN abs_diff > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_mismatch,
-      |  ROUND(CAST(SUM(CAST(abs_diff AS DECIMAL(18,2))) AS DOUBLE), 2)
-      |    AS total_abs_diff
+      |  ROUND(CAST(SUM(abs_diff) AS DOUBLE), 2) AS total_abs_diff
       |FROM j""".stripMargin) { (s, dir) =>
+    val one = lit(1).cast(org.apache.spark.sql.types.DecimalType(1, 0))
+    val rate = (c: String) =>
+      col(c).cast(org.apache.spark.sql.types.DecimalType(4, 2))
     Marts.reconcile(Tables.orders(s, dir), Tables.lineitem(s, dir),
       "o_orderkey", "l_orderkey", col("o_totalprice"),
-      col("l_extendedprice") * (lit(1) - col("l_discount")) *
-        (lit(1) + col("l_tax")),
-      0.01)
+      money(col("l_extendedprice")) * (one - rate("l_discount")) *
+        (one + rate("l_tax")),
+      "0.01")
   }
 
   /** S4 freshness report across sources (reference
@@ -297,17 +293,22 @@ object Warehouse {
       |  CAST(FLOOR((epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(max(ts))) / 3600) AS BIGINT),
       |  max(ts) >= TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 24 HOURS
       |FROM events""".stripMargin) { (s, dir) =>
+    // orders/lineitem dates land as TIMESTAMP_NTZ, events as TIMESTAMP —
+    // NTZ casts straight to double crash at analysis; go NTZ→TIMESTAMP
+    // (session TZ is UTC) →double for epoch math, and emit max_loaded_at
+    // uniformly as TIMESTAMP_NTZ so the union legs agree on one type
+    // (DuckDB's timestamps are NTZ, so the oracle compare lines up too).
     def leg(df: org.apache.spark.sql.DataFrame, name: String, tsCol: String,
         asOf: String) = {
       val asOfTs = lit(Timestamp.valueOf(asOf))
-      df.agg(max(col(tsCol)).as("max_loaded_at"))
+      val maxTs = col("__max").cast("timestamp")
+      df.agg(max(col(tsCol)).as("__max"))
         .select(
           lit(name).as("table_name"),
-          col("max_loaded_at"),
-          floor((asOfTs.cast("double") - col("max_loaded_at").cast("double"))
+          col("__max").cast("timestamp_ntz").as("max_loaded_at"),
+          floor((asOfTs.cast("double") - maxTs.cast("double"))
             / 3600).cast("long").as("hours_stale"),
-          (col("max_loaded_at") >=
-            asOfTs - expr("INTERVAL 24 HOURS")).as("fresh"))
+          (maxTs >= asOfTs - expr("INTERVAL 24 HOURS")).as("fresh"))
     }
     leg(Tables.orders(s, dir), "orders", "o_orderdate", "2001-09-01 00:00:00")
       .unionByName(leg(Tables.lineitem(s, dir), "lineitem", "l_shipdate",
