@@ -56,16 +56,53 @@ object Functions {
   def tokens(c: Column): Column =
     split(trim(lower(c)), "\\s+")
 
-  /** BPE-ish token count: words, numbers, and punctuation runs each
-    * count as one token — a cheap proxy for subword tokenizers. */
+  /** Whitespace-normalized lowercase text (exact-dedup canonical form). */
+  def normText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** BPE-ish token pattern: a run of alphanumerics, or one non-space
+    * symbol — a cheap, engine-portable proxy for subword tokenizers
+    * (plain RE2-safe regex: no lookarounds, identical in DuckDB). */
+  val BpeishPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** BPE-ish token count via `regexp_extract_all` (codegen'd). */
   def bpeishTokenCount(c: Column): Column =
-    size(filter(split(c, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => t =!= "" && t =!= " "))
+    size(regexp_extract_all(c, lit(BpeishPattern), lit(0)))
+
+  /** Count of ASCII punctuation characters (integer — safe to sum
+    * exactly across docs; derive ratios with one final division). */
+  def punctChars(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))
 
   /** Punctuation character ratio, a quality-score feature. */
   def punctRatio(c: Column): Column =
-    (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") /
-      greatest(length(c), lit(1)).cast("double")
+    punctChars(c).cast("double") / greatest(length(c), lit(1)).cast("double")
+
+  /** Number of tokens (from `tokens`) contained in `set` — stopword-hit
+    * counter for language ID / quality scoring. */
+  def tokenHits(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => t.isin(set.map(lit): _*)))
+
+  /** Distinct word n-gram shingles of lowercased text: the unit of
+    * minhash / Jaccard near-dedup. Empty when the doc has < n words
+    * (guarded — Spark's `sequence(a, b)` runs DESCENDING when a > b,
+    * it does not return empty). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val w = tokens(c)
+    when(size(w) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + 1, lit(n)), " "))))
+      .otherwise(array())
+  }
+
+  /** Distinct character n-grams of the raw text. */
+  def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      array_distinct(
+        transform(sequence(lit(1), length(c) - (n - 1)),
+          i => c.substr(i, lit(n)))))
+      .otherwise(array())
 
   // ------------------------------------------------------------- vectors
 

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions._
+
+/** Embedding similarity search (LLM-pipeline north star, SURVEY §7.2
+  * step 7): brute-force cosine top-k as the correctness baseline, and a
+  * hyperplane-LSH bucketed variant as the 100 TB path.
+  *
+  * Determinism contract: cosine is a strict left-to-right double fold
+  * (`aggregate` higher-order fn), so any engine folding the same way
+  * (e.g. DuckDB's `list_reduce`) produces bit-identical doubles — the
+  * similarity values themselves are oracle-checkable, not just the ids.
+  *
+  * Scale notes: the query set is broadcast (it is small by contract);
+  * per-candidate scoring streams map-side; top-k per query uses a
+  * partial-aggregatable Aggregator, so only `k` rows per (query ×
+  * input-partition) ever reach the shuffle — NOT a window over all
+  * n×|Q| scored pairs. The LSH variant prunes the scored set itself:
+  * sign-buckets from deterministic hash-derived hyperplanes, candidates
+  * joined within buckets only.
+  */
+object Similarity {
+
+  /** One scored neighbor. */
+  final case class Scored(id: Long, score: Double)
+
+  /** Top-k buffer as parallel sequences (kept sorted by score desc, id
+    * asc) — a Product, so the public `Encoders.product` covers it. */
+  final case class TopBuf(ids: Seq[Long], scores: Seq[Double])
+
+  /** Partial-aggregatable exact top-k by (score desc, id asc). The
+    * buffer never exceeds k elements, so map-side combine bounds both
+    * memory and shuffle volume — only k rows per (query × partition)
+    * reach the exchange, vs a window over every scored pair. */
+  final class TopK(k: Int) extends Aggregator[Scored, TopBuf, TopBuf] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def toList(buf: TopBuf): List[Scored] =
+      buf.ids.lazyZip(buf.scores).map(Scored.apply).toList
+    private def fromList(xs: List[Scored]): TopBuf =
+      TopBuf(xs.map(_.id), xs.map(_.score))
+    private def insert(buf: List[Scored], x: Scored): List[Scored] =
+      if (buf.lengthCompare(k) >= 0 && better(buf.last, x)) buf
+      else {
+        val (before, after) = buf.span(better(_, x))
+        val merged = before ::: (x :: after)
+        if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+      }
+    def zero: TopBuf = TopBuf(Nil, Nil)
+    def reduce(buf: TopBuf, x: Scored): TopBuf =
+      fromList(insert(toList(buf), x))
+    def merge(a: TopBuf, b: TopBuf): TopBuf =
+      fromList(toList(b).foldLeft(toList(a))(insert))
+    def finish(buf: TopBuf): TopBuf = buf
+    def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+    def outputEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+  }
+
+  /** Cosine over float embeddings, in double end to end. */
+  def cosineF(a: Column, b: Column): Column =
+    cosine(toDoubleArray(a), toDoubleArray(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param vectors (id, vec) corpus; `vec` is `array<float>`
+    * @param queries (query_id, qvec) — small, broadcast
+    * @return (query_id, rank, neighbor_id, cosine) — rank 1..k by
+    *         (cosine desc, neighbor_id asc); self-matches excluded
+    */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol).as("query_id"),
+        col(idCol).as("id"),
+        cosineF(col(vecCol), col(queryVecCol)).as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Shared tail: scored (query_id, id, score) → ranked top-k rows. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopK(k))
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("id"), col("score")).as("top"))
+      .select(col("query_id"),
+        posexplode(arrays_zip(col("top.ids"), col("top.scores")))
+          .as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("n.ids").as("neighbor_id"),
+        round(col("n.scores"), 6).as("cosine"))
+  }
+
+  /** Deterministic hash-derived hyperplane weights: plane `p`, dim `d`
+    * gets `(md5_60bit("plane:p:d") mod 1001 - 500) / 500` ∈ [-1, 1].
+    * Pure literals — Catalyst constant-folds the whole array. */
+  def planeWeights(p: Int, dims: Int): Column =
+    array((0 until dims).map { d =>
+      ((md5Long(lit(s"plane:$p:$d")) % 1001 - 500).cast("double") / 500.0)
+    }: _*)
+
+  /** Sign-bucket id of a vector under `planes` hyperplanes: bit p is
+    * `dot(plane_p, v) >= 0`. */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      when(dot(toDoubleArray(vec), planeWeights(p, dims)) >= 0,
+        lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates are corpus vectors in the SAME
+    * hyperplane sign-bucket as the query (2^planes buckets); exact
+    * cosine + top-k within candidates only. Trades recall for pruning —
+    * the bucket join replaces the full scan, which is what survives a
+    * 100× corpus. */
+  def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, planes: Int, dims: Int): DataFrame = {
+    val bucketed = vectors.withColumn("__bucket",
+      lshBucket(col(vecCol), planes, dims))
+    val qb = queries.withColumn("__qbucket",
+      lshBucket(col(queryVecCol), planes, dims))
+    val scored = bucketed.join(broadcast(qb),
+        col("__bucket") === col("__qbucket") &&
+          col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol).as("query_id"),
+        col(idCol).as("id"),
+        cosineF(col(vecCol), col(queryVecCol)).as("score"))
+    topKPerQuery(scored, k)
+  }
+}

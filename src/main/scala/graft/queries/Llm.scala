@@ -1,0 +1,433 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions._
+import graft.operators.{Similarity, TextDedup}
+import graft.sources.Tables
+
+/** LLM training-data pipeline queries over the `documents` /
+  * `embeddings` fixtures (the project's north-star extension; the
+  * reference repo has no document layer, so these are specified by the
+  * task brief rather than reference files): text statistics, exact +
+  * near deduplication (MinHash LSH, SimHash, n-gram Jaccard,
+  * fingerprint sampling), language ID, quality scoring, and embedding
+  * similarity search (brute-force + hyperplane-LSH ANN).
+  *
+  * Every query has a full DuckDB oracle running the IDENTICAL pipeline
+  * (portable md5-based hashing; strict left-fold double arithmetic), so
+  * even the approximate operators are hash-checkable end to end.
+  */
+object Llm {
+
+  /** DuckDB fragment: whitespace tokens of lowercased text. */
+  private val DTokens = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** DuckDB fragment: portable 60-bit md5 hash of an expression. */
+  private def dHash64(e: String) =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  // ------------------------------------------------------------ q21
+
+  /** Per-language corpus statistics: all metrics are exact integer sums
+    * with at most one final division (double sums across rows would be
+    * partitioning-order-dependent; integer sums are not). */
+  val q21 = Query(
+    "q21_text_stats",
+    s"""SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len($DTokens)) AS BIGINT) AS total_ws_tokens,
+       |  CAST(SUM(len(regexp_extract_all(text, '$BpeishPattern'))) AS BIGINT)
+       |    AS total_bpeish_tokens,
+       |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       |  CAST(SUM(length(text) -
+       |    length(regexp_replace(text, '[[:punct:]]', '', 'g'))) AS BIGINT)
+       |    AS total_punct_chars,
+       |  ROUND(CAST(SUM(len($DTokens)) AS DOUBLE) / COUNT(*), 6)
+       |    AS avg_ws_tokens
+       |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("total_ws_tokens"),
+        sum(bpeishTokenCount(col("text"))).cast("long")
+          .as("total_bpeish_tokens"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        sum(punctChars(col("text"))).cast("long").as("total_punct_chars"),
+        round(sum(size(tokens(col("text")))).cast("double") /
+          count(lit(1)), 6).as("avg_ws_tokens"))
+  }
+
+  // ------------------------------------------------------------ q22
+
+  /** Exact-duplicate audit: raw and normalized content hashes. */
+  val q22 = Query(
+    "q22_exact_dedup",
+    """WITH r AS (
+      |  SELECT md5(text) AS h FROM documents),
+      |n AS (
+      |  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+      |  FROM documents),
+      |ra AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct_raw,
+      |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup_groups_raw,
+      |    CAST(SUM(c - 1) AS BIGINT) AS n_dup_rows_raw
+      |  FROM (SELECT h, COUNT(*) AS c FROM r GROUP BY h)),
+      |na AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_norm,
+      |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup_groups_norm,
+      |    CAST(SUM(c - 1) AS BIGINT) AS n_dup_rows_norm
+      |  FROM (SELECT h, COUNT(*) AS c FROM n GROUP BY h))
+      |SELECT ra.*, na.* FROM ra, na""".stripMargin) { (s, dir) =>
+    TextDedup.exactDupStats(Tables.documents(s, dir), "text")
+  }
+
+  // ------------------------------------------------------------ q23
+
+  private val MhShingle = 3
+  private val MhHashes = 16
+  private val MhBands = 4
+  private val MhThreshold = 0.5
+
+  private def minhashOracle: String = {
+    val r = MhHashes / MhBands
+    val sigs = (0 until MhHashes)
+      .map(i => s"list_min([md5('$i:' || x) for x in s]) AS sig$i")
+      .mkString(",\n    ")
+    val bandLegs = (0 until MhBands).map { j =>
+      val cols = (j * r until (j + 1) * r).map(i => s"sig$i")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band_id, md5($cols) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+  SELECT doc_id, $DTokens AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(list_slice(w, i, i + ${MhShingle - 1}), ' ')
+                   for i in range(1, len(w) - ${MhShingle - 2})]) AS s
+  FROM toks WHERE len(w) >= $MhShingle),
+sig AS (
+  SELECT doc_id, s, $sigs FROM sh),
+bands AS (
+  $bandLegs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+    AND a.doc_id < b.doc_id),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+    len(list_intersect(x.s, y.s))::DOUBLE /
+      len(list_distinct(list_concat(x.s, y.s)))::DOUBLE AS j
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b)
+SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= $MhThreshold"""
+  }
+
+  /** MinHash+LSH near-dedup: shingle → 16 seeded minhashes → 4 banded
+    * buckets → candidate pairs within buckets only → exact-Jaccard
+    * verification. The oracle replays the identical pipeline, so the
+    * LSH recall profile itself is checked, not just the final filter. */
+  val q23 = Query("q23_minhash_near_dedup", minhashOracle) { (s, dir) =>
+    TextDedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+      MhShingle, MhHashes, MhBands, MhThreshold)
+  }
+
+  // ------------------------------------------------------------ q24
+
+  private val TopkEvery = 50
+  private val TopkK = 5
+
+  /** DuckDB fragment: strict left-fold cosine between list columns `a`
+    * and `b` (matches Spark's `aggregate` fold bit for bit). */
+  private def dCosine(a: String, b: String) =
+    s"""list_reduce([$a[i] * $b[i] for i in range(1, len($a) + 1)],
+       |      (x, y) -> x + y) /
+       |    (sqrt(list_reduce([$a[i] * $a[i] for i in range(1, len($a) + 1)],
+       |      (x, y) -> x + y)) *
+       |     sqrt(list_reduce([$b[i] * $b[i] for i in range(1, len($b) + 1)],
+       |      (x, y) -> x + y)))""".stripMargin
+
+  /** Brute-force exact cosine top-k: the correctness baseline for
+    * similarity search. Query set = every 50th vector (broadcast);
+    * top-k per query via the partial-aggregatable TopK Aggregator. */
+  val q24 = Query(
+    "q24_embedding_topk",
+    s"""WITH v AS (
+       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS e
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, e AS qe FROM v
+       |  WHERE vec_id % $TopkEvery = 0),
+       |scored AS (
+       |  SELECT q.query_id, v.vec_id AS id,
+       |    ${dCosine("qe", "e")} AS score
+       |  FROM v, q WHERE v.vec_id != q.query_id),
+       |r AS (
+       |  SELECT query_id, id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, id) AS rk
+       |  FROM scored)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rank, id AS neighbor_id,
+       |  ROUND(score, 6) AS cosine
+       |FROM r WHERE rk <= $TopkK""".stripMargin) { (s, dir) =>
+    val v = Tables.embeddings(s, dir)
+    val q = v.filter(col("vec_id") % TopkEvery === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.bruteForceTopK(v, "vec_id", "embedding",
+      q, "query_id", "qvec", TopkK)
+  }
+
+  // ------------------------------------------------------------ q25
+
+  private val ShMaxHamming = 3
+
+  private def simhashOracle: String = {
+    val bitTerms = (0 until 32).map { b =>
+      s"""(CASE WHEN 2 * len([h for h in hs if (h >> $b) & 1 = 1])
+         |      - len(hs) >= 0 THEN ${1L << b} ELSE 0 END)""".stripMargin
+    }.mkString(" +\n    ")
+    val bandLegs = (0 until 4).map { j =>
+      s"SELECT doc_id, fp, $j AS band_id, (fp >> ${j * 8}) & 255 AS band_key FROM f"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (
+  SELECT doc_id, [${dHash64("x")} for x in $DTokens] AS hs
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    $bitTerms AS fp
+  FROM t),
+bands AS (
+  $bandLegs),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+    AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $ShMaxHamming"""
+  }
+
+  /** SimHash near-dedup: 32-bit token-multiset fingerprints, byte-band
+    * candidates (pigeonhole covers Hamming ≤ 3), exact bit_count(xor)
+    * verification. */
+  val q25 = Query("q25_simhash_near_dedup", simhashOracle) { (s, dir) =>
+    TextDedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+      ShMaxHamming)
+  }
+
+  // ------------------------------------------------------------ q26
+
+  private val NgN = 5
+  private val NgMaxDf = 10
+  private val NgThreshold = 0.5
+
+  /** Character-n-gram Jaccard near-dups over an inverted index with
+    * stop-gram removal (df > maxDf dropped — the quadratic-bucket
+    * guard). Jaccard is over the filtered gram sets in both engines. */
+  val q26 = Query(
+    "q26_ngram_jaccard",
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN length(text) >= $NgN THEN
+       |      list_distinct([substr(text, i, $NgN)
+       |                     for i in range(1, length(text) - ${NgN - 2})])
+       |    ELSE [] END) AS gram
+       |  FROM documents),
+       |rare AS (
+       |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= $NgMaxDf),
+       |fg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM fg GROUP BY doc_id),
+       |ovl AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ovl
+       |  FROM fg a JOIN fg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    ovl::DOUBLE / (x.sz + y.sz - ovl)::DOUBLE AS j
+       |  FROM ovl
+       |  JOIN sz x ON x.doc_id = doc_a
+       |  JOIN sz y ON y.doc_id = doc_b)
+       |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
+       |FROM j WHERE j >= $NgThreshold""".stripMargin) { (s, dir) =>
+    TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      NgN, NgMaxDf, NgThreshold)
+  }
+
+  // ------------------------------------------------------------ q27
+
+  private val StopEn = Seq("the", "a", "and", "of", "to")
+  private val StopDe = Seq("der", "die", "und", "ist")
+  private val StopEs = Seq("el", "la", "que", "y")
+  private val StopFr = Seq("le", "les", "et", "une")
+
+  private def dHits(set: Seq[String]) = {
+    val in = set.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(w, x -> x IN ($in)))"
+  }
+
+  /** Heuristic language ID (stopword-hit argmax with deterministic
+    * tie-break order en>de>es>fr, 'und' when nothing hits), reported as
+    * a labeled-vs-predicted confusion matrix. */
+  val q27 = Query(
+    "q27_lang_id",
+    s"""WITH t AS (
+       |  SELECT lang, $DTokens AS w FROM documents),
+       |h AS (
+       |  SELECT lang, ${dHits(StopEn)} AS he, ${dHits(StopDe)} AS hd,
+       |    ${dHits(StopEs)} AS hs, ${dHits(StopFr)} AS hf
+       |  FROM t),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN greatest(he, hd, hs, hf) = 0 THEN 'und'
+       |         WHEN he >= greatest(hd, hs, hf) THEN 'en'
+       |         WHEN hd >= greatest(hs, hf) THEN 'de'
+       |         WHEN hs >= hf THEN 'es'
+       |         ELSE 'fr' END AS predicted
+       |  FROM h)
+       |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM p GROUP BY lang, predicted""".stripMargin) { (s, dir) =>
+    val w = tokens(col("text"))
+    val h = Tables.documents(s, dir).select(col("lang"),
+      tokenHits(w, StopEn).as("he"), tokenHits(w, StopDe).as("hd"),
+      tokenHits(w, StopEs).as("hs"), tokenHits(w, StopFr).as("hf"))
+    h.select(col("lang"),
+        when(greatest(col("he"), col("hd"), col("hs"), col("hf")) === 0,
+          "und")
+          .when(col("he") >= greatest(col("hd"), col("hs"), col("hf")), "en")
+          .when(col("hd") >= greatest(col("hs"), col("hf")), "de")
+          .when(col("hs") >= col("hf"), "es")
+          .otherwise("fr").as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  // ------------------------------------------------------------ q28
+
+  /** Doc quality scoring (length / stopword density / punctuation /
+    * word-length features), bucketed histogram per language. The score
+    * formula is evaluated identically in both engines, so the double is
+    * bit-stable and the floor-bucket never straddles. */
+  val q28 = Query(
+    "q28_quality_score",
+    s"""WITH t AS (
+       |  SELECT lang, $DTokens AS w, length(text) AS chars,
+       |    length(text) -
+       |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct
+       |  FROM documents),
+       |f AS (
+       |  SELECT lang, len(w) AS tok, ${dHits(StopEn)} AS stop_hits,
+       |    chars, punct
+       |  FROM t),
+       |sc AS (
+       |  SELECT lang,
+       |    0.3 * least(tok / 50.0, 1.0) +
+       |    0.3 * (stop_hits::DOUBLE / tok) +
+       |    0.2 * (1.0 - least(10.0 * punct / greatest(chars, 1), 1.0)) +
+       |    0.2 * least(chars::DOUBLE / tok / 8.0, 1.0) AS score
+       |  FROM f)
+       |SELECT lang, CAST(FLOOR(score * 10) AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM sc GROUP BY lang, bucket""".stripMargin) { (s, dir) =>
+    val w = tokens(col("text"))
+    val f = Tables.documents(s, dir).select(col("lang"),
+      size(w).as("tok"), tokenHits(w, StopEn).as("stop_hits"),
+      length(col("text")).as("chars"), punctChars(col("text")).as("punct"))
+    f.select(col("lang"),
+        (lit(0.3) * least(col("tok") / 50.0, lit(1.0)) +
+          lit(0.3) * (col("stop_hits").cast("double") / col("tok")) +
+          lit(0.2) * (lit(1.0) -
+            least(lit(10.0) * col("punct") / greatest(col("chars"), lit(1)),
+              lit(1.0))) +
+          lit(0.2) * least(col("chars").cast("double") / col("tok") / 8.0,
+            lit(1.0))).as("score"))
+      .groupBy(col("lang"), floor(col("score") * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  // ------------------------------------------------------------ q29
+
+  private val FpN = 8
+  private val FpMod = 16
+  private val FpMinShared = 3
+
+  /** Content-defined fingerprint sampling (hash ≡ 0 mod 16 over char
+    * 8-grams) + inverted-index pair counting. */
+  val q29 = Query(
+    "q29_fingerprint_pairs",
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN length(text) >= $FpN THEN
+       |      list_distinct([substr(text, i, $FpN)
+       |                     for i in range(1, length(text) - ${FpN - 2})])
+       |    ELSE [] END) AS gram
+       |  FROM documents),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, ${dHash64("gram")} AS fp
+       |  FROM g WHERE ${dHash64("gram")} % $FpMod = 0),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared FROM p
+       |WHERE n_shared >= $FpMinShared""".stripMargin) { (s, dir) =>
+    TextDedup.fingerprintPairs(Tables.documents(s, dir), "doc_id", "text",
+      FpN, FpMod, FpMinShared)
+  }
+
+  // ------------------------------------------------------------ q30
+
+  private val AnnPlanes = 6
+  private val AnnDims = 64
+  private val AnnK = 3
+
+  private def annOracle: String = {
+    val planeDot = (p: Int) =>
+      s"""list_reduce([e[i] * (((('0x' || substr(md5('plane:$p:' ||
+         |      CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 1001) - 500) / 500.0)
+         |      for i in range(1, ${AnnDims + 1})], (x, y) -> x + y)""".stripMargin
+    val bucketTerms = (0 until AnnPlanes).map { p =>
+      s"(CASE WHEN ${planeDot(p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" +\n    ")
+    s"""WITH v AS (
+  SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+b AS (
+  SELECT vec_id, e,
+    $bucketTerms AS bucket
+  FROM v),
+q AS (
+  SELECT vec_id AS query_id, e AS qe, bucket AS qbucket FROM b
+  WHERE vec_id % $TopkEvery = 0),
+scored AS (
+  SELECT q.query_id, b.vec_id AS id,
+    ${dCosine("qe", "e")} AS score
+  FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id != q.query_id),
+r AS (
+  SELECT query_id, id, score,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, id) AS rk
+  FROM scored)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, id AS neighbor_id,
+  ROUND(score, 6) AS cosine
+FROM r WHERE rk <= $AnnK"""
+  }
+
+  /** Hyperplane-LSH approximate nearest neighbors: deterministic
+    * hash-derived planes → sign buckets → candidates joined within
+    * buckets only → exact cosine top-k. The scale path for q24. */
+  val q30 = Query("q30_embedding_ann_lsh", annOracle) { (s, dir) =>
+    val v = Tables.embeddings(s, dir)
+    val q = v.filter(col("vec_id") % TopkEvery === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.lshTopK(v, "vec_id", "embedding", q, "query_id", "qvec",
+      AnnK, AnnPlanes, AnnDims)
+  }
+
+  val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+}
