@@ -33,16 +33,19 @@ object Functions {
 
   /** Parse a date that may arrive in any of the reference's inconsistent
     * formats (reference `data_gen/pseudo_code_rules.txt:57-65`:
-    * MM/DD/YYYY vs DD-MM-YYYY vs ISO). */
+    * MM/DD/YYYY vs DD-MM-YYYY vs ISO). `try_to_date`, not `to_date` —
+    * under Spark 4's default ANSI mode a non-matching format THROWS,
+    * and surviving dirty input is this function's whole purpose. */
   def multiFormatDate(c: Column): Column = coalesce(
-    to_date(c, "yyyy-MM-dd"),
-    to_date(c, "MM/dd/yyyy"),
-    to_date(c, "dd-MM-yyyy"))
+    call_function("try_to_date", c, lit("yyyy-MM-dd")),
+    call_function("try_to_date", c, lit("MM/dd/yyyy")),
+    call_function("try_to_date", c, lit("dd-MM-yyyy")))
 
   /** Parse a numeric string that may use comma decimal separators
-    * (reference `data_gen/pseudo_code_rules.txt:57-65`). */
+    * (reference `data_gen/pseudo_code_rules.txt:57-65`); null (not an
+    * ANSI error) on garbage. */
   def multiFormatNumber(c: Column): Column =
-    regexp_replace(c, ",", ".").cast("double")
+    regexp_replace(c, ",", ".").try_cast("double")
 
   /** Generic email / PII detector (reference injects `leaked_email` into
     * event properties at 2%: `data_gen/generate_and_load_script.py:158`;

@@ -75,11 +75,13 @@ object Staging {
   /** Typed cast with reject routing: rows where any requested cast of a
     * non-null input produced null are routed to rejects (BigQuery
     * autodetect parity — reference defers casts to staging,
-    * `generate_and_load_script.py:18`). */
+    * `generate_and_load_script.py:18`). `try_cast`, not `cast`: under
+    * Spark 4's default ANSI mode a malformed value would otherwise
+    * throw instead of routing to rejects. */
   def castStrict(df: DataFrame, casts: Map[String, DataType])
       : (DataFrame, DataFrame) = {
     val casted = casts.foldLeft(df) { case (d, (c, t)) =>
-      d.withColumn(c + "__cast", col(c).cast(t))
+      d.withColumn(c + "__cast", col(c).try_cast(t.sql))
     }
     val bad = casts.keys.map(c =>
       col(c).isNotNull && col(c + "__cast").isNull).reduce(_ || _)

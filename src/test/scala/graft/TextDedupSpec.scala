@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Functions._
+import graft.operators.{Similarity, TextDedup}
+
+/** LLM-pipeline operators: hashing portability, shingles, planted
+  * near-dup recovery, top-k aggregator correctness. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("md5Long matches the cross-engine value (DuckDB parity)") {
+    // DuckDB: ('0x' || substr(md5('abc'),1,15))::BIGINT = 648541476951500027
+    val got = rows(Seq("abc").toDF("s").select(md5Long(col("s"))))
+      .head.getLong(0)
+    assert(got == 648541476951500027L)
+  }
+
+  test("wordShingles: count, content, and short-doc guard") {
+    val df = Seq("The quick brown fox jumps", "a b", "").toDF("t")
+    val got = rows(df.select(wordShingles(col("t"), 3)))
+      .map(_.getSeq[String](0))
+    assert(got(0) == Seq("the quick brown", "quick brown fox",
+      "brown fox jumps"))
+    assert(got(1) == Nil && got(2) == Nil)
+  }
+
+  test("charNgrams guard: shorter than n yields empty, not descending") {
+    val got = rows(Seq("ab").toDF("t").select(charNgrams(col("t"), 5)))
+      .head.getSeq[String](0)
+    assert(got == Nil)
+  }
+
+  test("bpeishTokenCount: words + symbols, no lookarounds") {
+    val got = rows(Seq("ab, cd!x").toDF("t")
+      .select(bpeishTokenCount(col("t")))).head.getInt(0)
+    assert(got == 5) // ab , cd ! x
+  }
+
+  test("exactDupStats counts raw vs normalized duplicates") {
+    val docs = Seq("Hello  World", "hello world", "unique").toDF("text")
+    val r = rows(TextDedup.exactDupStats(docs, "text")).head
+    assert(r.getAs[Long]("n_docs") == 3)
+    assert(r.getAs[Long]("n_distinct_raw") == 3)
+    assert(r.getAs[Long]("n_distinct_norm") == 2)
+    assert(r.getAs[Long]("n_dup_rows_norm") == 1)
+  }
+
+  test("minhashNearDups recovers a planted near-duplicate pair") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w20", "x20") // 1-word edit
+    val docs = Seq(
+      (1L, base), (2L, nearDup),
+      (3L, (100 to 140).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = rows(TextDedup.minhashNearDups(docs, "doc_id", "text",
+      3, 16, 4, 0.5))
+    assert(got.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+    val jac = got.head.getAs[Double]("jaccard")
+    assert(jac > 0.8 && jac < 1.0)
+  }
+
+  test("simhash: identical docs collide, near-dups are close") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base),
+      (3L, base.replace("w30", "zz")))
+      .toDF("doc_id", "text")
+    val pairs = rows(TextDedup.simhashNearDups(docs, "doc_id", "text", 3))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming"))
+      .toMap
+    assert(pairs((1L, 2L)) == 0L)
+  }
+
+  test("fingerprintPairs: exact copies share all fingerprints") {
+    val text = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val got = rows(TextDedup.fingerprintPairs(docs, "doc_id", "text",
+      8, 16, 1))
+    assert(got.size == 1 && got.head.getAs[Long]("n_shared") >= 1)
+  }
+
+  test("TopK aggregator: bounded buffer, exact order, tie-break") {
+    val t = new Similarity.TopK(3)
+    val xs = Seq(
+      Similarity.Scored(1, 0.5), Similarity.Scored(2, 0.9),
+      Similarity.Scored(3, 0.9), Similarity.Scored(4, 0.1),
+      Similarity.Scored(5, 0.7))
+    val half = xs.take(2).foldLeft(t.zero)(t.reduce)
+    val rest = xs.drop(2).foldLeft(t.zero)(t.reduce)
+    val merged = t.finish(t.merge(half, rest))
+    assert(merged.ids == Seq(2L, 3L, 5L)) // 0.9/id2, 0.9/id3, 0.7/id5
+    assert(merged.scores == Seq(0.9, 0.9, 0.7))
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),   // cosine 1 with query
+      (2L, Array(0.0f, 1.0f)),   // cosine 0
+      (3L, Array(1.0f, 1.0f)))   // cosine ~0.707
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val got = rows(Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      q, "query_id", "qvec", 2))
+    assert(got.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+      == Seq((1L, 1L), (2L, 3L)))
+  }
+}
