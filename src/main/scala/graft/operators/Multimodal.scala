@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata, plus decode / feature-extract / frame-sample shapes.
+  *
+  * The container ships no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC STUB (metadata derived from a portable content hash,
+  * clearly marked below); everything around it — binary column
+  * handling, schema, partition-friendly per-row transforms, sampling —
+  * is real and tested. A production decoder would replace `decodeStub`
+  * with a `mapPartitions` batch over the binary column (one codec
+  * instance per partition, vectorized batches), keeping this exact
+  * schema contract.
+  */
+object Multimodal {
+
+  /** Attach an opaque binary payload + basic metadata. For the fixture
+    * corpus the payload is the UTF-8 encoding of the text column (a
+    * stand-in for image/audio bytes); `n_bytes` comes from the binary,
+    * not the string, as it would for real media. */
+  def attachBinary(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+
+  /** STUB decode: fake (format, width, height, channels) derived
+    * deterministically from the content hash — the placeholder for a
+    * real image decode. Production: replace with a partition-mapped
+    * codec; the output schema stays identical. */
+  def decodeStub(df: DataFrame, textCol: String): DataFrame = {
+    val h = md5Long(col(textCol))
+    df.withColumn("media_format",
+        element_at(array(lit("png"), lit("jpeg"), lit("webp")),
+          (pmod(h, lit(3)) + 1).cast("int")))
+      .withColumn("width", (pmod(h, lit(1024)) + 1).cast("long"))
+      .withColumn("height",
+        (pmod(shiftright(h, 10), lit(1024)) + 1).cast("long"))
+      .withColumn("channels", (pmod(shiftright(h, 20), lit(3)) + 1)
+        .cast("long"))
+  }
+
+  /** Frame/byte sampling: hex of `k` evenly spaced single-byte slices
+    * of the payload — the shape of video frame-sampling (seek + decode
+    * at k offsets) without the codec. */
+  def frameSampleHex(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.withColumn("frame_hex",
+      transform(sequence(lit(0), lit(k - 1)),
+        i => hex(encode(col(textCol).substr(
+          floor(i * greatest(length(col(textCol)) - 1, lit(1)) / lit(k))
+            .cast("int") + 1,
+          lit(1)), "UTF-8"))))
+
+  /** Resize stub: metadata-level downscale to fit a bounding box,
+    * preserving aspect ratio. `floor` (not a bare long cast) so the
+    * rounding direction is explicit and engine-portable. */
+  def resizeStub(df: DataFrame, maxDim: Long): DataFrame = {
+    val scaleNeeded = greatest(col("width"), col("height")) > maxDim
+    def scaled(c: Column) = floor(c * maxDim /
+      greatest(col("width"), col("height"))).cast("long")
+    df.withColumn("resized_width",
+        when(scaleNeeded, scaled(col("width"))).otherwise(col("width")))
+      .withColumn("resized_height",
+        when(scaleNeeded, scaled(col("height"))).otherwise(col("height")))
+  }
+}

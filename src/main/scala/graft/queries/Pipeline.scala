@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StringType,
+  StructField, StructType}
+
+import graft.functions.Functions._
+import graft.operators.{Marts, Multimodal}
+import graft.sources.{Ingest, Tables}
+import graft.stage.Staging
+import graft.streaming.Streaming
+
+/** Ingestion / seeds / audit / streaming / multimodal queries — the
+  * reference's raw-layer and ops-layer surface (CSV loads with rejects,
+  * seed normalization, FX conversion, load audit, partitioned
+  * incremental loads, freshness of the streaming path), each with a
+  * DuckDB oracle over the same files. */
+object Pipeline {
+
+  private val SeedDir = "/root/repo/seeds"
+
+  // ------------------------------------------------------------ q31
+
+  /** CSV raw-layer ingest over a deliberately dirty fixture exercising
+    * the reference's dirty-data rulebook (mixed date formats, comma
+    * decimals, malformed numerics, null qty, negative price, dup rows —
+    * reference `data_gen/pseudo_code_rules.txt:39-74`): all-varchar
+    * read (autodetect parity) → string repair → strict cast with
+    * rejects → value sanitization, summarized. */
+  val q31 = Query(
+    "q31_csv_dirty_ingest",
+    s"""WITH raw AS (
+       |  SELECT * FROM read_csv('$SeedDir/dirty_orders.csv',
+       |    header=true, all_varchar=true)),
+       |rep AS (
+       |  SELECT order_id, qty AS qty_raw, TRY_CAST(qty AS INTEGER) AS qty_c,
+       |    regexp_replace(price, ',', '.', 'g') AS price_r,
+       |    COALESCE(
+       |      TRY_CAST(try_strptime(order_date, '%Y-%m-%d') AS DATE),
+       |      TRY_CAST(try_strptime(order_date, '%m/%d/%Y') AS DATE),
+       |      TRY_CAST(try_strptime(order_date, '%d-%m-%Y') AS DATE)) AS d
+       |  FROM raw),
+       |c AS (
+       |  SELECT *, TRY_CAST(price_r AS DECIMAL(18,2)) AS price_c FROM rep),
+       |flags AS (
+       |  SELECT *, ((qty_raw IS NOT NULL AND qty_c IS NULL) OR
+       |    (price_r IS NOT NULL AND price_c IS NULL)) AS cast_reject
+       |  FROM c),
+       |castable AS (SELECT * FROM flags WHERE NOT cast_reject),
+       |final AS (
+       |  SELECT * FROM castable
+       |  WHERE COALESCE(price_c >= 0 AND qty_c > 0, false))
+       |SELECT
+       |  CAST((SELECT COUNT(*) FROM raw) AS BIGINT) AS n_raw,
+       |  CAST((SELECT COUNT(*) FROM flags WHERE cast_reject) AS BIGINT)
+       |    AS n_cast_rejects,
+       |  CAST((SELECT COUNT(*) FROM castable
+       |        WHERE NOT COALESCE(price_c >= 0 AND qty_c > 0, false))
+       |    AS BIGINT) AS n_value_rejects,
+       |  CAST((SELECT COUNT(*) FROM final) AS BIGINT) AS n_final,
+       |  CAST((SELECT SUM(qty_c) FROM final) AS BIGINT) AS sum_qty,
+       |  CAST((SELECT SUM(price_c) FROM final) AS DOUBLE) AS sum_price,
+       |  CAST((SELECT COUNT(*) FROM final WHERE d IS NULL) AS BIGINT)
+       |    AS n_null_date,
+       |  CAST((SELECT COUNT(DISTINCT order_id) FROM final) AS BIGINT)
+       |    AS n_distinct_ids""".stripMargin) { (s, _) =>
+    val raw = Ingest.readCsvRaw(s, s"$SeedDir/dirty_orders.csv")
+    val repaired = raw
+      .withColumn("price", regexp_replace(col("price"), ",", "."))
+      .withColumn("d", multiFormatDate(col("order_date")))
+    val (castable, castRejects) = Staging.castStrict(repaired,
+      Map("qty" -> IntegerType, "price" -> DecimalType(18, 2)))
+    val (fin, valueRejects) =
+      Staging.splitValid(castable, col("price") >= 0 && col("qty") > 0)
+    val counts = raw.agg(count(lit(1)).as("n_raw"))
+      .crossJoin(castRejects.agg(count(lit(1)).as("n_cast_rejects")))
+      .crossJoin(valueRejects.agg(count(lit(1)).as("n_value_rejects")))
+    counts.crossJoin(fin.agg(
+      count(lit(1)).as("n_final"),
+      sum(col("qty")).cast("long").as("sum_qty"),
+      sum(col("price")).cast("double").as("sum_price"),
+      sum(when(col("d").isNull, 1).otherwise(0)).cast("long")
+        .as("n_null_date"),
+      countDistinct(col("order_id")).as("n_distinct_ids")))
+  }
+
+  // ------------------------------------------------------------ q32
+
+  /** Seed-driven country normalization (reference `iso_countries` seed,
+    * `README.md:22`; inconsistent name-vs-code storage,
+    * `generate_and_load_script.py:74,87`): mixed-case country values
+    * normalized through the broadcast seed, revenue per ISO code. */
+  val q32 = Query(
+    "q32_country_normalize",
+    s"""WITH seed AS (
+       |  SELECT * FROM read_csv('$SeedDir/iso_countries.csv',
+       |    header=true, all_varchar=true)),
+       |cust AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 2 = 0 THEN lower(n_name) ELSE n_name END
+       |      AS country
+       |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+       |norm AS (
+       |  SELECT c_custkey, COALESCE(upper(trim(s.iso_code)),
+       |    CASE WHEN length(upper(trim(country))) = 2
+       |         THEN upper(trim(country)) END) AS country_iso
+       |  FROM cust LEFT JOIN seed s
+       |    ON upper(trim(country)) = upper(trim(s.country_name))
+       |    OR upper(trim(country)) = upper(trim(s.iso_code)))
+       |SELECT country_iso,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders
+       |FROM orders o JOIN norm ON o.o_custkey = norm.c_custkey
+       |GROUP BY country_iso""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val cust = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(2)) === 0, lower(col("n_name")))
+          .otherwise(col("n_name")).as("country"))
+    val norm = Staging
+      .normalizeCountry(cust, "country", Ingest.seed(s, "iso_countries"))
+      .select(col("c_custkey"), col("country_iso"))
+    val o = Tables.orders(s, dir)
+    o.join(norm, o("o_custkey") === norm("c_custkey"))
+      .groupBy(col("country_iso"))
+      .agg(sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  // ------------------------------------------------------------ q33
+
+  /** FX normalization through the `fx_rates` seed (reference
+    * `README.md:23`; orders carry USD/GBP/EUR,
+    * `generate_and_load_script.py:122`): deterministic currency
+    * assignment, broadcast seed join, exact-decimal conversion. */
+  val q33 = Query(
+    "q33_fx_revenue",
+    s"""WITH fx AS (
+       |  SELECT * FROM read_csv('$SeedDir/fx_rates.csv', header=true,
+       |    columns={'currency': 'VARCHAR', 'rate_to_usd': 'DECIMAL(4,2)'})),
+       |o AS (
+       |  SELECT o_totalprice,
+       |    CASE o_orderkey % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'GBP'
+       |         ELSE 'EUR' END AS currency
+       |  FROM orders)
+       |SELECT o.currency, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * fx.rate_to_usd)
+       |    AS DOUBLE) AS revenue_usd
+       |FROM o JOIN fx ON o.currency = fx.currency
+       |GROUP BY o.currency""".stripMargin) { (s, dir) =>
+    val fx = Ingest.seedTyped(s, "fx_rates", StructType(Seq(
+      StructField("currency", StringType),
+      StructField("rate_to_usd", DecimalType(4, 2)))))
+    val o = Tables.orders(s, dir).select(col("o_totalprice"),
+      when(pmod(col("o_orderkey"), lit(3)) === 0, "USD")
+        .when(pmod(col("o_orderkey"), lit(3)) === 1, "GBP")
+        .otherwise("EUR").as("currency"))
+    o.join(broadcast(fx), Seq("currency"))
+      .groupBy(col("currency"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice")) * col("rate_to_usd")).cast("double")
+          .as("revenue_usd"))
+  }
+
+  // ------------------------------------------------------------ q34
+
+  /** Late-arrival rate (reference `README.md:57`; lateness = received −
+    * event, `generate_and_load_script.py:162`). The fixture has no
+    * `received_ts`, so one is derived deterministically from the event
+    * id — same derivation in the oracle. */
+  val q34 = Query(
+    "q34_late_arrival",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN event_id % 600 > 300 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_late,
+      |  ROUND(CAST(SUM(CASE WHEN event_id % 600 > 300 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS late_rate
+      |FROM events""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).withColumn("received_ts",
+      expr("ts + make_interval(0, 0, 0, 0, 0, 0, event_id % 600)"))
+    Marts.lateArrivalRate(ev, col("ts"), col("received_ts"), 300)
+  }
+
+  // ------------------------------------------------------------ q35
+
+  /** Load-audit row-count reconciliation (reference `raw_audit`,
+    * `models/schema.yml:122-141`): per-table counts through the
+    * registered-view SQL surface (S6/P5) — the engine side of the
+    * loader-vs-warehouse count compare. */
+  private val auditSql =
+    """SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+      |UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'customer', CAST(COUNT(*) AS BIGINT) FROM customer
+      |UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM events
+      |UNION ALL SELECT 'documents', CAST(COUNT(*) AS BIGINT) FROM documents
+      |UNION ALL SELECT 'embeddings', CAST(COUNT(*) AS BIGINT) FROM embeddings""".stripMargin
+
+  /** The exact same SQL text runs on both engines (Spark over temp
+    * views, DuckDB over the parquet files). */
+  val q35 = Query("q35_load_audit", auditSql) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(auditSql)
+  }
+
+  // ------------------------------------------------------------ q36
+
+  /** Partitioned incremental load (reference raw partitions by
+    * source/date `README.md:24`, daily `--day` runs `:82`): base write
+    * partitioned by event_date, late batch appended, read back through
+    * partition discovery, rolled up. The oracle aggregates the logical
+    * union directly — proving write→append→read loses nothing. */
+  val q36 = Query(
+    "q36_partitioned_incremental",
+    """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    val path = s"/tmp/graft_incremental_${math.abs(dir.hashCode)}"
+    Ingest.deletePath(s, path)
+    val ev = Tables.events(s, dir)
+      .withColumn("event_date", to_date(col("ts")))
+    val cutoff = lit("2024-01-15").cast("date")
+    Ingest.writePartitioned(ev.filter(col("event_date") < cutoff),
+      path, Seq("event_date"), "overwrite")
+    Ingest.writePartitioned(ev.filter(col("event_date") >= cutoff),
+      path, Seq("event_date"), "append")
+    s.read.parquet(path)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("total_value"))
+      .withColumn("event_date", col("event_date").cast("timestamp_ntz"))
+  }
+
+  // ------------------------------------------------------------ q37
+
+  /** JSON construct + extract roundtrip (F5/F6: `to_json` over a
+    * struct, key extraction back out) — serialized payloads must be
+    * byte-identical across engines. */
+  val q37 = Query(
+    "q37_to_json_roundtrip",
+    """SELECT o_orderkey,
+      |  to_json({'o_orderkey': o_orderkey, 'o_orderstatus': o_orderstatus})
+      |    AS payload,
+      |  json_extract_string(
+      |    to_json({'o_orderkey': o_orderkey, 'o_orderstatus': o_orderstatus}),
+      |    '$.o_orderstatus') = o_orderstatus AS roundtrip_ok
+      |FROM orders WHERE o_orderkey <= 32""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 32)
+      .select(col("o_orderkey"),
+        to_json(struct(col("o_orderkey"), col("o_orderstatus")))
+          .as("payload"),
+        (get_json_object(
+          to_json(struct(col("o_orderkey"), col("o_orderstatus"))),
+          "$.o_orderstatus") === col("o_orderstatus")).as("roundtrip_ok"))
+  }
+
+  // ------------------------------------------------------------ q38
+
+  /** String templating (F11: the reference's `SKU-####` pattern,
+    * `generate_and_load_script.py:97`). */
+  val q38 = Query(
+    "q38_sku_template",
+    """SELECT p_partkey % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  MIN(printf('SKU-%05d', p_partkey)) AS min_sku,
+      |  MAX(printf('SKU-%05d', p_partkey)) AS max_sku
+      |FROM part GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .select(pmod(col("p_partkey"), lit(10)).as("bucket"),
+        format_string("SKU-%05d", col("p_partkey")).as("sku"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("sku")).as("min_sku"), max(col("sku")).as("max_sku"))
+  }
+
+  // ------------------------------------------------------------ q39
+
+  /** A8 at 100 TB: `approx_count_distinct` (HLL++) beside the exact
+    * count. HLL sketches differ per engine, so the contract checked is
+    * the accuracy bound, not the sketch value. */
+  val q39 = Query(
+    "q39_approx_distinct",
+    """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+      |  TRUE AS approx_within_tolerance
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).agg(
+      countDistinct(col("o_custkey")).as("exact_custkeys"),
+      (abs(approx_count_distinct(col("o_custkey")) -
+        countDistinct(col("o_custkey"))).cast("double") /
+        countDistinct(col("o_custkey")) < 0.15)
+        .as("approx_within_tolerance"))
+  }
+
+  // ------------------------------------------------------------ q40
+
+  /** Structured Streaming daily rollup (ST5): the batch mart executed
+    * through readStream → tumbling window → AvailableNow, checked
+    * against the batch oracle — stream/batch parity. */
+  val q40 = Query(
+    "q40_streaming_rollup",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Streaming.dailyRollupAvailableNow(s, s"$dir/events.parquet")
+  }
+
+  // ------------------------------------------------------------ q41
+
+  /** Multimodal metadata pipeline: binary payloads + stubbed decode /
+    * resize (deterministic fake — the codec is the only missing piece;
+    * schema and plumbing are real). Oracle derives the same metadata
+    * from the content hash. */
+  val q41 = Query(
+    "q41_multimodal_meta",
+    s"""WITH m AS (
+       |  SELECT source,
+       |    octet_length(CAST(text AS BLOB)) AS n_bytes,
+       |    ['png', 'jpeg', 'webp'][(${dH("text")} % 3 + 1)::INT] AS media_format,
+       |    (${dH("text")} % 1024 + 1) AS width,
+       |    ((${dH("text")} >> 10) % 1024 + 1) AS height
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, n_bytes, media_format, width, height,
+       |    CASE WHEN greatest(width, height) > 512
+       |         THEN CAST(FLOOR(width * 512 / greatest(width, height))
+       |              AS BIGINT)
+       |         ELSE width END AS resized_width
+       |  FROM m)
+       |SELECT media_format, CAST(COUNT(*) AS BIGINT) AS n_assets,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(width) AS BIGINT) AS total_width,
+       |  CAST(SUM(resized_width) AS BIGINT) AS total_resized_width,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+       |FROM r GROUP BY media_format""".stripMargin) { (s, dir) =>
+    val staged = Multimodal.resizeStub(
+      Multimodal.decodeStub(
+        Multimodal.attachBinary(Tables.documents(s, dir), "text"), "text"),
+      512)
+    staged.groupBy(col("media_format"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        sum(col("width")).cast("long").as("total_width"),
+        sum(col("resized_width")).cast("long").as("total_resized_width"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
+  /** DuckDB fragment: portable 60-bit md5 hash of a column. */
+  private def dH(c: String) = s"('0x' || substr(md5($c), 1, 15))::BIGINT"
+
+  val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
+    q40, q41)
+}

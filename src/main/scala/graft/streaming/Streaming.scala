@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Functions._
+
+/** Structured Streaming surface (SURVEY §2.9): the same event pipeline
+  * as the batch path, expressed as `readStream` → windowed aggregate →
+  * sink. The reference is batch (dbt), but declares stream-shaped
+  * semantics — event-time vs arrival-time, late data, daily rollups
+  * (reference `generate_and_load_script.py:155,162`,
+  * `pseudo_code_rules.txt:11-19`, `README.md:7,57`).
+  *
+  * Batch stays primary; these wrappers prove the operators carry over:
+  * the aggregation plan (tumbling event-time window + exact decimal
+  * sums) is byte-for-byte the batch mart, planned incrementally.
+  */
+object Streaming {
+
+  /** Streaming daily rollup over a parquet events source, executed to
+    * completion with `Trigger.AvailableNow` and returned as a plain
+    * DataFrame (memory sink — test/verify harness use; production
+    * would `toTable` with a checkpoint).
+    *
+    * Watermark note: with AvailableNow over a static source the stream
+    * terminates, so complete-mode aggregation needs no watermark; the
+    * continuous deployment adds `withWatermark("ts", ...)` to bound
+    * state — see [[watermarkedDailyRollup]]. */
+  def dailyRollupAvailableNow(spark: SparkSession,
+      eventsParquet: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource requires a DIRECTORY; the fixture is one file —
+    // stage it into a per-source temp dir (idempotent overwrite)
+    val srcDir = stageIntoDir(spark, eventsParquet)
+    val batchSchema = spark.read.parquet(srcDir).schema
+    val raw = spark.readStream.schema(batchSchema).parquet(srcDir)
+    // same nanos→micros coercion as the batch reader (Tables.events)
+    val ev =
+      if (batchSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val agg = dailyRollup(ev)
+    val sink = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  /** Copy a single parquet file into a stable temp directory so the
+    * file stream source (directory-based) can list it. */
+  private def stageIntoDir(spark: SparkSession, file: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(file)
+    val fs = src.getFileSystem(conf)
+    if (fs.getFileStatus(src).isDirectory) file
+    else {
+      val dir = new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_stream_src_${math.abs(file.hashCode)}")
+      fs.mkdirs(dir)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new org.apache.hadoop.fs.Path(dir, src.getName), false, true, conf)
+      dir.toString
+    }
+  }
+
+  /** The shared rollup plan: tumbling 1-day event-time window, exact
+    * decimal revenue. Identical logic batch or streaming. */
+  def dailyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("total_value"))
+      .select(col("w.start").as("day"), col("n_events"), col("total_value"))
+
+  /** Production-shaped variant: watermarked, append-mode-compatible.
+    * Late rows beyond the watermark are dropped — the streaming
+    * enforcement of the reference's late-arrival threshold
+    * (`pseudo_code_rules.txt:11-19`). Returned un-started so callers
+    * pick sink/checkpoint/trigger. */
+  def watermarkedDailyRollup(events: DataFrame,
+      lateness: String = "1 day"): DataFrame =
+    dailyRollup(events.withWatermark("ts", lateness))
+}
