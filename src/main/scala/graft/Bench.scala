@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: two representative queries absorb the one-off
+    // whole-stage-codegen/JIT infra startup (~5-10 s) that would
+    // otherwise land on whichever timed query happens to run first
+    Seq("q1_pricing_summary", "q12_daily_anomalies").foreach { q =>
+      try { SparkEntry.queries(q)(spark, sfDir).count(); () }
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -52,29 +52,44 @@ object TextDedup {
         wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** MinHash signature columns `__sig0..__sig{k-1}`: per hash seed, the
-    * lexicographic min of seeded md5 over the shingle set. Fixed-width
-    * hex strings order exactly like their 128-bit values, so string min
-    * IS minhash — and stays engine-portable. */
-  def withMinhashSignature(shingled: DataFrame, k: Int): DataFrame =
-    (0 until k).foldLeft(shingled) { (d, i) =>
-      d.withColumn(s"__sig$i",
-        array_min(transform(col("sh"), x => md5(concat_ws(":", lit(i), x)))))
-    }
+  /** MinHash signature columns `__sig0..__sig{k-1}` via Carter-Wegman
+    * double hashing: only TWO md5 evaluations per shingle (h1, h2);
+    * family member i is `min over shingles of (h1 + i * (h2 mod 2^50))`
+    * — the standard trick for cheap minhash families, exactly
+    * replicable in SQL. Computed relationally (explode → k min
+    * aggregates in ONE map-side-combinable shuffle) instead of k array
+    * passes, so each shingle is hashed once regardless of k.
+    * Overflow-safe: h1 < 2^60 and (k-1)·2^50 < 2^55, sum < 2^61. */
+  def withMinhashSignature(shingled: DataFrame, k: Int): DataFrame = {
+    val ex = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), md5Long(col("g")).as("h1"),
+        pmod(md5LongSeeded(col("g"), 999), lit(1L << 50)).as("h2"))
+    val sigs = ex.groupBy(col("doc_id"))
+      .agg(min(col("h1")).as("__sig0"),
+        (1 until k).map(i =>
+          min(col("h1") + lit(i.toLong) * col("h2")).as(s"__sig$i")): _*)
+    shingled.join(sigs, "doc_id")
+  }
 
   /** Banded-LSH candidate pairs: signatures are split into `bands`
     * groups of `rowsPerBand`, each hashed to a bucket key; two docs are
     * candidates iff they share a bucket in ANY band. The pair join runs
-    * within buckets only — never across the corpus. */
+    * within buckets only — never across the corpus.
+    *
+    * One `posexplode` emits all band rows in a single pass (a per-band
+    * union would recompute the signature pipeline per leg), and the
+    * small (doc × bands)-row frame is persisted because the self-join
+    * reads it twice. */
   def lshCandidates(signed: DataFrame, bands: Int, rowsPerBand: Int)
       : DataFrame = {
-    val bandRows = (0 until bands).map { b =>
+    val bandKeys = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col(s"__sig$i"))
-      signed.select(col("doc_id"), lit(b).as("band_id"),
-        md5(concat_ws("|", cols: _*)).as("band_key"))
+      md5(concat_ws("|", cols: _*))
     }
-    val all = bandRows.reduce(_ unionByName _)
+    val all = signed.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = all.select(col("band_id"), col("band_key"),
       col("doc_id").as("doc_a"))
     val b = all.select(col("band_id").as("band_id_b"),
@@ -94,7 +109,10 @@ object TextDedup {
       shingleN: Int, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    // consumed by the signature pipeline AND both sides of the verify
+    // join — persist instead of re-shingling the corpus three times
     val shingled = docShingles(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val signed = withMinhashSignature(shingled, numHashes)
     val cand = lshCandidates(signed, bands, numHashes / bands)
     val sa = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
@@ -107,17 +125,29 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), round(col("__jac"), 6).as("jaccard"))
   }
 
-  /** 32-bit SimHash of the whitespace token multiset: bit b of the
-    * fingerprint is the sign of `sum over tokens of (2*bit_b(h(t)) - 1)`
-    * (ties count as set). Token hash = portable 60-bit md5. */
-  def simhash32(textCol: Column): Column = {
-    val hs = transform(tokens(textCol), t => md5Long(t))
-    val n = size(hs)
-    val bits = (0 until 32).map { b =>
-      val ones = size(filter(hs, h => (shiftright(h, b) % 2) === 1))
-      when(ones * 2 - n >= 0, lit(1L << b)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
+  /** 32-bit SimHash per doc, computed relationally: tokens exploded,
+    * each hashed ONCE, then 32 conditional-sum aggregates in a single
+    * map-side-combinable shuffle. (The pure-Column form re-evaluates
+    * the token-hash array for every bit term after Catalyst collapses
+    * projections — 32× the md5 work; the explode form hashes once.)
+    * Bit b is the sign of `sum over tokens of (2*bit_b(h(t)) - 1)`,
+    * ties counting as set. */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), md5Long(col("t")).as("h"))
+    val sums = ex.groupBy(col("doc_id"))
+      .agg(sum(when((shiftright(col("h"), 0) % 2) === 1, 1).otherwise(-1))
+          .as("__s0"),
+        (1 until 32).map(b =>
+          sum(when((shiftright(col("h"), b) % 2) === 1, 1).otherwise(-1))
+            .as(s"__s$b")): _*)
+    val fp = (0 until 32).map { b =>
+      when(col(s"__s$b") >= 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), fp.as("fp"))
   }
 
   /** SimHash near-dup pairs: fingerprints are banded into 4 bytes; two
@@ -127,8 +157,7 @@ object TextDedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole only guarantees hamming <= 3")
-    val fp = docs.select(col(idCol).as("doc_id"),
-      simhash32(col(textCol)).as("fp"))
+    val fp = simhash32(docs, idCol, textCol)
     val banded = (0 until 4).map { j =>
       fp.select(col("doc_id"), col("fp"), lit(j).as("band_id"),
         (shiftright(col("fp"), j * 8) % 256).as("band_key"))
@@ -162,7 +191,9 @@ object TextDedup {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select("gram")
+    // feeds sizes + both sides of the pair join: persist one copy
     val filtered = grams.join(rare, "gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = filtered.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("sz"))
     val x = filtered.select(col("gram"), col("doc_id").as("doc_a"))
@@ -186,18 +217,31 @@ object TextDedup {
   /** Content-defined fingerprinting (winnowing-style sampling): the
     * fingerprint set of a doc is the char-n-gram hashes ≡ 0 (mod
     * `modulus`) — a deterministic ~1/modulus sample that survives local
-    * edits. Pairs sharing ≥ `minShared` fingerprints are reported via
-    * the same inverted-index join (never all-pairs). */
+    * edits. Fingerprints present in more than `maxDf` docs are dropped
+    * (boilerplate suppression — without it a corpus-common fingerprint
+    * creates a quadratic bucket, the same hot-key failure as common
+    * n-grams). Pairs sharing ≥ `minShared` surviving fingerprints are
+    * reported via the inverted-index join — never all-pairs. */
   def fingerprintPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, modulus: Int, minShared: Int): DataFrame = {
+      n: Int, modulus: Int, minShared: Int, maxDf: Int): DataFrame = {
+    // persisted: the ~1/modulus sample is small, and both the df-count
+    // and the kept-join would otherwise re-run the full gram hash pass
     val fps = docs
       .select(col(idCol).as("doc_id"),
         explode(charNgrams(col(textCol), n)).as("gram"))
       .select(col("doc_id"), md5Long(col("gram")).as("fp"))
       .filter(col("fp") % modulus === 0)
       .distinct()
-    val a = fps.select(col("fp"), col("doc_id").as("doc_a"))
-    val b = fps.select(col("fp").as("fp_b"), col("doc_id").as("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("fp")
+    // feeds both sides of the pair join
+    val kept = fps.join(rare, "fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("fp").as("fp_b"), col("doc_id").as("doc_b"))
     a.join(b, a("fp") === b("fp_b") && a("doc_a") < b("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).cast("long").as("n_shared"))

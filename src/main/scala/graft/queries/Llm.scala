@@ -95,8 +95,11 @@ object Llm {
 
   private def minhashOracle: String = {
     val r = MhHashes / MhBands
+    // Carter-Wegman family: member i = h1 + i * (h2 mod 2^50) — must
+    // match TextDedup.withMinhashSignature exactly
     val sigs = (0 until MhHashes)
-      .map(i => s"list_min([md5('$i:' || x) for x in s]) AS sig$i")
+      .map(i => s"list_min([${dHash64("x")} + $i * " +
+        s"(${dHash64("'999:' || x")} % ${1L << 50}) for x in s]) AS sig$i")
       .mkString(",\n    ")
     val bandLegs = (0 until MhBands).map { j =>
       val cols = (j * r until (j + 1) * r).map(i => s"sig$i")
@@ -355,9 +358,11 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $ShMaxHamming"""
   private val FpN = 8
   private val FpMod = 16
   private val FpMinShared = 3
+  private val FpMaxDf = 20
 
   /** Content-defined fingerprint sampling (hash ≡ 0 mod 16 over char
-    * 8-grams) + inverted-index pair counting. */
+    * 8-grams), boilerplate fingerprints (df > maxDf) suppressed, then
+    * inverted-index pair counting. */
   val q29 = Query(
     "q29_fingerprint_pairs",
     s"""WITH g AS (
@@ -370,15 +375,18 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $ShMaxHamming"""
        |fp AS (
        |  SELECT DISTINCT doc_id, ${dHash64("gram")} AS fp
        |  FROM g WHERE ${dHash64("gram")} % $FpMod = 0),
+       |rare AS (
+       |  SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= $FpMaxDf),
+       |kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(COUNT(*) AS BIGINT) AS n_shared
-       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_shared FROM p
        |WHERE n_shared >= $FpMinShared""".stripMargin) { (s, dir) =>
     TextDedup.fingerprintPairs(Tables.documents(s, dir), "doc_id", "text",
-      FpN, FpMod, FpMinShared)
+      FpN, FpMod, FpMinShared, FpMaxDf)
   }
 
   // ------------------------------------------------------------ q30

@@ -75,7 +75,7 @@ class TextDedupSpec extends SparkSpec {
     val text = (1 to 80).map(i => s"tok$i").mkString(" ")
     val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
     val got = rows(TextDedup.fingerprintPairs(docs, "doc_id", "text",
-      8, 16, 1))
+      8, 16, 1, 10))
     assert(got.size == 1 && got.head.getAs[Long]("n_shared") >= 1)
   }
 
