@@ -1,0 +1,170 @@
+package graft.datagen
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Functions._
+
+/** Seeded synthetic-data generator with the reference's entity graph
+  * and dirty-data contract (reference
+  * `data_gen/generate_and_load_script.py` — orgs → users → products →
+  * orders → payments-shaped money math → events;
+  * `data_gen/pseudo_code_rules.txt` — skew, late arrivals, malformed
+  * JSON, duplicates, missing values, mixed formats, negative prices).
+  *
+  * Fully distributed and deterministic: every table is `spark.range`
+  * plus seeded `rand()` column expressions — no driver-side loops, no
+  * collect, so generation scales with the cluster exactly like any
+  * other query (the reference's pandas generator is single-process;
+  * this is the Spark-native re-expression, SURVEY F10).
+  */
+object Generate {
+
+  /** Deterministic UUID-shaped id: md5 of (entity, ordinal), formatted
+    * 8-4-4-4-12 — uuid4 parity (`generate_and_load_script.py:69` etc.)
+    * without nondeterminism. */
+  def uuidLike(entity: String, ordinal: Column): Column = {
+    val h = md5(concat_ws(":", lit(entity), ordinal))
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  private def pick(c: Column, values: Seq[String]): Column =
+    element_at(array(values.map(lit): _*),
+      (floor(c * values.size) + 1).cast("int"))
+
+  private val Money18 = DecimalType(18, 2)
+
+  /** Organizations (`generate_and_load_script.py:66-77`): plan enum,
+    * ~30% enterprise, full country NAMES (inconsistent with users —
+    * the seed-normalization test case). */
+  def orgs(spark: SparkSession, n: Long, seed: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("org_idx"),
+      uuidLike("org", col("id")).as("org_id"),
+      concat(lit("Org "), col("id")).as("org_name"),
+      pick(rand(seed + 1), Seq("basic", "pro", "enterprise")).as("plan_id"),
+      (rand(seed + 2) < 0.3).as("is_enterprise"),
+      timestamp_seconds(lit(1672531200L) +
+        floor(rand(seed + 3) * 86400 * 365)).as("created_at"),
+      pick(rand(seed + 4), Seq("Germany", "France", "United States",
+        "Japan", "Brazil")).as("billing_country"))
+
+  /** Users (`:79-91`): FK to orgs, 2% null email, 10% soft-deleted,
+    * ISO country CODES. */
+  def users(spark: SparkSession, orgsDf: DataFrame, n: Long,
+      seed: Long): DataFrame = {
+    val nOrgs = lit(orgsDf.count())
+    val base = spark.range(n).select(
+      col("id").as("user_idx"),
+      uuidLike("user", col("id")).as("user_id"),
+      floor(rand(seed + 10) * nOrgs).as("org_idx"),
+      when(rand(seed + 11) < 0.02, lit(null).cast("string"))
+        .otherwise(concat(lit("user"), col("id"), lit("@example.com")))
+        .as("email"),
+      (rand(seed + 12) < 0.10).as("is_deleted"),
+      pick(rand(seed + 13), Seq("DE", "FR", "US", "JP", "BR"))
+        .as("country_code"))
+    base.join(orgsDf.select(col("org_idx"), col("org_id")), "org_idx")
+      .drop("org_idx")
+  }
+
+  /** Products (`:93-104`): SKU template, category enum, ~70% active. */
+  def products(spark: SparkSession, n: Long, seed: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("product_idx"),
+      uuidLike("product", col("id")).as("product_id"),
+      format_string("SKU-%04d", col("id")).as("sku"),
+      pick(rand(seed + 20), Seq("apparel", "electronics", "books", "food"))
+        .as("category"),
+      (rand(seed + 21) < 0.7).as("is_active"))
+
+  /** Orders (`:106-127`) with the dirty-data contract: org-skew via a
+    * power-law index (top orgs absorb most volume,
+    * `pseudo_code_rules.txt:2-10`), exponential-ish quantity with 0.5%
+    * zeros, uniform 5-500 money HALF_UP 2dp with 0.2% negatives, and a
+    * string date column in deliberately mixed formats (`:57-65`). */
+  def orders(spark: SparkSession, usersDf: DataFrame,
+      productsDf: DataFrame, n: Long, seed: Long): DataFrame = {
+    val nUsers = lit(usersDf.count())
+    val nProducts = lit(productsDf.count())
+    // pow(rand, 4): ~55% of draws land in the top 5% of the index range
+    val base = spark.range(n).select(
+      col("id").as("order_idx"),
+      uuidLike("order", col("id")).as("order_id"),
+      floor(pow(rand(seed + 30), 4) * nUsers).as("user_idx"),
+      floor(rand(seed + 31) * nProducts).as("product_idx"),
+      when(rand(seed + 32) < 0.005, 0)
+        .otherwise((floor(-log(lit(1) - rand(seed + 33)) * 2) + 1)
+          .cast("int")).as("quantity"),
+      (when(rand(seed + 34) < 0.002, -1).otherwise(1) *
+        round(rand(seed + 35) * 495 + 5, 2)).cast(Money18)
+        .as("unit_price"),
+      pick(rand(seed + 36), Seq("USD", "GBP", "EUR")).as("currency"),
+      pick(rand(seed + 37), Seq("placed", "paid", "refunded",
+        "partial_refund", "cancelled")).as("status"),
+      timestamp_seconds(lit(1704067200L) +
+        floor(rand(seed + 38) * 86400 * 30)).as("order_ts"),
+      rand(seed + 39).as("__fmt"))
+    val withRefs = base
+      .join(usersDf.select(col("user_idx"), col("user_id"), col("org_id")),
+        "user_idx")
+      .join(productsDf.select(col("product_idx"), col("product_id")),
+        "product_idx")
+      .drop("user_idx", "product_idx")
+    // mixed-format string date derived from order_ts (rule :57-65)
+    withRefs.withColumn("order_date_str",
+      when(col("__fmt") < 0.4, date_format(col("order_ts"), "yyyy-MM-dd"))
+        .when(col("__fmt") < 0.7, date_format(col("order_ts"), "MM/dd/yyyy"))
+        .otherwise(date_format(col("order_ts"), "dd-MM-yyyy")))
+      .drop("__fmt")
+  }
+
+  /** Events (`:151-169`): event-time vs received-time with a heavy-ish
+    * late tail (`pseudo_code_rules.txt:11-19`), JSON properties with 5%
+    * schema drift and 2% leaked-email PII (`:156-158`), 1.5% malformed
+    * JSON (`:30-38`). */
+  def events(spark: SparkSession, usersDf: DataFrame, n: Long,
+      seed: Long): DataFrame = {
+    val nUsers = lit(usersDf.count())
+    val base = spark.range(n).select(
+      col("id").as("event_idx"),
+      uuidLike("event", col("id")).as("event_id"),
+      floor(rand(seed + 50) * nUsers).as("user_idx"),
+      pick(rand(seed + 51), Seq("page_view", "add_to_cart",
+        "checkout_started", "app_action_click")).as("event_type"),
+      timestamp_seconds(lit(1704067200L) +
+        floor(rand(seed + 52) * 86400 * 30)).as("event_ts"),
+      // ~15% of events arrive 1-7 days late, rest within 10 s
+      when(rand(seed + 53) < 0.15,
+        floor(rand(seed + 54) * 86400 * 6) + 86400)
+        .otherwise(floor(rand(seed + 55) * 10)).as("__delay"),
+      rand(seed + 56).as("__drift"),
+      rand(seed + 57).as("__pii"),
+      rand(seed + 58).as("__bad"))
+    val withJson = base
+      .withColumn("received_ts",
+        timestamp_seconds(unix_timestamp(col("event_ts")) + col("__delay")))
+      .withColumn("properties",
+        when(col("__bad") < 0.015, lit("{not json"))
+          .otherwise(to_json(struct(
+            concat(lit("/page/"), col("event_idx")).as("page"),
+            round(rand(seed + 59) * 100, 2).as("cart_value"),
+            when(col("__drift") < 0.05, lit("drift")).as("new_key"),
+            when(col("__pii") < 0.02,
+              concat(lit("leak"), col("event_idx"), lit("@example.com")))
+              .as("leaked_email")))))
+    withJson
+      .join(usersDf.select(col("user_idx"), col("user_id"), col("org_id")),
+        "user_idx")
+      .drop("user_idx", "__delay", "__drift", "__pii", "__bad")
+  }
+
+  /** Exact-duplicate injection (`pseudo_code_rules.txt:39-47`: 5-10%
+    * duplicated rows): a seeded sample unioned back in. */
+  def withDuplicates(df: DataFrame, fraction: Double,
+      seed: Long): DataFrame =
+    df.unionAll(df.sample(withReplacement = false, fraction, seed))
+}

@@ -350,6 +350,120 @@ object Pipeline {
   /** DuckDB fragment: portable 60-bit md5 hash of a column. */
   private def dH(c: String) = s"('0x' || substr(md5($c), 1, 15))::BIGINT"
 
+  // ------------------------------------------------------------ q42
+
+  /** JSON raw source (S8: reference declares CSV/Parquet/JSON raw
+    * layers, `README.md:18`): events projected to JSON lines, read
+    * back with an explicit schema, re-aggregated — the oracle runs on
+    * the original table, so any roundtrip loss would mismatch. */
+  val q42 = Query(
+    "q42_json_source",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val path = s"/tmp/graft_json_src_${math.abs(dir.hashCode)}"
+    Ingest.deletePath(s, path)
+    Tables.events(s, dir).select("event_id", "event_type", "value")
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("event_id", org.apache.spark.sql.types.LongType),
+      StructField("event_type", StringType),
+      StructField("value", org.apache.spark.sql.types.DoubleType)))
+    s.read.schema(schema).json(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("total_value"))
+  }
+
+  // ------------------------------------------------------------ q43
+
+  /** CSV sink + reload (S1/S2: the reference's raw interchange format,
+    * `generate_and_load_script.py:211-217`): a mart written with
+    * header, read back typed, emitted verbatim. Doubles survive via
+    * Java's roundtrip-exact toString. */
+  val q43 = Query(
+    "q43_csv_sink_roundtrip",
+    """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+      |    AS TIMESTAMP) AS month,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    val path = s"/tmp/graft_csv_sink_${math.abs(dir.hashCode)}"
+    Ingest.deletePath(s, path)
+    val mart = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("month"))
+      .agg(sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    mart.write.mode("overwrite").option("header", "true").csv(path)
+    s.read.option("header", "true")
+      .schema(StructType(Seq(
+        StructField("month", org.apache.spark.sql.types.DateType),
+        StructField("revenue", org.apache.spark.sql.types.DoubleType),
+        StructField("n_orders", org.apache.spark.sql.types.LongType))))
+      .csv(path)
+      .withColumn("month", col("month").cast("timestamp_ntz"))
+  }
+
+  // ------------------------------------------------------------ q44
+
+  /** Generator-parity audit (F10): the Spark-native seeded generator's
+    * dirty-data invariants, checked in-engine. The oracle is the
+    * expected invariant table — the hash matches iff every generated
+    * rate lands in its contracted band (the reference embeds exactly
+    * these "Validate the dataset" steps in its rulebook,
+    * `pseudo_code_rules.txt:10,19,...,74`). */
+  val q44 = Query(
+    "q44_datagen_validate",
+    """SELECT 'fk_users_orgs' AS rule, TRUE AS passed
+      |UNION ALL SELECT 'null_email_rate', TRUE
+      |UNION ALL SELECT 'soft_delete_rate', TRUE
+      |UNION ALL SELECT 'order_skew_top5pct', TRUE
+      |UNION ALL SELECT 'late_arrival_rate', TRUE
+      |UNION ALL SELECT 'malformed_json_rate', TRUE""".stripMargin) {
+    (s, _) =>
+      import graft.datagen.Generate
+      val orgs = Generate.orgs(s, 20, 42)
+      val users = Generate.users(s, orgs, 500, 42)
+      val products = Generate.products(s, 50, 42)
+      val orders = Generate.orders(s, users, products, 2000, 42)
+      val events = Generate.events(s, users, 4000, 42)
+      def leg(rule: String, passed: org.apache.spark.sql.DataFrame) =
+        passed.select(lit(rule).as("rule"), col("passed"))
+      val fk = leg("fk_users_orgs",
+        users.join(orgs, Seq("org_id"), "left_anti")
+          .agg((count(lit(1)) === 0).as("passed")))
+      val nullEmail = leg("null_email_rate",
+        users.agg((avg(when(col("email").isNull, 1.0).otherwise(0.0))
+          .between(0.005, 0.05)).as("passed")))
+      val softDel = leg("soft_delete_rate",
+        users.agg((avg(when(col("is_deleted"), 1.0).otherwise(0.0))
+          .between(0.05, 0.15)).as("passed")))
+      val skew = {
+        val perUser = orders.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("c"))
+        val top = perUser.orderBy(col("c").desc).limit(25)
+          .agg(sum(col("c")).as("topc"))
+        leg("order_skew_top5pct",
+          top.crossJoin(orders.agg(count(lit(1)).as("n")))
+            .select((col("topc").cast("double") / col("n") > 0.3)
+              .as("passed")))
+      }
+      val late = leg("late_arrival_rate",
+        events.agg((avg(when(unix_timestamp(col("received_ts")) -
+          unix_timestamp(col("event_ts")) >= 86400, 1.0).otherwise(0.0))
+          .between(0.10, 0.20)).as("passed")))
+      val badJson = leg("malformed_json_rate",
+        events.agg((avg(when(
+          from_json(col("properties"),
+            org.apache.spark.sql.types.MapType(StringType, StringType))
+            .isNull && col("properties").isNotNull, 1.0).otherwise(0.0))
+          .between(0.005, 0.03)).as("passed")))
+      Seq(fk, nullEmail, softDel, skew, late, badJson)
+        .reduce(_ unionByName _)
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41)
+    q40, q41, q42, q43, q44)
 }
