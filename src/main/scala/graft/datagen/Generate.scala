@@ -162,6 +162,48 @@ object Generate {
       .drop("user_idx", "__delay", "__drift", "__pii", "__bad")
   }
 
+  /** Payments (`generate_and_load_script.py:129-149`): orders sampled
+    * WITH REPLACEMENT (`:131` — several charges may hit one order, the
+    * J3 correlated-sampling shape), amount derived from the joined
+    * order row (`amount = unit_price * max(quantity, 1)`, fee 3%, tax
+    * 20%, refund factor ∈ {0, 0, 0.1, 0.25} — F9 money math, exact
+    * decimal), plus the embedded JSON `raw_payload` (`:147`). */
+  def payments(ordersDf: DataFrame, fraction: Double,
+      seed: Long): DataFrame = {
+    val sampled = ordersDf
+      .sample(withReplacement = true, fraction, seed)
+      .select(col("order_id"), col("org_id"), col("currency"),
+        col("order_ts"), col("quantity"), col("unit_price"))
+    val amount = (col("unit_price") *
+      greatest(col("quantity"), lit(1))).cast(Money18)
+    sampled
+      .withColumn("__ord",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("order_id")).orderBy(col("order_ts"))))
+      .select(
+        uuidLike("charge", concat_ws("#", col("order_id"), col("__ord")))
+          .as("charge_id"),
+        col("order_id"), col("org_id"),
+        amount.as("amount"),
+        col("currency"),
+        timestamp_seconds(unix_timestamp(col("order_ts")) +
+          floor(rand(seed + 70) * 86400)).as("paid_ts"),
+        pick(rand(seed + 71), Seq("paid", "failed", "refunded"))
+          .as("status"),
+        (amount * lit(0.03).cast(DecimalType(4, 2))).cast(Money18)
+          .as("fee_amount"),
+        (amount * lit(0.20).cast(DecimalType(4, 2))).cast(Money18)
+          .as("tax_amount"),
+        (amount * element_at(
+          array(Seq(0.0, 0.0, 0.1, 0.25).map(f =>
+            lit(f).cast(DecimalType(4, 2))): _*),
+          (floor(rand(seed + 72) * 4) + 1).cast("int"))).cast(Money18)
+          .as("refund_amount"),
+        to_json(struct(lit("Stripe").as("gateway"),
+          uuidLike("auth", col("order_id")).as("auth_id")))
+          .as("raw_payload"))
+  }
+
   /** Exact-duplicate injection (`pseudo_code_rules.txt:39-47`: 5-10%
     * duplicated rows): a seeded sample unioned back in. */
   def withDuplicates(df: DataFrame, fraction: Double,
