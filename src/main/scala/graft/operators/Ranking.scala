@@ -25,11 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  /** Append an exact global `rank()` (ties share rank, gaps follow) over
-    * `order` (use `col.desc`/`col.asc`). One range shuffle + one hash
-    * shuffle on partition id; no single-partition stage. */
-  def withGlobalRank(df: DataFrame, order: Column,
-      rankCol: String = "rank", numPartitions: Int = 0): DataFrame = {
+  /** Shared core: (range-partitioned frame with __pid, per-partition
+    * counts). The repartitionByRange exchange is identical for every
+    * consumer, so Spark's exchange reuse computes it once. */
+  private def rangedWithCounts(df: DataFrame, order: Column,
+      numPartitions: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val nPart =
       if (numPartitions > 0) numPartitions
@@ -38,30 +38,47 @@ object Ranking {
       .withColumn("__pid", spark_partition_id())
     // per-range-partition row counts: at most nPart rows
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-    // offset(p) = rows in partitions strictly before p — triangular join
-    // over the tiny counts frame instead of an unpartitioned window
+    (ranged, counts)
+  }
+
+  /** offset(p) = rows in partitions strictly before p — a triangular
+    * join over the tiny counts frame instead of an unpartitioned
+    * window. */
+  private def offsets(counts: DataFrame): DataFrame = {
     val a = counts.select(col("__pid"))
     val b = counts.select(col("__pid").as("__pid_b"), col("__cnt"))
-    val offsets = a.join(b, b("__pid_b") < a("__pid"), "left")
+    a.join(b, b("__pid_b") < a("__pid"), "left")
       .groupBy(a("__pid"))
       .agg(coalesce(sum(col("__cnt")), lit(0L)).as("__offset"))
+  }
+
+  /** Append an exact global `rank()` (ties share rank, gaps follow) over
+    * `order` (use `col.desc`/`col.asc`). One range shuffle + one hash
+    * shuffle on partition id; no single-partition stage. */
+  def withGlobalRank(df: DataFrame, order: Column,
+      rankCol: String = "rank", numPartitions: Int = 0): DataFrame = {
+    val (ranged, counts) = rangedWithCounts(df, order, numPartitions)
     val wLocal = Window.partitionBy(col("__pid")).orderBy(order)
-    ranged.join(broadcast(offsets), Seq("__pid"))
+    ranged.join(broadcast(offsets(counts)), Seq("__pid"))
       .withColumn(rankCol, (rank().over(wLocal) + col("__offset")).cast("long"))
       .drop("__pid", "__offset")
   }
 
   /** Exact `percent_rank()` — `(rank - 1) / (n - 1)`, 0.0 for a single
-    * row — built on [[withGlobalRank]], same scale posture. */
+    * row. `n` is the SUM of the per-partition counts (already computed
+    * for the rank offsets) — no extra pass over the input. */
   def withGlobalPercentRank(df: DataFrame, order: Column,
-      prCol: String = "percent_rank"): DataFrame = {
-    val ranked = withGlobalRank(df, order, "__rank")
-    val n = df.agg(count(lit(1)).as("__n"))
-    ranked.crossJoin(broadcast(n))
+      prCol: String = "percent_rank", numPartitions: Int = 0): DataFrame = {
+    val (ranged, counts) = rangedWithCounts(df, order, numPartitions)
+    val n = counts.agg(sum(col("__cnt")).as("__n"))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(order)
+    ranged.join(broadcast(offsets(counts)), Seq("__pid"))
+      .withColumn("__rank", rank().over(wLocal) + col("__offset"))
+      .crossJoin(broadcast(n))
       .withColumn(prCol,
         when(col("__n") === 1, lit(0.0))
           .otherwise((col("__rank") - 1).cast("double") /
             (col("__n") - 1).cast("double")))
-      .drop("__rank", "__n")
+      .drop("__pid", "__offset", "__rank", "__n")
   }
 }

@@ -112,6 +112,27 @@ object Similarity {
         lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs: vectors in the same
+    * hyperplane sign-bucket are paired (a < b) and kept when exact
+    * cosine ≥ `threshold`. The bucket join bounds the pair blowup the
+    * same way LSH banding does for minhash — never all-pairs. */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String,
+      vecCol: String, planes: Int, dims: Int,
+      threshold: Double): DataFrame = {
+    val b = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes, dims).as("__bucket"))
+    val left = b.select(col("__bucket"), col("id").as("id_a"),
+      col("v").as("va"))
+    val right = b.select(col("__bucket").as("__bucket_b"),
+      col("id").as("id_b"), col("v").as("vb"))
+    left.join(right,
+        left("__bucket") === right("__bucket_b") &&
+          left("id_a") < right("id_b"))
+      .withColumn("__cos", cosineF(col("va"), col("vb")))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cosine"))
+  }
+
   /** Approximate top-k: candidates are corpus vectors in the SAME
     * hyperplane sign-bucket as the query (2^planes buckets); exact
     * cosine + top-k within candidates only. Trades recall for pruning —

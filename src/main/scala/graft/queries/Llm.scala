@@ -437,5 +437,43 @@ FROM r WHERE rk <= $AnnK"""
       AnnK, AnnPlanes, AnnDims)
   }
 
-  val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+  // ------------------------------------------------------------ q45
+
+  private val NdPlanes = 5
+  // the fixture embeddings carry no true duplicates (max pairwise
+  // cosine ≈ 0.51), so the "near-dup" cut sits inside the observed
+  // range to keep the pipeline exercised end to end
+  private val NdThreshold = 0.4
+
+  private def embNearDupOracle: String = {
+    val bucketTerms = (0 until NdPlanes).map { p =>
+      val dot = s"""list_reduce([e[i] * (((('0x' || substr(md5('plane:$p:' ||
+        |      CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 1001) - 500) / 500.0)
+        |      for i in range(1, ${AnnDims + 1})], (x, y) -> x + y)""".stripMargin
+      s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" +\n    ")
+    s"""WITH v AS (
+  SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+b AS (
+  SELECT vec_id, e,
+    $bucketTerms AS bucket
+  FROM v),
+p AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+    ${dCosine("a.e", "b2.e")} AS c
+  FROM b a JOIN b b2
+    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
+  }
+
+  /** Embedding-cosine near-dedup: hyperplane sign-buckets bound the
+    * candidate pairs, exact cosine verifies — the vector-space twin of
+    * q23's minhash pipeline. */
+  val q45 = Query("q45_embedding_near_dup", embNearDupOracle) { (s, dir) =>
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+      "embedding", NdPlanes, AnnDims, NdThreshold)
+  }
+
+  val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
+    q30, q45)
 }
