@@ -52,23 +52,24 @@ object TextDedup {
         wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** MinHash signature columns `__sig0..__sig{k-1}` via Carter-Wegman
-    * double hashing: only TWO md5 evaluations per shingle (h1, h2);
-    * family member i is `min over shingles of (h1 + i * (h2 mod 2^50))`
-    * — the standard trick for cheap minhash families, exactly
-    * replicable in SQL. Computed relationally (explode → k min
-    * aggregates in ONE map-side-combinable shuffle) instead of k array
-    * passes, so each shingle is hashed once regardless of k.
+  /** MinHash signatures `(doc_id, __sig0..__sig{k-1})` via
+    * Carter-Wegman double hashing: only TWO md5 evaluations per shingle
+    * (h1, h2); family member i is `min over shingles of
+    * (h1 + i * (h2 mod 2^50))` — the standard trick for cheap minhash
+    * families, exactly replicable in SQL. Computed relationally
+    * (explode → k min aggregates in ONE map-side-combinable shuffle)
+    * instead of k array passes, so each shingle is hashed once
+    * regardless of k. Returns ONLY ids + signatures — the banding path
+    * never carries shingle arrays through its shuffles.
     * Overflow-safe: h1 < 2^60 and (k-1)·2^50 < 2^55, sum < 2^61. */
-  def withMinhashSignature(shingled: DataFrame, k: Int): DataFrame = {
+  def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
     val ex = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
       .select(col("doc_id"), md5Long(col("g")).as("h1"),
         pmod(md5LongSeeded(col("g"), 999), lit(1L << 50)).as("h2"))
-    val sigs = ex.groupBy(col("doc_id"))
+    ex.groupBy(col("doc_id"))
       .agg(min(col("h1")).as("__sig0"),
         (1 until k).map(i =>
           min(col("h1") + lit(i.toLong) * col("h2")).as(s"__sig$i")): _*)
-    shingled.join(sigs, "doc_id")
   }
 
   /** Banded-LSH candidate pairs: signatures are split into `bands`
@@ -113,7 +114,7 @@ object TextDedup {
     // join — persist instead of re-shingling the corpus three times
     val shingled = docShingles(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val signed = withMinhashSignature(shingled, numHashes)
+    val signed = minhashSignatures(shingled, numHashes)
     val cand = lshCandidates(signed, bands, numHashes / bands)
     val sa = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
     val sb = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sb"))

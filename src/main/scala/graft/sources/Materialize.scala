@@ -26,6 +26,20 @@ object Materialize {
     df.sparkSession.table(name)
   }
 
+  /** Bucketed table materialization (reference "clustering" intent,
+    * `README.md:12,90`): co-locate a table on its join key so repeated
+    * fact⋈fact joins on that key skip the shuffle entirely — the
+    * biggest single lever for a join-heavy mart layer at 100 TB (both
+    * sides bucketed on the key ⇒ SortMergeJoin with zero Exchange). */
+  def bucketedTable(df: DataFrame, name: String, bucketCols: Seq[String],
+      numBuckets: Int): DataFrame = {
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
+    df.sparkSession.table(name)
+  }
+
   /** Incremental table materialization: append `increment`, then
     * return the deduplicated view of the stored relation (append +
     * keep-latest — the reference's daily `--day` run shape,

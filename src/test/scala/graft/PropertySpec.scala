@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Scd2, Similarity}
+import graft.stage.Staging
+
+/** Property-based invariants over ScalaCheck generators (sampled with
+  * fixed seeds — deterministic CI): SCD2 well-formedness for arbitrary
+  * change logs, dedup cardinality, TopK vs reference sort. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val changeLogGen: Gen[List[(String, Int, Int)]] =
+    Gen.listOfN(60, for {
+      key <- Gen.oneOf("a", "b", "c", "d")
+      ts <- Gen.choose(0, 20) // deliberately collides: tie-break matters
+      tie <- Gen.choose(0, 1000000)
+    } yield (key, ts, tie))
+
+  test("SCD2 invariants hold for arbitrary change logs") {
+    for (log <- samples(changeLogGen, 8) if log.nonEmpty) {
+      val df = log.toDF("key", "ts", "tie")
+      val dim = Scd2.build(df, Seq("key"), "ts", Seq("tie")).cache()
+      // exactly one current row per key
+      assert(Scd2.currentViolations(dim, Seq("key")).isEmpty)
+      // no overlapping intervals
+      assert(Scd2.overlapViolations(dim, Seq("key")).isEmpty)
+      // row conservation: every change becomes exactly one version
+      assert(dim.count() == log.size)
+      // versions are dense 1..n per key
+      val maxV = dim.groupBy("key").agg(
+        max("version").as("mx"), count(lit(1)).as("n"))
+      assert(maxV.filter($"mx" =!= $"n").isEmpty)
+      dim.unpersist()
+    }
+  }
+
+  test("dedupLatest emits exactly one row per distinct key") {
+    for (log <- samples(changeLogGen, 8) if log.nonEmpty) {
+      val df = log.toDF("key", "ts", "tie")
+      val out = Staging.dedupLatest(df, Seq("key"), col("ts"),
+        Seq(col("tie")))
+      assert(out.count() == log.map(_._1).distinct.size)
+    }
+  }
+
+  test("TopK aggregator equals sort-take for any input order and k") {
+    val scoredGen = Gen.listOfN(50, for {
+      id <- Gen.choose(0L, 30L)
+      s <- Gen.choose(-100, 100)
+    } yield Similarity.Scored(id, s / 10.0))
+    for (xs <- samples(scoredGen, 20); k <- Seq(1, 3, 8)) {
+      val agg = new Similarity.TopK(k)
+      // split arbitrarily, reduce both halves, merge
+      val (l, r) = xs.splitAt(xs.size / 2)
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)))
+      val expected = xs.sortBy(x => (-x.score, x.id)).take(k)
+      assert(merged.ids == expected.map(_.id))
+      assert(merged.scores == expected.map(_.score))
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.sources.Materialize
+
+/** Scale-path mechanics: salted aggregation correctness and
+  * shuffle-free bucketed joins. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedSumCount equals the plain aggregate on skewed data") {
+    // hot key: 90% of rows on one key
+    val df = (1 to 5000).map { i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toDouble)
+    }.toDF("k", "v")
+    val salted = rows(Skew.saltedSumCount(df, Seq("k"), col("v"),
+      "total", "n").orderBy("k"))
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val plain = rows(df.groupBy("k")
+      .agg(sum($"v").as("total"), count(lit(1)).as("n")).orderBy("k"))
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(salted == plain)
+  }
+
+  test("bucketed-to-bucketed join plans without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_lines")
+    // a crashed prior run can leave the location without the catalog entry
+    graft.sources.Ingest.deletePath(spark,
+      "/tmp/graft_test_warehouse/bk_orders")
+    graft.sources.Ingest.deletePath(spark,
+      "/tmp/graft_test_warehouse/bk_lines")
+    val orders = (1L to 200L).map(i => (i, s"o$i")).toDF("ok", "ov")
+    val lines = (1L to 600L).map(i => (i % 200 + 1, i)).toDF("ok", "lv")
+    val bo = Materialize.bucketedTable(orders, "bk_orders", Seq("ok"), 4)
+    val bl = Materialize.bucketedTable(lines, "bk_lines", Seq("ok"), 4)
+    // forbid broadcast so the planner must use the bucket layout
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = bo.join(bl, "ok")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() == 600)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE bk_orders")
+    spark.sql("DROP TABLE bk_lines")
+  }
+}
