@@ -108,4 +108,21 @@ object Quality {
     }
     frames.reduce(_ unionByName _)
   }
+
+  /** In-flight quality metrics via `Dataset.observe` (SURVEY E3's
+    * `observe()` note): violation counters ride along with whatever
+    * action the caller runs — ZERO extra scans, unlike `run`'s
+    * one-aggregate-per-check. Predicate-expressible checks only
+    * (not_null, accepted values, custom predicates).
+    *
+    * Returns (instrumented df, observation). After the caller's first
+    * action, `observation.get` yields `<name> -> violation count`. */
+  def observed(df: DataFrame, checks: Seq[(String, Column)])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val metrics = checks.map { case (name, bad) =>
+      sum(when(bad, 1L).otherwise(0L)).as(name)
+    }
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

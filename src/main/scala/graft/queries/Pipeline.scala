@@ -464,6 +464,25 @@ object Pipeline {
         .reduce(_ unionByName _)
   }
 
+  // ------------------------------------------------------------ q46
+
+  /** Skew-safe salted aggregation (reference org-skew rule,
+    * `pseudo_code_rules.txt:2-10`): the two-phase salted sum must equal
+    * the plain aggregate exactly — decimal partials make the equality
+    * bit-exact, and the oracle IS the plain aggregate. */
+  val q46 = Query(
+    "q46_salted_revenue",
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    graft.operators.Skew.saltedSumCount(
+      Tables.orders(s, dir), Seq("o_orderstatus"),
+      money(col("o_totalprice")), "revenue", "n_orders")
+      .withColumn("revenue", col("revenue").cast("double"))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44)
+    q40, q41, q42, q43, q44, q46)
 }

@@ -1,0 +1,27 @@
+package graft
+
+/** Every registered query must analyze and execute on the smallest
+  * fixture — this is the in-repo insurance against analysis-time
+  * regressions (the class of bug where a query only fails when the
+  * driver's correctness gate runs it). */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name executes at sf0.001") {
+      val n = fn(spark, dir).count()
+      assert(n >= 0)
+    }
+  }
+
+  test("entry smoke returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle (or is consciously rows-only)") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries without oracle: $noOracle")
+  }
+}
