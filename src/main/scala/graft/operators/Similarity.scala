@@ -60,9 +60,17 @@ object Similarity {
     def outputEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
   }
 
-  /** Cosine over float embeddings, in double end to end. */
+  /** Cosine over float embeddings: the native codegen'd expression
+    * ([[graft.expressions.CosineSimilarity]]) — bit-identical to the
+    * HOF fold (`Functions.cosine` over double-cast arrays) and to
+    * DuckDB's `list_reduce`, but a single fused primitive loop inside
+    * whole-stage codegen instead of one interpreted lambda call per
+    * element. */
   def cosineF(a: Column, b: Column): Column =
-    cosine(toDoubleArray(a), toDoubleArray(b))
+    org.apache.spark.sql.graft.ExprColumn.of(
+      graft.expressions.CosineSimilarity(
+        org.apache.spark.sql.graft.ExprColumn.expr(a),
+        org.apache.spark.sql.graft.ExprColumn.expr(b)))
 
   /** Exact top-k cosine neighbors for each query vector.
     *

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Functions._
+
+/** The native CosineSimilarity expression must be bit-identical to the
+  * HOF fold (the oracle contract depends on it). */
+class CosineExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def viaExpr(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.ExprColumn.of(
+      graft.expressions.CosineSimilarity(
+        org.apache.spark.sql.graft.ExprColumn.expr(a),
+        org.apache.spark.sql.graft.ExprColumn.expr(b)))
+
+  test("expression == HOF fold, bit for bit, on float arrays") {
+    val df = (1 to 200).map { i =>
+      (Array.tabulate(64)(j => ((i * 31 + j * 7) % 97 - 48) / 7.0f),
+        Array.tabulate(64)(j => ((i * 17 + j * 13) % 89 - 44) / 5.0f))
+    }.toDF("a", "b")
+    val both = df.select(
+      viaExpr($"a", $"b").as("fast"),
+      cosine(toDoubleArray($"a"), toDoubleArray($"b")).as("hof"))
+    // bit-exact: compare raw doubles, no tolerance
+    assert(both.filter($"fast" =!= $"hof").isEmpty)
+  }
+
+  test("interpreted eval matches codegen result") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b")
+    val fromCodegen = rows(df.select(viaExpr($"a", $"b"))).head.getDouble(0)
+    val e = graft.expressions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f, 3.0f),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0f, 2.0f, 1.0f),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
+    assert(e.eval(null).asInstanceOf[Double] == fromCodegen)
+  }
+
+  test("cosine_sim is SQL-callable once registered") {
+    org.apache.spark.sql.graft.GraftSqlRegistry.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .head.getDouble(0)
+    assert(r == 1.0)
+  }
+}
