@@ -421,7 +421,10 @@ object Pipeline {
       |UNION ALL SELECT 'soft_delete_rate', TRUE
       |UNION ALL SELECT 'order_skew_top5pct', TRUE
       |UNION ALL SELECT 'late_arrival_rate', TRUE
-      |UNION ALL SELECT 'malformed_json_rate', TRUE""".stripMargin) {
+      |UNION ALL SELECT 'malformed_json_rate', TRUE
+      |UNION ALL SELECT 'payment_fee_exact_3pct', TRUE
+      |UNION ALL SELECT 'payment_multi_charge_orders', TRUE
+      |UNION ALL SELECT 'payment_reconciliation', TRUE""".stripMargin) {
     (s, _) =>
       import graft.datagen.Generate
       val orgs = Generate.orgs(s, 20, 42)
@@ -429,6 +432,7 @@ object Pipeline {
       val products = Generate.products(s, 50, 42)
       val orders = Generate.orders(s, users, products, 2000, 42)
       val events = Generate.events(s, users, 4000, 42)
+      val pays = Generate.payments(orders, 1.2, 42)
       def leg(rule: String, passed: org.apache.spark.sql.DataFrame) =
         passed.select(lit(rule).as("rule"), col("passed"))
       val fk = leg("fk_users_orgs",
@@ -460,7 +464,30 @@ object Pipeline {
             org.apache.spark.sql.types.MapType(StringType, StringType))
             .isNull && col("properties").isNotNull, 1.0).otherwise(0.0))
           .between(0.005, 0.03)).as("passed")))
-      Seq(fk, nullEmail, softDel, skew, late, badJson)
+      // payment invariants (reference money math,
+      // `generate_and_load_script.py:133,144-146`, and the declared
+      // "orders ≈ payments" reconciliation, `README.md:56`)
+      val feeExact = leg("payment_fee_exact_3pct",
+        pays.agg((sum(when(col("fee_amount") =!=
+          (col("amount") * lit(BigDecimal("0.03")))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)), 1)
+          .otherwise(0)) === 0).as("passed")))
+      val multiCharge = leg("payment_multi_charge_orders",
+        pays.groupBy(col("order_id")).agg(count(lit(1)).as("c"))
+          .agg((sum(when(col("c") > 1, 1).otherwise(0)) > 0).as("passed")))
+      val recon = {
+        // every charge's amount must equal its order's derived amount
+        val o = orders.select(col("order_id"),
+          (col("unit_price") * greatest(col("quantity"), lit(1)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .as("expected"))
+        leg("payment_reconciliation",
+          pays.join(o, "order_id")
+            .agg((sum(when(col("amount") =!= col("expected"), 1)
+              .otherwise(0)) === 0).as("passed")))
+      }
+      Seq(fk, nullEmail, softDel, skew, late, badJson,
+        feeExact, multiCharge, recon)
         .reduce(_ unionByName _)
   }
 
