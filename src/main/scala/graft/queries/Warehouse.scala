@@ -310,11 +310,14 @@ object Warehouse {
             / 3600).cast("long").as("hours_stale"),
           (maxTs >= asOfTs - expr("INTERVAL 24 HOURS")).as("fresh"))
     }
-    leg(Tables.orders(s, dir), "orders", "o_orderdate", "2001-09-01 00:00:00")
-      .unionByName(leg(Tables.lineitem(s, dir), "lineitem", "l_shipdate",
-        "2001-09-01 00:00:00"))
-      .unionByName(leg(Tables.events(s, dir), "events", "ts",
-        "2024-02-01 00:00:00"))
+    // loaded-at columns come from the source registry's freshness
+    // metadata (Tables.loadedAtField — the dbt `loaded_at_field`)
+    leg(Tables.orders(s, dir), "orders", Tables.loadedAtField("orders"),
+        "2001-09-01 00:00:00")
+      .unionByName(leg(Tables.lineitem(s, dir), "lineitem",
+        Tables.loadedAtField("lineitem"), "2001-09-01 00:00:00"))
+      .unionByName(leg(Tables.events(s, dir), "events",
+        Tables.loadedAtField("events"), "2024-02-01 00:00:00"))
   }
 
   /** F6 JSON extraction + aggregation over the extracted key. */
