@@ -87,4 +87,79 @@ object Streaming {
   def watermarkedDailyRollup(events: DataFrame,
       lateness: String = "1 day"): DataFrame =
     dailyRollup(events.withWatermark("ts", lateness))
+
+  // ------------------------------------------------- stateful sessions
+
+  /** Input/output rows for the stateful sessionizer. */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionOut(user_id: Long, session_id: Long,
+      n_events: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp)
+  /** Per-user state: open session + how many sessions closed so far. */
+  final case class SessionState(sessionId: Long, n: Long,
+      startMs: Long, lastMs: Long)
+
+  /** Custom-state streaming sessionization
+    * (`flatMapGroupsWithState`): the streaming twin of
+    * `Marts.sessionize` — a session closes when the gap to the user's
+    * previous event exceeds `gapMinutes`, emitted as it closes. The
+    * still-open session is held as per-key state (bounded: ONE open
+    * session per user) and flushed by event-time timeout once the
+    * watermark passes its gap horizon — so state, like the output, is
+    * bounded on an unbounded stream.
+    *
+    * Input must carry event-time column `ts`; `lateness` feeds the
+    * watermark that both drops stragglers and drives timeouts. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+      lateness: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    import org.apache.spark.sql.{Encoders => E}
+    implicit val se = E.product[SessionEvent]
+    implicit val ss = E.product[SessionState]
+    implicit val so = E.product[SessionOut]
+    implicit val keyEnc = E.scalaLong
+    val gapMs = gapMinutes * 60000L
+    def flush(user: Long, st: SessionState): SessionOut =
+      SessionOut(user, st.sessionId, st.n,
+        new java.sql.Timestamp(st.startMs),
+        new java.sql.Timestamp(st.lastMs))
+    events.withWatermark("ts", lateness)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[SessionEvent](se)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's horizon: emit + drop
+            val out = state.getOption.map(flush(user, _))
+            state.remove()
+            out.iterator
+          } else {
+            // micro-batch rows must be folded in event-time order
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null =>
+                  st = SessionState(1L, 1L, t, t)
+                case s if t - s.lastMs > gapMs =>
+                  closed += flush(user, s)
+                  st = SessionState(s.sessionId + 1, 1L, t, t)
+                case s =>
+                  st = s.copy(n = s.n + 1, lastMs = math.max(s.lastMs, t))
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastMs + gapMs)
+            }
+            closed.iterator
+          }
+      }.toDF()
+  }
 }

@@ -30,6 +30,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("stateful sessionizeStream matches batch sessionize") {
+    import graft.operators.Marts
+    val path = "/tmp/graft_test_stream_sessions"
+    graft.sources.Ingest.deletePath(spark, path)
+    // two users; sessions split by >30-min gaps; a far-future sentinel
+    // per user closes the last real session within AvailableNow
+    val real = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00"),
+      (1L, "2024-01-01 11:30:00"),
+      (2L, "2024-01-01 09:00:00"),
+      (2L, "2024-01-01 09:45:00"), (2L, "2024-01-01 09:50:00"))
+    val sentinel = Seq((1L, "2024-03-01 00:00:00"),
+      (2L, "2024-03-01 00:00:00"))
+    (real ++ sentinel).toDF("user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(path)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(path).schema).parquet(path)
+    val out = graft.streaming.Streaming.sessionizeStream(stream, 30)
+    val sink = s"sess_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = rows(spark.table(sink)
+      .select("user_id", "session_id", "n_events", "session_start",
+        "session_end").orderBy("user_id", "session_id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4)))
+    val batch = rows(Marts.sessionize(
+      real.toDF("user_id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp")),
+      "user_id", "ts", col("ts"), 30)
+      .select("user_id", "session_id", "n_events", "session_start",
+        "session_end").orderBy("user_id", "session_id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4)))
+    assert(streamed == batch)
+  }
+
   test("watermarkedDailyRollup builds a valid streaming plan") {
     // plan-level check: watermark attaches and the aggregate analyzes
     val ev = Seq((1L, "2024-01-01 10:00:00", 1.0))
