@@ -45,11 +45,23 @@ object TextDedup {
   }
 
   /** (id, shingles) pairs — docs with fewer than `n` words drop out
-    * (they have no shingle and can never pass a Jaccard threshold). */
+    * (they have no shingle and can never pass a Jaccard threshold).
+    *
+    * Tokens are materialized as their own projection first: Spark does
+    * NOT eliminate common subexpressions inside higher-order-function
+    * lambdas, so a single-expression form re-runs the full
+    * lower+trim+split once PER SHINGLE (~120× per doc). As a separate
+    * non-cheap multiply-referenced alias it survives projection
+    * collapse and is computed once per row. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        wordShingles(col(textCol), n).as("sh"))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        when(size(col("__w")) >= n,
+          array_distinct(
+            transform(sequence(lit(0), size(col("__w")) - n),
+              i => array_join(slice(col("__w"), i + 1, lit(n)), " "))))
+          .otherwise(array()).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** MinHash signatures `(doc_id, __sig0..__sig{k-1})` via
