@@ -55,12 +55,14 @@ object Generate {
   /** Users (`:79-91`): FK to orgs, 2% null email, 10% soft-deleted,
     * ISO country CODES. */
   def users(spark: SparkSession, orgsDf: DataFrame, n: Long,
-      seed: Long): DataFrame = {
-    val nOrgs = lit(orgsDf.count())
+      seed: Long, nOrgs: Long = -1): DataFrame = {
+    // pass the known parent cardinality where available: counting a
+    // fact-sized upstream just to derive an index range is a full scan
+    val nOrgsC = lit(if (nOrgs > 0) nOrgs else orgsDf.count())
     val base = spark.range(n).select(
       col("id").as("user_idx"),
       uuidLike("user", col("id")).as("user_id"),
-      floor(rand(seed + 10) * nOrgs).as("org_idx"),
+      floor(rand(seed + 10) * nOrgsC).as("org_idx"),
       when(rand(seed + 11) < 0.02, lit(null).cast("string"))
         .otherwise(concat(lit("user"), col("id"), lit("@example.com")))
         .as("email"),
@@ -87,15 +89,16 @@ object Generate {
     * zeros, uniform 5-500 money HALF_UP 2dp with 0.2% negatives, and a
     * string date column in deliberately mixed formats (`:57-65`). */
   def orders(spark: SparkSession, usersDf: DataFrame,
-      productsDf: DataFrame, n: Long, seed: Long): DataFrame = {
-    val nUsers = lit(usersDf.count())
-    val nProducts = lit(productsDf.count())
+      productsDf: DataFrame, n: Long, seed: Long,
+      nUsers: Long = -1, nProducts: Long = -1): DataFrame = {
+    val nUsersC = lit(if (nUsers > 0) nUsers else usersDf.count())
+    val nProductsC = lit(if (nProducts > 0) nProducts else productsDf.count())
     // pow(rand, 4): ~55% of draws land in the top 5% of the index range
     val base = spark.range(n).select(
       col("id").as("order_idx"),
       uuidLike("order", col("id")).as("order_id"),
-      floor(pow(rand(seed + 30), 4) * nUsers).as("user_idx"),
-      floor(rand(seed + 31) * nProducts).as("product_idx"),
+      floor(pow(rand(seed + 30), 4) * nUsersC).as("user_idx"),
+      floor(rand(seed + 31) * nProductsC).as("product_idx"),
       when(rand(seed + 32) < 0.005, 0)
         .otherwise((floor(-log(lit(1) - rand(seed + 33)) * 2) + 1)
           .cast("int")).as("quantity"),
@@ -127,12 +130,12 @@ object Generate {
     * schema drift and 2% leaked-email PII (`:156-158`), 1.5% malformed
     * JSON (`:30-38`). */
   def events(spark: SparkSession, usersDf: DataFrame, n: Long,
-      seed: Long): DataFrame = {
-    val nUsers = lit(usersDf.count())
+      seed: Long, nUsers: Long = -1): DataFrame = {
+    val nUsersC = lit(if (nUsers > 0) nUsers else usersDf.count())
     val base = spark.range(n).select(
       col("id").as("event_idx"),
       uuidLike("event", col("id")).as("event_id"),
-      floor(rand(seed + 50) * nUsers).as("user_idx"),
+      floor(rand(seed + 50) * nUsersC).as("user_idx"),
       pick(rand(seed + 51), Seq("page_view", "add_to_cart",
         "checkout_started", "app_action_click")).as("event_type"),
       timestamp_seconds(lit(1704067200L) +

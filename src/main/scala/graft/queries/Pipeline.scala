@@ -428,10 +428,11 @@ object Pipeline {
     (s, _) =>
       import graft.datagen.Generate
       val orgs = Generate.orgs(s, 20, 42)
-      val users = Generate.users(s, orgs, 500, 42)
+      val users = Generate.users(s, orgs, 500, 42, nOrgs = 20)
       val products = Generate.products(s, 50, 42)
-      val orders = Generate.orders(s, users, products, 2000, 42)
-      val events = Generate.events(s, users, 4000, 42)
+      val orders = Generate.orders(s, users, products, 2000, 42,
+        nUsers = 500, nProducts = 50)
+      val events = Generate.events(s, users, 4000, 42, nUsers = 500)
       val pays = Generate.payments(orders, 1.2, 42)
       def leg(rule: String, passed: org.apache.spark.sql.DataFrame) =
         passed.select(lit(rule).as("rule"), col("passed"))

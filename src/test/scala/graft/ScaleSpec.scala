@@ -23,6 +23,25 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("partitioned layout prunes partitions for a date filter") {
+    val path = "/tmp/graft_test_prune"
+    graft.sources.Ingest.deletePath(spark, path)
+    val df = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("id", "d").withColumn("d", col("d").cast("date"))
+    graft.sources.Ingest.writePartitioned(df, path, Seq("d"), "overwrite")
+    val q = spark.read.parquet(path)
+      .filter(col("d") === lit("2024-01-02").cast("date"))
+    val scan = q.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (pruned at listing time),
+    // not as a post-scan data filter
+    assert(scan.contains("PartitionFilters: [isnotnull(d"),
+      s"expected partition filter in:\n$scan")
+    assert(q.count() == 1)
+    // count the files actually read: only the matching partition
+    assert(q.select(input_file_name()).distinct().count() == 1)
+  }
+
   test("bucketed-to-bucketed join plans without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bk_orders")
     spark.sql("DROP TABLE IF EXISTS bk_lines")
