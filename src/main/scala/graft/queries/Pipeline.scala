@@ -511,6 +511,28 @@ object Pipeline {
       .withColumn("revenue", col("revenue").cast("double"))
   }
 
+  // ------------------------------------------------------------ q47
+
+  /** Exact percentile surfaces (statistical mart aggregates): Spark's
+    * exact `percentile` and DuckDB's `quantile_cont` both
+    * linear-interpolate over the sorted values, so the doubles
+    * hash-match. (`approx_percentile` is engine-specific — covered by
+    * the q39-style tolerance pattern, not value equality.) */
+  val q47 = Query(
+    "q47_percentiles",
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.95) AS p95,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"),
+        count(lit(1)).as("n_orders"))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q46)
+    q40, q41, q42, q43, q44, q46, q47)
 }
