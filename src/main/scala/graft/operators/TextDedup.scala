@@ -227,6 +227,53 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), round(col("__jac"), 6).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs → dedup clusters:
+    * every doc in a component gets the component's minimum doc id as
+    * `cluster_id` (the canonical representative). Iterative min-label
+    * propagation over the undirected edge set; lineage is truncated
+    * each round with `localCheckpoint` so the plan stays flat.
+    *
+    * Scale notes: each iteration is one shuffle join + one aggregate
+    * over the PAIR graph (tiny relative to the corpus — only near-dup
+    * docs appear); iteration count is bounded by component diameter,
+    * which for dup clusters is small. For adversarial long-chain
+    * graphs, switch to the large-star/small-star formulation — same
+    * join shapes, fewer rounds. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val propagated = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(propagated)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      // converged when no label decreased (label sum is monotone
+      // non-increasing; decimal sum so huge id spaces can't overflow)
+      def labelSum(df: DataFrame) = df.agg(
+        sum(col("cluster_id").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
+      val before = labelSum(labels)
+      val after = labelSum(next)
+      labels = next
+      converged = before == after
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Content-defined fingerprinting (winnowing-style sampling): the
     * fingerprint set of a doc is the char-n-gram hashes ≡ 0 (mod
     * `modulus`) — a deterministic ~1/modulus sample that survives local

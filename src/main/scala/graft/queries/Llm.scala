@@ -474,6 +474,32 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
       "embedding", NdPlanes, AnnDims, NdThreshold)
   }
 
+  // ------------------------------------------------------------ q48
+
+  /** Near-dup clustering: connected components over q23's verified
+    * minhash pairs, each doc labeled with its component's min doc id.
+    * The oracle computes the same components with a recursive CTE over
+    * the identical pair pipeline. */
+  val q48 = Query(
+    "q48_dedup_clusters",
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM ($minhashOracle)),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT src, src FROM edges
+       |    UNION
+       |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+       |  SELECT a, b FROM r)
+       |SELECT a AS doc_id, MIN(b) AS cluster_id
+       |FROM reach GROUP BY a""".stripMargin) { (s, dir) =>
+    val pairs = TextDedup.minhashNearDups(Tables.documents(s, dir),
+      "doc_id", "text", MhShingle, MhHashes, MhBands, MhThreshold)
+    TextDedup.dupClusters(pairs)
+  }
+
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q45)
+    q30, q45, q48)
 }

@@ -79,6 +79,17 @@ class TextDedupSpec extends SparkSpec {
     assert(got.size == 1 && got.head.getAs[Long]("n_shared") >= 1)
   }
 
+  test("dupClusters: components converge across multi-hop chains") {
+    // chain 1-2-3-4 (diameter 3, needs several propagation rounds),
+    // pair 10-11, singleton 99 absent (no pairs -> no row)
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = rows(TextDedup.dupClusters(pairs).orderBy("doc_id"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
   test("TopK aggregator: bounded buffer, exact order, tie-break") {
     val t = new Similarity.TopK(3)
     val xs = Seq(
