@@ -71,6 +71,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("watermark drops rows later than the lateness bound (ST2)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "/tmp/graft_test_stream_late"
+    val ckpt = "/tmp/graft_test_stream_late_ckpt"
+    graft.sources.Ingest.deletePath(spark, base)
+    graft.sources.Ingest.deletePath(spark, ckpt)
+    def writeBatch(rows: Seq[(Long, String, Double)], mode: String) =
+      rows.toDF("event_id", "ts", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode(mode).parquet(base)
+    val out = "/tmp/graft_test_stream_late_out"
+    graft.sources.Ingest.deletePath(spark, out)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(base).schema).parquet(base)
+      val q = graft.streaming.Streaming
+        .watermarkedDailyRollup(stream, "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append") // append: only watermark-finalized windows
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: fresh Jan 10 events -> checkpointed watermark Jan 10 11:00
+    writeBatch(Seq((1L, "2024-01-10 12:00:00", 5.0),
+      (2L, "2024-01-10 13:00:00", 7.0)), "overwrite")
+    run()
+    // run 2 (checkpoint-recovered): a 5-days-late straggler (behind
+    // the watermark) plus one fresh event
+    writeBatch(Seq((3L, "2024-01-05 00:00:00", 100.0),
+      (4L, "2024-01-10 13:30:00", 1.0)), "append")
+    run()
+    // run 3: a far-future event pushes the watermark past Jan 10,
+    // finalizing its window into the append sink
+    writeBatch(Seq((5L, "2024-01-20 00:00:00", 0.5)), "append")
+    run()
+    val got = rows(spark.read.parquet(out))
+      .map(r => (r.getAs[java.sql.Timestamp]("day").toString.take(10),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .sorted
+    // Jan 10 finalized WITHOUT the dropped straggler; no Jan 5 window
+    // ever existed; Jan 20 never finalized (watermark never passed it)
+    assert(got == Seq(("2024-01-10", 3L, 13.0)), s"got $got")
+  }
+
   test("watermarkedDailyRollup builds a valid streaming plan") {
     // plan-level check: watermark attaches and the aggregate analyzes
     val ev = Seq((1L, "2024-01-01 10:00:00", 1.0))
