@@ -249,6 +249,13 @@ object TextDedup {
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
+    // converged when no label decreased; the label sum is monotone
+    // non-increasing (decimal so huge id spaces can't overflow), and
+    // carrying it across rounds costs ONE action per iteration
+    def labelSum(df: DataFrame) = df.agg(
+      sum(col("cluster_id").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -259,15 +266,10 @@ object TextDedup {
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      // converged when no label decreased (label sum is monotone
-      // non-increasing; decimal sum so huge id spaces can't overflow)
-      def labelSum(df: DataFrame) = df.agg(
-        sum(col("cluster_id").cast(
-          org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
-      val before = labelSum(labels)
-      val after = labelSum(next)
+      val nextSum = labelSum(next)
       labels = next
-      converged = before == after
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
