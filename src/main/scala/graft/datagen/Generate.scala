@@ -132,21 +132,53 @@ object Generate {
   def events(spark: SparkSession, usersDf: DataFrame, n: Long,
       seed: Long, nUsers: Long = -1): DataFrame = {
     val nUsersC = lit(if (nUsers > 0) nUsers else usersDf.count())
-    val base = spark.range(n).select(
-      col("id").as("event_idx"),
-      uuidLike("event", col("id")).as("event_id"),
-      floor(rand(seed + 50) * nUsersC).as("user_idx"),
-      pick(rand(seed + 51), Seq("page_view", "add_to_cart",
-        "checkout_started", "app_action_click")).as("event_type"),
-      timestamp_seconds(lit(1704067200L) +
-        floor(rand(seed + 52) * 86400 * 30)).as("event_ts"),
-      // ~15% of events arrive 1-7 days late, rest within 10 s
-      when(rand(seed + 53) < 0.15,
-        floor(rand(seed + 54) * 86400 * 6) + 86400)
-        .otherwise(floor(rand(seed + 55) * 10)).as("__delay"),
+    // seasonality (`pseudo_code_rules.txt:21-29`): Nov/Dec carry ~45%
+    // more traffic. Month picked by weighted inverse-CDF over a
+    // MATERIALIZED uniform draw: `rand()` instances advance their
+    // per-row sequence only when evaluated, so referencing the same
+    // rand expression from several conditional branches desynchronizes
+    // them — the draw must land as an attribute first.
+    val monthWeights = Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+      1.0, 1.0, 1.0, 1.0, 1.45, 1.45)
+    val totalW = monthWeights.sum
+    val monthStarts2024 = Seq( // UTC epoch seconds of each month start
+      1704067200L, 1706745600L, 1709251200L, 1711929600L, 1714521600L,
+      1717200000L, 1719792000L, 1722470400L, 1725148800L, 1727740800L,
+      1730419200L, 1733011200L)
+    val monthLens = monthStarts2024.sliding(2)
+      .map(p => p(1) - p(0)).toSeq :+ (1735689600L - 1733011200L)
+    val cum = monthWeights.scanLeft(0.0)(_ + _).tail.map(_ / totalW)
+    val drawn = spark.range(n).select(
+      col("id"),
+      rand(seed + 60).as("__u"),
+      rand(seed + 52).as("__frac"),
+      rand(seed + 50).as("__ru"),
+      rand(seed + 51).as("__rt"),
+      rand(seed + 53).as("__rlate"),
+      rand(seed + 54).as("__rdelay1"),
+      rand(seed + 55).as("__rdelay2"),
       rand(seed + 56).as("__drift"),
       rand(seed + 57).as("__pii"),
       rand(seed + 58).as("__bad"))
+    val seasonalTs = (0 until 12).reverse.foldLeft(
+      lit(monthStarts2024.last) +
+        floor(col("__frac") * monthLens.last)) { (acc, m) =>
+      if (m == 11) acc
+      else when(col("__u") < cum(m), lit(monthStarts2024(m)) +
+        floor(col("__frac") * monthLens(m))).otherwise(acc)
+    }
+    val base = drawn.select(
+      col("id").as("event_idx"),
+      uuidLike("event", col("id")).as("event_id"),
+      floor(col("__ru") * nUsersC).as("user_idx"),
+      pick(col("__rt"), Seq("page_view", "add_to_cart",
+        "checkout_started", "app_action_click")).as("event_type"),
+      timestamp_seconds(seasonalTs).as("event_ts"),
+      // ~15% of events arrive 1-7 days late, rest within 10 s
+      when(col("__rlate") < 0.15,
+        floor(col("__rdelay1") * 86400 * 6) + 86400)
+        .otherwise(floor(col("__rdelay2") * 10)).as("__delay"),
+      col("__drift"), col("__pii"), col("__bad"))
     val withJson = base
       .withColumn("received_ts",
         timestamp_seconds(unix_timestamp(col("event_ts")) + col("__delay")))

@@ -72,6 +72,13 @@ class GenerateSpec extends SparkSpec {
     assert(exact > parsed.count() * 0.7)
   }
 
+  test("seasonality: Nov/Dec carry an elevated share (rule :21-29)") {
+    // weights 1.45 for months 11-12 -> expected share 2*1.45/12.9 ~ 22.5%
+    val share = eventsDf.filter(month(col("event_ts")) >= 11).count()
+      .toDouble / eventsDf.count()
+    assert(share > 0.19 && share < 0.26, s"Nov+Dec share $share")
+  }
+
   test("late arrivals: 10-20% later than 1 day (rule :11-19)") {
     val late = eventsDf.filter(
       unix_timestamp(col("received_ts")) - unix_timestamp(col("event_ts"))
