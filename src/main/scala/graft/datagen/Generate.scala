@@ -182,6 +182,14 @@ object Generate {
     val withJson = base
       .withColumn("received_ts",
         timestamp_seconds(unix_timestamp(col("event_ts")) + col("__delay")))
+      // second JSON column, `context` = {ip, browser}
+      // (`generate_and_load_script.py:166`)
+      .withColumn("context", to_json(struct(
+        concat(lit("10."), pmod(col("event_idx"), lit(256)), lit("."),
+          pmod(col("event_idx") * 7, lit(256)), lit("."),
+          pmod(col("event_idx") * 13, lit(256))).as("ip"),
+        element_at(array(lit("chrome"), lit("firefox"), lit("safari")),
+          (pmod(col("event_idx"), lit(3)) + 1).cast("int")).as("browser"))))
       .withColumn("properties",
         when(col("__bad") < 0.015, lit("{not json"))
           .otherwise(to_json(struct(

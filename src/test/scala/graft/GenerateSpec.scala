@@ -96,6 +96,11 @@ class GenerateSpec extends SparkSpec {
       get_json_object(col("properties"), "$.leaked_email").isNotNull)
       .count()
     assert(drift > 0 && pii > 0)
+    // the second JSON column always parses and carries ip + browser
+    assert(eventsDf.filter(
+      get_json_object(col("context"), "$.ip").isNull ||
+        !get_json_object(col("context"), "$.browser")
+          .isin("chrome", "firefox", "safari")).isEmpty)
   }
 
   test("withDuplicates injects and dedupLatest removes them (rule :39-47)") {
