@@ -59,7 +59,7 @@ object Scd2 {
       (col("__d.valid_to").isNull || ts < col("__d.valid_to"))
     val dimCols = dim.columns.filterNot(key.contains)
       .map(c => col(s"__d.$c"))
-    f.join(d, cond, joinType).select(col("__f.*") +: dimCols: _*)
+    f.join(d, cond, joinType).select((col("__f.*") +: dimCols.toSeq): _*)
   }
 
   /** Overlap violations (reference `README.md:58` "SCD2 window overlap

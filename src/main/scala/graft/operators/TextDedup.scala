@@ -254,7 +254,7 @@ object TextDedup {
     // carrying it across rounds costs ONE action per iteration
     def labelSum(df: DataFrame) = df.agg(
       sum(col("cluster_id").cast(
-        org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

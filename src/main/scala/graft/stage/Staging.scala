@@ -86,9 +86,9 @@ object Staging {
     val bad = casts.keys.map(c =>
       col(c).isNotNull && col(c + "__cast").isNull).reduce(_ || _)
     val clean = casted.filter(!bad)
-      .select(df.columns.map(c =>
+      .select(df.columns.toSeq.map(c =>
         if (casts.contains(c)) col(c + "__cast").as(c) else col(c)): _*)
-    val rejects = casted.filter(bad).select(df.columns.map(col): _*)
+    val rejects = casted.filter(bad).select(df.columns.toSeq.map(col): _*)
     (clean, rejects)
   }
 
