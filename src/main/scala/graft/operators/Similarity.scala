@@ -120,6 +120,54 @@ object Similarity {
         lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** IVF-style coarse quantization: `cells` deterministic centroid
+    * vectors (components hash-derived in [-1, 1], like the LSH planes),
+    * each vector assigned to the centroid with the max dot product
+    * (first-wins on ties). Pure literals — Catalyst constant-folds the
+    * centroids; the argmax runs over MATERIALIZED dot columns so each
+    * centroid dot is computed once per row. */
+  def centroidWeights(m: Int, dims: Int): Column =
+    array((0 until dims).map { d =>
+      ((md5Long(lit(s"centroid:$m:$d")) % 1001 - 500).cast("double") / 500.0)
+    }: _*)
+
+  /** Appends `__cell` — the assigned coarse cell id. */
+  def withIvfCell(df: DataFrame, vecCol: String, cells: Int,
+      dims: Int): DataFrame = {
+    val withDots = (0 until cells).foldLeft(df) { (d, m) =>
+      d.withColumn(s"__dot$m",
+        dot(toDoubleArray(col(vecCol)), centroidWeights(m, dims)))
+    }
+    val cell = (0 until cells - 1).foldRight(lit(cells - 1)) { (m, acc) =>
+      val later = (m + 1 until cells).map(i => col(s"__dot$i"))
+      val laterMax =
+        if (later.size == 1) later.head else greatest(later: _*)
+      when(col(s"__dot$m") >= laterMax, lit(m)).otherwise(acc)
+    }
+    withDots.withColumn("__cell", cell)
+      .drop((0 until cells).map(m => s"__dot$m"): _*)
+  }
+
+  /** IVF approximate top-k: candidates are corpus vectors in the SAME
+    * coarse cell as the query (single-probe), exact cosine + top-k
+    * within the cell. The centroid-partitioned corpus is the classic
+    * inverted-file layout — at scale, cells map to partitions and a
+    * probe touches 1/cells of the data. */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, cells: Int, dims: Int): DataFrame = {
+    val binned = withIvfCell(vectors, vecCol, cells, dims)
+    val qb = withIvfCell(queries, queryVecCol, cells, dims)
+      .withColumnRenamed("__cell", "__qcell")
+    val scored = binned.join(broadcast(qb),
+        col("__cell") === col("__qcell") &&
+          col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol).as("query_id"),
+        col(idCol).as("id"),
+        cosineF(col(vecCol), col(queryVecCol)).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors in the same
     * hyperplane sign-bucket are paired (a < b) and kept when exact
     * cosine ≥ `threshold`. The bucket join bounds the pair blowup the

@@ -500,6 +500,62 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
     TextDedup.dupClusters(pairs)
   }
 
+  // ------------------------------------------------------------ q49
+
+  private val IvfCells = 8
+  private val IvfK = 3
+
+  private def ivfOracle: String = {
+    val dotCols = (0 until IvfCells).map { m =>
+      s"""list_reduce([e[i] * (((('0x' || substr(md5('centroid:$m:' ||
+         |      CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 1001) - 500) / 500.0)
+         |      for i in range(1, ${AnnDims + 1})], (x, y) -> x + y) AS d$m""".stripMargin
+    }.mkString(",\n    ")
+    val cellCase = (0 until IvfCells - 1).map { m =>
+      val later = (m + 1 until IvfCells).map(i => s"d$i").mkString(", ")
+      val laterMax =
+        if (m == IvfCells - 2) later else s"greatest($later)"
+      s"WHEN d$m >= $laterMax THEN $m"
+    }.mkString("\n         ")
+    s"""WITH v AS (
+  SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+b AS (
+  SELECT vec_id, e,
+    $dotCols
+  FROM v),
+c AS (
+  SELECT vec_id, e,
+    CASE $cellCase
+         ELSE ${IvfCells - 1} END AS cell
+  FROM b),
+q AS (
+  SELECT vec_id AS query_id, e AS qe, cell AS qcell FROM c
+  WHERE vec_id % $TopkEvery = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS id,
+    ${dCosine("qe", "e")} AS score
+  FROM c JOIN q ON c.cell = q.qcell AND c.vec_id != q.query_id),
+r AS (
+  SELECT query_id, id, score,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, id) AS rk
+  FROM scored)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, id AS neighbor_id,
+  ROUND(score, 6) AS cosine
+FROM r WHERE rk <= $IvfK"""
+  }
+
+  /** IVF-style ANN: hash-derived coarse centroids, argmax-dot cell
+    * assignment, exact cosine top-k within the probed cell — the
+    * inverted-file counterpart to q30's hyperplane LSH. */
+  val q49 = Query("q49_embedding_ann_ivf", ivfOracle) { (s, dir) =>
+    val v = Tables.embeddings(s, dir)
+    val q = v.filter(col("vec_id") % TopkEvery === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfTopK(v, "vec_id", "embedding", q, "query_id", "qvec",
+      IvfK, IvfCells, AnnDims)
+  }
+
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q45, q48)
+    q30, q45, q48, q49)
 }
