@@ -21,6 +21,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // targeted release of operator-internal caches (the documented
+      // library lifecycle); clearCache as a backstop for anything else
+      graft.operators.InternalCache.release()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

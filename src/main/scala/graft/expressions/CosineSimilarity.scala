@@ -49,22 +49,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
           s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
+  /** Result is null on length mismatch or any null element — exactly
+    * the HOF fold's behavior (`zip_with` pads the shorter array with
+    * nulls and null arithmetic propagates), so the bit-parity contract
+    * with `Functions.cosine` holds on ALL inputs, not just clean ones. */
+  override def nullable: Boolean = true
+
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def mayHaveNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
     case _ => false
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val lf = isFloat(left)
     val rf = isFloat(right)
+    val lcn = mayHaveNullElems(left)
+    val rcn = mayHaveNullElems(right)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if ((lcn && x.isNullAt(i)) || (rcn && y.isNullAt(i))) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
@@ -87,18 +102,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val lNullCheck =
+        if (mayHaveNullElems(left)) s"$a.isNullAt($i)" else "false"
+      val rNullCheck =
+        if (mayHaveNullElems(right)) s"$b.isNullAt($i)" else "false"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.$lGet($i);
-         |  double $yi = (double) $b.$rGet($i);
-         |  $dot += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($lNullCheck || $rNullCheck) { ${ev.isNull} = true; break; }
+         |    double $xi = (double) $a.$lGet($i);
+         |    double $yi = (double) $b.$rGet($i);
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot /
+         |      (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   }

@@ -100,11 +100,11 @@ object Marts {
       zThreshold: Double): DataFrame = {
     // cache: the daily frame (one row per day — tiny) feeds both the
     // stats aggregate and the z-score join; without it Spark recomputes
-    // the full event scan + shuffle twice
-    val daily = events
+    // the full event scan + shuffle twice. Registered with
+    // InternalCache so callers can release it deterministically.
+    val daily = InternalCache.persist(events
       .groupBy(date_trunc("day", col(tsCol)).as("day"))
-      .agg(sum(money(valueCol)).cast("double").as("daily_value"))
-      .cache()
+      .agg(sum(money(valueCol)).cast("double").as("daily_value")))
     val stats = daily.agg(
       avg(col("daily_value")).as("__mu"),
       stddev_samp(col("daily_value")).as("__sigma"))

@@ -131,6 +131,15 @@ object Similarity {
       ((md5Long(lit(s"centroid:$m:$d")) % 1001 - 500).cast("double") / 500.0)
     }: _*)
 
+  /** First-wins argmax over `cells` dot columns supplied by `d`. */
+  private def argmaxCell(cells: Int, d: Int => Column): Column =
+    (0 until cells - 1).foldRight(lit(cells - 1): Column) { (m, acc) =>
+      val later = (m + 1 until cells).map(d)
+      val laterMax =
+        if (later.size == 1) later.head else greatest(later: _*)
+      when(d(m) >= laterMax, lit(m)).otherwise(acc)
+    }
+
   /** Appends `__cell` — the assigned coarse cell id. */
   def withIvfCell(df: DataFrame, vecCol: String, cells: Int,
       dims: Int): DataFrame = {
@@ -138,14 +147,54 @@ object Similarity {
       d.withColumn(s"__dot$m",
         dot(toDoubleArray(col(vecCol)), centroidWeights(m, dims)))
     }
-    val cell = (0 until cells - 1).foldRight(lit(cells - 1)) { (m, acc) =>
-      val later = (m + 1 until cells).map(i => col(s"__dot$i"))
-      val laterMax =
-        if (later.size == 1) later.head else greatest(later: _*)
-      when(col(s"__dot$m") >= laterMax, lit(m)).otherwise(acc)
-    }
-    withDots.withColumn("__cell", cell)
+    withDots
+      .withColumn("__cell", argmaxCell(cells, m => col(s"__dot$m")))
       .drop((0 until cells).map(m => s"__dot$m"): _*)
+  }
+
+  /** Appends `__probe0..__probe{nProbe-1}` — the top-`nProbe` cells by
+    * centroid dot product. Probe i+1 re-runs the same first-wins argmax
+    * with all previously chosen cells' dots masked to -1e308, so the
+    * probe sequence is deterministic and replayable in plain SQL. */
+  def withIvfProbes(df: DataFrame, vecCol: String, cells: Int,
+      dims: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cells, "1 <= nProbe <= cells")
+    val withDots = (0 until cells).foldLeft(df) { (d, m) =>
+      d.withColumn(s"__dot$m",
+        dot(toDoubleArray(col(vecCol)), centroidWeights(m, dims)))
+    }
+    val staged = (0 until nProbe).foldLeft(withDots) { (d, i) =>
+      val masked: Int => Column = m => {
+        val prior = (0 until i).map(j => col(s"__probe$j") === m)
+        if (prior.isEmpty) col(s"__dot$m")
+        else when(prior.reduce(_ || _), lit(-1e308))
+          .otherwise(col(s"__dot$m"))
+      }
+      d.withColumn(s"__probe$i", argmaxCell(cells, masked))
+    }
+    staged.drop((0 until cells).map(m => s"__dot$m"): _*)
+  }
+
+  /** IVF multi-probe top-k: each query probes its top-`nProbe` coarse
+    * cells instead of one — the standard recall lever for IVF (a query
+    * near a cell boundary recovers the neighbors that landed just
+    * across it) at nProbe/cells of the corpus read. Cells are disjoint,
+    * so no candidate dedup is needed. */
+  def ivfTopKMultiProbe(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, cells: Int, dims: Int, nProbe: Int): DataFrame = {
+    val binned = withIvfCell(vectors, vecCol, cells, dims)
+    val qb = withIvfProbes(queries, queryVecCol, cells, dims, nProbe)
+      .withColumn("__qcell", explode(array(
+        (0 until nProbe).map(i => col(s"__probe$i")): _*)))
+      .drop((0 until nProbe).map(i => s"__probe$i"): _*)
+    val scored = binned.join(broadcast(qb),
+        col("__cell") === col("__qcell") &&
+          col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol).as("query_id"),
+        col(idCol).as("id"),
+        cosineF(col(vecCol), col(queryVecCol)).as("score"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF approximate top-k: candidates are corpus vectors in the SAME
@@ -161,6 +210,32 @@ object Similarity {
       .withColumnRenamed("__cell", "__qcell")
     val scored = binned.join(broadcast(qb),
         col("__cell") === col("__qcell") &&
+          col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol).as("query_id"),
+        col(idCol).as("id"),
+        cosineF(col(vecCol), col(queryVecCol)).as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Multi-probe LSH top-k: each query probes its own sign-bucket PLUS
+    * every bucket at Hamming distance 1 (one flipped hyperplane) —
+    * `planes + 1` probes recover the neighbors lost to a single
+    * boundary flip, the dominant LSH miss mode. Probe buckets are
+    * pairwise distinct and each vector lives in exactly one bucket, so
+    * candidates need no dedup. */
+  def lshTopKMultiProbe(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, planes: Int, dims: Int): DataFrame = {
+    val bucketed = vectors.withColumn("__bucket",
+      lshBucket(col(vecCol), planes, dims))
+    val qb = queries.withColumn("__qbucket",
+      lshBucket(col(queryVecCol), planes, dims))
+      .withColumn("__probe", explode(array(
+        (col("__qbucket") +: (0 until planes).map(p =>
+          col("__qbucket").bitwiseXOR(lit(1L << p)))): _*)))
+      .drop("__qbucket")
+    val scored = bucketed.join(broadcast(qb),
+        col("__bucket") === col("__probe") &&
           col(idCol) =!= col(queryIdCol))
       .select(col(queryIdCol).as("query_id"),
         col(idCol).as("id"),

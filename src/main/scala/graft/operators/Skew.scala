@@ -20,15 +20,18 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Salted sum+count per key: `df.groupBy(key).agg(sum(value),
-    * count(*))` with balanced reducers. The salt is deterministic
-    * (hash of the full row via `spark_partition_id` + a uniform
-    * column) — `rand()` would break retry idempotence mid-stage. */
+    * count(*))` with balanced reducers. The salt is derived from the
+    * row's DATA (hash of every input column), so it is stable under
+    * stage retry — `rand()`, `spark_partition_id`, and
+    * `monotonically_increasing_id` all change when a lost partition is
+    * recomputed with different placement/order, which can double-count
+    * or drop rows mid-shuffle. Identical rows share a salt, which only
+    * hurts balance if a hot KEY is also a single repeated row. */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], value: Column,
       sumName: String, countName: String,
       saltBuckets: Int = 32): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(spark_partition_id(), monotonically_increasing_id()),
-        lit(saltBuckets)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))

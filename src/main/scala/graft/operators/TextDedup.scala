@@ -102,7 +102,7 @@ object TextDedup {
     }
     val all = signed.select(col("doc_id"),
         posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(InternalCache.persist(_))
     val a = all.select(col("band_id"), col("band_key"),
       col("doc_id").as("doc_a"))
     val b = all.select(col("band_id").as("band_id_b"),
@@ -125,7 +125,7 @@ object TextDedup {
     // consumed by the signature pipeline AND both sides of the verify
     // join — persist instead of re-shingling the corpus three times
     val shingled = docShingles(docs, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(InternalCache.persist(_))
     val signed = minhashSignatures(shingled, numHashes)
     val cand = lshCandidates(signed, bands, numHashes / bands)
     val sa = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
@@ -206,7 +206,7 @@ object TextDedup {
       .select("gram")
     // feeds sizes + both sides of the pair join: persist one copy
     val filtered = grams.join(rare, "gram")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(InternalCache.persist(_))
     val sizes = filtered.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("sz"))
     val x = filtered.select(col("gram"), col("doc_id").as("doc_a"))
@@ -229,51 +229,82 @@ object TextDedup {
 
   /** Connected components over near-dup pairs → dedup clusters:
     * every doc in a component gets the component's minimum doc id as
-    * `cluster_id` (the canonical representative). Iterative min-label
-    * propagation over the undirected edge set; lineage is truncated
-    * each round with `localCheckpoint` so the plan stays flat.
+    * `cluster_id` (the canonical representative).
     *
-    * Scale notes: each iteration is one shuffle join + one aggregate
-    * over the PAIR graph (tiny relative to the corpus — only near-dup
-    * docs appear); iteration count is bounded by component diameter,
-    * which for dup clusters is small. For adversarial long-chain
-    * graphs, switch to the large-star/small-star formulation — same
-    * join shapes, fewer rounds. */
+    * Alternating large-star / small-star contraction (the MapReduce
+    * connected-components formulation of Kiveris et al., SoCC'14):
+    * each round is two relational star operations over the PAIR graph
+    * only (tiny relative to the corpus — only near-dup docs appear),
+    * and the round count is O(log n), independent of component
+    * diameter — unlike min-label propagation, whose round count IS the
+    * diameter. Convergence costs one (count, hash-sum) scalar per
+    * ROUND — a batched check over the whole edge set, not a
+    * per-propagation-step action. Lineage is truncated each round with
+    * `localCheckpoint` so plans stay flat. */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"),
-        col("doc_a").as("dst")))
+    // canonical undirected edges (small id first), self-loops dropped
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
-    // converged when no label decreased; the label sum is monotone
-    // non-increasing (decimal so huge id spaces can't overflow), and
-    // carrying it across rounds costs ONE action per iteration
-    def labelSum(df: DataFrame) = df.agg(
-      sum(col("cluster_id").cast(
-        org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      val propagated = edges
-        .join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(propagated)
-        .groupBy(col("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      iter += 1
+
+    // large-star: for every node u, connect each LARGER neighbor to the
+    // minimum of u's closed neighborhood
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
     }
-    edges.unpersist()
-    labels
+
+    // small-star: for every node u, connect u and all its SMALLER
+    // neighbors to the minimum of that set
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = oriented.groupBy("u").agg(min(col("v")).as("__m"))
+      oriented.join(m, "u")
+        .select(col("v").as("u"), col("__m").as("v"))
+        .unionByName(m.select(col("u"), col("__m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // order-independent edge-set signature: equal signatures across a
+    // round mean a fixed point (w.h.p.) — the edge set is then a
+    // forest of stars, every edge (member → component min)
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal sum: long-summed hashes overflow under ANSI mode
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
+    var sig = signature(edges)
+    var converged = sig._1 == 0L
+    var rounds = 0
+    while (!converged && rounds < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      rounds += 1
+    }
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"dupClusters converged in $rounds star rounds")
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(edges.select(col("v").as("doc_id"),
+        col("v").as("cluster_id")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
   }
 
   /** Content-defined fingerprinting (winnowing-style sampling): the
@@ -294,14 +325,14 @@ object TextDedup {
       .select(col("doc_id"), md5Long(col("gram")).as("fp"))
       .filter(col("fp") % modulus === 0)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(InternalCache.persist(_))
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select("fp")
     // feeds both sides of the pair join
     val kept = fps.join(rare, "fp")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(InternalCache.persist(_))
     val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
     val b = kept.select(col("fp").as("fp_b"), col("doc_id").as("doc_b"))
     a.join(b, a("fp") === b("fp_b") && a("doc_a") < b("doc_b"))

@@ -156,11 +156,9 @@ SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= $MhThreshold"""
        |     sqrt(list_reduce([$b[i] * $b[i] for i in range(1, len($b) + 1)],
        |      (x, y) -> x + y)))""".stripMargin
 
-  /** Brute-force exact cosine top-k: the correctness baseline for
-    * similarity search. Query set = every 50th vector (broadcast);
-    * top-k per query via the partial-aggregatable TopK Aggregator. */
-  val q24 = Query(
-    "q24_embedding_topk",
+  /** DuckDB oracle for brute-force exact cosine top-k (parameterized so
+    * q24 and the q53 recall baseline share one definition). */
+  private def bruteForceOracle(k: Int): String =
     s"""WITH v AS (
        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS e
        |  FROM embeddings),
@@ -178,7 +176,14 @@ SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= $MhThreshold"""
        |  FROM scored)
        |SELECT query_id, CAST(rk AS BIGINT) AS rank, id AS neighbor_id,
        |  ROUND(score, 6) AS cosine
-       |FROM r WHERE rk <= $TopkK""".stripMargin) { (s, dir) =>
+       |FROM r WHERE rk <= $k""".stripMargin
+
+  /** Brute-force exact cosine top-k: the correctness baseline for
+    * similarity search. Query set = every 50th vector (broadcast);
+    * top-k per query via the partial-aggregatable TopK Aggregator. */
+  val q24 = Query(
+    "q24_embedding_topk",
+    bruteForceOracle(TopkK)) { (s, dir) =>
     val v = Tables.embeddings(s, dir)
     val q = v.filter(col("vec_id") % TopkEvery === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -556,6 +561,166 @@ FROM r WHERE rk <= $IvfK"""
       IvfK, IvfCells, AnnDims)
   }
 
+  // ------------------------------------------------------------ q53
+
+  /** DuckDB: the Hamming-1 multi-probe variant of q30's LSH oracle —
+    * each query probes its own bucket plus the `AnnPlanes` one-bit
+    * flips. */
+  private def annMultiProbeOracle: String = {
+    val planeDot = (p: Int) =>
+      s"""list_reduce([e[i] * (((('0x' || substr(md5('plane:$p:' ||
+         |      CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 1001) - 500) / 500.0)
+         |      for i in range(1, ${AnnDims + 1})], (x, y) -> x + y)""".stripMargin
+    val bucketTerms = (0 until AnnPlanes).map { p =>
+      s"(CASE WHEN ${planeDot(p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" +\n    ")
+    val probes = ("qbucket" +: (0 until AnnPlanes).map(p =>
+      s"xor(qbucket, ${1L << p})")).mkString(", ")
+    s"""WITH v AS (
+  SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+b AS (
+  SELECT vec_id, e,
+    $bucketTerms AS bucket
+  FROM v),
+q AS (
+  SELECT vec_id AS query_id, e AS qe, bucket AS qbucket FROM b
+  WHERE vec_id % $TopkEvery = 0),
+qp AS (
+  SELECT query_id, qe, unnest([$probes]) AS probe FROM q),
+scored AS (
+  SELECT qp.query_id, b.vec_id AS id,
+    ${dCosine("qe", "e")} AS score
+  FROM b JOIN qp ON b.bucket = qp.probe AND b.vec_id != qp.query_id),
+r AS (
+  SELECT query_id, id, score,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, id) AS rk
+  FROM scored)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, id AS neighbor_id,
+  ROUND(score, 6) AS cosine
+FROM r WHERE rk <= $AnnK"""
+  }
+
+  /** DuckDB: first-wins argmax CASE chain over per-cell dot expressions
+    * (the exact shape of `Similarity.argmaxCell`). */
+  private def ivfChainCase(d: Int => String): String =
+    (0 until IvfCells - 1).map { m =>
+      val later = (m + 1 until IvfCells).map(d).mkString(", ")
+      val laterMax = if (m == IvfCells - 2) later else s"greatest($later)"
+      s"WHEN ${d(m)} >= $laterMax THEN $m"
+    }.mkString("\n         ")
+
+  /** DuckDB: the top-2-cell multi-probe variant of q49's IVF oracle —
+    * probe 2 re-runs the argmax with the chosen cell's dot masked to
+    * -1e308, exactly like `Similarity.withIvfProbes`. */
+  private def ivfMultiProbeOracle: String = {
+    val dotCols = (0 until IvfCells).map { m =>
+      s"""list_reduce([e[i] * (((('0x' || substr(md5('centroid:$m:' ||
+         |      CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 1001) - 500) / 500.0)
+         |      for i in range(1, ${AnnDims + 1})], (x, y) -> x + y) AS d$m""".stripMargin
+    }.mkString(",\n    ")
+    val p0Case = ivfChainCase(i => s"d$i")
+    val dm = (i: Int) => s"(CASE WHEN p0 = $i THEN -1e308 ELSE d$i END)"
+    val p1Case = ivfChainCase(dm)
+    val dList = (0 until IvfCells).map(i => s"d$i").mkString(", ")
+    s"""WITH v AS (
+  SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+b AS (
+  SELECT vec_id, e,
+    $dotCols
+  FROM v),
+c AS (
+  SELECT vec_id, e, $dList,
+    CASE $p0Case
+         ELSE ${IvfCells - 1} END AS cell
+  FROM b),
+q0 AS (
+  SELECT query_id, qe, p0,
+    CASE $p1Case
+         ELSE ${IvfCells - 1} END AS p1
+  FROM (SELECT vec_id AS query_id, e AS qe, cell AS p0, $dList
+        FROM c WHERE vec_id % $TopkEvery = 0)),
+qp AS (
+  SELECT query_id, qe, unnest([p0, p1]) AS probe FROM q0),
+scored AS (
+  SELECT qp.query_id, c.vec_id AS id,
+    ${dCosine("qe", "e")} AS score
+  FROM c JOIN qp ON c.cell = qp.probe AND c.vec_id != qp.query_id),
+r AS (
+  SELECT query_id, id, score,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, id) AS rk
+  FROM scored)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, id AS neighbor_id,
+  ROUND(score, 6) AS cosine
+FROM r WHERE rk <= $IvfK"""
+  }
+
+  private def recallOracle: String = {
+    def rec(method: String, cte: String, lead: String) =
+      s"""${lead}SELECT '$method' AS method,
+         |    (SELECT COUNT(*) FROM ex) AS n_exact,
+         |    (SELECT COUNT(*) FROM ex JOIN $cte
+         |       ON ex.query_id = $cte.query_id
+         |      AND ex.neighbor_id = $cte.neighbor_id) AS n_hit""".stripMargin
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM (
+${bruteForceOracle(IvfK)})),
+lsh AS (SELECT query_id, neighbor_id FROM (
+$annOracle)),
+lshm AS (SELECT query_id, neighbor_id FROM (
+$annMultiProbeOracle)),
+ivf AS (SELECT query_id, neighbor_id FROM (
+$ivfOracle)),
+ivfm AS (SELECT query_id, neighbor_id FROM (
+$ivfMultiProbeOracle)),
+rec AS (
+${rec("ivf", "ivf", "  ")}
+${rec("ivf_multiprobe", "ivfm", "  UNION ALL ")}
+${rec("lsh", "lsh", "  UNION ALL ")}
+${rec("lsh_multiprobe", "lshm", "  UNION ALL ")})
+SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
+  CAST(n_hit AS BIGINT) AS n_hit,
+  ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
+FROM rec"""
+  }
+
+  /** ANN retrieval-quality measurement: recall@$IvfK of each
+    * approximate method (single- and multi-probe LSH and IVF) against
+    * the exact brute-force top-k — the number a production ANN needs
+    * before anyone trusts it at scale. Both sides are deterministic
+    * hash-verified pipelines, so recall itself is oracle-checkable; the
+    * multi-probe rows demonstrate the recall lever (more probes →
+    * strictly more candidates → recall never decreases). */
+  val q53 = Query("q53_ann_recall", recallOracle) { (s, dir) =>
+    import graft.operators.InternalCache
+    val v = Tables.embeddings(s, dir)
+    val q = v.filter(col("vec_id") % TopkEvery === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = InternalCache.persist(
+      Similarity.bruteForceTopK(v, "vec_id", "embedding",
+        q, "query_id", "qvec", IvfK)
+        .select("query_id", "neighbor_id"))
+    def leg(method: String, approx: org.apache.spark.sql.DataFrame) = {
+      val hit = exact.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(hit)
+        .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6)
+            .as("recall"))
+    }
+    leg("ivf", Similarity.ivfTopK(v, "vec_id", "embedding",
+        q, "query_id", "qvec", IvfK, IvfCells, AnnDims))
+      .unionByName(leg("ivf_multiprobe",
+        Similarity.ivfTopKMultiProbe(v, "vec_id", "embedding",
+          q, "query_id", "qvec", IvfK, IvfCells, AnnDims, nProbe = 2)))
+      .unionByName(leg("lsh", Similarity.lshTopK(v, "vec_id", "embedding",
+        q, "query_id", "qvec", AnnK, AnnPlanes, AnnDims)))
+      .unionByName(leg("lsh_multiprobe",
+        Similarity.lshTopKMultiProbe(v, "vec_id", "embedding",
+          q, "query_id", "qvec", AnnK, AnnPlanes, AnnDims)))
+  }
+
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q45, q48, q49)
+    q30, q45, q48, q49, q53)
 }

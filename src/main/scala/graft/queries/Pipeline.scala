@@ -533,6 +533,78 @@ object Pipeline {
         count(lit(1)).as("n_orders"))
   }
 
+  // ------------------------------------------------------------ q50
+
+  /** Streaming sessionization through the oracle (ST2/§2.9): the
+    * custom-state `flatMapGroupsWithState` sessionizer run to
+    * completion with AvailableNow must produce EXACTLY the batch
+    * sessions — the oracle is the same SQL as q17 (same 30-minute
+    * gap), so stream/batch parity is hash-checked end to end, not just
+    * asserted in a spec. */
+  val q50 = Query(
+    "q50_sessionize_stream",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+    Streaming.sessionizeAvailableNow(s, Tables.events(s, dir), 30)
+  }
+
+  // ------------------------------------------------------------ q51
+
+  /** Table-materialization roundtrip (S7: `CREATE TABLE AS` parity):
+    * a revenue mart persisted through `saveAsTable` and read back from
+    * the catalog must carry every value unchanged — the oracle runs
+    * the mart directly, so any loss in the parquet store/reload
+    * mismatches. */
+  val q51 = Query(
+    "q51_table_roundtrip",
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val mart = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    graft.sources.Materialize.table(mart, "graft_mart_roundtrip",
+      Some(s"/tmp/graft_mart_roundtrip_${math.abs(dir.hashCode)}"))
+  }
+
+  // ------------------------------------------------------------ q52
+
+  /** Soft-delete staging filter (P7: the reference's `is_deleted` flag,
+    * `generate_and_load_script.py:88`): flag derived deterministically
+    * from the key (the fixture has no such column), active rows
+    * aggregated after `Staging.dropSoftDeleted`. */
+  val q52 = Query(
+    "q52_soft_delete",
+    """WITH c AS (
+      |  SELECT c_mktsegment, (c_custkey % 10 = 0) AS is_deleted
+      |  FROM customer)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_active
+      |FROM c WHERE NOT COALESCE(is_deleted, false)
+      |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir).withColumn("is_deleted",
+      pmod(col("c_custkey"), lit(10)) === 0)
+    Staging.dropSoftDeleted(c)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q46, q47)
+    q40, q41, q42, q43, q44, q46, q47, q50, q51, q52)
 }

@@ -47,7 +47,9 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
       .csv(path)
-      .cache() // corrupt-record column requires referencing raw rows once
+      // corrupt-record column requires referencing raw rows once;
+      // released via InternalCache.release() like other internal caches
+      .transform(graft.operators.InternalCache.persist(_))
     val clean = df.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
     val rejects = df.filter(col("_corrupt_record").isNotNull)

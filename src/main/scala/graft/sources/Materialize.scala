@@ -21,8 +21,11 @@ object Materialize {
     * `example/my_first_dbt_model.sql:10` `materialized='table'`):
     * overwrite-save to the session catalog, return the re-read
     * relation so downstream plans scan the stored copy. */
-  def table(df: DataFrame, name: String): DataFrame = {
-    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+  def table(df: DataFrame, name: String,
+      path: Option[String] = None): DataFrame = {
+    val w = df.write.mode("overwrite").format("parquet")
+    path.foreach(p => w.option("path", p)) // external location when given
+    w.saveAsTable(name)
     df.sparkSession.table(name)
   }
 
@@ -40,17 +43,53 @@ object Materialize {
     df.sparkSession.table(name)
   }
 
-  /** Incremental table materialization: append `increment`, then
-    * return the deduplicated view of the stored relation (append +
-    * keep-latest — the reference's daily `--day` run shape,
-    * `README.md:82`). */
+  /** Partition-bounded incremental table materialization (the
+    * reference's daily `--day` run shape, `README.md:82`, as dbt's
+    * `insert_overwrite` incremental strategy): the table is partitioned
+    * by `partitionCol`; each run merges the increment with ONLY the
+    * partitions it touches (keep-latest dedup per `keys` within them)
+    * and rewrites just those partitions via dynamic partition
+    * overwrite. The table is therefore always deduplicated AT REST —
+    * readers are plain pruned scans, and a daily increment at 100 TB
+    * rewrites one day's partition, never the table.
+    *
+    * Touched partition VALUES are collected to the driver so the
+    * merge read is STATICALLY pruned (`PartitionFilters` on the scan);
+    * an incremental batch touches a bounded handful of partitions by
+    * contract, so this is a list of dates, not data.
+    *
+    * Contract (same as dbt insert_overwrite): a key's partition value
+    * must be stable across its versions — a key that MOVES partitions
+    * between runs leaves its old version in the untouched partition
+    * (deduplicate cross-partition movers with a compaction pass). */
   def tableIncremental(spark: SparkSession, name: String,
-      increment: DataFrame, keys: Seq[String],
-      orderCol: String): DataFrame = {
-    val exists = spark.catalog.tableExists(name)
-    increment.write.mode(if (exists) "append" else "overwrite")
-      .format("parquet").saveAsTable(name)
-    graft.stage.Staging.dedupLatest(spark.table(name), keys,
-      org.apache.spark.sql.functions.col(orderCol))
+      increment: DataFrame, keys: Seq[String], orderCol: String,
+      partitionCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def dedup(df: DataFrame) =
+      graft.stage.Staging.dedupLatest(df, keys, col(orderCol))
+    if (!spark.catalog.tableExists(name)) {
+      dedup(increment).write.mode("overwrite").format("parquet")
+        .partitionBy(partitionCol).saveAsTable(name)
+    } else {
+      val touched = increment.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      val cols = spark.table(name).columns.toSeq
+      val existing = spark.table(name)
+        .filter(col(partitionCol).isin(touched: _*))
+      val merged = dedup(existing
+        .unionByName(increment.select(cols.map(col): _*)))
+      val PoKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(PoKey)
+      spark.conf.set(PoKey, "dynamic")
+      // insertInto is positional — select in table-schema order
+      try merged.select(cols.map(col): _*)
+        .write.mode("overwrite").insertInto(name)
+      finally prev match {
+        case Some(v) => spark.conf.set(PoKey, v)
+        case None => spark.conf.unset(PoKey)
+      }
+    }
+    spark.table(name)
   }
 }

@@ -96,17 +96,28 @@ object Staging {
     * reference stores full names on orgs but ISO codes on users,
     * `generate_and_load_script.py:74,87`, normalized through the
     * `iso_countries` seed, `README.md:22`). `seed` must carry
-    * (country_name, iso_code). */
+    * (country_name, iso_code).
+    *
+    * The seed is unpivoted to one lookup row per accepted spelling
+    * (name→iso and code→iso), so the probe is a single equi-key and
+    * Spark plans a codegen'd BroadcastHashJoin. Joining on
+    * `k === name || k === code` instead would not be an equi-join and
+    * falls back to BroadcastNestedLoopJoin — O(rows × seed) with the
+    * key expression re-evaluated per comparison. */
   def normalizeCountry(df: DataFrame, countryCol: String, seed: DataFrame)
       : DataFrame = {
-    val s = broadcast(seed.select(
-      upper(trim(col("country_name"))).as("__cn"),
-      upper(trim(col("iso_code"))).as("__ci")))
+    val iso = upper(trim(col("iso_code")))
+    val lookup = broadcast(seed
+      .select(explode(array(
+        struct(upper(trim(col("country_name"))).as("k"), iso.as("v")),
+        struct(iso.as("k"), iso.as("v")))).as("__e"))
+      .select(col("__e.k").as("__k"), col("__e.v").as("__ci"))
+      .groupBy(col("__k")).agg(min(col("__ci")).as("__ci")))
     val k = upper(trim(col(countryCol)))
-    df.join(s, k === col("__cn") || k === col("__ci"), "left")
+    df.join(lookup, k === col("__k"), "left")
       .withColumn(countryCol + "_iso", coalesce(col("__ci"),
         when(length(k) === 2, k)))
-      .drop("__cn", "__ci")
+      .drop("__k", "__ci")
   }
 
   /** Multi-format date/number repair (SURVEY F4; reference rule

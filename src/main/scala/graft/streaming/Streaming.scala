@@ -31,26 +31,38 @@ object Streaming {
     * state — see [[watermarkedDailyRollup]]. */
   def dailyRollupAvailableNow(spark: SparkSession,
       eventsParquet: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FileStreamSource requires a DIRECTORY; the fixture is one file —
-    // stage it into a per-source temp dir (idempotent overwrite)
-    val srcDir = stageIntoDir(spark, eventsParquet)
-    val batchSchema = spark.read.parquet(srcDir).schema
-    val raw = spark.readStream.schema(batchSchema).parquet(srcDir)
-    // same nanos→micros coercion as the batch reader (Tables.events)
-    val ev =
-      if (batchSchema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    val agg = dailyRollup(ev)
-    val sink = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink)
+    // nanosAsLong is needed for the ns-timestamp fixture, but it is a
+    // SESSION-wide setting — save/restore so later parquet reads in the
+    // caller's session keep their own interpretation of INT64 nanos
+    val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      // FileStreamSource requires a DIRECTORY; the fixture is one file —
+      // stage it into a per-source temp dir (idempotent overwrite)
+      val srcDir = stageIntoDir(spark, eventsParquet)
+      val batchSchema = spark.read.parquet(srcDir).schema
+      val raw = spark.readStream.schema(batchSchema).parquet(srcDir)
+      // same nanos→micros coercion as the batch reader (Tables.events)
+      val ev =
+        if (batchSchema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val agg = dailyRollup(ev)
+      val sink = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = agg.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None => spark.conf.unset(NanosKey)
+      }
+    }
   }
 
   /** Copy a single parquet file into a stable temp directory so the
@@ -88,16 +100,54 @@ object Streaming {
       lateness: String = "1 day"): DataFrame =
     dailyRollup(events.withWatermark("ts", lateness))
 
+  /** Run [[sessionizeStream]] over a STATIC events frame to completion
+    * (`Trigger.AvailableNow`), producing exactly the sessions the batch
+    * operator (`Marts.sessionize`) yields — the stream/batch-parity
+    * harness for the oracle check.
+    *
+    * A far-future sentinel row per user closes each user's final open
+    * session through the ordinary gap rule; the sentinel's own
+    * single-event session stays in state and is never emitted (append
+    * mode emits sessions only as they CLOSE), so the output does not
+    * depend on end-of-stream timeout semantics. */
+  def sessionizeAvailableNow(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int): DataFrame = {
+    val rows = events.select(col("user_id").cast("long").as("user_id"),
+      col("ts"))
+    val sentinels = rows.select(col("user_id")).distinct()
+      .withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
+    val srcDir = s"/tmp/graft_stream_sess_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    rows.unionByName(sentinels).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val out = sessionizeStream(stream, gapMinutes)
+    val sink = s"graft_sess_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   // ------------------------------------------------- stateful sessions
 
-  /** Input/output rows for the stateful sessionizer. */
-  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** Input/output rows for the stateful sessionizer. Event times
+    * travel as epoch MICROS longs (`us`) — `java.sql.Timestamp.getTime`
+    * is millisecond-precision and would silently truncate the fixture's
+    * microsecond event times. The original `ts` column rides along
+    * because the event-time-timeout checker requires the WATERMARKED
+    * timestamp attribute to reach the stateful operator's input. */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+      us: Long)
   final case class SessionOut(user_id: Long, session_id: Long,
-      n_events: Long, session_start: java.sql.Timestamp,
-      session_end: java.sql.Timestamp)
+      n_events: Long, start_us: Long, end_us: Long)
   /** Per-user state: open session + how many sessions closed so far. */
   final case class SessionState(sessionId: Long, n: Long,
-      startMs: Long, lastMs: Long)
+      startUs: Long, lastUs: Long)
 
   /** Custom-state streaming sessionization
     * (`flatMapGroupsWithState`): the streaming twin of
@@ -119,13 +169,14 @@ object Streaming {
     implicit val ss = E.product[SessionState]
     implicit val so = E.product[SessionOut]
     implicit val keyEnc = E.scalaLong
+    val gapUs = gapMinutes * 60000000L
     val gapMs = gapMinutes * 60000L
     def flush(user: Long, st: SessionState): SessionOut =
-      SessionOut(user, st.sessionId, st.n,
-        new java.sql.Timestamp(st.startMs),
-        new java.sql.Timestamp(st.lastMs))
-    events.withWatermark("ts", lateness)
-      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      SessionOut(user, st.sessionId, st.n, st.startUs, st.lastUs)
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withWatermark("ts", lateness)
       .as[SessionEvent](se)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -139,27 +190,32 @@ object Streaming {
             out.iterator
           } else {
             // micro-batch rows must be folded in event-time order
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(_.us)
             var st = state.getOption.orNull
             val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = e.us
               st match {
                 case null =>
                   st = SessionState(1L, 1L, t, t)
-                case s if t - s.lastMs > gapMs =>
+                case s if t - s.lastUs > gapUs =>
                   closed += flush(user, s)
                   st = SessionState(s.sessionId + 1, 1L, t, t)
                 case s =>
-                  st = s.copy(n = s.n + 1, lastMs = math.max(s.lastMs, t))
+                  st = s.copy(n = s.n + 1, lastUs = math.max(s.lastUs, t))
               }
             }
             if (st != null) {
               state.update(st)
-              state.setTimeoutTimestamp(st.lastMs + gapMs)
+              // timeouts are millisecond-granular; truncation only
+              // shifts WHEN the flush fires, never the session content
+              state.setTimeoutTimestamp(st.lastUs / 1000L + gapMs)
             }
             closed.iterator
           }
       }.toDF()
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"))
   }
 }

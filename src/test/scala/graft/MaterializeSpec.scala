@@ -18,20 +18,43 @@ class MaterializeSpec extends SparkSpec {
     spark.sql("DROP TABLE mz_table")
   }
 
-  test("tableIncremental appends then dedups keep-latest") {
+  test("tableIncremental merges only touched partitions, deduped at rest") {
     spark.sql("DROP TABLE IF EXISTS mz_inc")
-    val day1 = Seq(("k1", "2024-01-01 00:00:00", "v1"))
-      .toDF("k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
-    val day2 = Seq(
-      ("k1", "2024-01-02 00:00:00", "v2"), // update for k1
-      ("k2", "2024-01-02 00:00:00", "w1"))
-      .toDF("k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
-    Materialize.tableIncremental(spark, "mz_inc", day1, Seq("k"), "ts")
-    val after = Materialize.tableIncremental(spark, "mz_inc", day2,
-      Seq("k"), "ts")
+    graft.sources.Ingest.deletePath(spark, "/tmp/graft_test_warehouse/mz_inc")
+    def frame(xs: Seq[(String, String, String, String)]) =
+      xs.toDF("k", "ts", "v", "d")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("d", col("d").cast("date"))
+    val inc1 = frame(Seq(
+      ("k1", "2024-01-01 10:00:00", "v1", "2024-01-01"),
+      ("k3", "2024-01-01 11:00:00", "x1", "2024-01-01"),
+      ("k4", "2023-12-31 09:00:00", "z1", "2023-12-31")))
+    val inc2 = frame(Seq(
+      ("k1", "2024-01-01 12:00:00", "v2", "2024-01-01"), // update in d1
+      ("k2", "2024-01-02 08:00:00", "w1", "2024-01-02"))) // new partition
+    Materialize.tableIncremental(spark, "mz_inc", inc1, Seq("k"), "ts", "d")
+    val after = Materialize.tableIncremental(spark, "mz_inc", inc2,
+      Seq("k"), "ts", "d")
     val got = rows(after.orderBy("k"))
       .map(r => (r.getString(0), r.getString(2)))
-    assert(got == Seq(("k1", "v2"), ("k2", "w1")))
+    assert(got ==
+      Seq(("k1", "v2"), ("k2", "w1"), ("k3", "x1"), ("k4", "z1")))
+    // deduped AT REST: a raw table read (no dedup on the read path)
+    // already shows one row per key
+    assert(spark.table("mz_inc").count() == 4)
+    // the merge's read shape (touched-partition isin filter) is
+    // statically pruned: plan carries PartitionFilters and never lists
+    // a file from the untouched 2023-12-31 partition
+    val pruned = spark.table("mz_inc")
+      .filter(col("d").isin(java.sql.Date.valueOf("2024-01-01"),
+        java.sql.Date.valueOf("2024-01-02")))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:"),
+      s"no partition filter in:\n$plan")
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(files.nonEmpty && files.forall(!_.contains("d=2023-12-31")),
+      s"untouched partition listed: $files")
     spark.sql("DROP TABLE mz_inc")
   }
 
