@@ -41,6 +41,25 @@ object Staging {
       .drop("__rn")
   }
 
+  /** Keep-latest dedup via aggregation (same result contract as
+    * [[dedupLatest]]): `max_by` over a (orderCol, tieBreakers...) struct
+    * is PARTIAL-AGGREGATABLE — each map task keeps one candidate row
+    * per key before the shuffle, so a hot key ships one row per input
+    * partition instead of funneling every duplicate through one
+    * reducer's sort. Prefer this form at scale whenever downstream does
+    * not need the window (the reference's 5-10% dup-rate rule over a
+    * skewed org distribution is exactly this shape). Ordering columns
+    * must be non-null and, with tieBreakers, unique per key for a
+    * deterministic winner. */
+  def dedupLatestAgg(df: DataFrame, keys: Seq[String], orderCol: Column,
+      tieBreakers: Seq[Column] = Nil): DataFrame = {
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
+    val ordering = struct((orderCol +: tieBreakers): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ordering).as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** Soft-delete filter (SURVEY P7; reference `is_deleted` 10% true,
     * `generate_and_load_script.py:88`). */
   def dropSoftDeleted(df: DataFrame, flag: String = "is_deleted"): DataFrame =

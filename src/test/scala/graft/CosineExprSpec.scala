@@ -43,6 +43,29 @@ class CosineExprSpec extends SparkSpec {
     assert(e.eval(null).asInstanceOf[Double] == fromCodegen)
   }
 
+  test("null elements and length mismatches null out like the HOF fold") {
+    // zip_with pads the shorter array with nulls and null arithmetic
+    // propagates, so the HOF yields null; the expression must agree
+    val df = Seq(
+      (Array[java.lang.Float](1.0f, null, 3.0f),
+        Array[java.lang.Float](3.0f, 2.0f, 1.0f)),   // null element left
+      (Array[java.lang.Float](1.0f, 2.0f),
+        Array[java.lang.Float](3.0f, null)),          // null element right
+      (Array[java.lang.Float](1.0f, 2.0f, 3.0f),
+        Array[java.lang.Float](3.0f, 2.0f)),          // length mismatch
+      (Array[java.lang.Float](1.0f, 2.0f),
+        Array[java.lang.Float](3.0f, 4.0f)))          // clean control row
+      .toDF("a", "b")
+    val both = df.select(
+      viaExpr($"a", $"b").as("fast"),
+      cosine(toDoubleArray($"a"), toDoubleArray($"b")).as("hof"))
+    val got = rows(both).map(r => (r.isNullAt(0), r.isNullAt(1)))
+    assert(got == Seq((true, true), (true, true), (true, true),
+      (false, false)))
+    // the clean row still agrees bit for bit
+    assert(both.filter($"fast".isNotNull && $"fast" =!= $"hof").isEmpty)
+  }
+
   test("cosine_sim is SQL-callable once registered") {
     org.apache.spark.sql.graft.GraftSqlRegistry.register(spark)
     val r = spark.sql(

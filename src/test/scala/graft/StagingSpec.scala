@@ -24,6 +24,26 @@ class StagingSpec extends SparkSpec {
     assert(got == Seq("new", "tieB"))
   }
 
+  test("dedupLatestAgg equals dedupLatest and plans without a window") {
+    val df = (1 to 300).map { i =>
+      (s"k${i % 7}", f"2024-01-${i % 28 + 1}%02d 00:00:00", s"v$i")
+    }.toDF("key", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val win = rows(Staging.dedupLatest(df, Seq("key"), col("ts"),
+      Seq(col("v"))).orderBy("key"))
+      .map(r => (r.getString(0), r.getString(2)))
+    val agg = Staging.dedupLatestAgg(df, Seq("key"), col("ts"),
+      Seq(col("v")))
+    val got = rows(agg.orderBy("key"))
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(got == win)
+    // the scale property: a partial (map-side) aggregate, no WindowExec
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"expected aggregate plan:\n$plan")
+  }
+
   test("splitValid: null predicate rows are rejects, split is complete") {
     val df = Seq(("a", Some(1)), ("b", None), ("c", Some(-1)))
       .toDF("id", "x")
