@@ -72,6 +72,16 @@ object Similarity {
         org.apache.spark.sql.graft.ExprColumn.expr(a),
         org.apache.spark.sql.graft.ExprColumn.expr(b)))
 
+  /** Native codegen'd dot product ([[graft.expressions.DotProduct]]),
+    * bit-identical to the `Functions.dot` fold. Used for plane/centroid
+    * bucket assignment, which evaluates 6-8 dots per corpus vector —
+    * the full-scan part of ANN, so it must stay inside codegen. */
+  def dotF(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ExprColumn.of(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.graft.ExprColumn.expr(a),
+        org.apache.spark.sql.graft.ExprColumn.expr(b)))
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param vectors (id, vec) corpus; `vec` is `array<float>`
@@ -116,7 +126,7 @@ object Similarity {
     * `dot(plane_p, v) >= 0`. */
   def lshBucket(vec: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
-      when(dot(toDoubleArray(vec), planeWeights(p, dims)) >= 0,
+      when(dotF(vec, planeWeights(p, dims)) >= 0,
         lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
@@ -145,7 +155,7 @@ object Similarity {
       dims: Int): DataFrame = {
     val withDots = (0 until cells).foldLeft(df) { (d, m) =>
       d.withColumn(s"__dot$m",
-        dot(toDoubleArray(col(vecCol)), centroidWeights(m, dims)))
+        dotF(col(vecCol), centroidWeights(m, dims)))
     }
     withDots
       .withColumn("__cell", argmaxCell(cells, m => col(s"__dot$m")))
@@ -161,7 +171,7 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= cells, "1 <= nProbe <= cells")
     val withDots = (0 until cells).foldLeft(df) { (d, m) =>
       d.withColumn(s"__dot$m",
-        dot(toDoubleArray(col(vecCol)), centroidWeights(m, dims)))
+        dotF(col(vecCol), centroidWeights(m, dims)))
     }
     val staged = (0 until nProbe).foldLeft(withDots) { (d, i) =>
       val masked: Int => Column = m => {

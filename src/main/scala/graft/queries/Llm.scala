@@ -481,14 +481,12 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
 
   // ------------------------------------------------------------ q48
 
-  /** Near-dup clustering: connected components over q23's verified
-    * minhash pairs, each doc labeled with its component's min doc id.
-    * The oracle computes the same components with a recursive CTE over
-    * the identical pair pipeline. */
-  val q48 = Query(
-    "q48_dedup_clusters",
+  /** DuckDB: connected components (recursive CTE) over a pair query,
+    * yielding (doc_id, cluster_id = component min) — shared by q48 and
+    * the q54 removal end product. */
+  private def componentsOracle(pairsSql: String): String =
     s"""WITH pairs AS (
-       |  SELECT doc_a, doc_b FROM ($minhashOracle)),
+       |  SELECT doc_a, doc_b FROM ($pairsSql)),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -499,10 +497,56 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
        |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
        |  SELECT a, b FROM r)
        |SELECT a AS doc_id, MIN(b) AS cluster_id
-       |FROM reach GROUP BY a""".stripMargin) { (s, dir) =>
+       |FROM reach GROUP BY a""".stripMargin
+
+  /** Near-dup clustering: connected components over q23's verified
+    * minhash pairs, each doc labeled with its component's min doc id.
+    * The oracle computes the same components with a recursive CTE over
+    * the identical pair pipeline. */
+  val q48 = Query(
+    "q48_dedup_clusters",
+    componentsOracle(minhashOracle)) { (s, dir) =>
     val pairs = TextDedup.minhashNearDups(Tables.documents(s, dir),
       "doc_id", "text", MhShingle, MhHashes, MhBands, MhThreshold)
     TextDedup.dupClusters(pairs)
+  }
+
+  // ------------------------------------------------------------ q54
+
+  /** The dedup END PRODUCT: the corpus with every non-representative
+    * near-dup cluster member removed (each cluster keeps its min doc
+    * id), summarized per language. Pairs come from the SimHash pipeline
+    * (q25), so clustering is exercised over a second pair source beyond
+    * q48's minhash graph. At 100 TB this is the shape of a real
+    * training-data dedup pass: pair generation is bucket-bounded, the
+    * cluster graph holds only near-dup docs, and the removal is one
+    * broadcast-or-shuffle anti-join against the doc ids. */
+  val q54 = Query(
+    "q54_dedup_corpus",
+    s"""WITH clusters AS (
+       |${componentsOracle(simhashOracle)}),
+       |removed AS (
+       |  SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_removed
+       |FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+       |GROUP BY lang""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val pairs = TextDedup.simhashNearDups(docs, "doc_id", "text",
+      ShMaxHamming).select("doc_a", "doc_b")
+    val removed = TextDedup.dupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1).as("__rm"))
+    docs.join(removed, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__rm").isNull, 1).otherwise(0)).cast("long")
+          .as("n_kept"),
+        sum(when(col("__rm").isNull, 0).otherwise(1)).cast("long")
+          .as("n_removed"))
   }
 
   // ------------------------------------------------------------ q49
@@ -722,5 +766,5 @@ FROM rec"""
   }
 
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q45, q48, q49, q53)
+    q30, q45, q48, q49, q53, q54)
 }

@@ -73,4 +73,27 @@ class CosineExprSpec extends SparkSpec {
       .head.getDouble(0)
     assert(r == 1.0)
   }
+
+  test("DotProduct expression == HOF dot fold, bit for bit") {
+    import graft.operators.Similarity
+    val df = (1 to 200).map { i =>
+      Array.tabulate(64)(j => ((i * 31 + j * 7) % 97 - 48) / 7.0f)
+    }.toDF("v")
+    // float vector × constant double weights — the bucket-assignment
+    // shape (plane 0 weights are hash-derived constants)
+    val w = Similarity.planeWeights(0, 64)
+    val both = df.select(
+      Similarity.dotF($"v", w).as("fast"),
+      dot(toDoubleArray($"v"), w).as("hof"))
+    assert(both.filter($"fast" =!= $"hof").isEmpty)
+    // null/mismatch contract matches the fold too
+    val edge = Seq(
+      (Array[java.lang.Float](1.0f, null), Array(1.0, 2.0)),
+      (Array[java.lang.Float](1.0f, 2.0f), Array(1.0)))
+      .toDF("a", "b")
+    val got = rows(edge.select(Similarity.dotF($"a", $"b").as("d"),
+      dot(toDoubleArray($"a"), $"b").as("h")))
+      .map(r => (r.isNullAt(0), r.isNullAt(1)))
+    assert(got == Seq((true, true), (true, true)))
+  }
 }
