@@ -90,6 +90,33 @@ class TextDedupSpec extends SparkSpec {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("dupClusters equals driver-side union-find on random graphs") {
+    // fixed-seed randomized check of the large-star/small-star
+    // contraction against an independent union-find implementation
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val m = 30 + rnd.nextInt(40)
+      val edges = (1 to m)
+        .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(x => (x, find(x))).sortBy(_._1)
+      val got = rows(TextDedup.dupClusters(pairs).orderBy("doc_id"))
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got == expect, s"trial $trial: $got != $expect")
+    }
+  }
+
   test("TopK aggregator: bounded buffer, exact order, tie-break") {
     val t = new Similarity.TopK(3)
     val xs = Seq(
