@@ -307,6 +307,31 @@ object TextDedup {
       .agg(min(col("cluster_id")).as("cluster_id"))
   }
 
+  /** Benchmark decontamination check: corpus docs sharing at least
+    * `minShared` word n-gram shingles with any PROBE doc (the
+    * benchmark/eval set). The probe side is small BY CONTRACT, so its
+    * exploded gram set is broadcast — the corpus is scanned ONCE with a
+    * broadcast hash join and never shuffled for candidate generation,
+    * which is the shape that survives a 100 TB corpus (the alternative,
+    * a symmetric inverted index, shuffles the corpus grams).
+    * Self-matches (probe docs present in the corpus) are excluded.
+    * Returns (doc_id, probe_id, n_shared). */
+  def contaminationPairs(corpus: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeIdCol: String, probeTextCol: String,
+      n: Int, minShared: Int): DataFrame = {
+    val probeGrams = broadcast(probes
+      .select(col(probeIdCol).as("probe_id"),
+        explode(wordShingles(col(probeTextCol), n)).as("gram")))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(wordShingles(col(textCol), n)).as("gram"))
+      .join(probeGrams, "gram")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Content-defined fingerprinting (winnowing-style sampling): the
     * fingerprint set of a doc is the char-n-gram hashes ≡ 0 (mod
     * `modulus`) — a deterministic ~1/modulus sample that survives local

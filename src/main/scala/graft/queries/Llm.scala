@@ -765,6 +765,160 @@ FROM rec"""
           q, "query_id", "qvec", AnnK, AnnPlanes, AnnDims)))
   }
 
+  // ------------------------------------------------------------ q55
+
+  private val DcN = 3        // decontamination shingle width (words)
+  private val DcMinShared = 2
+  private val DcProbeEvery = 20
+
+  /** Benchmark decontamination (the training-data op that keeps eval
+    * sets out of the corpus): docs with doc_id % 20 = 0 stand in for
+    * the benchmark set; corpus docs sharing ≥ 3 word 5-grams with any
+    * probe are flagged. The probe gram set is BROADCAST — the corpus
+    * is scanned once and never shuffled for candidates (asymmetric
+    * counterpart to the symmetric inverted-index dedup shapes). */
+  val q55 = Query(
+    "q55_decontamination",
+    s"""WITH toks AS (
+       |  SELECT doc_id, $DTokens AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(list_slice(w, i, i + ${DcN - 1}), ' ')
+       |                   for i in range(1, len(w) - ${DcN - 2})]) AS s
+       |  FROM toks WHERE len(w) >= $DcN),
+       |pg AS (
+       |  SELECT doc_id AS probe_id, unnest(s) AS gram FROM sh
+       |  WHERE doc_id % $DcProbeEvery = 0),
+       |cg AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+       |p AS (
+       |  SELECT cg.doc_id, pg.probe_id, COUNT(*) AS n_shared
+       |  FROM cg JOIN pg USING (gram) WHERE cg.doc_id != pg.probe_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $DcMinShared)
+       |SELECT
+       |  CAST((SELECT COUNT(*) FROM documents
+       |         WHERE doc_id % $DcProbeEvery = 0) AS BIGINT) AS n_probes,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(MAX(n_shared), 0) AS BIGINT) AS max_shared
+       |FROM p""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val probes = docs.filter(col("doc_id") % DcProbeEvery === 0)
+    val pairs = TextDedup.contaminationPairs(docs, "doc_id", "text",
+      probes, "doc_id", "text", DcN, DcMinShared)
+    probes.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(pairs.agg(
+        countDistinct(col("doc_id")).as("n_contaminated_docs"),
+        count(lit(1)).as("n_pairs"),
+        coalesce(max(col("n_shared")), lit(0L)).as("max_shared")))
+  }
+
+  // ------------------------------------------------------------ q56
+
+  /** Deterministic content-hash train/val split: a doc's split is a
+    * pure function of its TEXT (portable md5), so the assignment is
+    * reproducible across runs, engines, and ingestion order — the
+    * property a production split needs (row-number or rand() splits
+    * are neither). 90/10 by hash mod 100. */
+  val q56 = Query(
+    "q56_hash_split",
+    s"""SELECT lang,
+       |  CASE WHEN ${dHash64("text")} % 100 < 90
+       |       THEN 'train' ELSE 'val' END AS split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(text, '$BpeishPattern')))
+       |    AS BIGINT) AS total_bpeish_tokens
+       |FROM documents GROUP BY lang, split""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(md5Long(col("text")) % 100 < 90, "train").otherwise("val"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(bpeishTokenCount(col("text"))).cast("long")
+          .as("total_bpeish_tokens"))
+  }
+
+  // ------------------------------------------------------------ q57
+
+  /** End-to-end training-mix curation — the composed corpus pipeline a
+    * real data run executes: near-dup removal (SimHash clusters keep
+    * their min-id representative) THEN quality filtering (q28's score,
+    * cut at 0.5), reported per language with kept-token totals.
+    * Precedence is deterministic: near-dup beats low-quality. */
+  val q57 = Query(
+    "q57_training_mix",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text, $DTokens AS w, length(text) AS chars,
+       |    length(text) -
+       |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang, text, len(w) AS tok, ${dHits(StopEn)}
+       |    AS stop_hits, chars, punct
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id, lang, text,
+       |    0.3 * least(tok / 50.0, 1.0) +
+       |    0.3 * (stop_hits::DOUBLE / tok) +
+       |    0.2 * (1.0 - least(10.0 * punct / greatest(chars, 1), 1.0)) +
+       |    0.2 * least(chars::DOUBLE / tok / 8.0, 1.0) AS score
+       |  FROM f),
+       |clusters AS (
+       |${componentsOracle(simhashOracle)}),
+       |removed AS (
+       |  SELECT doc_id FROM clusters WHERE doc_id != cluster_id),
+       |cat AS (
+       |  SELECT sc.lang, sc.text,
+       |    CASE WHEN r.doc_id IS NOT NULL THEN 'near_dup'
+       |         WHEN sc.score < 0.5 THEN 'low_quality'
+       |         ELSE 'kept' END AS category
+       |  FROM sc LEFT JOIN removed r ON sc.doc_id = r.doc_id)
+       |SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN category = 'near_dup' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_near_dup,
+       |  CAST(SUM(CASE WHEN category = 'low_quality' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_low_quality,
+       |  CAST(SUM(CASE WHEN category = 'kept' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN category = 'kept'
+       |    THEN len(regexp_extract_all(text, '$BpeishPattern'))
+       |    ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM cat GROUP BY lang""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val w = tokens(col("text"))
+    val f = docs.select(col("doc_id"), col("lang"), col("text"),
+      size(w).as("tok"), tokenHits(w, StopEn).as("stop_hits"),
+      length(col("text")).as("chars"), punctChars(col("text")).as("punct"))
+    val sc = f.select(col("doc_id"), col("lang"), col("text"),
+      (lit(0.3) * least(col("tok") / 50.0, lit(1.0)) +
+        lit(0.3) * (col("stop_hits").cast("double") / col("tok")) +
+        lit(0.2) * (lit(1.0) -
+          least(lit(10.0) * col("punct") / greatest(col("chars"), lit(1)),
+            lit(1.0))) +
+        lit(0.2) * least(col("chars").cast("double") / col("tok") / 8.0,
+          lit(1.0))).as("score"))
+    val removed = TextDedup.dupClusters(
+      TextDedup.simhashNearDups(docs, "doc_id", "text", ShMaxHamming)
+        .select("doc_a", "doc_b"))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1).as("__rm"))
+    sc.join(removed, Seq("doc_id"), "left")
+      .withColumn("category",
+        when(col("__rm").isNotNull, "near_dup")
+          .when(col("score") < 0.5, "low_quality")
+          .otherwise("kept"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("category") === "near_dup", 1).otherwise(0))
+          .cast("long").as("n_near_dup"),
+        sum(when(col("category") === "low_quality", 1).otherwise(0))
+          .cast("long").as("n_low_quality"),
+        sum(when(col("category") === "kept", 1).otherwise(0))
+          .cast("long").as("n_kept"),
+        sum(when(col("category") === "kept", bpeishTokenCount(col("text")))
+          .otherwise(0)).cast("long").as("kept_tokens"))
+  }
+
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q45, q48, q49, q53, q54)
+    q30, q45, q48, q49, q53, q54, q55, q56, q57)
 }
