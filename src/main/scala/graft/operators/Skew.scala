@@ -40,4 +40,50 @@ object Skew {
       .agg(sum(col("__psum")).as(sumName),
         sum(col("__pcnt")).cast("long").as(countName))
   }
+
+  /** Salted equi-join for skewed fact keys: the fact side gets a
+    * data-derived salt in [0, saltBuckets); the dim side is REPLICATED
+    * once per salt value; the join runs on (keys..., salt), so a hot
+    * key's rows spread over `saltBuckets` reducers instead of one.
+    *
+    * Use when AQE's skew-join split cannot apply — e.g. the join is
+    * followed by an aggregation on the same keys (AQE won't split a
+    * partition that a downstream operator requires co-partitioned), or
+    * a deterministic plan is required. Replication multiplies the dim
+    * by `saltBuckets`, so keep the dim small or the bucket count
+    * moderate. Inner and left_outer semantics are preserved (every
+    * fact row carries exactly one salt and every (key, salt) exists on
+    * the replicated dim side iff the key exists). */
+  def saltedJoin(facts: DataFrame, dims: DataFrame, keys: Seq[String],
+      joinType: String = "inner", saltBuckets: Int = 32): DataFrame = {
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      "saltedJoin preserves semantics for inner/left joins only")
+    val saltedFacts = facts.withColumn("__salt",
+      pmod(hash(facts.columns.toIndexedSeq.map(col): _*),
+        lit(saltBuckets)))
+    val replicatedDims = dims.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    saltedFacts.join(replicatedDims, keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
+
+  /** Outer-join null-key guard: in a shuffled outer join, every
+    * null-key row hashes to ONE reducer — with a high null rate (the
+    * reference injects 5-15% missing values,
+    * `data_gen/pseudo_code_rules.txt:48-56`) that reducer becomes the
+    * straggler. Null-key left rows can never match, so they bypass the
+    * join entirely and are unioned back with null right-side columns —
+    * same result, no null hot partition. */
+  def nullSafeLeftJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val hasNull = keys.map(col(_).isNull).reduce(_ || _)
+    val joined = left.filter(!hasNull).join(right, keys, "left")
+    val rightOnly = joined.columns.filterNot(left.columns.contains)
+    val bypass = rightOnly.foldLeft(left.filter(hasNull)) { (d, c) =>
+      d.withColumn(c, lit(null).cast(
+        joined.schema(c).dataType))
+    }
+    joined.unionByName(bypass.select(joined.columns.toIndexedSeq
+      .map(col): _*))
+  }
 }

@@ -126,5 +126,29 @@ object Relational {
       .orderBy(col("mktsegment"), col("orderstatus"))
   }
 
-  val all: Seq[Query] = Seq(q1, q2, q3, q4)
+  /** Salted skew join (reference org-skew rule,
+    * `data_gen/pseudo_code_rules.txt:2-10`): the q3 revenue join run
+    * through `Skew.saltedJoin` — fact rows salted, the dim replicated
+    * per salt, so a hot customer's orders spread across reducers. The
+    * oracle is the PLAIN join: salting must be invisible in results. */
+  val q58 = Query(
+    "q58_salted_join",
+    """SELECT c.c_mktsegment,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(o, c, Seq("c_custkey"),
+        "inner", saltBuckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val all: Seq[Query] = Seq(q1, q2, q3, q4, q58)
 }

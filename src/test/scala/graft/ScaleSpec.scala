@@ -23,6 +23,36 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin equals the plain join, inner and left") {
+    val facts = (1 to 3000).map { i =>
+      (if (i % 10 == 0) i % 7 else 999, s"f$i")
+    }.toDF("k", "fv")
+    val dims = Seq((999, "hot"), (0, "d0"), (1, "d1"), (42, "unmatched"))
+      .toDF("k", "dv")
+    for (jt <- Seq("inner", "left")) {
+      val salted = rows(Skew.saltedJoin(facts, dims, Seq("k"), jt)
+        .orderBy("k", "fv"))
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      val plain = rows(facts.join(dims, Seq("k"), jt).orderBy("k", "fv"))
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      assert(salted == plain, s"join type $jt")
+    }
+  }
+
+  test("nullSafeLeftJoin equals the plain left join with null keys") {
+    val left = Seq((Some(1), "a"), (None, "b"), (Some(2), "c"),
+      (None, "d")).toDF("k", "lv")
+    val right = Seq((1, "r1"), (3, "r3")).toDF("k", "rv")
+    val got = rows(Skew.nullSafeLeftJoin(left, right, Seq("k"))
+      .orderBy("lv"))
+      .map(r => (Option(r.get(0)), r.getString(1),
+        Option(r.get(2))))
+    val plain = rows(left.join(right, Seq("k"), "left").orderBy("lv"))
+      .map(r => (Option(r.get(0)), r.getString(1),
+        Option(r.get(2))))
+    assert(got == plain)
+  }
+
   test("partitioned layout prunes partitions for a date filter") {
     val path = "/tmp/graft_test_prune"
     graft.sources.Ingest.deletePath(spark, path)
