@@ -43,6 +43,37 @@ object Multimodal {
         .cast("long"))
   }
 
+  /** Wrap the payload in a REAL minimal PNG container: the 8-byte PNG
+    * signature followed by an IHDR chunk carrying (width, height, bit
+    * depth 8, color type 6 = RGBA) — valid container bytes built with
+    * pure byte arithmetic, no codec. (Chunk CRCs are omitted — this is
+    * a container-structure exercise, not an encoder.) Expects `width`/
+    * `height`/`payload` columns (e.g. from [[decodeStub]] +
+    * [[attachBinary]]). */
+  def wrapPng(df: DataFrame): DataFrame = {
+    val ihdrHex = concat(
+      lit("89504E470D0A1A0A"), // PNG signature
+      lit("0000000D"),         // IHDR data length = 13
+      lit("49484452"),         // "IHDR"
+      lpad(hex(col("width")), 8, "0"),
+      lpad(hex(col("height")), 8, "0"),
+      lit("0806000000"))       // depth 8, color 6, std compression flags
+    df.withColumn("png", concat(unhex(ihdrHex), col("payload")))
+  }
+
+  /** Parse (width, height) back OUT OF THE CONTAINER BYTES — the
+    * big-endian IHDR fields at byte offsets 17/21 — and validate the
+    * signature. Real byte-level metadata extraction (what an ingest
+    * pipeline does before ever invoking a codec): binary slice → hex →
+    * integer, all codegen'd built-ins. */
+  def parsePngMeta(df: DataFrame, binCol: String = "png"): DataFrame =
+    df.withColumn("sig_ok",
+        hex(substring(col(binCol), 1, 8)) === "89504E470D0A1A0A")
+      .withColumn("parsed_width",
+        conv(hex(substring(col(binCol), 17, 4)), 16, 10).cast("long"))
+      .withColumn("parsed_height",
+        conv(hex(substring(col(binCol), 21, 4)), 16, 10).cast("long"))
+
   /** Frame/byte sampling: hex of `k` evenly spaced single-byte slices
     * of the payload — the shape of video frame-sampling (seek + decode
     * at k offsets) without the codec. */

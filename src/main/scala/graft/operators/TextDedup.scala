@@ -44,38 +44,50 @@ object TextDedup {
       .drop("n_docs_norm")
   }
 
-  /** (id, shingles) pairs — docs with fewer than `n` words drop out
-    * (they have no shingle and can never pass a Jaccard threshold).
+  /** Distinct (doc_id, g) word n-gram shingle ROWS — docs with fewer
+    * than `n` words drop out (no shingle, can never pass a Jaccard
+    * threshold).
     *
-    * Tokens are materialized as their own projection first: Spark does
-    * NOT eliminate common subexpressions inside higher-order-function
-    * lambdas, so a single-expression form re-runs the full
-    * lower+trim+split once PER SHINGLE (~120× per doc). As a separate
-    * non-cheap multiply-referenced alias it survives projection
-    * collapse and is computed once per row. */
-  def docShingles(docs: DataFrame, idCol: String, textCol: String,
+    * Deliberately explode-based, NOT an array-building higher-order
+    * function: the `transform(sequence(...), i -> slice...)` form runs
+    * one INTERPRETED lambda call per shingle, and after projection
+    * collapse re-evaluates the tokenizer per element — measured ~8x
+    * slower on the fixture corpus. Here tokenization happens once per
+    * doc in the projection feeding the Generate (explode), which
+    * materializes `__w` for its output rows, and each shingle is one
+    * codegen'd slice+join. */
+  def docShingleRows(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), col("__w"),
+        explode(when(size(col("__w")) >= n,
+          sequence(lit(0), size(col("__w")) - n))
+          .otherwise(array())).as("__i"))
       .select(col("doc_id"),
-        when(size(col("__w")) >= n,
-          array_distinct(
-            transform(sequence(lit(0), size(col("__w")) - n),
-              i => array_join(slice(col("__w"), i + 1, lit(n)), " "))))
-          .otherwise(array()).as("sh"))
-      .filter(size(col("sh")) > 0)
+        array_join(slice(col("__w"), col("__i") + 1, lit(n)), " ").as("g"))
+      .distinct()
+
+  /** (id, shingles) array form of [[docShingleRows]], for callers that
+    * need per-doc shingle sets as arrays. */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docShingleRows(docs, idCol, textCol, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("g")).as("sh"))
 
   /** MinHash signatures `(doc_id, __sig0..__sig{k-1})` via
     * Carter-Wegman double hashing: only TWO md5 evaluations per shingle
     * (h1, h2); family member i is `min over shingles of
     * (h1 + i * (h2 mod 2^50))` — the standard trick for cheap minhash
-    * families, exactly replicable in SQL. Computed relationally
-    * (explode → k min aggregates in ONE map-side-combinable shuffle)
-    * instead of k array passes, so each shingle is hashed once
-    * regardless of k. Returns ONLY ids + signatures — the banding path
-    * never carries shingle arrays through its shuffles.
-    * Overflow-safe: h1 < 2^60 and (k-1)·2^50 < 2^55, sum < 2^61. */
-  def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
-    val ex = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
+    * families, exactly replicable in SQL. Computed relationally over
+    * the exploded shingle rows (k min aggregates in ONE
+    * map-side-combinable shuffle) instead of k array passes, so each
+    * shingle is hashed once regardless of k. Returns ONLY ids +
+    * signatures — the banding path never carries shingle sets through
+    * its shuffles. Overflow-safe: h1 < 2^60 and (k-1)·2^50 < 2^55,
+    * sum < 2^61. */
+  def minhashSignatures(shingleRows: DataFrame, k: Int): DataFrame = {
+    val ex = shingleRows
       .select(col("doc_id"), md5Long(col("g")).as("h1"),
         pmod(md5LongSeeded(col("g"), 999), lit(1L << 50)).as("h2"))
     ex.groupBy(col("doc_id"))
@@ -122,18 +134,29 @@ object TextDedup {
       shingleN: Int, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    // consumed by the signature pipeline AND both sides of the verify
-    // join — persist instead of re-shingling the corpus three times
-    val shingled = docShingles(docs, idCol, textCol, shingleN)
+    // consumed by the signature pipeline, the size aggregate, AND both
+    // sides of the verify join — persist instead of re-shingling
+    val rows = docShingleRows(docs, idCol, textCol, shingleN)
       .transform(InternalCache.persist(_))
-    val signed = minhashSignatures(shingled, numHashes)
+    val signed = minhashSignatures(rows, numHashes)
     val cand = lshCandidates(signed, bands, numHashes / bands)
-    val sa = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
-    val sb = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("__jac",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_distinct(concat(col("sa"), col("sb")))).cast("double"))
+    // exact set Jaccard through the gram ROWS, restricted to candidate
+    // pairs: |A∩B| via a shared-gram join, |A∪B| = szA + szB − overlap.
+    // Identical values to the array intersect/union form, without
+    // shuffling shingle arrays.
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = rows.select(col("doc_id").as("doc_a"), col("g"))
+    val b = rows.select(col("doc_id").as("doc_b"), col("g"))
+    val ovl = cand.join(a, "doc_a").join(b, Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("ovl"))
+    ovl
+      .join(sizes.withColumnsRenamed(
+        Map("doc_id" -> "doc_a", "sz" -> "sz_a")), "doc_a")
+      .join(sizes.withColumnsRenamed(
+        Map("doc_id" -> "doc_b", "sz" -> "sz_b")), "doc_b")
+      .withColumn("__jac", col("ovl").cast("double") /
+        (col("sz_a") + col("sz_b") - col("ovl")).cast("double"))
       .filter(col("__jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("__jac"), 6).as("jaccard"))
   }
@@ -319,12 +342,11 @@ object TextDedup {
   def contaminationPairs(corpus: DataFrame, idCol: String, textCol: String,
       probes: DataFrame, probeIdCol: String, probeTextCol: String,
       n: Int, minShared: Int): DataFrame = {
-    val probeGrams = broadcast(probes
-      .select(col(probeIdCol).as("probe_id"),
-        explode(wordShingles(col(probeTextCol), n)).as("gram")))
-    corpus
-      .select(col(idCol).as("doc_id"),
-        explode(wordShingles(col(textCol), n)).as("gram"))
+    val probeGrams = broadcast(
+      docShingleRows(probes, probeIdCol, probeTextCol, n)
+        .select(col("doc_id").as("probe_id"), col("g").as("gram")))
+    docShingleRows(corpus, idCol, textCol, n)
+      .withColumnRenamed("g", "gram")
       .join(probeGrams, "gram")
       .filter(col("doc_id") =!= col("probe_id"))
       .groupBy(col("doc_id"), col("probe_id"))

@@ -605,6 +605,55 @@ object Pipeline {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  // ------------------------------------------------------------ q59
+
+  /** PNG container roundtrip: each doc's payload is wrapped in REAL
+    * container bytes (PNG signature + IHDR with width/height), then
+    * the dimensions are parsed back OUT OF THE BYTES (big-endian IHDR
+    * fields) — the byte-level metadata-extraction path an ingest
+    * pipeline runs before any codec. The oracle builds and parses the
+    * identical bytes in SQL. */
+  val q59 = Query(
+    "q59_png_container",
+    s"""WITH m AS (
+       |  SELECT encode(text) AS payload,
+       |    (${dH("text")} % 1024 + 1) AS width,
+       |    ((${dH("text")} >> 10) % 1024 + 1) AS height
+       |  FROM documents),
+       |p AS (
+       |  SELECT width, height,
+       |    unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
+       |      || lpad(hex(width), 8, '0') || lpad(hex(height), 8, '0')
+       |      || '0806000000') || payload AS png
+       |  FROM m),
+       |x AS (
+       |  SELECT width, height, octet_length(png) AS nb,
+       |    substring(hex(png), 1, 16) = '89504E470D0A1A0A' AS sig_ok,
+       |    ('0x' || substring(hex(png), 33, 8))::BIGINT AS pw,
+       |    ('0x' || substring(hex(png), 41, 8))::BIGINT AS ph
+       |  FROM p)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+       |  CAST(SUM(CASE WHEN sig_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_valid_sig,
+       |  CAST(SUM(CASE WHEN pw = width AND ph = height THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_roundtrip_ok,
+       |  CAST(SUM(pw) AS BIGINT) AS total_width,
+       |  CAST(SUM(nb) AS BIGINT) AS total_bytes
+       |FROM x""".stripMargin) { (s, dir) =>
+    val staged = Multimodal.wrapPng(
+      Multimodal.decodeStub(
+        Multimodal.attachBinary(Tables.documents(s, dir), "text"), "text"))
+    Multimodal.parsePngMeta(staged).agg(
+      count(lit(1)).as("n_images"),
+      sum(when(col("sig_ok"), 1).otherwise(0)).cast("long")
+        .as("n_valid_sig"),
+      sum(when(col("parsed_width") === col("width") &&
+        col("parsed_height") === col("height"), 1).otherwise(0))
+        .cast("long").as("n_roundtrip_ok"),
+      sum(col("parsed_width")).cast("long").as("total_width"),
+      sum(length(col("png"))).cast("long").as("total_bytes"))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q46, q47, q50, q51, q52)
+    q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59)
 }
