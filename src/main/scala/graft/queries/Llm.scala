@@ -194,8 +194,14 @@ SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= $MhThreshold"""
   // ------------------------------------------------------------ q25
 
   private val ShMaxHamming = 3
+  // the REMOVAL queries (q54/q57) use a near-exact criterion: the
+  // fixture corpus is template-heavy, and hamming<=3 yields a ~100k-pair
+  // graph at sf0.1 — a detection threshold, not a deletion one
+  private val ShRemoveHamming = 1
 
-  private def simhashOracle: String = {
+  private def simhashOracle: String = simhashOracleH(ShMaxHamming)
+
+  private def simhashOracleH(maxHamming: Int): String = {
     val bitTerms = (0 until 32).map { b =>
       s"""(CASE WHEN 2 * len([h for h in hs if (h >> $b) & 1 = 1])
          |      - len(hs) >= 0 THEN ${1L << b} ELSE 0 END)""".stripMargin
@@ -218,7 +224,7 @@ pairs AS (
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
     AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $ShMaxHamming"""
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxHamming"""
   }
 
   /** SimHash near-dedup: 32-bit token-multiset fingerprints, byte-band
@@ -524,7 +530,7 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
   val q54 = Query(
     "q54_dedup_corpus",
     s"""WITH clusters AS (
-       |${componentsOracle(simhashOracle)}),
+       |${componentsOracle(simhashOracleH(ShRemoveHamming))}),
        |removed AS (
        |  SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -536,7 +542,7 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
        |GROUP BY lang""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val pairs = TextDedup.simhashNearDups(docs, "doc_id", "text",
-      ShMaxHamming).select("doc_a", "doc_b")
+      ShRemoveHamming).select("doc_a", "doc_b")
     val removed = TextDedup.dupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(1).as("__rm"))
@@ -863,7 +869,7 @@ FROM rec"""
        |    0.2 * least(chars::DOUBLE / tok / 8.0, 1.0) AS score
        |  FROM f),
        |clusters AS (
-       |${componentsOracle(simhashOracle)}),
+       |${componentsOracle(simhashOracleH(ShRemoveHamming))}),
        |removed AS (
        |  SELECT doc_id FROM clusters WHERE doc_id != cluster_id),
        |cat AS (
@@ -898,7 +904,7 @@ FROM rec"""
         lit(0.2) * least(col("chars").cast("double") / col("tok") / 8.0,
           lit(1.0))).as("score"))
     val removed = TextDedup.dupClusters(
-      TextDedup.simhashNearDups(docs, "doc_id", "text", ShMaxHamming)
+      TextDedup.simhashNearDups(docs, "doc_id", "text", ShRemoveHamming)
         .select("doc_a", "doc_b"))
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(1).as("__rm"))
