@@ -133,6 +133,34 @@ object Streaming {
     spark.table(sink)
   }
 
+  /** Production sink shape tying ST3 to S7: a streaming frame upserted
+    * into the partition-bounded incremental table via `foreachBatch` —
+    * every micro-batch merges through `Materialize.tableIncremental`
+    * (touched partitions only, keep-latest dedup, dynamic partition
+    * overwrite), so the table is always deduplicated at rest and a
+    * batch only ever rewrites the partitions it touches. Exactly-once
+    * per batch comes from the checkpoint (batch ids are replayed, and
+    * the merge is idempotent: re-merging the same rows dedups to the
+    * same state). Returns the started query; callers pick the
+    * trigger. */
+  def streamIntoIncremental(events: DataFrame, name: String,
+      keys: Seq[String], orderCol: String, partitionCol: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Materialize.tableIncremental(
+            batch.sparkSession, name, batch, keys, orderCol, partitionCol)
+          ()
+        }
+      }
+      .start()
+
   // ------------------------------------------------- stateful sessions
 
   /** Input/output rows for the stateful sessionizer. Event times

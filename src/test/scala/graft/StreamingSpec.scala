@@ -71,6 +71,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("foreachBatch upserts micro-batches into the incremental table") {
+    val base = "/tmp/graft_test_stream_inc_src"
+    val ckpt = "/tmp/graft_test_stream_inc_ckpt"
+    graft.sources.Ingest.deletePath(spark, base)
+    graft.sources.Ingest.deletePath(spark, ckpt)
+    spark.sql("DROP TABLE IF EXISTS stream_inc")
+    graft.sources.Ingest.deletePath(spark,
+      "/tmp/graft_test_warehouse/stream_inc")
+    def writeBatch(xs: Seq[(String, String, String, String)],
+        mode: String) =
+      xs.toDF("k", "ts", "v", "d")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("d", col("d").cast("date"))
+        .coalesce(1).write.mode(mode).parquet(base)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(base).schema).parquet(base)
+      val q = graft.streaming.Streaming.streamIntoIncremental(
+        stream, "stream_inc", Seq("k"), "ts", "d", ckpt)
+      q.awaitTermination()
+    }
+    writeBatch(Seq(("k1", "2024-01-01 10:00:00", "v1", "2024-01-01")),
+      "overwrite")
+    run()
+    // second batch: update for k1 (same partition) + a new key/partition;
+    // the checkpoint makes run 2 process ONLY the new file
+    writeBatch(Seq(
+      ("k1", "2024-01-01 12:00:00", "v2", "2024-01-01"),
+      ("k2", "2024-01-02 08:00:00", "w1", "2024-01-02")), "append")
+    run()
+    val got = rows(spark.table("stream_inc").orderBy("k"))
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(got == Seq(("k1", "v2"), ("k2", "w1")))
+    // deduped at rest: no stale k1/v1 row survives the merge
+    assert(spark.table("stream_inc").count() == 2)
+    spark.sql("DROP TABLE stream_inc")
+  }
+
   test("watermark drops rows later than the lateness bound (ST2)") {
     import org.apache.spark.sql.streaming.Trigger
     val base = "/tmp/graft_test_stream_late"
