@@ -67,14 +67,6 @@ object TextDedup {
         array_join(slice(col("__w"), col("__i") + 1, lit(n)), " ").as("g"))
       .distinct()
 
-  /** (id, shingles) array form of [[docShingleRows]], for callers that
-    * need per-doc shingle sets as arrays. */
-  def docShingles(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    docShingleRows(docs, idCol, textCol, n)
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("g")).as("sh"))
-
   /** MinHash signatures `(doc_id, __sig0..__sig{k-1})` via
     * Carter-Wegman double hashing: only TWO md5 evaluations per shingle
     * (h1, h2); family member i is `min over shingles of

@@ -51,6 +51,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupLatestAgg equals the window dedup for arbitrary logs") {
+    for (log <- samples(changeLogGen, 8) if log.nonEmpty) {
+      val df = log.toDF("key", "ts", "tie")
+      def shape(d: org.apache.spark.sql.DataFrame) =
+        rows(d.orderBy("key"))
+          .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      assert(shape(Staging.dedupLatestAgg(df, Seq("key"), col("ts"),
+        Seq(col("tie")))) ==
+        shape(Staging.dedupLatest(df, Seq("key"), col("ts"),
+          Seq(col("tie")))))
+    }
+  }
+
   test("TopK aggregator equals sort-take for any input order and k") {
     val scoredGen = Gen.listOfN(50, for {
       id <- Gen.choose(0L, 30L)
