@@ -843,6 +843,42 @@ FROM rec"""
           .as("total_bpeish_tokens"))
   }
 
+  // ------------------------------------------------------------ q60
+
+  private val MixRates = Seq("en" -> 0.5, "de" -> 1.0, "es" -> 0.25,
+    "fr" -> 1.0, "zh" -> 0.1)
+
+  /** Deterministic stratified sampling — the data-MIXING op of a
+    * training run (per-language mixture weights): a doc is kept iff
+    * `hash(text) mod 10000 < rate·10000`, so the sample is a pure
+    * function of content + rate. Unlike `df.sample`/`sampleBy`
+    * (RNG-based, partition-order-dependent, not reproducible across
+    * engines), this draws the SAME sample on every run, engine, and
+    * ingestion order — and the oracle proves it by replaying it. */
+  val q60 = Query(
+    "q60_mix_sample",
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    (${dHash64("text")} % 10000) <
+       |      CASE lang ${MixRates.map { case (l, r) =>
+                s"WHEN '$l' THEN ${(r * 10000).toInt}"
+              }.mkString(" ")} ELSE 0 END AS kept
+       |  FROM documents)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_sampled
+       |FROM d GROUP BY lang""".stripMargin) { (s, dir) =>
+    val cut = MixRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit((r * 10000).toInt)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .withColumn("kept", pmod(md5Long(col("text")), lit(10000)) < cut)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("long")
+          .as("n_sampled"))
+  }
+
   // ------------------------------------------------------------ q57
 
   /** End-to-end training-mix curation — the composed corpus pipeline a
@@ -926,5 +962,5 @@ FROM rec"""
   }
 
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q45, q48, q49, q53, q54, q55, q56, q57)
+    q30, q45, q48, q49, q53, q54, q55, q56, q57, q60)
 }
