@@ -41,7 +41,12 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> median((1 to reps).map(_ => timeOnce(fn)))
+      val m = median((1 to reps).map(_ => timeOnce(fn)))
+      // a 59-query sweep accumulates generated-class + broadcast debris;
+      // collecting between queries keeps late queries from paying the
+      // GC bill of earlier ones (observed up to 2.5x inflation)
+      System.gc()
+      name -> m
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
