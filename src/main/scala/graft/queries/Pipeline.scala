@@ -654,6 +654,68 @@ object Pipeline {
       sum(length(col("png"))).cast("long").as("total_bytes"))
   }
 
+  // ------------------------------------------------------------ q61
+
+  /** Approximate percentiles — the 100 TB path for q47: exact
+    * `percentile` materializes every group's values (memory-bound at
+    * scale); `approx_percentile` (KLL/GK-style sketch) is bounded-state
+    * and mergeable. Sketches are engine-specific, so the checked
+    * contract is the q39 pattern: the approximation must land within
+    * 1% relative error of the exact value, verified IN-ENGINE and
+    * surfaced as booleans the oracle expects to be TRUE. */
+  val q61 = Query(
+    "q61_approx_percentiles",
+    """SELECT o_orderstatus,
+      |  TRUE AS p50_within_tol, TRUE AS p95_within_tol,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    def withinTol(p: Double, name: String) =
+      (abs(expr(s"approx_percentile(o_totalprice, $p, 1000)") -
+        expr(s"percentile(o_totalprice, $p)")) /
+        expr(s"percentile(o_totalprice, $p)") < 0.01).as(name)
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(withinTol(0.5, "p50_within_tol"),
+        withinTol(0.95, "p95_within_tol"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  // ------------------------------------------------------------ q62
+
+  /** Cohort retention — the classic operations mart (reference
+    * `README.md:38` "operations marts"): users grouped by first-seen
+    * week, activity counted per weeks-since-signup. Two shuffles
+    * total: per-user min (map-side combinable) + the cohort rollup;
+    * the cohort join is a broadcast of the per-user firsts at dim
+    * scale or a plain shuffled join at fact scale — never a window. */
+  val q62 = Query(
+    "q62_retention_cohorts",
+    """WITH first_seen AS (
+      |  SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events)
+      |SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_week,
+      |  CAST(FLOOR((epoch(wk) - epoch(f.cohort)) / 604800) AS BIGINT)
+      |    AS weeks_since,
+      |  CAST(COUNT(*) AS BIGINT) AS active_users
+      |FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort"))
+    ev.distinct()
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort").cast("timestamp_ntz").as("cohort_week"),
+        floor((col("wk").cast("timestamp").cast("double") -
+          col("cohort").cast("timestamp").cast("double")) / 604800)
+          .cast("long").as("weeks_since"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59)
+    q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62)
 }
