@@ -49,6 +49,32 @@ object Warehouse {
           "valid_from", "valid_to", "is_current", "version")
   }
 
+  /** W2 incremental form (the dbt snapshot RUN): the dim is built from
+    * history before the cutoff, then a second batch of changes is
+    * folded in with `Scd2.merge` — which rebuilds only affected keys'
+    * chains. The oracle is the SAME full-rebuild SQL as q6: an
+    * incremental merge must be indistinguishable from rebuilding over
+    * the whole log. */
+  val q63 = Query(
+    "q63_scd2_merge",
+    """SELECT user_id, event_id, event_type,
+      |  ts AS valid_from,
+      |  LEAD(ts) OVER w AS valid_to,
+      |  (LEAD(ts) OVER w IS NULL) AS is_current,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+    (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val dim0 = Scd2.build(ev.filter(col("ts") < cutoff),
+        Seq("user_id"), "ts", Seq("event_id"))
+      Scd2.merge(dim0, ev.filter(col("ts") >= cutoff),
+          Seq("user_id"), "ts", Seq("event_id"))
+        .select("user_id", "event_id", "event_type",
+          "valid_from", "valid_to", "is_current", "version")
+  }
+
   /** J5 as-of join: purchases pick the 'view' state valid at purchase
     * time (point-in-time lookup against the SCD2 dim). */
   val q7 = Query(
@@ -427,5 +453,5 @@ object Warehouse {
   }
 
   val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20)
+    q15, q16, q17, q18, q19, q20, q63)
 }

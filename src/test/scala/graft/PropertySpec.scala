@@ -51,6 +51,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SCD2 incremental merge equals a full rebuild") {
+    for (log <- samples(changeLogGen, 6) if log.size > 10) {
+      val (h1, h2) = log.splitAt(log.size / 2)
+      def shape(d: org.apache.spark.sql.DataFrame) =
+        rows(d.select("key", "ts", "tie", "valid_from", "valid_to",
+          "is_current", "version"))
+          .map(_.toSeq).sortBy(_.mkString("|"))
+      val merged = Scd2.merge(
+        Scd2.build(h1.toDF("key", "ts", "tie"), Seq("key"), "ts",
+          Seq("tie")),
+        h2.toDF("key", "ts", "tie"), Seq("key"), "ts", Seq("tie"))
+      val full = Scd2.build(log.toDF("key", "ts", "tie"), Seq("key"),
+        "ts", Seq("tie"))
+      assert(shape(merged) == shape(full))
+    }
+  }
+
   test("dedupLatestAgg equals the window dedup for arbitrary logs") {
     for (log <- samples(changeLogGen, 8) if log.nonEmpty) {
       val df = log.toDF("key", "ts", "tie")
