@@ -38,6 +38,25 @@ object Scd2 {
       .withColumn("version", row_number().over(w).cast("long"))
   }
 
+  /** No-op change suppression — the dbt snapshot `check` strategy's
+    * core rule: a row only creates a new version when a WATCHED column
+    * actually changed relative to the key's previous state; repeated
+    * identical states collapse into the earlier version's interval.
+    * One window over (key, change-time), comparing a struct of the
+    * watched columns against its lag (null-safe, so null→value and
+    * value→null count as changes). Run before [[build]]. */
+  def collapseUnchanged(changes: DataFrame, key: Seq[String],
+      changeTs: String, watch: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(changeTs) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    val state = struct(watch.map(col): _*)
+    changes
+      .withColumn("__prev", lag(state, 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> state))
+      .drop("__prev")
+  }
+
   /** Incremental SCD2 merge — the dbt `snapshot` run semantic the
     * reference declares (`dbt_project.yml:12,58-60`; each run folds the
     * latest observed states into the dim, closing current rows and

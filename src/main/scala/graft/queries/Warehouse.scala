@@ -75,6 +75,37 @@ object Warehouse {
           "valid_from", "valid_to", "is_current", "version")
   }
 
+  /** W2 `check`-strategy snapshot: consecutive rows with an UNCHANGED
+    * watched column (event_type) collapse into one version — dbt's
+    * no-op suppression rule — then the SCD2 chain is built over the
+    * true state changes only. */
+  val q64 = Query(
+    "q64_scd2_check_strategy",
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_id, event_type, ts FROM o
+      |  WHERE prev_type IS NULL OR prev_type IS DISTINCT FROM event_type)
+      |SELECT user_id, event_id, event_type,
+      |  ts AS valid_from,
+      |  LEAD(ts) OVER w AS valid_to,
+      |  (LEAD(ts) OVER w IS NULL) AS is_current,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+    (s, dir) =>
+      val collapsed = Scd2.collapseUnchanged(
+        Tables.events(s, dir).select("user_id", "event_id", "event_type",
+          "ts"),
+        Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+      Scd2.build(collapsed, Seq("user_id"), "ts", Seq("event_id"))
+        .select("user_id", "event_id", "event_type",
+          "valid_from", "valid_to", "is_current", "version")
+  }
+
   /** J5 as-of join: purchases pick the 'view' state valid at purchase
     * time (point-in-time lookup against the SCD2 dim). */
   val q7 = Query(
@@ -453,5 +484,5 @@ object Warehouse {
   }
 
   val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q63)
+    q15, q16, q17, q18, q19, q20, q63, q64)
 }
