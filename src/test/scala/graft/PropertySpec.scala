@@ -68,6 +68,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin: exactly one version matches any covered fact ts") {
+    for ((log, i) <- samples(changeLogGen, 4).zipWithIndex
+        if log.nonEmpty) {
+      // distinct (key, ts) so versions have distinct valid_from values
+      val changes = log.map { case (k, ts, _) => (k, ts) }.distinct
+      // dim's change column named apart from the fact's ts so the
+      // post-join assertions are unambiguous
+      val dim = Scd2.build(changes.toDF("key", "cts"), Seq("key"), "cts")
+      val facts = (0 to 25).flatMap(t =>
+        Seq("a", "b", "c", "d").map(k => (k, t, s"f$i-$k-$t")))
+        .toDF("key", "ts", "fact_id")
+      val joined = Scd2.asOfJoin(facts, dim, Seq("key"), "ts")
+      // uniqueness: no fact ever matches two versions
+      assert(joined.groupBy("fact_id").count()
+        .filter($"count" > 1).isEmpty)
+      // coverage: a fact matches iff its ts >= the key's first version
+      val firstSeen = changes.groupBy(_._1).view.mapValues(_.map(_._2).min)
+      val expected = (0 to 25).flatMap(t =>
+        Seq("a", "b", "c", "d").filter(k =>
+          firstSeen.get(k).exists(t >= _)).map(k => (k, t))).size
+      assert(joined.count() == expected)
+      // correctness: the matched interval contains the fact ts
+      assert(joined.filter(!($"ts" >= $"valid_from" &&
+        ($"valid_to".isNull || $"ts" < $"valid_to"))).isEmpty)
+    }
+  }
+
   test("dedupLatestAgg equals the window dedup for arbitrary logs") {
     for (log <- samples(changeLogGen, 8) if log.nonEmpty) {
       val df = log.toDF("key", "ts", "tie")
