@@ -32,6 +32,54 @@ object Warehouse {
       .select("user_id", "event_type", "event_id", "ts", "value")
   }
 
+  /** W1 keep-latest dedup, AGGREGATE form: `dedupLatestAgg` (max_by
+    * over an ordering struct — partial-aggregatable, no window sort,
+    * the hot-key-safe shape) against the SAME oracle as q5: both forms
+    * must pick identical winners. */
+  val q65 = Query(
+    "q65_dedup_latest_agg",
+    """SELECT user_id, event_type, event_id, ts, value FROM events
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY user_id, event_type
+      |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin) { (s, dir) =>
+    Staging.dedupLatestAgg(Tables.events(s, dir),
+      Seq("user_id", "event_type"), col("ts"), Seq(col("event_id")))
+      .select("user_id", "event_type", "event_id", "ts", "value")
+  }
+
+  /** Null-key-guarded left join (`Skew.nullSafeLeftJoin`): null FKs are
+    * routed around the join instead of hashing to one reducer. FK
+    * nulls are injected deterministically (the fixture has none); the
+    * oracle is the PLAIN left join — the guard must be invisible in
+    * results. */
+  val q66 = Query(
+    "q66_null_safe_join",
+    """WITH o AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END
+      |      AS c_custkey
+      |  FROM orders)
+      |SELECT
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN c.c_mktsegment IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_unmatched,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total
+      |FROM o LEFT JOIN customer c ON o.c_custkey = c.c_custkey""".stripMargin) {
+    (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_totalprice"),
+        when(pmod(col("o_orderkey"), lit(10)) === 0, lit(null))
+          .otherwise(col("o_custkey")).as("c_custkey"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.Skew.nullSafeLeftJoin(o, c, Seq("c_custkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("c_mktsegment").isNull, 1).otherwise(0))
+            .cast("long").as("n_unmatched"),
+          sumMoney(col("o_totalprice")).as("total"))
+  }
+
   /** W2 SCD2 versioning (reference `README.md:37`): each event is a state
     * change of its user; intervals are half-open `[valid_from, valid_to)`. */
   val q6 = Query(
@@ -484,5 +532,5 @@ object Warehouse {
   }
 
   val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q63, q64)
+    q15, q16, q17, q18, q19, q20, q63, q64, q65, q66)
 }
