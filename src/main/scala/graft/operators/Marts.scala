@@ -118,6 +118,32 @@ object Marts {
           .as("z"))
   }
 
+  /** Robust daily anomalies — median/MAD instead of mean/stddev: the
+    * z-score's mean and σ are themselves dragged by the outliers being
+    * hunted, so a day must be wildly off to stand out; the median and
+    * the median absolute deviation are outlier-resistant. Flags days
+    * with |x − median| / (1.4826·MAD) > threshold (1.4826 scales MAD
+    * to σ under normality — the standard robust z). Exact percentiles
+    * over the DAILY frame (one row per day — tiny), not the raw
+    * events. */
+  def robustDailyAnomalies(events: DataFrame, tsCol: String,
+      valueCol: Column, zThreshold: Double): DataFrame = {
+    val daily = InternalCache.persist(events
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(money(valueCol)).cast("double").as("daily_value")))
+    val med = daily.agg(
+      expr("percentile(daily_value, 0.5)").as("__med"))
+    val withMed = daily.crossJoin(broadcast(med))
+    val mad = withMed
+      .agg(expr("percentile(abs(daily_value - __med), 0.5)").as("__mad"))
+    withMed.crossJoin(broadcast(mad))
+      .withColumn("__rz",
+        abs(col("daily_value") - col("__med")) / (lit(1.4826) * col("__mad")))
+      .filter(col("__rz") > zThreshold)
+      .select(col("day"), col("daily_value"), round(col("__rz"), 6)
+        .as("robust_z"))
+  }
+
   /** Order↔lineitem reconciliation (SURVEY J4; reference "Payment
     * reconciliation (orders ≈ payments)", `README.md:56`): header total
     * vs exact sum of line amounts, tolerance-classified summary.

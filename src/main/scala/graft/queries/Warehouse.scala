@@ -295,6 +295,28 @@ object Warehouse {
     Marts.dailyAnomalies(Tables.events(s, dir), "ts", col("value"), 2.0)
   }
 
+  /** A7 robust variant: median/MAD anomalies — outlier-resistant where
+    * q12's mean/σ gets dragged by the anomalies themselves. Exact
+    * percentiles hash-match DuckDB's quantile_cont (proven q47). */
+  val q67 = Query(
+    "q67_robust_anomalies",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |  FROM events GROUP BY 1),
+      |med AS (SELECT quantile_cont(daily_value, 0.5) AS m FROM daily),
+      |mad AS (
+      |  SELECT quantile_cont(abs(daily_value - m), 0.5) AS d
+      |  FROM daily, med)
+      |SELECT day, daily_value,
+      |  ROUND(abs(daily_value - m) / (1.4826 * d), 6) AS robust_z
+      |FROM daily, med, mad
+      |WHERE abs(daily_value - m) / (1.4826 * d) > 2.5""".stripMargin) {
+    (s, dir) =>
+      Marts.robustDailyAnomalies(Tables.events(s, dir), "ts",
+        col("value"), 2.5)
+  }
+
   /** A1-A3/S4 quality suite — dbt schema-test parity
     * (reference `models/schema.yml`) as one summary frame. */
   val q13 = Query(
@@ -532,5 +554,5 @@ object Warehouse {
   }
 
   val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q63, q64, q65, q66)
+    q15, q16, q17, q18, q19, q20, q63, q64, q65, q66, q67)
 }
