@@ -317,6 +317,41 @@ object Warehouse {
         col("value"), 2.5)
   }
 
+  /** W3 companion: conversion LATENCY — exact median/p90 seconds from a
+    * user's first signup to their first later purchase. One conditional
+    * min-aggregation per user (map-side combinable), then a tiny exact
+    * percentile over converted users. */
+  val q68 = Query(
+    "q68_conversion_latency",
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id),
+      |conv AS (
+      |  SELECT epoch(t_purchase) - epoch(t_signup) AS latency_s
+      |  FROM per_user
+      |  WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+      |    AND t_purchase > t_signup)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+      |  ROUND(quantile_cont(latency_s, 0.5), 6) AS p50_latency_s,
+      |  ROUND(quantile_cont(latency_s, 0.9), 6) AS p90_latency_s
+      |FROM conv""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("t_purchase"))
+      .filter(col("t_signup").isNotNull && col("t_purchase").isNotNull &&
+        col("t_purchase") > col("t_signup"))
+      .select((col("t_purchase").cast("double") -
+        col("t_signup").cast("double")).as("latency_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(latency_s, 0.5)"), 6).as("p50_latency_s"),
+        round(expr("percentile(latency_s, 0.9)"), 6).as("p90_latency_s"))
+  }
+
   /** A1-A3/S4 quality suite — dbt schema-test parity
     * (reference `models/schema.yml`) as one summary frame. */
   val q13 = Query(
@@ -554,5 +589,5 @@ object Warehouse {
   }
 
   val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q63, q64, q65, q66, q67)
+    q15, q16, q17, q18, q19, q20, q63, q64, q65, q66, q67, q68)
 }
