@@ -716,6 +716,53 @@ object Pipeline {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  // ------------------------------------------------------------ q69
+
+  /** The `dbt build` lifecycle (SURVEY §3 E2) as one run: raw tables
+    * registered as views, a staging layer as a VIEW (lazy — Catalyst
+    * fuses through it), marts materialized as TABLES via the catalog,
+    * then a per-layer row-count audit read back FROM THE CATALOG — so
+    * the counts prove each materialization actually holds the layer's
+    * rows, not just that the plans analyze. */
+  val q69 = Query(
+    "q69_warehouse_build",
+    """SELECT 'raw' AS layer, 'orders' AS relation,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+      |UNION ALL SELECT 'staging', 'stg_orders', CAST(COUNT(*) AS BIGINT)
+      |FROM orders WHERE CAST(o_totalprice AS DOUBLE) >= 0
+      |UNION ALL SELECT 'mart', 'mart_monthly_revenue',
+      |  CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+      |FROM orders
+      |UNION ALL SELECT 'mart', 'mart_segment_revenue',
+      |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+      |FROM customer""".stripMargin) { (s, dir) =>
+    import graft.sources.Materialize
+    Tables.registerAll(s, dir)
+    Materialize.view(
+      s.table("orders").filter(col("o_totalprice") >= 0), "stg_orders")
+    Materialize.table(
+      s.table("stg_orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sumMoney(col("o_totalprice")).as("revenue")),
+      "mart_monthly_revenue",
+      Some(s"/tmp/graft_mart_monthly_${math.abs(dir.hashCode)}"))
+    Materialize.table(
+      s.table("stg_orders").join(s.table("customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sumMoney(col("o_totalprice")).as("revenue")),
+      "mart_segment_revenue",
+      Some(s"/tmp/graft_mart_segment_${math.abs(dir.hashCode)}"))
+    def leg(layer: String, rel: String, n: org.apache.spark.sql.Column) =
+      s.table(rel).agg(n.as("n_rows"))
+        .select(lit(layer).as("layer"), lit(rel).as("relation"),
+          col("n_rows"))
+    leg("raw", "orders", count(lit(1)))
+      .unionByName(leg("staging", "stg_orders", count(lit(1))))
+      .unionByName(leg("mart", "mart_monthly_revenue", count(lit(1))))
+      .unionByName(leg("mart", "mart_segment_revenue", count(lit(1))))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62)
+    q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69)
 }
