@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape contracts: lock in the structural fixes this engine's
+  * performance depends on, so a future refactor that silently degrades
+  * a plan (the q32 OR-join → BroadcastNestedLoopJoin regression class)
+  * fails a test instead of a benchmark round. */
+class PlanContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q32: the seed lookup is a hash join, never a nested loop") {
+    val p = plan("q32_country_normalize")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q65: aggregate dedup plans without any window") {
+    val p = plan("q65_dedup_latest_agg")
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q55: probe grams broadcast; the corpus side never shuffles " +
+      "for candidates") {
+    val p = plan("q55_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("ANN queries prune with equi bucket joins — no nested loops " +
+      "(q24, the brute-force BASELINE, is deliberately exhaustive)") {
+    for (q <- Seq("q30_embedding_ann_lsh", "q49_embedding_ann_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(2000)}")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
+  test("q1: filter pushes into the parquet scan, codegen spans exist") {
+    // plain toString truncates scan metadata — use the formatted mode
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      p.take(3000))
+    // codegen annotations only exist once AQE finalizes — collect()
+    // drives THIS queryExecution (count() would plan a different one),
+    // then the final plan shows whole-stage spans as `*(n)` prefixes
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("isFinalPlan=true") &&
+      executed.contains("*("), executed.take(3000))
+  }
+}
