@@ -76,4 +76,23 @@ class IngestSpec extends SparkSpec {
     assert(got.size == 4)
     assert(got.head == "61") // 'a'
   }
+
+  test("PNG container roundtrips dimensions through real bytes") {
+    import org.apache.spark.sql.functions._
+    val staged = Seq("some payload text").toDF("text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("width", lit(640L))
+      .withColumn("height", lit(360L))
+    val parsed = rows(Multimodal.parsePngMeta(Multimodal.wrapPng(staged)))
+      .head
+    assert(parsed.getAs[Boolean]("sig_ok"))
+    assert(parsed.getAs[Long]("parsed_width") == 640L)
+    assert(parsed.getAs[Long]("parsed_height") == 360L)
+    // container = 8 sig + 4 len + 4 type + 13 IHDR data + payload
+    val png = parsed.getAs[Array[Byte]]("png")
+    assert(png.length == 29 + "some payload text".length)
+    // the signature is the real PNG magic
+    assert(png.take(4).map(b => f"${b & 0xff}%02X").mkString ==
+      "89504E47")
+  }
 }

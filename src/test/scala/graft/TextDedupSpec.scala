@@ -79,6 +79,21 @@ class TextDedupSpec extends SparkSpec {
     assert(got.size == 1 && got.head.getAs[Long]("n_shared") >= 1)
   }
 
+  test("contaminationPairs flags a planted near-copy of a probe doc") {
+    val bench = (1 to 30).map(i => s"q$i").mkString(" ")
+    val nearCopy = bench.replace("q15", "x15")
+    val corpus = Seq((1L, nearCopy), (2L, "totally unrelated words here"),
+      (100L, bench)).toDF("doc_id", "text")
+    val probes = corpus.filter($"doc_id" === 100L)
+    val got = rows(graft.operators.TextDedup.contaminationPairs(
+      corpus, "doc_id", "text", probes, "doc_id", "text",
+      n = 5, minShared = 3))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the near-copy is flagged against the probe; the probe does not
+    // match itself; the unrelated doc is clean
+    assert(got == Seq((1L, 100L)))
+  }
+
   test("dupClusters: components converge across multi-hop chains") {
     // chain 1-2-3-4 (diameter 3, needs several propagation rounds),
     // pair 10-11, singleton 99 absent (no pairs -> no row)
