@@ -522,6 +522,37 @@ object Warehouse {
       col("event_id"), 30)
   }
 
+  /** Gap sessionization via Spark's BUILT-IN `session_window` — the
+    * declarative twin of q17's window-arithmetic form and q50's
+    * custom-state streaming form (all three must agree). Session
+    * identity here is (user, window); q17's running session_id is the
+    * one thing the built-in doesn't provide, so the comparison drops
+    * it and keys sessions by their start instead. */
+  val q70 = Query(
+    "q70_session_window",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select("user_id", "n_events", "session_start", "session_end")
+  }
+
   /** ST5 tumbling-window rollup, batch form: monthly revenue. */
   val q18 = Query(
     "q18_monthly_revenue",
@@ -589,5 +620,5 @@ object Warehouse {
   }
 
   val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q63, q64, q65, q66, q67, q68)
+    q15, q16, q17, q18, q19, q20, q63, q64, q65, q66, q67, q68, q70)
 }
