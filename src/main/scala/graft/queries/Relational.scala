@@ -150,5 +150,62 @@ object Relational {
         count(lit(1)).as("n_orders"))
   }
 
-  val all: Seq[Query] = Seq(q1, q2, q3, q4, q58)
+  /** Per-group top-N (§2.6's grouped form): top-3 customers by revenue
+    * within each market segment. A PARTITIONED window (scale-safe —
+    * one shuffle on the segment+rank sort, never a global window). */
+  val q71 = Query(
+    "q71_top_per_segment",
+    """WITH per AS (
+      |  SELECT c.c_mktsegment, c.c_custkey,
+      |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_mktsegment, c.c_custkey)
+      |SELECT c_mktsegment, c_custkey,
+      |  CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(rk AS BIGINT) AS rank_in_segment
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+      |    ORDER BY rev DESC, c_custkey) AS rk
+      |  FROM per)
+      |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val per = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("rev").desc, col("c_custkey").asc)
+    per.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        col("rev").cast("double").as("revenue"),
+        col("rk").cast("long").as("rank_in_segment"))
+  }
+
+  /** CUBE mart (§2.4's full grouping-set lattice — q4 covers ROLLUP):
+    * all four (segment × status) aggregation levels. */
+  val q72 = Query(
+    "q72_segment_cube",
+    """SELECT COALESCE(c.c_mktsegment, 'ALL') AS mktsegment,
+      |  COALESCE(o.o_orderstatus, 'ALL') AS orderstatus,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY CUBE(c.c_mktsegment, o.o_orderstatus)""".stripMargin) {
+    (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(sumMoney(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+          col("revenue"), col("n_orders"))
+  }
+
+  val all: Seq[Query] = Seq(q1, q2, q3, q4, q58, q71, q72)
 }
