@@ -579,6 +579,20 @@ object Warehouse {
         .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
   }
 
+  /** U1/set ops companion to q19: INTERSECT — customers with BOTH
+    * completed and open orders (distinct semantics in both engines). */
+  val q73 = Query(
+    "q73_set_intersect",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin) {
+    (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(
+          o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+  }
+
   /** F7/F8 audit: malformed JSON, schema drift, PII scan
     * (reference rules `pseudo_code_rules.txt:30-38`,
     * `generate_and_load_script.py:157-158`, `README.md:59`). */
@@ -620,5 +634,6 @@ object Warehouse {
   }
 
   val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q63, q64, q65, q66, q67, q68, q70)
+    q15, q16, q17, q18, q19, q20, q63, q64, q65, q66, q67, q68, q70,
+    q73)
 }
