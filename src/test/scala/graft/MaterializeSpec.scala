@@ -58,6 +58,44 @@ class MaterializeSpec extends SparkSpec {
     spark.sql("DROP TABLE mz_inc")
   }
 
+  test("compact reconciles cross-partition movers to full-rebuild dedup") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    // versioned rows: key, unique version ts, value, partition
+    val logGen: Gen[List[(String, String)]] =
+      Gen.listOfN(40, for {
+        key <- Gen.oneOf("k0", "k1", "k2", "k3", "k4", "k5")
+        part <- Gen.oneOf("2024-01-01", "2024-01-02", "2024-01-03")
+      } yield (key, part))
+    for ((log, caseId) <- samples(logGen, 4).zipWithIndex) {
+      val name = s"mz_compact_$caseId"
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      graft.sources.Ingest.deletePath(spark,
+        s"/tmp/graft_test_warehouse/$name")
+      val versioned = log.zipWithIndex
+        .map { case ((k, d), i) => (k, i.toLong, s"v$i", d) }
+      // four incremental batches in version order — later batches that
+      // give a key a NEW partition leave the old version stranded
+      versioned.grouped(10).foreach { batch =>
+        Materialize.tableIncremental(spark, name,
+          batch.toDF("k", "ts", "v", "d"), Seq("k"), "ts", "d")
+      }
+      val affected = Materialize.compact(spark, name, Seq("k"), "ts", "d")
+      val full = graft.stage.Staging.dedupLatest(
+        versioned.toDF("k", "ts", "v", "d"), Seq("k"), col("ts"))
+      def shape(d: org.apache.spark.sql.DataFrame) =
+        rows(d.select("k", "ts", "v", "d")).map(_.toSeq)
+          .sortBy(_.mkString("|"))
+      assert(shape(spark.table(name)) == shape(full),
+        s"case $caseId: compacted table != full-rebuild dedup")
+      // idempotent: a second pass finds nothing to rewrite
+      assert(Materialize.compact(spark, name, Seq("k"), "ts", "d").isEmpty)
+      spark.sql(s"DROP TABLE $name")
+    }
+  }
+
   test("payments: sampled with replacement, derived money math exact") {
     val orgs = Generate.orgs(spark, 10, 42)
     val users = Generate.users(spark, orgs, 100, 42)
