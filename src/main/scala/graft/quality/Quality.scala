@@ -18,9 +18,22 @@ import org.apache.spark.sql.functions._
   * null-key exclusion dbt applies (null child keys are NOT violations);
   * `Freshness` is a single max() scan.
   */
+/** Check severity tier (reference `models/schema.yml:13-14`: freshness
+  * `warn_after` vs hard test errors; dbt's `severity: warn` config). A
+  * `Warn` check that fires reports `warn` and does NOT fail the run —
+  * unless the runner promotes warnings (`--warn-error` parity,
+  * reference `.github/workflows/dbt-ci.yml:42`). */
+sealed abstract class Severity(val label: String)
+object Severity {
+  case object Warn extends Severity("warn")
+  case object Error extends Severity("error")
+}
+
 sealed trait Check {
   def name: String
   def violations(df: DataFrame): DataFrame
+  /** Failure tier when violations exist; `Error` unless overridden. */
+  def severity: Severity = Severity.Error
 }
 
 /** PK uniqueness (reference `models/schema.yml:17,29,47,58,85,105`). */
@@ -67,7 +80,8 @@ final case class Relationship(childCol: String, parent: DataFrame,
   * `loaded_at_field` + `warn_after: 24 hours`). `asOf` is injected rather
   * than `current_timestamp()` so checks are reproducible. */
 final case class Freshness(loadedAt: String, warnAfterHours: Int,
-    asOf: java.sql.Timestamp) extends Check {
+    asOf: java.sql.Timestamp,
+    override val severity: Severity = Severity.Warn) extends Check {
   val name = s"freshness_$loadedAt"
   def violations(df: DataFrame): DataFrame =
     df.agg(max(col(loadedAt)).as("max_loaded_at"))
@@ -84,27 +98,50 @@ final case class Predicate(name: String, bad: Column) extends Check {
 
 object Quality {
 
-  /** dbt-style severity: any violation row fails the check. */
-  final case class Result(check: String, violations: Long, passed: Boolean)
+  /** dbt-style check outcome: `status` is `pass`/`warn`/`error`
+    * (`warn` when a Warn-tier check fires and warnings are not
+    * promoted); `passed` means "does not fail the run" — a firing
+    * warn-tier check reports `warn` with `passed = true`. */
+  final case class Result(check: String, violations: Long,
+      severity: String, status: String, passed: Boolean)
+
+  private def statusOf(n: Long, sev: Severity, warnAsError: Boolean): String =
+    if (n == 0) "pass"
+    else if (sev == Severity.Warn && !warnAsError) "warn"
+    else "error"
 
   /** Run checks against a table; one count() action per check.
-    * For a single-pass variant over one table, see `summarize`. */
-  def run(df: DataFrame, checks: Seq[Check]): Seq[Result] =
+    * `warnAsError` promotes warn-tier failures to errors (dbt
+    * `--warn-error` parity). For a single-pass variant over one table,
+    * see `summarize`. */
+  def run(df: DataFrame, checks: Seq[Check],
+      warnAsError: Boolean = false): Seq[Result] =
     checks.map { c =>
       val n = c.violations(df).count()
-      Result(c.name, n, n == 0)
+      val st = statusOf(n, c.severity, warnAsError)
+      Result(c.name, n, c.severity.label, st, st != "error")
     }
 
   /** Single-job summary: unions per-check violation counts into one
     * DataFrame so the driver can execute all checks as one Spark job
     * (each leg is an aggregate; Spark shares the scan via plan reuse
-    * where possible). */
+    * where possible). Emits both the effective `status` (under
+    * `warnAsError`) and `promoted_status` (as if every warning were
+    * promoted) so a report shows exactly which checks would flip under
+    * `--warn-error`. */
   def summarize(spark: SparkSession,
-      legs: Seq[(String, DataFrame)]): DataFrame = {
-    val frames = legs.map { case (name, violations) =>
+      legs: Seq[(String, DataFrame, Severity)],
+      warnAsError: Boolean = false): DataFrame = {
+    val frames = legs.map { case (name, violations, sev) =>
       violations.agg(count(lit(1)).cast("long").as("violations"))
         .select(lit(name).as("check_name"), col("violations"),
-          (col("violations") === 0).as("passed"))
+          lit(sev.label).as("severity"),
+          when(col("violations") === 0, "pass")
+            .when(lit(sev == Severity.Error || warnAsError), "error")
+            .otherwise("warn").as("status"),
+          when(col("violations") === 0, "pass").otherwise("error")
+            .as("promoted_status"))
+        .withColumn("passed", col("status") =!= "error")
     }
     frames.reduce(_ unionByName _)
   }

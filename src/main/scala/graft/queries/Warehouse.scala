@@ -356,50 +356,62 @@ object Warehouse {
     * (reference `models/schema.yml`) as one summary frame. */
   val q13 = Query(
     "q13_quality_suite",
-    """SELECT 'unique_o_orderkey' AS check_name,
-      |  CAST(COUNT(*) AS BIGINT) AS violations, COUNT(*) = 0 AS passed
-      |FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
-      |UNION ALL
-      |SELECT 'not_null_o_custkey', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
-      |FROM orders WHERE o_custkey IS NULL
-      |UNION ALL
-      |SELECT 'relationship_l_orderkey', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
-      |FROM lineitem l WHERE l.l_orderkey IS NOT NULL
-      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
-      |UNION ALL
-      |SELECT 'accepted_values_event_type', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
-      |FROM events WHERE event_type IS NOT NULL
-      |  AND event_type NOT IN ('signup','view','click','purchase','error')
-      |UNION ALL
-      |SELECT 'no_negative_price', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
-      |FROM lineitem WHERE l_extendedprice < 0 OR l_quantity <= 0
-      |UNION ALL
-      |SELECT 'freshness_ts',
-      |  CAST(CASE WHEN max(ts) < TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 24 HOURS
-      |       THEN 1 ELSE 0 END AS BIGINT),
-      |  max(ts) >= TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 24 HOURS
-      |FROM events""".stripMargin) { (s, dir) =>
+    """WITH counts AS (
+      |  SELECT 'unique_o_orderkey' AS check_name, 'error' AS severity,
+      |    CAST(COUNT(*) AS BIGINT) AS violations
+      |  FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+      |  UNION ALL
+      |  SELECT 'not_null_o_custkey', 'error', CAST(COUNT(*) AS BIGINT)
+      |  FROM orders WHERE o_custkey IS NULL
+      |  UNION ALL
+      |  SELECT 'relationship_l_orderkey', 'error', CAST(COUNT(*) AS BIGINT)
+      |  FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'accepted_values_event_type', 'error', CAST(COUNT(*) AS BIGINT)
+      |  FROM events WHERE event_type IS NOT NULL
+      |    AND event_type NOT IN ('signup','view','click','purchase','error')
+      |  UNION ALL
+      |  SELECT 'no_negative_price', 'error', CAST(COUNT(*) AS BIGINT)
+      |  FROM lineitem WHERE l_extendedprice < 0 OR l_quantity <= 0
+      |  UNION ALL
+      |  SELECT 'freshness_ts', 'warn',
+      |    CAST(CASE WHEN max(ts) < TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 24 HOURS
+      |         THEN 1 ELSE 0 END AS BIGINT)
+      |  FROM events)
+      |SELECT check_name, violations, severity,
+      |  CASE WHEN violations = 0 THEN 'pass'
+      |       WHEN severity = 'error' THEN 'error' ELSE 'warn' END AS status,
+      |  CASE WHEN violations = 0 THEN 'pass' ELSE 'error' END
+      |    AS promoted_status,
+      |  NOT (violations > 0 AND severity = 'error') AS passed
+      |FROM counts""".stripMargin) { (s, dir) =>
     val orders = Tables.orders(s, dir)
     val lineitem = Tables.lineitem(s, dir)
     val events = Tables.events(s, dir)
+    import graft.quality.Severity.{Error, Warn}
     Quality.summarize(s, Seq(
-      "unique_o_orderkey" ->
-        Unique(Seq("o_orderkey")).violations(orders),
-      "not_null_o_custkey" ->
-        NotNull("o_custkey").violations(orders),
-      "relationship_l_orderkey" ->
-        Relationship("l_orderkey", orders, "o_orderkey").violations(lineitem),
-      "accepted_values_event_type" ->
+      ("unique_o_orderkey",
+        Unique(Seq("o_orderkey")).violations(orders), Error),
+      ("not_null_o_custkey",
+        NotNull("o_custkey").violations(orders), Error),
+      ("relationship_l_orderkey",
+        Relationship("l_orderkey", orders, "o_orderkey")
+          .violations(lineitem), Error),
+      ("accepted_values_event_type",
         AcceptedValues("event_type",
           Seq("signup", "view", "click", "purchase", "error"))
-          .violations(events),
-      "no_negative_price" ->
+          .violations(events), Error),
+      ("no_negative_price",
         Predicate("no_negative_price",
           col("l_extendedprice") < 0 || col("l_quantity") <= 0)
-          .violations(lineitem),
-      "freshness_ts" ->
+          .violations(lineitem), Error),
+      // freshness is warn-tier (reference warn_after): it FIRES on the
+      // fixture (stale max ts) but does not fail the run — unless
+      // promoted, which promoted_status makes visible
+      ("freshness_ts",
         Freshness("ts", 24, Timestamp.valueOf("2024-02-01 00:00:00"))
-          .violations(events)))
+          .violations(events), Warn)))
   }
 
   /** J4 reconciliation: order header totals vs exact line sums. Money is

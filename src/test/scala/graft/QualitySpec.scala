@@ -40,13 +40,37 @@ class QualitySpec extends SparkSpec {
     assert(stale.violations(df).count() == 1)
   }
 
-  test("summarize emits one row per check with pass flags") {
+  test("summarize emits one row per check with severity-tiered status") {
     val df = Seq("a", "a").toDF("id")
-    val out = Quality.summarize(spark, Seq(
-      "uniq" -> Unique(Seq("id")).violations(df),
-      "nn" -> NotNull("id").violations(df)))
-    val got = rows(out).map(r =>
-      r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
-    assert(got == Map("uniq" -> ((1L, false)), "nn" -> ((0L, true))))
+    import graft.quality.Severity.{Error, Warn}
+    def legs = Seq(
+      ("uniq", Unique(Seq("id")).violations(df), Error),
+      ("nn", NotNull("id").violations(df), Error),
+      ("uniq_w", Unique(Seq("id")).violations(df), Warn))
+    val got = rows(Quality.summarize(spark, legs)).map(r =>
+      r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getString(4),
+          r.getBoolean(5)))).toMap
+    // error tier fails; warn tier fires without failing, and
+    // promoted_status shows what --warn-error would do to it
+    assert(got == Map(
+      "uniq" -> ((1L, "error", "error", "error", false)),
+      "nn" -> ((0L, "error", "pass", "pass", true)),
+      "uniq_w" -> ((1L, "warn", "warn", "error", true))))
+    // --warn-error promotion flips the firing warn check to a failure
+    val promoted = rows(Quality.summarize(spark, legs, warnAsError = true))
+      .map(r => r.getString(0) -> ((r.getString(3), r.getBoolean(5)))).toMap
+    assert(promoted("uniq_w") == (("error", false)))
+    assert(promoted("nn") == (("pass", true)))
+  }
+
+  test("run reports warn-tier results and promotes under warnAsError") {
+    val df = Seq("2024-01-10 00:00:00").toDF("t")
+      .withColumn("t", col("t").cast("timestamp"))
+    val stale = Freshness("t", 24, ts("2024-01-20 00:00:00"))
+    val Seq(r) = Quality.run(df, Seq(stale))
+    assert(r.severity == "warn" && r.status == "warn" && r.passed)
+    val Seq(p) = Quality.run(df, Seq(stale), warnAsError = true)
+    assert(p.status == "error" && !p.passed)
   }
 }
