@@ -71,6 +71,51 @@ object Marts {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Multi-touch attribution (reference `README.md:40` "attribution
+    * marts", plural — position-only first/last touch is the minimum
+    * form): LINEAR (every pre-conversion touch gets 1/n of the
+    * conversion credit) and TIME-DECAY (touch weight halves per day of
+    * distance from the conversion) per channel.
+    *
+    * Determinism contract (cross-engine hash-comparable, like every
+    * money metric here): decay weights are 0.5^(integer day delta,
+    * capped) — exact binary fractions whose sums are EXACT in double,
+    * so per-user normalizers are order-independent; each per-user
+    * share is one double division, then rounded and cast to decimal so
+    * the cross-user credit sum is an exact decimal sum, never a
+    * double accumulation.
+    *
+    * Scale shape: one aggregate finds each user's first conversion,
+    * one join bounds touches to pre-conversion rows, and every
+    * aggregate/join in the pipeline keys on the user column — a single
+    * shuffle family, no windows, map-side combinable throughout. */
+  def multiTouchAttribution(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, convType: String,
+      decayCapDays: Int = 40): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__conv_ts"))
+    val touches = events.join(conv, userCol)
+      .filter(col(tsCol) < col("__conv_ts"))
+      .withColumn("__w", pow(lit(0.5),
+        least(datediff(to_date(col("__conv_ts")), to_date(col(tsCol))),
+          lit(decayCapDays))))
+    val perChannel = touches
+      .groupBy(col(userCol), col(typeCol).as("channel"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__w")).as("__wch"))
+    val perUser = perChannel.groupBy(col(userCol))
+      .agg(sum(col("__cnt")).as("__n"), sum(col("__wch")).as("__sumw"))
+    val shareType = org.apache.spark.sql.types.DecimalType(28, 14)
+    perChannel.join(perUser, userCol)
+      .select(col("channel"), col("__cnt"),
+        round(col("__cnt").cast("double") / col("__n"), 9)
+          .cast(shareType).as("__lin"),
+        round(col("__wch") / col("__sumw"), 9).cast(shareType).as("__dec"))
+      .groupBy(col("channel"))
+      .agg(sum(col("__cnt")).cast("long").as("n_touches"),
+        round(sum(col("__lin")).cast("double"), 6).as("linear_credit"),
+        round(sum(col("__dec")).cast("double"), 6).as("decay_credit"))
+  }
+
   /** Top-share concentration (SURVEY W5/A6; reference skew rule: top 5%
     * orgs ≈ 50% of volume, `pseudo_code_rules.txt:2-10`). Returns one row
     * (top_n, top_revenue, total_revenue, share). The per-key aggregate

@@ -258,6 +258,41 @@ object Warehouse {
         "ts", col("event_id"))
   }
 
+  /** W4 multi-touch attribution: linear + time-decay credit per
+    * channel over each user's pre-conversion touches (first purchase =
+    * the conversion). Exact-binary decay weights and decimal credit
+    * sums keep both models hash-comparable across engines. */
+  val q75 = Query(
+    "q75_multi_touch_attribution",
+    """WITH conv AS (
+      |  SELECT user_id, MIN(ts) AS conv_ts FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id),
+      |touch AS (
+      |  SELECT e.user_id, e.event_type AS channel,
+      |    power(0.5, LEAST(date_diff('day', CAST(e.ts AS DATE),
+      |      CAST(c.conv_ts AS DATE)), 40)) AS w
+      |  FROM events e JOIN conv c ON e.user_id = c.user_id
+      |  WHERE e.ts < c.conv_ts),
+      |g1 AS (
+      |  SELECT user_id, channel, COUNT(*) AS cnt, SUM(w) AS wch
+      |  FROM touch GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT user_id, SUM(cnt) AS n, SUM(wch) AS sumw
+      |  FROM g1 GROUP BY 1),
+      |sh AS (
+      |  SELECT g1.channel, g1.cnt,
+      |    CAST(ROUND(CAST(g1.cnt AS DOUBLE) / tot.n, 9)
+      |      AS DECIMAL(28,14)) AS lin,
+      |    CAST(ROUND(g1.wch / tot.sumw, 9) AS DECIMAL(28,14)) AS dec_sh
+      |  FROM g1 JOIN tot USING (user_id))
+      |SELECT channel, CAST(SUM(cnt) AS BIGINT) AS n_touches,
+      |  ROUND(CAST(SUM(lin) AS DOUBLE), 6) AS linear_credit,
+      |  ROUND(CAST(SUM(dec_sh) AS DOUBLE), 6) AS decay_credit
+      |FROM sh GROUP BY channel""".stripMargin) { (s, dir) =>
+    Marts.multiTouchAttribution(Tables.events(s, dir), "user_id",
+      "event_type", "ts", "purchase")
+  }
+
   /** W5/A6 top-share concentration (reference org-skew rule
     * `pseudo_code_rules.txt:2-10`). */
   val q11 = Query(
@@ -647,5 +682,5 @@ object Warehouse {
 
   val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q63, q64, q65, q66, q67, q68, q70,
-    q73)
+    q73, q75)
 }
