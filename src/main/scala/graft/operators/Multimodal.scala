@@ -85,6 +85,79 @@ object Multimodal {
             .cast("int") + 1,
           lit(1)), "UTF-8"))))
 
+  /** Decoded media metadata — the fixed output contract every
+    * [[Decoder]] fills, whatever the codec. */
+  final case class MediaMeta(format: String, width: Long, height: Long,
+      channels: Long)
+
+  /** Pluggable codec boundary: a production image/audio decoder is
+    * native code the cluster loads once per task, not per row —
+    * [[decodeWith]] instantiates ONE decoder per partition and maps the
+    * binary column through it. Implementations here: the deterministic
+    * hash stub (no codecs ship in this environment) and a REAL
+    * byte-parsing fake ([[PngIhdrDecoder]]) that proves the interface
+    * end to end on q59's genuine container bytes. */
+  trait Decoder extends Serializable {
+    def decode(payload: Array[Byte]): MediaMeta
+  }
+
+  /** Stub decoder: metadata derived from the payload's md5, matching
+    * [[decodeStub]] bit for bit (same portable 60-bit hash). */
+  final class HashStubDecoder extends Decoder {
+    def decode(payload: Array[Byte]): MediaMeta = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(payload).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      MediaMeta(Seq("png", "jpeg", "webp")((h % 3).toInt),
+        h % 1024 + 1, (h >> 10) % 1024 + 1, (h >> 20) % 3 + 1)
+    }
+  }
+
+  /** Test-fake codec that does REAL work: validates the 8-byte PNG
+    * signature and reads width/height/color type out of the IHDR chunk
+    * (big-endian fields at byte offsets 16/20/25) — the byte-level
+    * parse an ingest service runs before invoking a full decoder. */
+  final class PngIhdrDecoder extends Decoder {
+    private def be32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    private val Sig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def decode(payload: Array[Byte]): MediaMeta = {
+      require(payload.length >= 26 &&
+        payload.take(8).sameElements(Sig), "not a PNG container")
+      val channels = payload(25).toInt match {
+        case 0 => 1L; case 2 => 3L; case 3 => 1L; case 4 => 2L; case 6 => 4L
+        case c => throw new IllegalArgumentException(s"color type $c")
+      }
+      MediaMeta("png", be32(payload, 16), be32(payload, 20), channels)
+    }
+  }
+
+  /** Run the codec boundary: one `decoderFactory()` instance per
+    * partition, payloads mapped through it, [[MediaMeta]] columns
+    * appended. This is the ONE deliberate exit from whole-stage codegen
+    * in the repo — real codecs are native libraries, so the row-level
+    * boundary is inherent; keep the input projection narrow (id +
+    * payload) so nothing else rides through it. */
+  def decodeWith(df: DataFrame, binCol: String,
+      decoderFactory: () => Decoder): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val outSchema = df.schema
+      .add("media_format", StringType).add("width", LongType)
+      .add("height", LongType).add("channels", LongType)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      val decoder = decoderFactory() // one codec instance per partition
+      it.map { row =>
+        val m = decoder.decode(row.getAs[Array[Byte]](idx))
+        Row.fromSeq(row.toSeq ++ Seq(m.format, m.width, m.height,
+          m.channels))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Resize stub: metadata-level downscale to fit a bounding box,
     * preserving aspect ratio. `floor` (not a bare long cast) so the
     * rounding direction is explicit and engine-portable. */

@@ -654,6 +654,44 @@ object Pipeline {
       sum(length(col("png"))).cast("long").as("total_bytes"))
   }
 
+  // ------------------------------------------------------------ q76
+
+  /** The codec boundary, end to end: real PNG container bytes (q59's
+    * construction) flow through `Multimodal.decodeWith` — one decoder
+    * instance per partition over the binary column — using the
+    * byte-parsing `PngIhdrDecoder` fake, so the pluggable interface is
+    * exercised with a codec that genuinely reads the bytes (signature
+    * check, big-endian IHDR fields, color-type→channels). The oracle
+    * recomputes the expected metadata from the container construction;
+    * any drift in the mapPartitions plumbing (schema, row order,
+    * partition handling) or the parser would mismatch. */
+  val q76 = Query(
+    "q76_codec_boundary",
+    s"""WITH m AS (
+       |  SELECT encode(text) AS payload,
+       |    (${dH("text")} % 1024 + 1) AS width,
+       |    ((${dH("text")} >> 10) % 1024 + 1) AS height
+       |  FROM documents)
+       |SELECT 'png' AS media_format,
+       |  CAST(COUNT(*) AS BIGINT) AS n_images,
+       |  CAST(SUM(width) AS BIGINT) AS total_width,
+       |  CAST(SUM(height) AS BIGINT) AS total_height,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rgba
+       |FROM m""".stripMargin) { (s, dir) =>
+    val containers = Multimodal.wrapPng(
+      Multimodal.decodeStub(
+        Multimodal.attachBinary(Tables.documents(s, dir), "text"), "text"))
+      .select(col("doc_id"), col("png")) // narrow projection into the codec
+    Multimodal.decodeWith(containers, "png",
+        () => new Multimodal.PngIhdrDecoder)
+      .groupBy(col("media_format"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("width")).cast("long").as("total_width"),
+        sum(col("height")).cast("long").as("total_height"),
+        sum(when(col("channels") === 4, 1).otherwise(0)).cast("long")
+          .as("n_rgba"))
+  }
+
   // ------------------------------------------------------------ q61
 
   /** Approximate percentiles — the 100 TB path for q47: exact
@@ -819,5 +857,5 @@ object Pipeline {
 
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
-    q74)
+    q74, q76)
 }
