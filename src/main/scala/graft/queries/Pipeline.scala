@@ -692,6 +692,67 @@ object Pipeline {
           .as("n_rgba"))
   }
 
+  // ------------------------------------------------------------ q77
+
+  /** Streaming upsert, end to end (ST3∘S7 composed — the q50/q51
+    * pattern applied to the table lifecycle): two version files (v1 =
+    * every event, v2 = restated values for keys ≡ 0 mod 13) flow as
+    * separate micro-batches through `Streaming.streamIntoIncremental`,
+    * whose `foreachBatch` merges each batch into the partition-bounded
+    * incremental table. The oracle describes the POST-STREAM TABLE
+    * STATE (latest version per key), so the check covers the stream →
+    * merge → at-rest-dedup → read-back path, not just the plan. The
+    * partition key (event_id mod 8) is version-stable by construction,
+    * honoring the incremental contract, and the keep-latest merge makes
+    * final state independent of micro-batch arrival order. */
+  val q77 = Query(
+    "q77_stream_upsert",
+    """WITH v1 AS (
+      |  SELECT event_id, 1 AS ver, CAST(value AS DECIMAL(18,2)) AS value,
+      |    event_id % 8 AS bucket
+      |  FROM events),
+      |v2 AS (
+      |  SELECT event_id, 2 AS ver,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS value,
+      |    event_id % 8 AS bucket
+      |  FROM events WHERE event_id % 13 = 0),
+      |final AS (
+      |  SELECT * FROM v1 WHERE event_id NOT IN (SELECT event_id FROM v2)
+      |  UNION ALL SELECT * FROM v2)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(ver) AS BIGINT) AS total_ver,
+      |  CAST(SUM(value) AS DOUBLE) AS total_value
+      |FROM final GROUP BY bucket""".stripMargin) { (s, dir) =>
+    val name = s"graft_stream_inc_${math.abs(dir.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    Ingest.deletePath(s,
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$name")
+    val ev = Tables.events(s, dir)
+    def versioned(src: org.apache.spark.sql.DataFrame, ver: Long,
+        value: org.apache.spark.sql.Column) =
+      src.select(col("event_id"), lit(ver).as("ver"),
+        money(value).as("value"),
+        pmod(col("event_id"), lit(8)).cast("long").as("bucket"))
+    val srcDir = s"/tmp/graft_stream_upsert_${math.abs(dir.hashCode)}"
+    Ingest.deletePath(s, srcDir)
+    versioned(ev, 1L, col("value"))
+      .coalesce(1).write.parquet(srcDir)
+    versioned(ev.filter(col("event_id") % 13 === 0), 2L, col("value") * 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1) // one version file per micro-batch
+      .parquet(srcDir)
+    val ckpt = s"/tmp/graft_stream_upsert_ckpt_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Streaming.streamIntoIncremental(
+      stream, name, Seq("event_id"), "ver", "bucket", ckpt)
+    q.awaitTermination()
+    s.table(name).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("ver")).cast("long").as("total_ver"),
+        sum(col("value")).cast("double").as("total_value"))
+  }
+
   // ------------------------------------------------------------ q61
 
   /** Approximate percentiles — the 100 TB path for q47: exact
@@ -857,5 +918,5 @@ object Pipeline {
 
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
-    q74, q76)
+    q74, q76, q77)
 }
