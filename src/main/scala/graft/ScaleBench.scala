@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof harness for the corpus pipelines (the VERDICT r3 item:
+  * "the 100 TB claims rest on plan shape alone — run the corpus
+  * pipelines at sf1 and show the curves are near-linear").
+  *
+  * Builds a `mult`-times replica of the sf0.1 `documents`/`embeddings`
+  * fixtures under /tmp (ids offset per replica; document tokens salted
+  * with a per-replica marker so CROSS-replica similarity collapses to
+  * ~0 while WITHIN-replica near-dup structure is preserved — i.e. a
+  * corpus `mult`× bigger with the SAME dup rate, which is what a real
+  * corpus scale-up looks like), then times the corpus queries against
+  * it. Replica 0 is byte-identical text to the base corpus.
+  *
+  * Embedding replicas are per-dimension perturbed (a scale factor
+  * would be invisible to cosine), so ANN bucket structure stays
+  * realistic instead of producing 10 exact copies per bucket.
+  *
+  * This harness NEVER feeds correctness oracles — it exists to measure
+  * the scaling exponent of each pipeline. Usage:
+  *   SPARK_GRAFT_SCALE_MULT=10 sbt "runMain graft.ScaleBench"
+  * Prints one JSON line per (query, mult) and a final summary line with
+  * the t(mult)/t(1) ratio per query.
+  */
+object ScaleBench {
+
+  private val ReplicaStride = 10000000L
+
+  /** Write the replica corpus for `mult` (idempotent: skips if present). */
+  def buildReplica(spark: SparkSession, baseDir: String, mult: Int,
+      outDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_OK"))) return
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val docLegs = (0 until mult).map { i =>
+      val salted =
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), lit(" "), lit(s" zq$i "))
+      docs.select(
+        (col("doc_id") + lit(i * ReplicaStride)).as("doc_id"),
+        salted.as("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    docLegs.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val embLegs = (0 until mult).map { i =>
+      val perturbed =
+        if (i == 0) col("embedding")
+        else transform(col("embedding"),
+          (x, idx) => x + ((idx * 31 + lit(i * 7)) % 11 - 5).cast("float")
+            * lit(0.01f))
+      embs.select(
+        (col("vec_id") + lit(i * ReplicaStride)).as("vec_id"),
+        perturbed.as("embedding"), col("label"))
+    }
+    embLegs.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_OK")).close()
+  }
+
+  /** The corpus queries whose scaling is under test (all read only
+    * documents/embeddings, so the replica dir satisfies them). */
+  private val corpusQueries = Seq(
+    "q22_exact_dedup", "q23_minhash_near_dedup", "q25_simhash_near_dedup",
+    "q26_ngram_jaccard", "q27_lang_id", "q28_quality_score",
+    "q29_fingerprint_pairs", "q48_dedup_clusters", "q54_dedup_corpus",
+    "q55_decontamination", "q56_hash_split", "q57_training_mix")
+
+  /** ANN with a FIXED query workload (replica 0 queries only): a corpus
+    * scale-up grows the indexed side, not the query side — without the
+    * fix both sides grow and bucket joins scale quadratically by
+    * construction, which would measure the harness, not the operator. */
+  private def annFixedQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = v.filter(col("vec_id") % 40 === 0 &&
+        col("vec_id") < ReplicaStride)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfTopK(v, "vec_id", "embedding", q, "query_id", "qvec",
+      3, 8, 16)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timeOne(name: String, df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.count()
+      val e = (System.nanoTime() - t0) / 1e9
+      graft.operators.InternalCache.release()
+      graft.operators.SharedFrames.release()
+      spark.catalog.clearCache()
+      System.gc()
+      e
+    }
+
+    // untimed codegen/JIT warmup
+    try { SparkEntry.queries("q22_exact_dedup")(spark, baseDir).count(); () }
+    catch { case _: Throwable => () }
+    graft.operators.InternalCache.release()
+    graft.operators.SharedFrames.release()
+    spark.catalog.clearCache()
+
+    val results = scala.collection.mutable.LinkedHashMap[String,
+      (Double, Double)]()
+    for (m <- Seq(1, mult)) {
+      val dir = s"/tmp/graft_scale_x$m"
+      buildReplica(spark, baseDir, m, dir)
+      for (q <- corpusQueries) {
+        // min of 2: the scaling exponent needs the intrinsic cost, not
+        // a GC hiccup
+        val t = math.min(
+          timeOne(q, SparkEntry.queries(q)(spark, dir)),
+          timeOne(q, SparkEntry.queries(q)(spark, dir)))
+        results(q) = if (m == 1) (t, results.get(q).map(_._2).getOrElse(0.0))
+          else (results.get(q).map(_._1).getOrElse(0.0), t)
+        println(f"""{"q":"$q","mult":$m,"sec":$t%.3f}""")
+      }
+      val t = math.min(timeOne("ann_ivf_fixedq", annFixedQ(spark, dir)),
+        timeOne("ann_ivf_fixedq", annFixedQ(spark, dir)))
+      results("ann_ivf_fixedq") =
+        if (m == 1) (t, results.get("ann_ivf_fixedq").map(_._2).getOrElse(0.0))
+        else (results.get("ann_ivf_fixedq").map(_._1).getOrElse(0.0), t)
+      println(f"""{"q":"ann_ivf_fixedq","mult":$m,"sec":$t%.3f}""")
+    }
+    val rows = results.map { case (q, (t1, tm)) =>
+      f""""$q":{"t1":$t1%.3f,"t$mult":$tm%.3f,"ratio":${tm / t1}%.2f}"""
+    }.mkString(",")
+    println(s"""{"scale_mult":$mult,"queries":{$rows}}""")
+    spark.stop()
+  }
+}

@@ -255,7 +255,10 @@ object TextDedup {
     * diameter. Convergence costs one (count, hash-sum) scalar per
     * ROUND — a batched check over the whole edge set, not a
     * per-propagation-step action. Lineage is truncated each round with
-    * `localCheckpoint` so plans stay flat. */
+    * `localCheckpoint` — REQUIRED, not an optimization: every star
+    * references its input plan several times, so without truncation the
+    * logical-plan tree grows exponentially in the round count and the
+    * optimizer, not the data, becomes the bottleneck. */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // canonical undirected edges (small id first), self-loops dropped
     var edges = pairs

@@ -75,7 +75,11 @@ object Ingest {
     * pruning on the partition columns is then free for every reader. */
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String], mode: String): Unit =
-    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+    // cluster rows by target partition first: otherwise every shuffle
+    // task writes a file into every partition it touches (tasks ×
+    // partitions small files — the classic partitioned-write explosion)
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
   /** Recursively delete a path (idempotent ingest-target reset). */
   def deletePath(spark: SparkSession, path: String): Unit = {

@@ -99,16 +99,16 @@ object Materialize {
         max(col(partitionCol)).as("__pmax"))
       .filter(col("__pmin") =!= col("__pmax"))
       .select(keyCols: _*)
-    // movers are rare by contract — broadcast them through both uses
-    val moverRows = t.join(broadcast(movers), keys, "left_semi")
-    // winners is tiny (one row per mover key) but costs a table scan to
-    // derive; it feeds both the affected-partition probe and the
-    // rewrite, so persist for the duration of the pass
+    // movers are rare by contract — broadcast them through both uses.
+    // moverRows (every version of every mover key) is the frame both
+    // the winner computation and the stale probe derive from; persisting
+    // IT (tiny: versions-per-mover rows) means the table is scanned once
+    // here instead of once per consumer
+    val moverRows = t.join(broadcast(movers), keys, "left_semi").persist()
+    try {
     val winners = graft.stage.Staging
       .dedupLatestAgg(moverRows, keys, col(orderCol))
       .select((keyCols :+ col(partitionCol).as("__pwin")): _*)
-      .persist()
-    try {
     val stale = moverRows.join(broadcast(winners), keys)
       .filter(col(partitionCol) =!= col("__pwin"))
     val affected = stale.select(col(partitionCol)).distinct()
@@ -134,7 +134,8 @@ object Materialize {
         val PoKey = "spark.sql.sources.partitionOverwriteMode"
         val prev = spark.conf.getOption(PoKey)
         spark.conf.set(PoKey, "dynamic")
-        try rewritten.write.mode("overwrite").insertInto(name)
+        try rewritten.repartition(col(partitionCol))
+          .write.mode("overwrite").insertInto(name)
         finally prev match {
           case Some(v) => spark.conf.set(PoKey, v)
           case None => spark.conf.unset(PoKey)
@@ -142,7 +143,7 @@ object Materialize {
       } finally { rewritten.unpersist(blocking = false); () }
     }
     affected
-    } finally { winners.unpersist(blocking = false); () }
+    } finally { moverRows.unpersist(blocking = false); () }
   }
 
   def tableIncremental(spark: SparkSession, name: String,
@@ -152,7 +153,12 @@ object Materialize {
     def dedup(df: DataFrame) =
       graft.stage.Staging.dedupLatest(df, keys, col(orderCol))
     if (!spark.catalog.tableExists(name)) {
-      dedup(increment).write.mode("overwrite").format("parquet")
+      // cluster rows by their target partition before the partitioned
+      // write: without it every one of the N shuffle tasks opens a file
+      // in every partition it touches (tasks × partitions files); with
+      // it the file count tracks the partition count
+      dedup(increment).repartition(col(partitionCol))
+        .write.mode("overwrite").format("parquet")
         .partitionBy(partitionCol).saveAsTable(name)
     } else {
       val touched = increment.select(col(partitionCol)).distinct()
@@ -165,8 +171,11 @@ object Materialize {
       val PoKey = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(PoKey)
       spark.conf.set(PoKey, "dynamic")
-      // insertInto is positional — select in table-schema order
+      // insertInto is positional — select in table-schema order;
+      // repartition by the partition value for the same
+      // files-per-partition bound as the initial load
       try merged.select(cols.map(col): _*)
+        .repartition(col(partitionCol))
         .write.mode("overwrite").insertInto(name)
       finally prev match {
         case Some(v) => spark.conf.set(PoKey, v)
