@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * pipelines at sf1 and show the curves are near-linear").
   *
   * Builds a `mult`-times replica of the sf0.1 `documents`/`embeddings`
-  * fixtures under /tmp (ids offset per replica; document tokens salted
-  * with a per-replica marker so CROSS-replica similarity collapses to
-  * ~0 while WITHIN-replica near-dup structure is preserved — i.e. a
-  * corpus `mult`× bigger with the SAME dup rate, which is what a real
-  * corpus scale-up looks like), then times the corpus queries against
-  * it. Replica 0 is byte-identical text to the base corpus.
+  * fixtures under /tmp (ids offset per replica; every TOKEN suffixed
+  * with a per-replica tag, a bijective vocabulary rename that keeps
+  * token counts, shingle counts, and within-replica Jaccards exactly
+  * equal to the base corpus while making cross-replica similarity ~0 —
+  * i.e. a corpus `mult`× bigger with the SAME dup rate and doc-length
+  * profile, so ideal-linear scaling is exactly `mult`×). Replica 0 is
+  * byte-identical text to the base corpus.
   *
   * Embedding replicas are per-dimension perturbed (a scale factor
   * would be invisible to cosine), so ANN bucket structure stays
@@ -40,7 +41,7 @@ object ScaleBench {
     val docLegs = (0 until mult).map { i =>
       val salted =
         if (i == 0) col("text")
-        else regexp_replace(col("text"), lit(" "), lit(s" zq$i "))
+        else regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1q$i"))
       docs.select(
         (col("doc_id") + lit(i * ReplicaStride)).as("doc_id"),
         salted.as("text"), col("lang"), col("source"), col("n_chars"))

@@ -57,15 +57,19 @@ object TextDedup {
     * materializes `__w` for its output rows, and each shingle is one
     * codegen'd slice+join. */
   def docShingleRows(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
+      n: Int, distinctGrams: Boolean = true): DataFrame = {
+    val rows = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
       .select(col("doc_id"), col("__w"),
         explode(when(size(col("__w")) >= n,
           sequence(lit(0), size(col("__w")) - n))
           .otherwise(array())).as("__i"))
       .select(col("doc_id"),
         array_join(slice(col("__w"), col("__i") + 1, lit(n)), " ").as("g"))
-      .distinct()
+    // multiplicity-preserving form for occurrence statistics (repetition
+    // signals); set form for similarity ops
+    if (distinctGrams) rows.distinct() else rows
+  }
 
   /** MinHash signatures `(doc_id, __sig0..__sig{k-1})` via
     * Carter-Wegman double hashing: only TWO md5 evaluations per shingle
@@ -132,10 +136,16 @@ object TextDedup {
       .transform(InternalCache.persist(_))
     val signed = minhashSignatures(rows, numHashes)
     val cand = lshCandidates(signed, bands, numHashes / bands)
-    // exact set Jaccard through the gram ROWS, restricted to candidate
-    // pairs: |A∩B| via a shared-gram join, |A∪B| = szA + szB − overlap.
-    // Identical values to the array intersect/union form, without
-    // shuffling shingle arrays.
+    verifyJaccard(cand, rows, threshold)
+  }
+
+  /** Exact set Jaccard through the gram ROWS, restricted to candidate
+    * pairs: |A∩B| via a shared-gram join, |A∪B| = szA + szB − overlap.
+    * Identical values to the array intersect/union form, without
+    * shuffling shingle arrays. `rows` must be the (doc_id, g) distinct
+    * gram rows of every doc appearing in `cand`. */
+  private def verifyJaccard(cand: DataFrame, rows: DataFrame,
+      threshold: Double): DataFrame = {
     val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = rows.select(col("doc_id").as("doc_a"), col("g"))
     val b = rows.select(col("doc_id").as("doc_b"), col("g"))
@@ -151,6 +161,51 @@ object TextDedup {
         (col("sz_a") + col("sz_b") - col("ovl")).cast("double"))
       .filter(col("__jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("__jac"), 6).as("jaccard"))
+  }
+
+  /** Incremental near-dedup: the daily-run shape. A NEW batch of docs
+    * (rows satisfying `isNew` over `doc_id`) is checked against the
+    * WHOLE corpus (existing + batch) without ever generating
+    * existing×existing pairs — the candidate join keeps only pairs with
+    * a new doc on the left, so a daily increment at 100 TB pays
+    * |batch-bucket rows| × |bucket peers|, never the corpus self-join.
+    * Within-batch pairs are canonicalized (doc_a < doc_b) so they are
+    * not double-counted; batch-vs-existing pairs keep the NEW doc as
+    * `doc_a` regardless of id order. Returns verified
+    * (doc_a, doc_b, jaccard) like [[minhashNearDups]].
+    *
+    * In a production run the corpus band rows are a persisted index
+    * written by earlier runs; here they are computed from the corpus
+    * frame — the join shape (the scale-determining part) is identical. */
+  def minhashNearDupsIncremental(docs: DataFrame, idCol: String,
+      textCol: String, isNew: Column, shingleN: Int, numHashes: Int,
+      bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = docShingleRows(docs, idCol, textCol, shingleN)
+      .transform(InternalCache.persist(_))
+    val signed = minhashSignatures(rows, numHashes)
+    val rowsPerBand = numHashes / bands
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"__sig$i"))
+      md5(concat_ws("|", cols: _*))
+    }
+    val all = signed.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+      .withColumn("__new", isNew)
+      .transform(InternalCache.persist(_))
+    val a = all.filter(col("__new")).select(col("band_id"),
+      col("band_key"), col("doc_id").as("doc_a"))
+    val b = all.select(col("band_id").as("band_id_b"),
+      col("band_key").as("band_key_b"), col("doc_id").as("doc_b"),
+      col("__new").as("__new_b"))
+    val cand = a.join(b,
+        a("band_id") === b("band_id_b") &&
+          a("band_key") === b("band_key_b") &&
+          a("doc_a") =!= b("doc_b") &&
+          (!b("__new_b") || a("doc_a") < b("doc_b")))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cand, rows, threshold)
   }
 
   /** 32-bit SimHash per doc, computed relationally: tokens exploded,

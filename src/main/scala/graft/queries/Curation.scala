@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ranking, Similarity, TextDedup}
+import graft.sources.Tables
+
+/** Corpus-curation queries beyond the dedup/similarity core
+  * (`queries/Llm.scala`): repetition-based quality signals, semantic
+  * (embedding-space) dedup, and boilerplate phrase mining — the
+  * filtering passes a training-data pipeline runs between ingestion
+  * and mixing. Like the rest of the LLM extension these are specified
+  * by the task brief (the reference repo has no document layer). */
+object Curation {
+
+  import Llm.{DTokens, dHash64}
+
+  // ------------------------------------------------------------ q78
+
+  // a doc is "repetitious" when its most frequent word bigram exceeds
+  // 1/10 of all bigram occurrences — integer cross-multiplication, so
+  // the cut is exact in both engines
+  private val RepTopFrac = 10
+
+  /** Repetition quality signals (the Gopher/C4-family filters): per
+    * language, the duplicate-token mass and the share of docs dominated
+    * by one repeated bigram. All metrics are integer sums with one
+    * final division; the per-doc "top bigram" needs only a per-doc
+    * count aggregate (map-side combinable), never a window over the
+    * corpus. Docs with fewer than 2 tokens carry no bigram and are
+    * excluded in both engines. */
+  val q78 = Query(
+    "q78_repetition_signals",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $DTokens AS w FROM documents),
+       |d AS (
+       |  SELECT doc_id, lang, len(w) AS nt, len(list_distinct(w)) AS ndt,
+       |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg
+       |  FROM t WHERE len(w) >= 2),
+       |e AS (SELECT doc_id, unnest(bg) AS g FROM d),
+       |c AS (SELECT doc_id, g, COUNT(*) AS c FROM e GROUP BY 1, 2),
+       |m AS (
+       |  SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM c GROUP BY 1)
+       |SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(ndt) AS BIGINT) AS total_distinct_tokens,
+       |  ROUND(1.0 - CAST(SUM(ndt) AS DOUBLE) / SUM(nt), 6)
+       |    AS dup_token_ratio,
+       |  CAST(SUM(CASE WHEN mx * $RepTopFrac > tot THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_repetitious,
+       |  ROUND(CAST(SUM(mx) AS DOUBLE) / SUM(tot), 6)
+       |    AS avg_top_bigram_share
+       |FROM d JOIN m USING (doc_id)
+       |GROUP BY lang""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val base = docs
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Functions.tokens(col("text")).as("__w"))
+      .select(col("doc_id"), col("lang"), size(col("__w")).as("nt"),
+        size(array_distinct(col("__w"))).as("ndt"))
+      .filter(col("nt") >= 2)
+    val top = TextDedup
+      .docShingleRows(docs, "doc_id", "text", 2, distinctGrams = false)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+    base.join(top, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("long").as("total_tokens"),
+        sum(col("ndt")).cast("long").as("total_distinct_tokens"),
+        round(lit(1.0) - sum(col("ndt")).cast("double") / sum(col("nt")),
+          6).as("dup_token_ratio"),
+        sum(when(col("mx") * RepTopFrac > col("tot"), 1).otherwise(0))
+          .cast("long").as("n_repetitious"),
+        round(sum(col("mx")).cast("double") / sum(col("tot")), 6)
+          .as("avg_top_bigram_share"))
+  }
+
+  // ------------------------------------------------------------ q79
+
+  /** Semantic dedup (the SemDeDup shape): connected components over the
+    * EMBEDDING near-dup pair graph (q45's hyperplane-bucketed cosine
+    * pairs), each cluster keeping its min-id representative, summarized
+    * per embedding label. The vector-space twin of q54's text-space
+    * removal: pair generation is bucket-bounded, clustering touches
+    * only the near-dup graph, removal is one join against the corpus. */
+  val q79 = Query(
+    "q79_semantic_dedup",
+    s"""WITH clusters AS (
+       |${Llm.componentsOracle(
+             s"SELECT id_a AS doc_a, id_b AS doc_b FROM (\n" +
+               s"${Llm.embNearDupOracle})")}),
+       |removed AS (
+       |  SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+       |SELECT label,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_removed
+       |FROM embeddings v LEFT JOIN removed r ON v.vec_id = r.doc_id
+       |GROUP BY label""".stripMargin) { (s, dir) =>
+    val v = Tables.embeddings(s, dir)
+    val pairs = Similarity.cosineNearDupPairs(v, "vec_id", "embedding",
+        Llm.NdPlanes, Llm.NdDims, Llm.NdThreshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val removed = TextDedup.dupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"), lit(1).as("__rm"))
+    v.join(removed, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("__rm").isNull, 1).otherwise(0)).cast("long")
+          .as("n_kept"),
+        sum(when(col("__rm").isNull, 0).otherwise(1)).cast("long")
+          .as("n_removed"))
+  }
+
+  // ------------------------------------------------------------ q80
+
+  private val BpN = 3
+  private val BpTopK = 20
+
+  /** Boilerplate phrase mining (the C4-style boilerplate pass): the
+    * top-20 word trigrams by DOCUMENT frequency (distinct grams per
+    * doc, so a doc repeating a phrase counts once). Ordering is total
+    * (df desc, gram asc) so the cut is deterministic; the global rank
+    * uses the distributed Ranking operator (no single-partition
+    * window), and only `k` rows ever reach the driver-side limit. */
+  val q80 = Query(
+    "q80_boilerplate_grams",
+    s"""WITH toks AS (
+       |  SELECT doc_id, $DTokens AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(list_slice(w, i, i + ${BpN - 1}), ' ')
+       |            for i in range(1, len(w) - ${BpN - 2})]) AS g
+       |  FROM toks WHERE len(w) >= $BpN),
+       |df AS (
+       |  SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS df
+       |  FROM sh GROUP BY g),
+       |r AS (
+       |  SELECT gram, df, row_number() OVER (ORDER BY df DESC, gram)
+       |    AS rk
+       |  FROM df)
+       |SELECT CAST(rk AS BIGINT) AS rank, gram, df
+       |FROM r WHERE rk <= $BpTopK""".stripMargin) { (s, dir) =>
+    val df = TextDedup
+      .docShingleRows(Tables.documents(s, dir), "doc_id", "text", BpN)
+      .groupBy(col("g").as("gram"))
+      .agg(count(lit(1)).as("df"))
+    // (−df, gram) ascending ≡ (df desc, gram asc); gram uniqueness makes
+    // the order total, so rank() ≡ row_number() with no ties to share
+    val order = struct((col("df") * -1).as("nd"), col("gram").as("g")).asc
+    Ranking.withGlobalRank(df, order, "rank")
+      .filter(col("rank") <= BpTopK)
+      .select(col("rank"), col("gram"), col("df"))
+  }
+
+  val all: Seq[Query] = Seq(q78, q79, q80)
+}

@@ -21,10 +21,11 @@ import graft.sources.Tables
 object Llm {
 
   /** DuckDB fragment: whitespace tokens of lowercased text. */
-  private val DTokens = "string_split_regex(trim(lower(text)), '\\s+')"
+  private[queries] val DTokens =
+    "string_split_regex(trim(lower(text)), '\\s+')"
 
   /** DuckDB fragment: portable 60-bit md5 hash of an expression. */
-  private def dHash64(e: String) =
+  private[queries] def dHash64(e: String) =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
   // ------------------------------------------------------------ q21
@@ -93,7 +94,13 @@ object Llm {
   private val MhBands = 4
   private val MhThreshold = 0.5
 
-  private def minhashOracle: String = {
+  private def minhashOracle: String =
+    minhashOracleCand("AND a.doc_id < b.doc_id")
+
+  /** The minhash pipeline oracle with a pluggable candidate-join
+    * predicate (q23 uses the canonical a<b; q81's incremental variant
+    * restricts the left side to the new batch). */
+  private def minhashOracleCand(candPred: String): String = {
     val r = MhHashes / MhBands
     // Carter-Wegman family: member i = h1 + i * (h2 mod 2^50) — must
     // match TextDedup.withMinhashSignature exactly
@@ -121,7 +128,7 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
-    AND a.doc_id < b.doc_id),
+    $candPred),
 jac AS (
   SELECT c.doc_a, c.doc_b,
     len(list_intersect(x.s, y.s))::DOUBLE /
@@ -150,6 +157,28 @@ SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= $MhThreshold"""
     * LSH recall profile itself is checked, not just the final filter. */
   val q23 = Query("q23_minhash_near_dedup", minhashOracle) { (s, dir) =>
     minhashPairsShared(s, dir)
+  }
+
+  // ------------------------------------------------------------ q81
+
+  private val IncEvery = 10
+
+  /** Incremental near-dedup — the DAILY-run form of q23: docs with
+    * doc_id ≡ 0 (mod 10) stand in for today's batch, checked against
+    * the whole corpus through the banded index WITHOUT generating any
+    * existing×existing pair (`TextDedup.minhashNearDupsIncremental`).
+    * New-vs-existing pairs keep the new doc as doc_a; within-batch
+    * pairs are canonicalized a<b. The oracle replays the identical
+    * pipeline with the identical candidate predicate. */
+  val q81 = Query(
+    "q81_incremental_near_dedup",
+    minhashOracleCand(
+      s"""AND a.doc_id % $IncEvery = 0 AND a.doc_id != b.doc_id
+         |    AND (b.doc_id % $IncEvery != 0 OR a.doc_id < b.doc_id)"""
+        .stripMargin)) { (s, dir) =>
+    TextDedup.minhashNearDupsIncremental(Tables.documents(s, dir),
+      "doc_id", "text", col("doc_id") % IncEvery === 0,
+      MhShingle, MhHashes, MhBands, MhThreshold)
   }
 
   // ------------------------------------------------------------ q24
@@ -461,13 +490,14 @@ FROM r WHERE rk <= $AnnK"""
 
   // ------------------------------------------------------------ q45
 
-  private val NdPlanes = 5
+  private[queries] val NdPlanes = 5
   // the fixture embeddings carry no true duplicates (max pairwise
   // cosine ≈ 0.51), so the "near-dup" cut sits inside the observed
   // range to keep the pipeline exercised end to end
-  private val NdThreshold = 0.4
+  private[queries] val NdThreshold = 0.4
+  private[queries] val NdDims = 64
 
-  private def embNearDupOracle: String = {
+  private[queries] def embNearDupOracle: String = {
     val bucketTerms = (0 until NdPlanes).map { p =>
       val dot = s"""list_reduce([e[i] * (((('0x' || substr(md5('plane:$p:' ||
         |      CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 1001) - 500) / 500.0)
@@ -501,7 +531,7 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
   /** DuckDB: connected components (recursive CTE) over a pair query,
     * yielding (doc_id, cluster_id = component min) — shared by q48 and
     * the q54 removal end product. */
-  private def componentsOracle(pairsSql: String): String =
+  private[queries] def componentsOracle(pairsSql: String): String =
     s"""WITH pairs AS (
        |  SELECT doc_a, doc_b FROM ($pairsSql)),
        |edges AS (
@@ -980,5 +1010,5 @@ FROM rec"""
   }
 
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q45, q48, q49, q53, q54, q55, q56, q57, q60)
+    q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81)
 }
