@@ -60,6 +60,35 @@ class TextDedupSpec extends SparkSpec {
     assert(jac > 0.8 && jac < 1.0)
   }
 
+  test("minhashNearDupsIncremental ≡ full pairs restricted to the batch") {
+    // 12 docs in 4 near-dup families; batch = ids ≡ 0 (mod 3)
+    val fams = (0 until 4).map(f => (300 to 340).map(i => s"f${f}w$i"))
+    val docs = (0L until 12L).map { id =>
+      val fam = fams((id % 4).toInt)
+      // one-word perturbation per member keeps the family near-dup
+      (id, fam.updated(id.toInt / 4, s"p$id").mkString(" "))
+    }.toDF("doc_id", "text")
+    val isNew = col("doc_id") % 3 === 0
+    val inc = rows(TextDedup.minhashNearDupsIncremental(docs, "doc_id",
+        "text", isNew, 3, 16, 4, 0.5))
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    // expected: every full-corpus pair touching a batch doc, oriented
+    // (new, other), canonicalized a<b when both are new
+    val full = rows(TextDedup.minhashNearDups(docs, "doc_id", "text",
+        3, 16, 4, 0.5))
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    val expected = full.flatMap { case (a, b, j) =>
+      val (na, nb) = (a % 3 == 0, b % 3 == 0)
+      if (na) Some((a, b, j))
+      else if (nb) Some((b, a, j))
+      else None
+    }
+    assert(inc.nonEmpty)
+    assert(inc.toSet == expected.toSet)
+    // no existing×existing pair ever appears
+    assert(inc.forall(_._1 % 3 == 0))
+  }
+
   test("simhash: identical docs collide, near-dups are close") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base),
