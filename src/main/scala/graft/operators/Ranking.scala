@@ -64,6 +64,37 @@ object Ranking {
       .drop("__pid", "__offset")
   }
 
+  /** Append an exact EXCLUSIVE running total of `weight` in `order`
+    * order (sum of weights of all rows strictly earlier; 0 for the
+    * first row) — the distributed prefix-sum. Same shape as the rank:
+    * range-partition on the order column, per-partition weight sums,
+    * triangular offset join, per-partition window — no
+    * single-partition stage, so a 100 TB corpus prefix-sums in
+    * parallel. `order` must be a total order (e.g. a unique id) for
+    * the result to be deterministic. `weight` must be integral —
+    * partial sums are reassociated across partitions, which is only
+    * exact for integers. */
+  def withRunningTotal(df: DataFrame, order: Column, weight: Column,
+      totalCol: String = "running_total", numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nPart =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(nPart, order)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__w", weight.cast("long"))
+    // per-range-partition weight sums: at most nPart rows
+    val sums = ranged.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__w")), lit(0L)).as("__cnt"))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offsets(sums)), Seq("__pid"))
+      .withColumn(totalCol,
+        (coalesce(sum(col("__w")).over(wLocal), lit(0L)) + col("__offset"))
+          .cast("long"))
+      .drop("__pid", "__offset", "__w")
+  }
+
   /** Exact `percent_rank()` — `(rank - 1) / (n - 1)`, 0.0 for a single
     * row. `n` is the SUM of the per-partition counts (already computed
     * for the rank offsets) — no extra pass over the input. */

@@ -159,5 +159,148 @@ object Curation {
       .select(col("rank"), col("gram"), col("df"))
   }
 
-  val all: Seq[Query] = Seq(q78, q79, q80)
+  // ------------------------------------------------------------ q82
+
+  private val ShardBudget = 4096L
+
+  /** Token-budget shard packing — the training-shard writer's
+    * assignment step: docs in doc_id order are packed greedily into
+    * shards of ~[[ShardBudget]] whitespace tokens (a doc starts in the
+    * shard its exclusive prefix-sum lands in, so a doc may straddle its
+    * shard's tail — the standard greedy contract). The prefix sum is
+    * `Ranking.withRunningTotal`: range-partition + per-partition sums +
+    * broadcast offsets — NO unpartitioned window, so packing a 100 TB
+    * corpus never collapses to one task. */
+  val q82 = Query(
+    "q82_shard_packing",
+    s"""WITH t AS (
+       |  SELECT doc_id, len($DTokens) AS tok FROM documents),
+       |p AS (
+       |  SELECT doc_id, tok,
+       |    COALESCE(SUM(tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+       |  FROM t)
+       |SELECT CAST(FLOOR(prev / $ShardBudget.0) AS BIGINT) AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS shard_tokens,
+       |  MIN(doc_id) AS first_doc,
+       |  MAX(doc_id) AS last_doc
+       |FROM p GROUP BY shard""".stripMargin) { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(graft.functions.Functions.tokens(col("text"))).cast("long")
+          .as("tok"))
+    Ranking.withRunningTotal(toks, col("doc_id").asc, col("tok"), "prev")
+      .groupBy(floor(col("prev") / lit(ShardBudget.toDouble)).cast("long")
+        .as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  // ------------------------------------------------------------ q83
+
+  /** Cross-source near-dup overlap matrix: how much does each pair of
+    * ingestion sources duplicate each other? Composes the SHARED
+    * verified minhash pair graph (built once for q23/q48/q54) with the
+    * doc→source dimension; sources are unordered (least/greatest), so
+    * (a,b) and (b,a) fold together. Only min/max of the (already
+    * 6-rounded) jaccard are reported — order-independent aggregates,
+    * never a fold-order-dependent double sum. */
+  val q83 = Query(
+    "q83_cross_source_overlap",
+    s"""WITH mp AS (
+       |${Llm.minhashOracle})
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ROUND(MIN(jaccard), 6) AS min_jaccard,
+       |  ROUND(MAX(jaccard), 6) AS max_jaccard
+       |FROM mp
+       |JOIN documents da ON mp.doc_a = da.doc_id
+       |JOIN documents db ON mp.doc_b = db.doc_id
+       |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    Llm.minhashPairsShared(s, dir)
+      .join(d.select(col("doc_id").as("doc_a"), col("source").as("__sa")),
+        "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("source").as("__sb")),
+        "doc_b")
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("jaccard")), 6).as("min_jaccard"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+  }
+
+  // ------------------------------------------------------------ q84
+
+  private val QBuckets = 1000
+  private val QDecile = 10
+
+  /** Per-source ADAPTIVE quality filtering: drop each source's bottom
+    * decile by quality score, with the cut found on a bucketed score
+    * histogram (floor(score*1000)) instead of a per-source sort — the
+    * 100 TB-safe exact-quantile pattern. The histogram is map-side
+    * combinable; the cumulative window runs over ≤1001 rows PER SOURCE
+    * (aggregated buckets, not docs); the cutoff set is broadcast back.
+    * Integer cross-multiplication (cc*10 >= n) keeps the decile test
+    * exact in both engines. */
+  val q84 = Query(
+    "q84_adaptive_quality_filter",
+    s"""WITH f AS (
+       |  ${Llm.dQualityFeatures("source")}),
+       |sc AS (
+       |  SELECT source,
+       |    ${Llm.DScore} AS score
+       |  FROM f WHERE tok >= 1),
+       |h AS (
+       |  SELECT source, CAST(FLOOR(score * $QBuckets) AS BIGINT) AS b,
+       |    COUNT(*) AS c
+       |  FROM sc GROUP BY 1, 2),
+       |tot AS (SELECT source, SUM(c) AS n FROM h GROUP BY 1),
+       |cum AS (
+       |  SELECT source, b, c,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY b) AS cc
+       |  FROM h),
+       |cut AS (
+       |  SELECT cum.source, MIN(b) AS cutoff_bucket
+       |  FROM cum JOIN tot USING (source)
+       |  WHERE cc * $QDecile >= n
+       |  GROUP BY 1)
+       |SELECT h.source,
+       |  CAST(SUM(c) AS BIGINT) AS n_docs,
+       |  cutoff_bucket,
+       |  CAST(SUM(CASE WHEN b >= cutoff_bucket THEN c ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN b < cutoff_bucket THEN c ELSE 0 END) AS BIGINT)
+       |    AS n_dropped
+       |FROM h JOIN cut ON h.source = cut.source
+       |GROUP BY 1, 3""".stripMargin) { (s, dir) =>
+    val sc = Llm.qualityFeatures(Tables.documents(s, dir), "source")
+      .filter(col("tok") >= 1)
+      .select(col("source"), Llm.qualityScoreCol.as("score"))
+    val h = sc.groupBy(col("source"),
+        floor(col("score") * QBuckets).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val tot = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("b"))
+    val cut = h.withColumn("cc", sum(col("c")).over(wc))
+      .join(tot, "source")
+      .filter(col("cc") * QDecile >= col("n"))
+      .groupBy(col("source")).agg(min(col("b")).as("cutoff_bucket"))
+    h.join(broadcast(cut), "source")
+      .groupBy(col("source"), col("cutoff_bucket"))
+      .agg(sum(col("c")).cast("long").as("n_docs"),
+        sum(when(col("b") >= col("cutoff_bucket"), col("c")).otherwise(0))
+          .cast("long").as("n_kept"),
+        sum(when(col("b") < col("cutoff_bucket"), col("c")).otherwise(0))
+          .cast("long").as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("cutoff_bucket"),
+        col("n_kept"), col("n_dropped"))
+  }
+
+  val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84)
 }

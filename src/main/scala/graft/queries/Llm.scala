@@ -94,7 +94,7 @@ object Llm {
   private val MhBands = 4
   private val MhThreshold = 0.5
 
-  private def minhashOracle: String =
+  private[queries] def minhashOracle: String =
     minhashOracleCand("AND a.doc_id < b.doc_id")
 
   /** The minhash pipeline oracle with a pluggable candidate-join
@@ -143,7 +143,7 @@ SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= $MhThreshold"""
     * intermediate: q23 reports it, q48 clusters over it. Built (and
     * paid for) once per pipeline run, like the materialized pair table
     * a daily dedup pipeline would write. */
-  private def minhashPairsShared(s: org.apache.spark.sql.SparkSession,
+  private[queries] def minhashPairsShared(s: org.apache.spark.sql.SparkSession,
       dir: String) =
     SharedFrames.getOrBuild(SharedFrames.key(s, dir, "minhash_pairs",
         s"$MhShingle:$MhHashes:$MhBands:$MhThreshold")) {
@@ -315,12 +315,12 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxHamming"""
 
   // ------------------------------------------------------------ q27
 
-  private val StopEn = Seq("the", "a", "and", "of", "to")
+  private[queries] val StopEn = Seq("the", "a", "and", "of", "to")
   private val StopDe = Seq("der", "die", "und", "ist")
   private val StopEs = Seq("el", "la", "que", "y")
   private val StopFr = Seq("le", "les", "et", "une")
 
-  private def dHits(set: Seq[String]) = {
+  private[queries] def dHits(set: Seq[String]) = {
     val in = set.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(w, x -> x IN ($in)))"
   }
@@ -363,43 +363,63 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxHamming"""
 
   // ------------------------------------------------------------ q28
 
+  /** DuckDB fragment: the quality score over columns
+    * (tok, stop_hits, chars, punct) — must match [[qualityScoreCol]]
+    * term for term so the double is bit-identical in both engines. */
+  private[queries] val DScore =
+    """0.3 * least(tok / 50.0, 1.0) +
+      |    0.3 * (stop_hits::DOUBLE / tok) +
+      |    0.2 * (1.0 - least(10.0 * punct / greatest(chars, 1), 1.0)) +
+      |    0.2 * least(chars::DOUBLE / tok / 8.0, 1.0)""".stripMargin
+
+  /** Spark twin of [[DScore]] over columns (tok, stop_hits, chars,
+    * punct). */
+  private[queries] def qualityScoreCol: org.apache.spark.sql.Column =
+    lit(0.3) * least(col("tok") / 50.0, lit(1.0)) +
+      lit(0.3) * (col("stop_hits").cast("double") / col("tok")) +
+      lit(0.2) * (lit(1.0) -
+        least(lit(10.0) * col("punct") / greatest(col("chars"), lit(1)),
+          lit(1.0))) +
+      lit(0.2) * least(col("chars").cast("double") / col("tok") / 8.0,
+        lit(1.0))
+
+  /** DuckDB fragment: the (tok, stop_hits, chars, punct) feature frame
+    * keyed by `keyCol`, matching [[qualityFeatures]]. */
+  private[queries] def dQualityFeatures(keyCol: String): String =
+    s"""SELECT $keyCol, len(w) AS tok, ${dHits(StopEn)} AS stop_hits,
+       |    chars, punct
+       |  FROM (
+       |    SELECT $keyCol, $DTokens AS w, length(text) AS chars,
+       |      length(text) -
+       |        length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct
+       |    FROM documents)""".stripMargin
+
+  /** Spark twin of [[dQualityFeatures]]. */
+  private[queries] def qualityFeatures(docs: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    val w = tokens(col("text"))
+    docs.select(col(keyCol),
+      size(w).as("tok"), tokenHits(w, StopEn).as("stop_hits"),
+      length(col("text")).as("chars"), punctChars(col("text")).as("punct"))
+  }
+
   /** Doc quality scoring (length / stopword density / punctuation /
     * word-length features), bucketed histogram per language. The score
     * formula is evaluated identically in both engines, so the double is
     * bit-stable and the floor-bucket never straddles. */
   val q28 = Query(
     "q28_quality_score",
-    s"""WITH t AS (
-       |  SELECT lang, $DTokens AS w, length(text) AS chars,
-       |    length(text) -
-       |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct
-       |  FROM documents),
-       |f AS (
-       |  SELECT lang, len(w) AS tok, ${dHits(StopEn)} AS stop_hits,
-       |    chars, punct
-       |  FROM t),
+    s"""WITH f AS (
+       |  ${dQualityFeatures("lang")}),
        |sc AS (
        |  SELECT lang,
-       |    0.3 * least(tok / 50.0, 1.0) +
-       |    0.3 * (stop_hits::DOUBLE / tok) +
-       |    0.2 * (1.0 - least(10.0 * punct / greatest(chars, 1), 1.0)) +
-       |    0.2 * least(chars::DOUBLE / tok / 8.0, 1.0) AS score
+       |    $DScore AS score
        |  FROM f)
        |SELECT lang, CAST(FLOOR(score * 10) AS BIGINT) AS bucket,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs
        |FROM sc GROUP BY lang, bucket""".stripMargin) { (s, dir) =>
-    val w = tokens(col("text"))
-    val f = Tables.documents(s, dir).select(col("lang"),
-      size(w).as("tok"), tokenHits(w, StopEn).as("stop_hits"),
-      length(col("text")).as("chars"), punctChars(col("text")).as("punct"))
-    f.select(col("lang"),
-        (lit(0.3) * least(col("tok") / 50.0, lit(1.0)) +
-          lit(0.3) * (col("stop_hits").cast("double") / col("tok")) +
-          lit(0.2) * (lit(1.0) -
-            least(lit(10.0) * col("punct") / greatest(col("chars"), lit(1)),
-              lit(1.0))) +
-          lit(0.2) * least(col("chars").cast("double") / col("tok") / 8.0,
-            lit(1.0))).as("score"))
+    qualityFeatures(Tables.documents(s, dir), "lang")
+      .select(col("lang"), qualityScoreCol.as("score"))
       .groupBy(col("lang"), floor(col("score") * 10).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"))
   }

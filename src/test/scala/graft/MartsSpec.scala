@@ -86,6 +86,20 @@ class MartsSpec extends SparkSpec {
     assert(em == gm)
   }
 
+  test("withRunningTotal matches single-partition exclusive window sum") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (i.toLong * 3 % 501, (i % 7 + 1).toLong))
+      .toDF("id", "w") // ids unique but unordered across partitions
+    val expected = df.withColumn("rt",
+      coalesce(sum(col("w")).over(Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val got = Ranking.withRunningTotal(df, col("id").asc, col("w"), "rt", 7)
+    val em = rows(expected)
+      .map(r => r.getLong(0) -> r.getAs[Long]("rt")).toMap
+    val gm = rows(got).map(r => r.getLong(0) -> r.getAs[Long]("rt")).toMap
+    assert(em == gm)
+  }
+
   test("topShare: exact percent-rank cut on distinct values") {
     // values 999 down to 900 -> top 5% of 100 keys = ranks 1..5
     val df = (1 to 100).map(i => (i.toLong, (1000 - i).toDouble))
