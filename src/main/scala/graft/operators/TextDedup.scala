@@ -44,6 +44,23 @@ object TextDedup {
       .drop("n_docs_norm")
   }
 
+  /** Doc ids that LOSE exact (normalized-content) dedup: every member
+    * of a normalized-hash group except its min-id representative. One
+    * map-side-combinable group on the hash + one equi-join back —
+    * never an all-pairs form, and singleton groups are pruned before
+    * the join. */
+  def exactDupLosers(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val hashed = docs.select(col(idCol).as("doc_id"),
+      md5(normText(col(textCol))).as("__h"))
+    val reps = hashed.groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("__m"), count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+    hashed.join(reps, "__h")
+      .filter(col("doc_id") =!= col("__m"))
+      .select(col("doc_id"))
+  }
+
   /** Distinct (doc_id, g) word n-gram shingle ROWS — docs with fewer
     * than `n` words drop out (no shingle, can never pass a Jaccard
     * threshold).

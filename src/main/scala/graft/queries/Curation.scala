@@ -239,6 +239,47 @@ object Curation {
   private val QBuckets = 1000
   private val QDecile = 10
 
+  /** DuckDB CTE block: per-source score histogram + bottom-decile
+    * cutoff bucket from a scored relation `srel`(source, score, ...).
+    * Shared by q84 (summary) and q85 (per-doc manifest). */
+  private def dCutCtes(srel: String): String =
+    s"""h AS (
+       |  SELECT source, CAST(FLOOR(score * $QBuckets) AS BIGINT) AS b,
+       |    COUNT(*) AS c
+       |  FROM $srel GROUP BY 1, 2),
+       |tot AS (SELECT source, SUM(c) AS n FROM h GROUP BY 1),
+       |cum AS (
+       |  SELECT source, b, c,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY b) AS cc
+       |  FROM h),
+       |cut AS (
+       |  SELECT cum.source, MIN(b) AS cutoff_bucket
+       |  FROM cum JOIN tot USING (source)
+       |  WHERE cc * $QDecile >= n
+       |  GROUP BY 1)""".stripMargin
+
+  /** Spark twin of the histogram CTE: (source, b, c). Extra columns in
+    * `scored` are ignored by the grouping. */
+  private def histFrame(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scored.groupBy(col("source"),
+        floor(col("score") * QBuckets).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Spark twin of the tot/cum/cut CTEs: (source, cutoff_bucket). The
+    * window runs over aggregated bucket rows only (≤[[QBuckets]]+1 per
+    * source), never over docs. */
+  private def cutFrame(
+      h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tot = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("b"))
+    h.withColumn("cc", sum(col("c")).over(wc))
+      .join(tot, "source")
+      .filter(col("cc") * QDecile >= col("n"))
+      .groupBy(col("source")).agg(min(col("b")).as("cutoff_bucket"))
+  }
+
   /** Per-source ADAPTIVE quality filtering: drop each source's bottom
     * decile by quality score, with the cut found on a bucketed score
     * histogram (floor(score*1000)) instead of a per-source sort — the
@@ -255,20 +296,7 @@ object Curation {
        |  SELECT source,
        |    ${Llm.DScore} AS score
        |  FROM f WHERE tok >= 1),
-       |h AS (
-       |  SELECT source, CAST(FLOOR(score * $QBuckets) AS BIGINT) AS b,
-       |    COUNT(*) AS c
-       |  FROM sc GROUP BY 1, 2),
-       |tot AS (SELECT source, SUM(c) AS n FROM h GROUP BY 1),
-       |cum AS (
-       |  SELECT source, b, c,
-       |    SUM(c) OVER (PARTITION BY source ORDER BY b) AS cc
-       |  FROM h),
-       |cut AS (
-       |  SELECT cum.source, MIN(b) AS cutoff_bucket
-       |  FROM cum JOIN tot USING (source)
-       |  WHERE cc * $QDecile >= n
-       |  GROUP BY 1)
+       |${dCutCtes("sc")}
        |SELECT h.source,
        |  CAST(SUM(c) AS BIGINT) AS n_docs,
        |  cutoff_bucket,
@@ -281,16 +309,8 @@ object Curation {
     val sc = Llm.qualityFeatures(Tables.documents(s, dir), "source")
       .filter(col("tok") >= 1)
       .select(col("source"), Llm.qualityScoreCol.as("score"))
-    val h = sc.groupBy(col("source"),
-        floor(col("score") * QBuckets).cast("long").as("b"))
-      .agg(count(lit(1)).as("c"))
-    val tot = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("b"))
-    val cut = h.withColumn("cc", sum(col("c")).over(wc))
-      .join(tot, "source")
-      .filter(col("cc") * QDecile >= col("n"))
-      .groupBy(col("source")).agg(min(col("b")).as("cutoff_bucket"))
+    val h = histFrame(sc)
+    val cut = cutFrame(h)
     h.join(broadcast(cut), "source")
       .groupBy(col("source"), col("cutoff_bucket"))
       .agg(sum(col("c")).cast("long").as("n_docs"),
@@ -302,5 +322,101 @@ object Curation {
         col("n_kept"), col("n_dropped"))
   }
 
-  val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84)
+  // ------------------------------------------------------------ q85
+
+  /** The curation MANIFEST — the end product a training-data pipeline
+    * actually ships: one decision per document with a fixed precedence
+    * (exact_dup > near_dup > contaminated > low_quality > keep),
+    * summarized per source. Every signal is a composed, already-proven
+    * sub-pipeline: normalized-hash exact dedup (q22's normalization),
+    * the SHARED verified minhash pair graph's components (q23/q48),
+    * broadcast-probe decontamination (q55), and the per-source
+    * histogram-decile quality cut (q84). Each removal set is keyed by
+    * doc_id with at most one row per doc, so the left joins never fan
+    * out; at 100 TB the manifest is four bounded joins against small
+    * flag sets, not a re-scan per signal. */
+  val q85 = Query(
+    "q85_curation_manifest",
+    s"""WITH nh AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+       |  FROM documents),
+       |ed AS (
+       |  SELECT nh.doc_id FROM nh
+       |  JOIN (SELECT h, MIN(doc_id) AS m, COUNT(*) AS c
+       |        FROM nh GROUP BY h) g USING (h)
+       |  WHERE g.c > 1 AND nh.doc_id != g.m),
+       |nd AS (
+       |  SELECT doc_id FROM (
+       |${Llm.componentsOracle(Llm.minhashOracle)}) cmp
+       |  WHERE doc_id != cluster_id),
+       |ct AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |${Llm.dContamPairs}) cp),
+       |f AS (
+       |  ${Llm.dQualityFeatures("doc_id, source")}),
+       |sc AS (
+       |  SELECT doc_id, source,
+       |    ${Llm.DScore} AS score
+       |  FROM f WHERE tok >= 1),
+       |${dCutCtes("sc")},
+       |lq AS (
+       |  SELECT sb.doc_id FROM (
+       |    SELECT doc_id, source,
+       |      CAST(FLOOR(score * $QBuckets) AS BIGINT) AS b
+       |    FROM sc) sb
+       |  JOIN cut USING (source) WHERE sb.b < cut.cutoff_bucket)
+       |SELECT f.source,
+       |  CASE WHEN ed.doc_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+       |       WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+       |       WHEN lq.doc_id IS NOT NULL THEN 'low_quality'
+       |       ELSE 'keep' END AS decision,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS n_tokens
+       |FROM f
+       |LEFT JOIN ed ON f.doc_id = ed.doc_id
+       |LEFT JOIN nd ON f.doc_id = nd.doc_id
+       |LEFT JOIN ct ON f.doc_id = ct.doc_id
+       |LEFT JOIN lq ON f.doc_id = lq.doc_id
+       |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val feats = Llm.qualityFeatures(docs, "doc_id", "source")
+    val scored = feats.filter(col("tok") >= 1)
+      .select(col("doc_id"), col("source"),
+        Llm.qualityScoreCol.as("score"))
+    val cut = cutFrame(histFrame(scored))
+    val lq = scored
+      .select(col("doc_id"), col("source"),
+        floor(col("score") * QBuckets).cast("long").as("b"))
+      .join(broadcast(cut), "source")
+      .filter(col("b") < col("cutoff_bucket"))
+      .select(col("doc_id"))
+    val ed = TextDedup.exactDupLosers(docs, "doc_id", "text")
+    val nd = TextDedup.dupClusters(Llm.minhashPairsShared(s, dir))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val probes = docs.filter(col("doc_id") % Llm.DcProbeEvery === 0)
+    val ct = TextDedup.contaminationPairs(docs, "doc_id", "text",
+        probes, "doc_id", "text", Llm.DcN, Llm.DcMinShared)
+      .select(col("doc_id")).distinct()
+    def flag(f: org.apache.spark.sql.DataFrame, c: String) =
+      f.withColumn(c, lit(1))
+    feats.select(col("doc_id"), col("source"), col("tok"))
+      .join(flag(ed, "__ed"), Seq("doc_id"), "left")
+      .join(flag(nd, "__nd"), Seq("doc_id"), "left")
+      .join(flag(ct, "__ct"), Seq("doc_id"), "left")
+      .join(flag(lq, "__lq"), Seq("doc_id"), "left")
+      .withColumn("decision",
+        when(col("__ed").isNotNull, lit("exact_dup"))
+          .when(col("__nd").isNotNull, lit("near_dup"))
+          .when(col("__ct").isNotNull, lit("contaminated"))
+          .when(col("__lq").isNotNull, lit("low_quality"))
+          .otherwise(lit("keep")))
+      .groupBy(col("source"), col("decision"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"))
+  }
+
+  val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85)
 }

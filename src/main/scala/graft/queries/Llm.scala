@@ -396,11 +396,12 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxHamming"""
 
   /** Spark twin of [[dQualityFeatures]]. */
   private[queries] def qualityFeatures(docs: org.apache.spark.sql.DataFrame,
-      keyCol: String): org.apache.spark.sql.DataFrame = {
+      keyCols: String*): org.apache.spark.sql.DataFrame = {
     val w = tokens(col("text"))
-    docs.select(col(keyCol),
+    docs.select(keyCols.map(col) ++ Seq(
       size(w).as("tok"), tokenHits(w, StopEn).as("stop_hits"),
-      length(col("text")).as("chars"), punctChars(col("text")).as("punct"))
+      length(col("text")).as("chars"),
+      punctChars(col("text")).as("punct")): _*)
   }
 
   /** Doc quality scoring (length / stopword density / punctuation /
@@ -844,18 +845,14 @@ FROM rec"""
 
   // ------------------------------------------------------------ q55
 
-  private val DcN = 3        // decontamination shingle width (words)
-  private val DcMinShared = 2
-  private val DcProbeEvery = 20
+  private[queries] val DcN = 3  // decontamination shingle width (words)
+  private[queries] val DcMinShared = 2
+  private[queries] val DcProbeEvery = 20
 
-  /** Benchmark decontamination (the training-data op that keeps eval
-    * sets out of the corpus): docs with doc_id % 20 = 0 stand in for
-    * the benchmark set; corpus docs sharing ≥ 3 word 5-grams with any
-    * probe are flagged. The probe gram set is BROADCAST — the corpus
-    * is scanned once and never shuffled for candidates (asymmetric
-    * counterpart to the symmetric inverted-index dedup shapes). */
-  val q55 = Query(
-    "q55_decontamination",
+  /** DuckDB full query: contamination pairs (corpus doc × probe with
+    * ≥ [[DcMinShared]] shared word [[DcN]]-grams) — shared by q55's
+    * summary and q85's manifest so the two cannot drift. */
+  private[queries] def dContamPairs: String =
     s"""WITH toks AS (
        |  SELECT doc_id, $DTokens AS w FROM documents),
        |sh AS (
@@ -866,11 +863,21 @@ FROM rec"""
        |pg AS (
        |  SELECT doc_id AS probe_id, unnest(s) AS gram FROM sh
        |  WHERE doc_id % $DcProbeEvery = 0),
-       |cg AS (SELECT doc_id, unnest(s) AS gram FROM sh),
-       |p AS (
-       |  SELECT cg.doc_id, pg.probe_id, COUNT(*) AS n_shared
-       |  FROM cg JOIN pg USING (gram) WHERE cg.doc_id != pg.probe_id
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= $DcMinShared)
+       |cg AS (SELECT doc_id, unnest(s) AS gram FROM sh)
+       |SELECT cg.doc_id, pg.probe_id, COUNT(*) AS n_shared
+       |FROM cg JOIN pg USING (gram) WHERE cg.doc_id != pg.probe_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $DcMinShared""".stripMargin
+
+  /** Benchmark decontamination (the training-data op that keeps eval
+    * sets out of the corpus): docs with doc_id % 20 = 0 stand in for
+    * the benchmark set; corpus docs sharing ≥ 3 word 5-grams with any
+    * probe are flagged. The probe gram set is BROADCAST — the corpus
+    * is scanned once and never shuffled for candidates (asymmetric
+    * counterpart to the symmetric inverted-index dedup shapes). */
+  val q55 = Query(
+    "q55_decontamination",
+    s"""WITH p AS (
+       |$dContamPairs)
        |SELECT
        |  CAST((SELECT COUNT(*) FROM documents
        |         WHERE doc_id % $DcProbeEvery = 0) AS BIGINT) AS n_probes,

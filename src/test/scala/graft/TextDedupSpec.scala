@@ -46,6 +46,16 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_dup_rows_norm") == 1)
   }
 
+  test("exactDupLosers keeps min-id per normalized group") {
+    val docs = Seq(
+      (5L, "Hello  World"), (2L, "hello world"), (9L, "HELLO WORLD"),
+      (1L, "unique"), (7L, "other"))
+      .toDF("doc_id", "text")
+    val losers = rows(TextDedup.exactDupLosers(docs, "doc_id", "text"))
+      .map(_.getLong(0)).sorted
+    assert(losers == Seq(5L, 9L)) // 2 is the group's min id; singles kept
+  }
+
   test("minhashNearDups recovers a planted near-duplicate pair") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = base.replace("w20", "x20") // 1-word edit
