@@ -196,7 +196,31 @@ object TextDedup {
     * frame — the join shape (the scale-determining part) is identical. */
   def minhashNearDupsIncremental(docs: DataFrame, idCol: String,
       textCol: String, isNew: Column, shingleN: Int, numHashes: Int,
+      bands: Int, threshold: Double): DataFrame =
+    minhashNearDupsIncrementalBy(docs, idCol, textCol,
+      _.withColumn("__new", isNew), shingleN, numHashes, bands, threshold)
+
+  /** [[minhashNearDupsIncremental]] with the batch given as a FRAME
+    * instead of an id predicate — the form a streaming `foreachBatch`
+    * needs, where batch membership is not a pure function of the id.
+    * The corpus is `existing` ∪ `batch`; newness is flagged by an
+    * equi-join against the batch's distinct ids (never a collected id
+    * list). */
+  def minhashNearDupsIncremental(existing: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleN: Int, numHashes: Int,
       bands: Int, threshold: Double): DataFrame = {
+    val combined = existing.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val newIds = batch.select(col(idCol).as("__nid")).distinct()
+    minhashNearDupsIncrementalBy(combined, idCol, textCol,
+      df => df.join(newIds, df("doc_id") === newIds("__nid"), "left")
+        .withColumn("__new", col("__nid").isNotNull).drop("__nid"),
+      shingleN, numHashes, bands, threshold)
+  }
+
+  private def minhashNearDupsIncrementalBy(docs: DataFrame, idCol: String,
+      textCol: String, markNew: DataFrame => DataFrame, shingleN: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = docShingleRows(docs, idCol, textCol, shingleN)
       .transform(InternalCache.persist(_))
@@ -209,7 +233,7 @@ object TextDedup {
     }
     val all = signed.select(col("doc_id"),
         posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
-      .withColumn("__new", isNew)
+      .transform(markNew)
       .transform(InternalCache.persist(_))
     val a = all.filter(col("__new")).select(col("band_id"),
       col("band_key"), col("doc_id").as("doc_a"))

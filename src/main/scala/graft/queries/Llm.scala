@@ -181,6 +181,54 @@ SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= $MhThreshold"""
       MhShingle, MhHashes, MhBands, MhThreshold)
   }
 
+  // ------------------------------------------------------------ q86
+
+  /** q81 AS A STREAM: the same new-doc set (doc_id ≡ 0 mod 10) arrives
+    * as two micro-batch files (≡ 0 and ≡ 10 mod 20) through
+    * `Streaming.incrementalDedupStream` — each batch is near-dedup
+    * checked against the growing corpus state, pairs accumulate across
+    * batches, and the batch joins the state. The oracle is q81's pair
+    * set with unordered (least/greatest) ids: the accumulated stream
+    * output must equal the ONE-SHOT batch answer whatever the
+    * micro-batch arrival order — a cross-batch pair is emitted exactly
+    * once, by whichever of its docs arrives later. */
+  val q86 = Query(
+    "q86_stream_near_dedup",
+    s"""WITH inc AS (
+       |${minhashOracleCand(
+            s"""AND a.doc_id % $IncEvery = 0 AND a.doc_id != b.doc_id
+               |    AND (b.doc_id % $IncEvery != 0 OR a.doc_id < b.doc_id)"""
+              .stripMargin)})
+       |SELECT least(doc_a, doc_b) AS id_a, greatest(doc_a, doc_b) AS id_b,
+       |  jaccard
+       |FROM inc""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val isNewAll = col("doc_id") % IncEvery === 0
+    val tag = math.abs(dir.hashCode).toString
+    val newDir = s"/tmp/graft_stream_dedup_new_$tag"
+    val stateDir = s"/tmp/graft_stream_dedup_state_$tag"
+    val pairsDir = s"/tmp/graft_stream_dedup_pairs_$tag"
+    Seq(newDir, stateDir, pairsDir)
+      .foreach(p => graft.sources.Ingest.deletePath(s, p))
+    docs.filter(!isNewAll).write.parquet(stateDir)
+    docs.filter(col("doc_id") % (IncEvery * 2) === 0)
+      .coalesce(1).write.parquet(newDir)
+    docs.filter(col("doc_id") % (IncEvery * 2) === IncEvery)
+      .coalesce(1).write.mode("append").parquet(newDir)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1) // one day-file per micro-batch
+      .parquet(newDir)
+    val ckpt = "/tmp/graft_stream_dedup_ckpt_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Streaming.incrementalDedupStream(
+      stream, stateDir, pairsDir, ckpt, "doc_id", "text",
+      MhShingle, MhHashes, MhBands, MhThreshold)
+    q.awaitTermination()
+    s.read.parquet(pairsDir)
+      .select(least(col("doc_a"), col("doc_b")).as("id_a"),
+        greatest(col("doc_a"), col("doc_b")).as("id_b"), col("jaccard"))
+  }
+
   // ------------------------------------------------------------ q24
 
   private val TopkEvery = 50
@@ -1037,5 +1085,5 @@ FROM rec"""
   }
 
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81)
+    q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86)
 }

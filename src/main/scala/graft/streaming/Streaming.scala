@@ -161,6 +161,43 @@ object Streaming {
       }
       .start()
 
+  /** Streaming incremental near-dedup — the daily dedup run as a
+    * stream. Each micro-batch of new docs is checked against the
+    * corpus state at `stateDir` through the banded minhash index
+    * (`TextDedup.minhashNearDupsIncremental`'s batch-frame form: no
+    * existing×existing pair is ever generated); the verified pairs
+    * are appended to `pairsDir` and the batch joins the state. Across
+    * batches every unordered near-dup pair touching a new doc is
+    * emitted exactly once — a cross-batch pair appears when its
+    * later-arriving doc is processed, whatever the batch order. At
+    * 100 TB the state is the persisted corpus + band index a daily
+    * pipeline maintains; each batch pays |batch bucket rows| ×
+    * |bucket peers|, never a corpus self-join. */
+  def incrementalDedupStream(newDocs: DataFrame, stateDir: String,
+      pairsDir: String, checkpoint: String, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double, trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sp = batch.sparkSession
+          val state = sp.read.parquet(stateDir)
+          graft.operators.TextDedup.minhashNearDupsIncremental(
+              state, batch, idCol, textCol, shingleN, numHashes, bands,
+              threshold)
+            .write.mode("append").parquet(pairsDir)
+          graft.operators.InternalCache.release()
+          batch.select(state.columns.map(org.apache.spark.sql.functions
+            .col): _*).write.mode("append").parquet(stateDir)
+          ()
+        }
+      }
+      .start()
+
   // ------------------------------------------------- stateful sessions
 
   /** Input/output rows for the stateful sessionizer. Event times

@@ -99,6 +99,26 @@ class TextDedupSpec extends SparkSpec {
     assert(inc.forall(_._1 % 3 == 0))
   }
 
+  test("batch-frame incremental overload equals the predicate form") {
+    val fams = (0 until 4).map(f => (300 to 340).map(i => s"f${f}w$i"))
+    val docs = (0L until 12L).map { id =>
+      val fam = fams((id % 4).toInt)
+      (id, fam.updated(id.toInt / 4, s"p$id").mkString(" "))
+    }.toDF("doc_id", "text")
+    val byPred = rows(TextDedup.minhashNearDups(docs, "doc_id", "text",
+        3, 16, 4, 0.5)).map(r => (r.getLong(0), r.getLong(1)))
+    val split = col("doc_id") % 3 === 0
+    val byFrame = rows(TextDedup.minhashNearDupsIncremental(
+        docs.filter(!split), docs.filter(split), "doc_id", "text",
+        3, 16, 4, 0.5)).map(r => (r.getLong(0), r.getLong(1)))
+    val viaPred = rows(TextDedup.minhashNearDupsIncremental(docs,
+        "doc_id", "text", split, 3, 16, 4, 0.5))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(byFrame.toSet == viaPred.toSet)
+    assert(byFrame.nonEmpty && byFrame.toSet.subsetOf(
+      byPred.flatMap(p => Seq(p, p.swap)).toSet))
+  }
+
   test("simhash: identical docs collide, near-dups are close") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base),
