@@ -393,12 +393,10 @@ object Curation {
       .filter(col("b") < col("cutoff_bucket"))
       .select(col("doc_id"))
     val ed = TextDedup.exactDupLosers(docs, "doc_id", "text")
-    val nd = TextDedup.dupClusters(Llm.minhashPairsShared(s, dir))
+    val nd = Llm.minhashClustersShared(s, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    val probes = docs.filter(col("doc_id") % Llm.DcProbeEvery === 0)
-    val ct = TextDedup.contaminationPairs(docs, "doc_id", "text",
-        probes, "doc_id", "text", Llm.DcN, Llm.DcMinShared)
+    val ct = Llm.contamPairsShared(s, dir)
       .select(col("doc_id")).distinct()
     def flag(f: org.apache.spark.sql.DataFrame, c: String) =
       f.withColumn(c, lit(1))

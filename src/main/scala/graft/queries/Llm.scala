@@ -615,6 +615,15 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
        |SELECT a AS doc_id, MIN(b) AS cluster_id
        |FROM reach GROUP BY a""".stripMargin
 
+  /** The minhash near-dup component labels — SHARED like the pair
+    * graph itself: q48 reports them, q85's manifest consumes them. */
+  private[queries] def minhashClustersShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "minhash_clusters",
+        s"$MhShingle:$MhHashes:$MhBands:$MhThreshold")) {
+      TextDedup.dupClusters(minhashPairsShared(s, dir))
+    }
+
   /** Near-dup clustering: connected components over q23's verified
     * minhash pairs, each doc labeled with its component's min doc id.
     * The oracle computes the same components with a recursive CTE over
@@ -622,7 +631,7 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
   val q48 = Query(
     "q48_dedup_clusters",
     componentsOracle(minhashOracle)) { (s, dir) =>
-    TextDedup.dupClusters(minhashPairsShared(s, dir))
+    minhashClustersShared(s, dir)
   }
 
   // ------------------------------------------------------------ q54
@@ -922,6 +931,18 @@ FROM rec"""
     * probe are flagged. The probe gram set is BROADCAST — the corpus
     * is scanned once and never shuffled for candidates (asymmetric
     * counterpart to the symmetric inverted-index dedup shapes). */
+  /** The verified contamination pair set — SHARED: q55 summarizes it,
+    * q85's manifest flags its corpus docs. */
+  private[queries] def contamPairsShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "contam_pairs",
+        s"$DcN:$DcMinShared:$DcProbeEvery")) {
+      val docs = Tables.documents(s, dir)
+      val probes = docs.filter(col("doc_id") % DcProbeEvery === 0)
+      TextDedup.contaminationPairs(docs, "doc_id", "text", probes,
+        "doc_id", "text", DcN, DcMinShared)
+    }
+
   val q55 = Query(
     "q55_decontamination",
     s"""WITH p AS (
@@ -935,8 +956,7 @@ FROM rec"""
        |FROM p""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val probes = docs.filter(col("doc_id") % DcProbeEvery === 0)
-    val pairs = TextDedup.contaminationPairs(docs, "doc_id", "text",
-      probes, "doc_id", "text", DcN, DcMinShared)
+    val pairs = contamPairsShared(s, dir)
     probes.agg(count(lit(1)).as("n_probes"))
       .crossJoin(pairs.agg(
         countDistinct(col("doc_id")).as("n_contaminated_docs"),
