@@ -71,7 +71,11 @@ object ScaleBench {
     "q22_exact_dedup", "q23_minhash_near_dedup", "q25_simhash_near_dedup",
     "q26_ngram_jaccard", "q27_lang_id", "q28_quality_score",
     "q29_fingerprint_pairs", "q48_dedup_clusters", "q54_dedup_corpus",
-    "q55_decontamination", "q56_hash_split", "q57_training_mix")
+    "q55_decontamination", "q56_hash_split", "q57_training_mix",
+    "q78_repetition_signals", "q79_semantic_dedup", "q80_boilerplate_grams",
+    "q81_incremental_near_dedup", "q82_shard_packing",
+    "q83_cross_source_overlap", "q84_adaptive_quality_filter",
+    "q85_curation_manifest", "q86_stream_near_dedup")
 
   /** ANN with a FIXED query workload (replica 0 queries only): a corpus
     * scale-up grows the indexed side, not the query side — without the

@@ -37,6 +37,19 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("q82: the shard-packing prefix-sum has no unpartitioned window") {
+    val p = plan("q82_shard_packing")
+    // every Window line must carry a partition spec (three bracket
+    // groups: [fns], [partSpec], [orderSpec]) — the PlanLint rule,
+    // locked here for the prefix-sum specifically
+    val bad = p.linesIterator.map(_.replaceFirst("^[-+:*(0-9)\\s]*", ""))
+      .filter(_.startsWith("Window "))
+      .filterNot(_.matches(".*\\], \\[.*\\], \\[.*"))
+      .toList
+    assert(bad.isEmpty, bad.mkString("\n"))
+    assert(p.contains("Window"), p.take(2000)) // the local window exists
+  }
+
   test("q1: filter pushes into the parquet scan, codegen spans exist") {
     // plain toString truncates scan metadata — use the formatted mode
     val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
