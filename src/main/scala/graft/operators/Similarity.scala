@@ -162,6 +162,58 @@ object Similarity {
       .drop((0 until cells).map(m => s"__dot$m"): _*)
   }
 
+  /** Deterministic hash-derived PQ codebook entry: subspace `s`,
+    * centroid `j`, local dim `d` — same [-1, 1] hash family as the
+    * planes/centroids, so the codebook is replayable in plain SQL. */
+  def pqWeights(s: Int, j: Int, subDims: Int): Column =
+    array((0 until subDims).map { d =>
+      ((md5Long(lit(s"pq:$s:$j:$d")) % 1001 - 500).cast("double") / 500.0)
+    }: _*)
+
+  /** First-wins argmin over `cells` distance columns supplied by `d`. */
+  private def argminCell(cells: Int, d: Int => Column): Column =
+    (0 until cells - 1).foldRight(lit(cells - 1): Column) { (m, acc) =>
+      val later = (m + 1 until cells).map(d)
+      val laterMin =
+        if (later.size == 1) later.head else least(later: _*)
+      when(d(m) <= laterMin, lit(m)).otherwise(acc)
+    }
+
+  /** Product quantization: each vector's `dims` components split into
+    * `m` subvectors, each assigned (exact L2², first-wins argmin) to
+    * one of `k` hash-derived codebook centroids for its subspace —
+    * 64 floats compress to `m` small codes, the memory step that makes
+    * billion-vector ANN (IVF+PQ) fit RAM at 100 TB. One codegen'd
+    * linear scan, no shuffle: distances expand to
+    * `vv - 2·(v·c) + (c·c)` with every term a strict left fold
+    * ([[dotF]]), so codes AND reconstruction error are bit-replayable
+    * in the SQL oracle. Returns (vec_id, code0..code{m-1}, err) with
+    * `err` = Σ per-subspace min L2², rounded to 6. */
+  def pqCodes(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, "dims must divide into m subspaces")
+    val sub = dims / m
+    var df = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+    for (s <- 0 until m) {
+      df = df.withColumn(s"__sub$s", slice(col("__v"), s * sub + 1, sub))
+        .withColumn(s"__vv$s", dotF(col(s"__sub$s"), col(s"__sub$s")))
+      for (j <- 0 until k)
+        df = df.withColumn(s"__d${s}_$j",
+          col(s"__vv$s") -
+            lit(2.0) * dotF(col(s"__sub$s"), pqWeights(s, j, sub)) +
+            dotF(pqWeights(s, j, sub), pqWeights(s, j, sub)))
+      df = df
+        .withColumn(s"code$s",
+          argminCell(k, j => col(s"__d${s}_$j")).cast("long"))
+        .withColumn(s"__e$s",
+          least((0 until k).map(j => col(s"__d${s}_$j")): _*))
+    }
+    df.select(col("vec_id") +:
+      (0 until m).map(s => col(s"code$s")) :+
+      round((0 until m).map(s => col(s"__e$s")).reduce(_ + _), 6)
+        .as("err"): _*)
+  }
+
   /** Appends `__probe0..__probe{nProbe-1}` — the top-`nProbe` cells by
     * centroid dot product. Probe i+1 re-runs the same first-wins argmax
     * with all previously chosen cells' dots masked to -1e308, so the

@@ -740,6 +740,79 @@ FROM r WHERE rk <= $IvfK"""
       IvfK, IvfCells, AnnDims)
   }
 
+  // ------------------------------------------------------------ q87
+
+  private val PqM = 4
+  private val PqK = 8
+
+  /** DuckDB fragment: PQ codebook component (subspace s, centroid j,
+    * local dim i-1) — must match `Similarity.pqWeights`. */
+  private def dPqW(s: Int, j: Int) =
+    s"(((('0x' || substr(md5('pq:$s:$j:' || CAST(i - 1 AS VARCHAR)), 1, " +
+      s"15))::BIGINT % 1001) - 500) / 500.0)"
+
+  private def pqOracle: String = {
+    val sub = AnnDims / PqM
+    val subCols = (0 until PqM).map(s =>
+      s"list_slice(e, ${s * sub + 1}, ${(s + 1) * sub}) AS s$s")
+      .mkString(",\n    ")
+    val vvCols = (0 until PqM).map(s =>
+      s"""list_reduce([s$s[i] * s$s[i] for i in range(1, ${sub + 1})],
+         |      (x, y) -> x + y) AS vv$s""".stripMargin)
+      .mkString(",\n    ")
+    val dCols = (for (s <- 0 until PqM; j <- 0 until PqK) yield
+      s"""vv$s - 2 * list_reduce([s$s[i] * ${dPqW(s, j)}
+         |      for i in range(1, ${sub + 1})], (x, y) -> x + y)
+         |    + list_reduce([${dPqW(s, j)} * ${dPqW(s, j)}
+         |      for i in range(1, ${sub + 1})], (x, y) -> x + y) AS d${s}_$j"""
+        .stripMargin).mkString(",\n    ")
+    val codeCols = (0 until PqM).map { s =>
+      val cases = (0 until PqK - 1).map { j =>
+        val later = (j + 1 until PqK).map(x => s"d${s}_$x")
+        val laterMin =
+          if (later.size == 1) later.head
+          else s"least(${later.mkString(", ")})"
+        s"WHEN d${s}_$j <= $laterMin THEN $j"
+      }.mkString("\n         ")
+      s"""CAST(CASE $cases
+         |         ELSE ${PqK - 1} END AS BIGINT) AS code$s""".stripMargin
+    }.mkString(",\n  ")
+    val errSum = (0 until PqM).map(s =>
+      s"least(${(0 until PqK).map(j => s"d${s}_$j").mkString(", ")})")
+      .mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS e
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id,
+       |    $subCols
+       |  FROM v),
+       |vv AS (
+       |  SELECT vec_id, ${(0 until PqM).map(s => s"s$s").mkString(", ")},
+       |    $vvCols
+       |  FROM sv),
+       |dd AS (
+       |  SELECT vec_id,
+       |    $dCols
+       |  FROM vv)
+       |SELECT vec_id,
+       |  $codeCols,
+       |  ROUND($errSum, 6) AS err
+       |FROM dd""".stripMargin
+  }
+
+  /** Product quantization codes + reconstruction error
+    * (`Similarity.pqCodes`): 64-dim float embeddings compressed to 4
+    * codes from 8-entry hash-derived codebooks — the memory step of
+    * IVF+PQ, the architecture that fits billion-vector ANN in RAM. The
+    * whole quantizer (codes AND per-vector L2² error) is replayed by
+    * the oracle, because every distance is a strict-left-fold double
+    * expression. */
+  val q87 = Query("q87_pq_codes", pqOracle) { (s, dir) =>
+    Similarity.pqCodes(Tables.embeddings(s, dir), "vec_id", "embedding",
+      PqM, PqK, AnnDims)
+  }
+
   // ------------------------------------------------------------ q53
 
   /** DuckDB: the Hamming-1 multi-probe variant of q30's LSH oracle —
@@ -1105,5 +1178,5 @@ FROM rec"""
   }
 
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86)
+    q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87)
 }

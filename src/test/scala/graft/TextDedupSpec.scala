@@ -191,6 +191,22 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("pqCodes recovers the codebook entry a vector was built from") {
+    // vector = concat of centroid (s, s+2) per subspace, cast to float
+    val dims = 32; val m = 4; val k = 8; val sub = dims / m
+    val centroidVec = flatten(array((0 until m).map(s =>
+      Similarity.pqWeights(s, s + 2, sub)): _*))
+    val withCv = spark.range(1).select(lit(7L).as("vec_id"),
+        centroidVec.as("__cv"))
+      .select(col("vec_id"),
+        col("__cv").cast("array<float>").as("embedding"))
+    val r = rows(Similarity.pqCodes(withCv, "vec_id", "embedding",
+      m, k, dims)).head
+    for (s <- 0 until m)
+      assert(r.getAs[Long](s"code$s") == s + 2, s"subspace $s")
+    assert(r.getAs[Double]("err") < 1e-10) // only float-cast rounding
+  }
+
   test("TopK aggregator: bounded buffer, exact order, tie-break") {
     val t = new Similarity.TopK(3)
     val xs = Seq(
