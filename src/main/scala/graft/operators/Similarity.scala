@@ -189,13 +189,15 @@ object Similarity {
     * ([[dotF]]), so codes AND reconstruction error are bit-replayable
     * in the SQL oracle. Returns (vec_id, code0..code{m-1}, err) with
     * `err` = Σ per-subspace min L2², rounded to 6. */
-  def pqCodes(vectors: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, dims: Int): DataFrame = {
+  /** Appends `code0..code{m-1}` and `__pqerr` (Σ per-subspace min L2²,
+    * unrounded) to `df`, leaving every other column in place. */
+  def withPqCodes(df0: DataFrame, vecCol: String, m: Int, k: Int,
+      dims: Int): DataFrame = {
     require(dims % m == 0, "dims must divide into m subspaces")
     val sub = dims / m
-    var df = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+    var df = df0
     for (s <- 0 until m) {
-      df = df.withColumn(s"__sub$s", slice(col("__v"), s * sub + 1, sub))
+      df = df.withColumn(s"__sub$s", slice(col(vecCol), s * sub + 1, sub))
         .withColumn(s"__vv$s", dotF(col(s"__sub$s"), col(s"__sub$s")))
       for (j <- 0 until k)
         df = df.withColumn(s"__d${s}_$j",
@@ -208,10 +210,75 @@ object Similarity {
         .withColumn(s"__e$s",
           least((0 until k).map(j => col(s"__d${s}_$j")): _*))
     }
-    df.select(col("vec_id") +:
-      (0 until m).map(s => col(s"code$s")) :+
-      round((0 until m).map(s => col(s"__e$s")).reduce(_ + _), 6)
-        .as("err"): _*)
+    df.withColumn("__pqerr",
+        (0 until m).map(s => col(s"__e$s")).reduce(_ + _))
+      .drop((0 until m).flatMap(s =>
+        Seq(s"__sub$s", s"__vv$s", s"__e$s") ++
+          (0 until k).map(j => s"__d${s}_$j")): _*)
+  }
+
+  def pqCodes(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dims: Int): DataFrame =
+    withPqCodes(
+        vectors.select(col(idCol).as("vec_id"), col(vecCol).as("__v")),
+        "__v", m, k, dims)
+      .select(col("vec_id") +:
+        (0 until m).map(s => col(s"code$s")) :+
+        round(col("__pqerr"), 6).as("err"): _*)
+
+  /** IVF+PQ search — the architecture that makes billion-vector ANN
+    * fit memory: coarse IVF cells prune candidates (equi join, never
+    * all-pairs), and within a cell every candidate is scored by
+    * ASYMMETRIC distance — the query precomputes its `m × k` distance
+    * table to the codebooks, and a candidate costs `m` table lookups
+    * over its codes instead of a `dims`-long scan of the raw vector.
+    * Exact L2² per term (`vv - 2·(v·c) + c·c`, strict left folds), so
+    * ranks AND distances replay in the SQL oracle. Returns
+    * (query_id, rank, neighbor_id, adist), rank 1..`topK` by
+    * (adist asc, id asc), self-matches excluded. */
+  def ivfPqTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      topK: Int, cells: Int, m: Int, codebook: Int, dims: Int)
+      : DataFrame = {
+    val sub = dims / m
+    // compressed index: coarse cell + PQ codes per corpus vector
+    val coded = withPqCodes(
+      withIvfCell(
+        vectors.select(col(idCol).as("vec_id"), col(vecCol).as("__v")),
+        "__v", cells, dims),
+      "__v", m, codebook, dims)
+      .select(col("vec_id") +: col("__cell") +:
+        (0 until m).map(s => col(s"code$s")): _*)
+    // query side: cell probe + the m×k distance table, as m arrays
+    var q = withIvfCell(
+      queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__q")),
+      "__q", cells, dims)
+    for (s <- 0 until m) {
+      q = q.withColumn(s"__qsub$s", slice(col("__q"), s * sub + 1, sub))
+        .withColumn(s"__qvv$s", dotF(col(s"__qsub$s"), col(s"__qsub$s")))
+      for (j <- 0 until codebook)
+        q = q.withColumn(s"__qd${s}_$j",
+          col(s"__qvv$s") -
+            lit(2.0) * dotF(col(s"__qsub$s"), pqWeights(s, j, sub)) +
+            dotF(pqWeights(s, j, sub), pqWeights(s, j, sub)))
+      q = q.withColumn(s"__qd$s",
+        array((0 until codebook).map(j => col(s"__qd${s}_$j")): _*))
+    }
+    val qSel = q.select(col("query_id") +: col("__cell").as("__qcell") +:
+      (0 until m).map(s => col(s"__qd$s")): _*)
+    val adist = (0 until m)
+      .map(s => element_at(col(s"__qd$s"), col(s"code$s").cast("int") + 1))
+      .reduce(_ + _)
+    val scored = coded
+      .join(broadcast(qSel),
+        col("__cell") === col("__qcell") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("id"),
+        (-adist).as("score"))
+    topKPerQuery(scored, topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(-col("cosine"), 6).as("adist"))
   }
 
   /** Appends `__probe0..__probe{nProbe-1}` — the top-`nProbe` cells by

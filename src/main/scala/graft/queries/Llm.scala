@@ -689,18 +689,26 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
   private val IvfCells = 8
   private val IvfK = 3
 
-  private def ivfOracle: String = {
-    val dotCols = (0 until IvfCells).map { m =>
+  /** DuckDB fragments for the IVF coarse-cell assignment — shared by
+    * q49's inverted-file search and q88's IVF+PQ composition. */
+  private def dIvfDotCols: String =
+    (0 until IvfCells).map { m =>
       s"""list_reduce([e[i] * (((('0x' || substr(md5('centroid:$m:' ||
          |      CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 1001) - 500) / 500.0)
          |      for i in range(1, ${AnnDims + 1})], (x, y) -> x + y) AS d$m""".stripMargin
     }.mkString(",\n    ")
-    val cellCase = (0 until IvfCells - 1).map { m =>
+
+  private def dIvfCellCase: String =
+    (0 until IvfCells - 1).map { m =>
       val later = (m + 1 until IvfCells).map(i => s"d$i").mkString(", ")
       val laterMax =
         if (m == IvfCells - 2) later else s"greatest($later)"
       s"WHEN d$m >= $laterMax THEN $m"
     }.mkString("\n         ")
+
+  private def ivfOracle: String = {
+    val dotCols = dIvfDotCols
+    val cellCase = dIvfCellCase
     s"""WITH v AS (
   SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
 b AS (
@@ -751,32 +759,44 @@ FROM r WHERE rk <= $IvfK"""
     s"(((('0x' || substr(md5('pq:$s:$j:' || CAST(i - 1 AS VARCHAR)), 1, " +
       s"15))::BIGINT % 1001) - 500) / 500.0)"
 
-  private def pqOracle: String = {
-    val sub = AnnDims / PqM
-    val subCols = (0 until PqM).map(s =>
-      s"list_slice(e, ${s * sub + 1}, ${(s + 1) * sub}) AS s$s")
+  private def PqSub = AnnDims / PqM
+
+  /** The PQ oracle fragments, parameterized by column-name prefixes so
+    * q87 (codes per corpus vector) and q88 (corpus codes + query
+    * distance tables) share one set of expressions. */
+  private def dPqSubCols(vec: String, p: String): String =
+    (0 until PqM).map(s =>
+      s"list_slice($vec, ${s * PqSub + 1}, ${(s + 1) * PqSub}) AS $p$s")
       .mkString(",\n    ")
-    val vvCols = (0 until PqM).map(s =>
-      s"""list_reduce([s$s[i] * s$s[i] for i in range(1, ${sub + 1})],
-         |      (x, y) -> x + y) AS vv$s""".stripMargin)
+
+  private def dPqVvCols(p: String, o: String): String =
+    (0 until PqM).map(s =>
+      s"""list_reduce([$p$s[i] * $p$s[i] for i in range(1, ${PqSub + 1})],
+         |      (x, y) -> x + y) AS $o$s""".stripMargin)
       .mkString(",\n    ")
-    val dCols = (for (s <- 0 until PqM; j <- 0 until PqK) yield
-      s"""vv$s - 2 * list_reduce([s$s[i] * ${dPqW(s, j)}
-         |      for i in range(1, ${sub + 1})], (x, y) -> x + y)
+
+  private def dPqDCols(p: String, vvp: String, o: String): String =
+    (for (s <- 0 until PqM; j <- 0 until PqK) yield
+      s"""$vvp$s - 2 * list_reduce([$p$s[i] * ${dPqW(s, j)}
+         |      for i in range(1, ${PqSub + 1})], (x, y) -> x + y)
          |    + list_reduce([${dPqW(s, j)} * ${dPqW(s, j)}
-         |      for i in range(1, ${sub + 1})], (x, y) -> x + y) AS d${s}_$j"""
+         |      for i in range(1, ${PqSub + 1})], (x, y) -> x + y) AS $o${s}_$j"""
         .stripMargin).mkString(",\n    ")
-    val codeCols = (0 until PqM).map { s =>
+
+  private def dPqCodeCols(d: String): String =
+    (0 until PqM).map { s =>
       val cases = (0 until PqK - 1).map { j =>
-        val later = (j + 1 until PqK).map(x => s"d${s}_$x")
+        val later = (j + 1 until PqK).map(x => s"$d${s}_$x")
         val laterMin =
           if (later.size == 1) later.head
           else s"least(${later.mkString(", ")})"
-        s"WHEN d${s}_$j <= $laterMin THEN $j"
+        s"WHEN $d${s}_$j <= $laterMin THEN $j"
       }.mkString("\n         ")
       s"""CAST(CASE $cases
          |         ELSE ${PqK - 1} END AS BIGINT) AS code$s""".stripMargin
     }.mkString(",\n  ")
+
+  private def pqOracle: String = {
     val errSum = (0 until PqM).map(s =>
       s"least(${(0 until PqK).map(j => s"d${s}_$j").mkString(", ")})")
       .mkString(" + ")
@@ -785,18 +805,18 @@ FROM r WHERE rk <= $IvfK"""
        |  FROM embeddings),
        |sv AS (
        |  SELECT vec_id,
-       |    $subCols
+       |    ${dPqSubCols("e", "s")}
        |  FROM v),
        |vv AS (
        |  SELECT vec_id, ${(0 until PqM).map(s => s"s$s").mkString(", ")},
-       |    $vvCols
+       |    ${dPqVvCols("s", "vv")}
        |  FROM sv),
        |dd AS (
        |  SELECT vec_id,
-       |    $dCols
+       |    ${dPqDCols("s", "vv", "d")}
        |  FROM vv)
        |SELECT vec_id,
-       |  $codeCols,
+       |  ${dPqCodeCols("d")},
        |  ROUND($errSum, 6) AS err
        |FROM dd""".stripMargin
   }
@@ -811,6 +831,91 @@ FROM r WHERE rk <= $IvfK"""
   val q87 = Query("q87_pq_codes", pqOracle) { (s, dir) =>
     Similarity.pqCodes(Tables.embeddings(s, dir), "vec_id", "embedding",
       PqM, PqK, AnnDims)
+  }
+
+  // ------------------------------------------------------------ q88
+
+  private def ivfPqOracle: String = {
+    val adistSum = (0 until PqM)
+      .map(s => s"qd.qd$s[codes.code$s + 1]").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS e
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, e,
+       |    $dIvfDotCols
+       |  FROM v),
+       |c AS (
+       |  SELECT vec_id, e,
+       |    CASE $dIvfCellCase
+       |         ELSE ${IvfCells - 1} END AS cell
+       |  FROM b),
+       |sv AS (
+       |  SELECT vec_id, cell,
+       |    ${dPqSubCols("e", "s")}
+       |  FROM c),
+       |vv AS (
+       |  SELECT vec_id, cell,
+       |    ${(0 until PqM).map(s => s"s$s").mkString(", ")},
+       |    ${dPqVvCols("s", "vv")}
+       |  FROM sv),
+       |dd AS (
+       |  SELECT vec_id, cell,
+       |    ${dPqDCols("s", "vv", "d")}
+       |  FROM vv),
+       |codes AS (
+       |  SELECT vec_id, cell,
+       |  ${dPqCodeCols("d")}
+       |  FROM dd),
+       |q AS (
+       |  SELECT vec_id AS query_id, e AS qe, cell AS qcell FROM c
+       |  WHERE vec_id % $TopkEvery = 0),
+       |qs AS (
+       |  SELECT query_id, qcell,
+       |    ${dPqSubCols("qe", "p")}
+       |  FROM q),
+       |qv AS (
+       |  SELECT query_id, qcell,
+       |    ${(0 until PqM).map(s => s"p$s").mkString(", ")},
+       |    ${dPqVvCols("p", "pv")}
+       |  FROM qs),
+       |qd0 AS (
+       |  SELECT query_id, qcell,
+       |    ${dPqDCols("p", "pv", "t")}
+       |  FROM qv),
+       |qd AS (
+       |  SELECT query_id, qcell,
+       |    ${(0 until PqM).map(s =>
+             s"[${(0 until PqK).map(j => s"t${s}_$j").mkString(", ")}]" +
+               s" AS qd$s").mkString(",\n    ")}
+       |  FROM qd0),
+       |scored AS (
+       |  SELECT qd.query_id, codes.vec_id AS id,
+       |    $adistSum AS adist
+       |  FROM codes JOIN qd ON codes.cell = qd.qcell
+       |    AND codes.vec_id != qd.query_id),
+       |r AS (
+       |  SELECT query_id, id, adist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, id) AS rk
+       |  FROM scored)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rank, id AS neighbor_id,
+       |  ROUND(adist, 6) AS adist
+       |FROM r WHERE rk <= $IvfK""".stripMargin
+  }
+
+  /** IVF+PQ search end to end (`Similarity.ivfPqTopK`): coarse cells
+    * prune candidates, asymmetric distance scores them — `m` table
+    * lookups per candidate against the query's precomputed `m × k`
+    * distance table, instead of a 64-float scan. The entire compressed
+    * search (cells, codes, distance tables, final ranking AND the
+    * approximate distances themselves) is replayed by the oracle. */
+  val q88 = Query("q88_ivfpq_search", ivfPqOracle) { (s, dir) =>
+    val v = Tables.embeddings(s, dir)
+    val q = v.filter(col("vec_id") % TopkEvery === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfPqTopK(v, "vec_id", "embedding", q, "query_id", "qvec",
+      IvfK, IvfCells, PqM, PqK, AnnDims)
   }
 
   // ------------------------------------------------------------ q53
@@ -1178,5 +1283,5 @@ FROM rec"""
   }
 
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87)
+    q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88)
 }
