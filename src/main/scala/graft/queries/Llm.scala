@@ -1030,9 +1030,12 @@ ivf AS (SELECT query_id, neighbor_id FROM (
 $ivfOracle)),
 ivfm AS (SELECT query_id, neighbor_id FROM (
 $ivfMultiProbeOracle)),
+ivfpq AS (SELECT query_id, neighbor_id FROM (
+$ivfPqOracle)),
 rec AS (
 ${rec("ivf", "ivf", "  ")}
 ${rec("ivf_multiprobe", "ivfm", "  UNION ALL ")}
+${rec("ivf_pq", "ivfpq", "  UNION ALL ")}
 ${rec("lsh", "lsh", "  UNION ALL ")}
 ${rec("lsh_multiprobe", "lshm", "  UNION ALL ")})
 SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
@@ -1047,7 +1050,11 @@ FROM rec"""
     * before anyone trusts it at scale. Both sides are deterministic
     * hash-verified pipelines, so recall itself is oracle-checkable; the
     * multi-probe rows demonstrate the recall lever (more probes →
-    * strictly more candidates → recall never decreases). */
+    * strictly more candidates → recall never decreases). The ivf_pq row
+    * measures the compression cost: with hash-derived (untrained)
+    * codebooks it is deliberately the floor — a trained codebook raises
+    * recall without changing the plan shape, and the measurement is the
+    * point. */
   val q53 = Query("q53_ann_recall", recallOracle) { (s, dir) =>
     import graft.operators.InternalCache
     val v = Tables.embeddings(s, dir)
@@ -1071,6 +1078,9 @@ FROM rec"""
       .unionByName(leg("ivf_multiprobe",
         Similarity.ivfTopKMultiProbe(v, "vec_id", "embedding",
           q, "query_id", "qvec", IvfK, IvfCells, AnnDims, nProbe = 2)))
+      .unionByName(leg("ivf_pq",
+        Similarity.ivfPqTopK(v, "vec_id", "embedding",
+          q, "query_id", "qvec", IvfK, IvfCells, PqM, PqK, AnnDims)))
       .unionByName(leg("lsh", Similarity.lshTopK(v, "vec_id", "embedding",
         q, "query_id", "qvec", AnnK, AnnPlanes, AnnDims)))
       .unionByName(leg("lsh_multiprobe",
