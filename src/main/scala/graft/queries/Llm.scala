@@ -904,6 +904,19 @@ FROM r WHERE rk <= $IvfK"""
        |FROM r WHERE rk <= $IvfK""".stripMargin
   }
 
+  /** The IVF+PQ search result — SHARED: q88 reports it, q53's ivf_pq
+    * recall leg consumes it. */
+  private def ivfPqShared(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "ivfpq",
+        s"$IvfK:$IvfCells:$PqM:$PqK:$AnnDims")) {
+      val v = Tables.embeddings(s, dir)
+      val q = v.filter(col("vec_id") % TopkEvery === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopK(v, "vec_id", "embedding", q, "query_id",
+        "qvec", IvfK, IvfCells, PqM, PqK, AnnDims)
+    }
+
   /** IVF+PQ search end to end (`Similarity.ivfPqTopK`): coarse cells
     * prune candidates, asymmetric distance scores them — `m` table
     * lookups per candidate against the query's precomputed `m × k`
@@ -911,11 +924,7 @@ FROM r WHERE rk <= $IvfK"""
     * search (cells, codes, distance tables, final ranking AND the
     * approximate distances themselves) is replayed by the oracle. */
   val q88 = Query("q88_ivfpq_search", ivfPqOracle) { (s, dir) =>
-    val v = Tables.embeddings(s, dir)
-    val q = v.filter(col("vec_id") % TopkEvery === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    Similarity.ivfPqTopK(v, "vec_id", "embedding", q, "query_id", "qvec",
-      IvfK, IvfCells, PqM, PqK, AnnDims)
+    ivfPqShared(s, dir)
   }
 
   // ------------------------------------------------------------ q53
@@ -1078,9 +1087,7 @@ FROM rec"""
       .unionByName(leg("ivf_multiprobe",
         Similarity.ivfTopKMultiProbe(v, "vec_id", "embedding",
           q, "query_id", "qvec", IvfK, IvfCells, AnnDims, nProbe = 2)))
-      .unionByName(leg("ivf_pq",
-        Similarity.ivfPqTopK(v, "vec_id", "embedding",
-          q, "query_id", "qvec", IvfK, IvfCells, PqM, PqK, AnnDims)))
+      .unionByName(leg("ivf_pq", ivfPqShared(s, dir)))
       .unionByName(leg("lsh", Similarity.lshTopK(v, "vec_id", "embedding",
         q, "query_id", "qvec", AnnK, AnnPlanes, AnnDims)))
       .unionByName(leg("lsh_multiprobe",
