@@ -549,12 +549,21 @@ FROM r WHERE rk <= $AnnK"""
   /** Hyperplane-LSH approximate nearest neighbors: deterministic
     * hash-derived planes → sign buckets → candidates joined within
     * buckets only → exact cosine top-k. The scale path for q24. */
+  /** The LSH search result — SHARED: q30 reports it, q53's lsh recall
+    * leg consumes it. */
+  private def lshShared(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "ann_lsh",
+        s"$AnnK:$AnnPlanes:$AnnDims")) {
+      val v = Tables.embeddings(s, dir)
+      val q = v.filter(col("vec_id") % TopkEvery === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.lshTopK(v, "vec_id", "embedding", q, "query_id", "qvec",
+        AnnK, AnnPlanes, AnnDims)
+    }
+
   val q30 = Query("q30_embedding_ann_lsh", annOracle) { (s, dir) =>
-    val v = Tables.embeddings(s, dir)
-    val q = v.filter(col("vec_id") % TopkEvery === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    Similarity.lshTopK(v, "vec_id", "embedding", q, "query_id", "qvec",
-      AnnK, AnnPlanes, AnnDims)
+    lshShared(s, dir)
   }
 
   // ------------------------------------------------------------ q45
@@ -740,12 +749,21 @@ FROM r WHERE rk <= $IvfK"""
   /** IVF-style ANN: hash-derived coarse centroids, argmax-dot cell
     * assignment, exact cosine top-k within the probed cell — the
     * inverted-file counterpart to q30's hyperplane LSH. */
+  /** The IVF search result — SHARED: q49 reports it, q53's ivf recall
+    * leg consumes it. */
+  private def ivfShared(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "ann_ivf",
+        s"$IvfK:$IvfCells:$AnnDims")) {
+      val v = Tables.embeddings(s, dir)
+      val q = v.filter(col("vec_id") % TopkEvery === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(v, "vec_id", "embedding", q, "query_id", "qvec",
+        IvfK, IvfCells, AnnDims)
+    }
+
   val q49 = Query("q49_embedding_ann_ivf", ivfOracle) { (s, dir) =>
-    val v = Tables.embeddings(s, dir)
-    val q = v.filter(col("vec_id") % TopkEvery === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    Similarity.ivfTopK(v, "vec_id", "embedding", q, "query_id", "qvec",
-      IvfK, IvfCells, AnnDims)
+    ivfShared(s, dir)
   }
 
   // ------------------------------------------------------------ q87
@@ -1082,14 +1100,12 @@ FROM rec"""
           round(col("n_hit").cast("double") / col("n_exact"), 6)
             .as("recall"))
     }
-    leg("ivf", Similarity.ivfTopK(v, "vec_id", "embedding",
-        q, "query_id", "qvec", IvfK, IvfCells, AnnDims))
+    leg("ivf", ivfShared(s, dir))
       .unionByName(leg("ivf_multiprobe",
         Similarity.ivfTopKMultiProbe(v, "vec_id", "embedding",
           q, "query_id", "qvec", IvfK, IvfCells, AnnDims, nProbe = 2)))
       .unionByName(leg("ivf_pq", ivfPqShared(s, dir)))
-      .unionByName(leg("lsh", Similarity.lshTopK(v, "vec_id", "embedding",
-        q, "query_id", "qvec", AnnK, AnnPlanes, AnnDims)))
+      .unionByName(leg("lsh", lshShared(s, dir)))
       .unionByName(leg("lsh_multiprobe",
         Similarity.lshTopKMultiProbe(v, "vec_id", "embedding",
           q, "query_id", "qvec", AnnK, AnnPlanes, AnnDims)))
