@@ -269,14 +269,24 @@ SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= $MhThreshold"""
   /** Brute-force exact cosine top-k: the correctness baseline for
     * similarity search. Query set = every 50th vector (broadcast);
     * top-k per query via the partial-aggregatable TopK Aggregator. */
+  /** The exact brute-force top-[[TopkK]] — SHARED: q24 reports it, and
+    * q53's recall baseline is its rank-prefix (top-3 ⊂ top-5 under the
+    * same (cosine desc, id) order, so the prefix IS the exact top-3). */
+  private def bruteForceShared(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "brute_topk",
+        s"$TopkK:$TopkEvery")) {
+      val v = Tables.embeddings(s, dir)
+      val q = v.filter(col("vec_id") % TopkEvery === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(v, "vec_id", "embedding",
+        q, "query_id", "qvec", TopkK)
+    }
+
   val q24 = Query(
     "q24_embedding_topk",
     bruteForceOracle(TopkK)) { (s, dir) =>
-    val v = Tables.embeddings(s, dir)
-    val q = v.filter(col("vec_id") % TopkEvery === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    Similarity.bruteForceTopK(v, "vec_id", "embedding",
-      q, "query_id", "qvec", TopkK)
+    bruteForceShared(s, dir)
   }
 
   // ------------------------------------------------------------ q25
@@ -1088,8 +1098,8 @@ FROM rec"""
     val q = v.filter(col("vec_id") % TopkEvery === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val exact = InternalCache.persist(
-      Similarity.bruteForceTopK(v, "vec_id", "embedding",
-        q, "query_id", "qvec", IvfK)
+      bruteForceShared(s, dir)
+        .filter(col("rank") <= IvfK)
         .select("query_id", "neighbor_id"))
     def leg(method: String, approx: org.apache.spark.sql.DataFrame) = {
       val hit = exact.join(approx.select("query_id", "neighbor_id"),
