@@ -416,5 +416,55 @@ object Curation {
         sum(col("tok")).cast("long").as("n_tokens"))
   }
 
-  val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85)
+  // ------------------------------------------------------------ q89
+
+  private val MixBudget = 1000000L // target corpus size in ws tokens
+
+  /** Temperature-weighted mixture sampling (the `n^α` reweighting the
+    * data-mixture literature uses to up-sample small sources; α = 0.5
+    * here, i.e. sqrt): per-source token counts → weight
+    * `√n_i / Σ √n_j` → integer token target for a fixed budget. The
+    * denominator is a DOUBLE sum over sources, which a plain aggregate
+    * would make partitioning-order-dependent — so both engines fold the
+    * SAME sorted list (collect per-source counts, sort by source,
+    * strict left fold), the deterministic-reduction pattern for
+    * small-group double sums. The mixture table is inherently tiny
+    * (one row per source), so the single-row collect is bounded by
+    * contract, not by luck. */
+  val q89 = Query(
+    "q89_temperature_mix",
+    s"""WITH c AS (
+       |  SELECT source, CAST(SUM(len($DTokens)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |d AS (
+       |  SELECT list_reduce(
+       |    [sqrt(x.n_tokens::DOUBLE) for x in
+       |     list_sort(list(struct_pack(source := source,
+       |                                n_tokens := n_tokens)))],
+       |    (a, b) -> a + b) AS denom
+       |  FROM c)
+       |SELECT source, n_tokens,
+       |  ROUND(sqrt(n_tokens::DOUBLE) / denom, 6) AS weight,
+       |  CAST(FLOOR(sqrt(n_tokens::DOUBLE) / denom * $MixBudget.0)
+       |    AS BIGINT) AS target_tokens
+       |FROM c, d""".stripMargin) { (s, dir) =>
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(graft.functions.Functions.tokens(col("text"))))
+        .cast("long").as("n_tokens"))
+    val denom = counts.agg(
+      aggregate(
+        sort_array(collect_list(struct(col("source"), col("n_tokens")))),
+        lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n_tokens").cast("double")))
+        .as("denom"))
+    counts.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast("double")) / col("denom"), 6)
+          .as("weight"),
+        floor(sqrt(col("n_tokens").cast("double")) / col("denom") *
+          lit(MixBudget.toDouble)).cast("long").as("target_tokens"))
+  }
+
+  val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85, q89)
 }

@@ -759,19 +759,26 @@ object Pipeline {
     * `percentile` materializes every group's values (memory-bound at
     * scale); `approx_percentile` (KLL/GK-style sketch) is bounded-state
     * and mergeable. Sketches are engine-specific, so the checked
-    * contract is the q39 pattern: the approximation must land within
-    * 1% relative error of the exact value, verified IN-ENGINE and
-    * surfaced as booleans the oracle expects to be TRUE. */
+    * contract is the q39 pattern, stated in RANK space (the sketch's
+    * actual guarantee — a value-ratio tolerance breaks on sparse small
+    * groups where adjacent data values sit >1% apart): the approximate
+    * p-th percentile must lie between the exact (p-1)th and (p+1)th
+    * percentiles, verified IN-ENGINE and surfaced as booleans the
+    * oracle expects to be TRUE. accuracy=1000 bounds rank error at
+    * ~0.1% of the group plus compression slack, well inside the
+    * 1-percentile-point window at every scale. */
   val q61 = Query(
     "q61_approx_percentiles",
     """SELECT o_orderstatus,
       |  TRUE AS p50_within_tol, TRUE AS p95_within_tol,
       |  CAST(COUNT(*) AS BIGINT) AS n_orders
       |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
-    def withinTol(p: Double, name: String) =
-      (abs(expr(s"approx_percentile(o_totalprice, $p, 1000)") -
-        expr(s"percentile(o_totalprice, $p)")) /
-        expr(s"percentile(o_totalprice, $p)") < 0.01).as(name)
+    def withinTol(p: Double, name: String) = {
+      val approx = expr(s"approx_percentile(o_totalprice, $p, 1000)")
+      val lo = expr(s"percentile(o_totalprice, ${p - 0.01})")
+      val hi = expr(s"percentile(o_totalprice, ${math.min(p + 0.01, 1.0)})")
+      (approx >= lo && approx <= hi).as(name)
+    }
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
       .agg(withinTol(0.5, "p50_within_tol"),
