@@ -268,5 +268,224 @@ object Prep {
         col("n_cross_split_pairs"))
   }
 
-  val all: Seq[Query] = Seq(q90, q91, q92)
+  // ------------------------------------------------------------ q93
+
+  private val ChunkC = 32 // context window: tokens per chunk
+  private val ChunkS = 24 // stride (overlap = ChunkC - ChunkS)
+
+  /** Context-window chunking: cut every document into [[ChunkC]]-token
+    * windows advancing by [[ChunkS]] (the long-doc → training-sequence
+    * pass; the overlap keeps context across window boundaries). The
+    * whole pass is ROW-LOCAL — chunk counts, per-chunk token sums, and
+    * the ordered chunk-concat hash are all higher-order functions over
+    * the token array, so the only shuffle is the final per-source
+    * rollup. The per-doc chunk stream is summarized by an
+    * order-independent `bit_xor` of per-doc md5s, which verifies every
+    * chunk boundary and every chunk's text without materializing chunk
+    * rows. At 100 TB: a map-combinable aggregate over one corpus scan;
+    * no joins, no windows. */
+  val q93 = Query(
+    "q93_context_chunks",
+    s"""WITH t AS (
+       |  SELECT doc_id, source, $DTokens AS w FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, len(w) AS tok, w,
+       |    CASE WHEN len(w) <= $ChunkC THEN 1
+       |         ELSE (len(w) - $ChunkC + $ChunkS - 1) // $ChunkS + 1 END
+       |      AS n_chunks
+       |  FROM t),
+       |x AS (
+       |  SELECT doc_id, source, tok, n_chunks,
+       |    list_sum([len(list_slice(w, i*$ChunkS + 1, i*$ChunkS + $ChunkC))
+       |      for i in range(0, n_chunks)]) AS chunk_tok,
+       |    array_to_string(
+       |      [array_to_string(
+       |         list_slice(w, i*$ChunkS + 1, i*$ChunkS + $ChunkC), ' ')
+       |       for i in range(0, n_chunks)], '|') AS cc
+       |  FROM c)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+       |  CAST(SUM(chunk_tok) AS BIGINT) AS total_chunk_tokens,
+       |  CAST(bit_xor(${dHash64("cc")}) AS BIGINT) AS chunks_checksum
+       |FROM x GROUP BY source""".stripMargin) { (s, dir) =>
+    val c = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
+      .withColumn("tok", size(col("w")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("tok") <= ChunkC, lit(1L))
+          .otherwise(floor((col("tok") - ChunkC + ChunkS - 1) /
+            lit(ChunkS.toDouble)) + 1L).cast("long"))
+    val x = c
+      .withColumn("__chunks",
+        transform(sequence(lit(0L), col("n_chunks") - 1),
+          i => slice(col("w"), (i * ChunkS + 1).cast("int"), lit(ChunkC))))
+      .select(col("source"), col("tok"), col("n_chunks"),
+        aggregate(col("__chunks"), lit(0L),
+          (acc, ch) => acc + size(ch)).as("chunk_tok"),
+        md5Long(array_join(
+          transform(col("__chunks"), ch => array_join(ch, " ")),
+          "|")).as("__h"))
+    x.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("total_tokens"),
+        sum(col("n_chunks")).cast("long").as("total_chunks"),
+        sum(col("chunk_tok")).cast("long").as("total_chunk_tokens"),
+        expr("bit_xor(__h)").cast("long").as("chunks_checksum"))
+  }
+
+  // ------------------------------------------------------------ q94
+
+  /** Corpus-trained bigram-LM quality bucketing (the CCNet shape: score
+    * every document by the perplexity of an in-domain LM, then bucket
+    * head/tail around the per-language mean). The LM is add-one-
+    * smoothed `p(w2|w1) = (c12+1)/(c1+V)` trained on the corpus itself;
+    * a document's score is its mean negative log-likelihood per bigram.
+    * Scale shape: the LM tables are vocabulary-sized (broadcast), so
+    * the corpus bigram stream is scanned once, joined only against
+    * broadcasts, and reduced per doc — no corpus-sized shuffle beyond
+    * the per-doc groupBy. Determinism contract: per-doc scores are
+    * rounded to 6 dp BEFORE the bucket comparison and the per-language
+    * mean is computed over the rounded scores, so both engines compare
+    * identical doubles (the raw sums agree to ~1e-13; ln() ulps wash
+    * out at 6 dp). */
+  val q94 = Query(
+    "q94_lm_quality_buckets",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $DTokens AS w FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang, unnest(
+       |    [struct_pack(w1 := w[i], w2 := w[i+1])
+       |     for i in range(1, len(w))], recursive := true)
+       |  FROM t WHERE len(w) >= 2),
+       |bc AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM r GROUP BY 1,2,3),
+       |uc AS (SELECT lang, w1, COUNT(*) AS c1 FROM r GROUP BY 1,2),
+       |vc AS (SELECT lang, COUNT(DISTINCT x) AS v FROM (
+       |  SELECT lang, unnest(w) AS x FROM t) GROUP BY 1),
+       |lp AS (
+       |  SELECT lang, w1, w2, ln((c12 + 1.0)/(c1 + v)) AS lp
+       |  FROM bc JOIN uc USING (lang, w1) JOIN vc USING (lang)),
+       |pd AS (
+       |  SELECT doc_id, lang, COUNT(*) AS nb,
+       |    ROUND(-SUM(lp)/COUNT(*), 6) AS nll
+       |  FROM r JOIN lp USING (lang, w1, w2) GROUP BY 1,2),
+       |la AS (SELECT lang, ROUND(AVG(nll), 6) AS a FROM pd GROUP BY 1)
+       |SELECT lang,
+       |  CASE WHEN nll <= a THEN 'head' ELSE 'tail' END AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(nb) AS BIGINT) AS total_bigrams,
+       |  ROUND(AVG(nll), 6) AS avg_nll
+       |FROM pd JOIN la USING (lang) GROUP BY 1,2""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+    val r = t.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = r.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uc = r.groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c1"))
+    val vc = t.select(col("lang"), explode(col("w")).as("x"))
+      .groupBy(col("lang")).agg(countDistinct(col("x")).as("v"))
+    val lp = bc.join(uc, Seq("lang", "w1")).join(vc, Seq("lang"))
+      .select(col("lang"), col("w1"), col("w2"),
+        log((col("c12") + lit(1)).cast("double") / (col("c1") + col("v")))
+          .as("lp"))
+    val pd = r.join(broadcast(lp), Seq("lang", "w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("nb"),
+        round(-sum(col("lp")) / count(lit(1)), 6).as("nll"))
+    val la = pd.groupBy(col("lang")).agg(round(avg(col("nll")), 6).as("a"))
+    pd.join(broadcast(la), Seq("lang"))
+      .groupBy(col("lang"),
+        when(col("nll") <= col("a"), "head").otherwise("tail").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).cast("long").as("total_bigrams"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+  }
+
+  // ------------------------------------------------------------ q95
+
+  private val DsirB = 64 // hashed-feature buckets
+  private val DsirTarget = "src0" // the target-domain sample
+  private val DsirK = 20 // selection size
+
+  /** DSIR-style importance reweighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): model
+    * the target domain (here the [[DsirTarget]] source) and the raw
+    * pool as smoothed distributions over [[DsirB]] HASHED unigram
+    * buckets, weight every raw document by its mean per-token
+    * log-likelihood ratio, and select the top [[DsirK]]. The bucket
+    * tables are feature-sized (broadcast); the corpus token stream is
+    * scanned once; the global top-K runs through the distributed
+    * [[Ranking]] operator — no unpartitioned window. Ordering is total
+    * (rounded weight desc, doc_id asc), so ranks are engine-exact. */
+  val q95 = Query(
+    "q95_dsir_weights",
+    s"""WITH t AS (
+       |  SELECT doc_id, source, lang, unnest($DTokens) AS word
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, source, lang, ${dHash64("word")} % $DsirB AS bk
+       |  FROM t),
+       |tg AS (SELECT bk, COUNT(*) AS tb FROM b
+       |  WHERE source = '$DsirTarget' GROUP BY 1),
+       |rw AS (SELECT bk, COUNT(*) AS rb FROM b GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS raw_tot,
+       |  SUM(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS tgt_tot
+       |  FROM b),
+       |lam AS (
+       |  SELECT bk,
+       |    ln((COALESCE(tb, 0) + 1.0)/(tgt_tot + $DsirB)) -
+       |    ln((rb + 1.0)/(raw_tot + $DsirB)) AS lam
+       |  FROM rw LEFT JOIN tg USING (bk), tot),
+       |pd AS (
+       |  SELECT doc_id, source, lang, COUNT(*) AS n_tokens,
+       |    ROUND(SUM(lam)/COUNT(*), 6) AS weight
+       |  FROM b JOIN lam USING (bk)
+       |  WHERE source != '$DsirTarget' GROUP BY 1,2,3)
+       |SELECT * FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id)
+       |      AS BIGINT) AS rank,
+       |    doc_id, source, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    weight
+       |  FROM pd)
+       |WHERE rank <= $DsirK""".stripMargin) { (s, dir) =>
+    val b = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(tokens(col("text"))).as("word"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        pmod(md5Long(col("word")), lit(DsirB.toLong)).as("bk"))
+    val tg = b.filter(col("source") === DsirTarget)
+      .groupBy(col("bk")).agg(count(lit(1)).as("tb"))
+    val rw = b.groupBy(col("bk")).agg(count(lit(1)).as("rb"))
+    val tot = b.agg(count(lit(1)).as("raw_tot"),
+      sum(when(col("source") === DsirTarget, 1).otherwise(0)).cast("long")
+        .as("tgt_tot"))
+    val lam = rw.join(tg, Seq("bk"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bk"),
+        (log((coalesce(col("tb"), lit(0L)) + lit(1)).cast("double") /
+          (col("tgt_tot") + DsirB)) -
+          log((col("rb") + lit(1)).cast("double") /
+            (col("raw_tot") + DsirB))).as("lam"))
+    val pd = b.filter(col("source") =!= DsirTarget)
+      .join(broadcast(lam), Seq("bk"))
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lam")) / count(lit(1)), 6).as("weight"))
+    Ranking.withGlobalRank(pd,
+      struct((col("weight") * -1).as("nw"), col("doc_id").as("d")).asc,
+      "rank")
+      .filter(col("rank") <= DsirK)
+      .select(col("rank"), col("doc_id"), col("source"), col("lang"),
+        col("n_tokens").cast("long").as("n_tokens"), col("weight"))
+  }
+
+  val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95)
 }
