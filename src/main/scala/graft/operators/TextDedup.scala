@@ -109,24 +109,30 @@ object TextDedup {
           min(col("h1") + lit(i.toLong) * col("h2")).as(s"__sig$i")): _*)
   }
 
-  /** Banded-LSH candidate pairs: signatures are split into `bands`
-    * groups of `rowsPerBand`, each hashed to a bucket key; two docs are
-    * candidates iff they share a bucket in ANY band. The pair join runs
-    * within buckets only — never across the corpus.
-    *
-    * One `posexplode` emits all band rows in a single pass (a per-band
-    * union would recompute the signature pipeline per leg), and the
-    * small (doc × bands)-row frame is persisted because the self-join
-    * reads it twice. */
-  def lshCandidates(signed: DataFrame, bands: Int, rowsPerBand: Int)
+  /** Banded signature rows `(doc_id, band_id, band_key)`: signatures
+    * split into `bands` groups of `rowsPerBand`, each hashed to a
+    * bucket key. One `posexplode` emits all band rows in a single pass
+    * (a per-band union would recompute the signature pipeline per
+    * leg). Shared by the candidate join and the signature-only
+    * dup-rate estimator. */
+  def lshBandRows(signed: DataFrame, bands: Int, rowsPerBand: Int)
       : DataFrame = {
     val bandKeys = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col(s"__sig$i"))
       md5(concat_ws("|", cols: _*))
     }
-    val all = signed.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+    signed.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+  }
+
+  /** Banded-LSH candidate pairs: two docs are candidates iff they share
+    * a bucket in ANY band. The pair join runs within buckets only —
+    * never across the corpus. The small (doc × bands)-row frame is
+    * persisted because the self-join reads it twice. */
+  def lshCandidates(signed: DataFrame, bands: Int, rowsPerBand: Int)
+      : DataFrame = {
+    val all = lshBandRows(signed, bands, rowsPerBand)
       .transform(InternalCache.persist(_))
     val a = all.select(col("band_id"), col("band_key"),
       col("doc_id").as("doc_a"))

@@ -97,10 +97,9 @@ object Llm {
   private[queries] def minhashOracle: String =
     minhashOracleCand("AND a.doc_id < b.doc_id")
 
-  /** The minhash pipeline oracle with a pluggable candidate-join
-    * predicate (q23 uses the canonical a<b; q81's incremental variant
-    * restricts the left side to the new batch). */
-  private def minhashOracleCand(candPred: String): String = {
+  /** The shared CTE prefix of every minhash oracle: tokens → distinct
+    * shingle sets → Carter-Wegman signatures → banded bucket keys. */
+  private def minhashBandsCtes: String = {
     val r = MhHashes / MhBands
     // Carter-Wegman family: member i = h1 + i * (h2 mod 2^50) — must
     // match TextDedup.withMinhashSignature exactly
@@ -123,7 +122,14 @@ sh AS (
 sig AS (
   SELECT doc_id, s, $sigs FROM sh),
 bands AS (
-  $bandLegs),
+  $bandLegs)"""
+  }
+
+  /** The minhash pipeline oracle with a pluggable candidate-join
+    * predicate (q23 uses the canonical a<b; q81's incremental variant
+    * restricts the left side to the new batch). */
+  private def minhashOracleCand(candPred: String): String = {
+    s"""$minhashBandsCtes,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -1325,6 +1331,47 @@ FROM rec"""
           .otherwise(0)).cast("long").as("kept_tokens"))
   }
 
+  // ------------------------------------------------------------ q96
+
+  /** Signature-only dup-rate estimation: per-band bucket-occupancy
+    * statistics of the banded minhash index — the cost/selectivity
+    * estimate to run BEFORE committing to the candidate pair join at
+    * 100 TB. `collision_pairs` (Σ n·(n−1)/2 over buckets) is exactly
+    * the number of within-bucket pairs q23's join would generate in
+    * that band (before cross-band dedup), and `max_bucket` exposes hot
+    * buckets (the skew guard). Everything is an integer aggregate over
+    * the (doc × bands)-row frame — the shingle sets never leave the
+    * signature stage and the pair join never runs. */
+  val q96 = Query(
+    "q96_dup_rate_estimate",
+    s"""$minhashBandsCtes,
+g AS (
+  SELECT band_id, band_key, COUNT(*) AS n FROM bands GROUP BY 1, 2)
+SELECT band_id,
+  CAST(SUM(n) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_multi_buckets,
+  CAST(MAX(n) AS BIGINT) AS max_bucket,
+  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS collision_pairs
+FROM g GROUP BY band_id""") { (s, dir) =>
+    val rows = TextDedup.docShingleRows(Tables.documents(s, dir),
+      "doc_id", "text", MhShingle)
+    val signed = TextDedup.minhashSignatures(rows, MhHashes)
+    val g = TextDedup.lshBandRows(signed, MhBands, MhHashes / MhBands)
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+    g.groupBy(col("band_id"))
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("n") > 1, 1).otherwise(0)).cast("long")
+          .as("n_multi_buckets"),
+        max(col("n")).cast("long").as("max_bucket"),
+        sum((col("n") * (col("n") - 1) / 2).cast("long")).cast("long")
+          .as("collision_pairs"))
+  }
+
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88)
+    q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88,
+    q96)
 }
