@@ -50,6 +50,31 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(2000)) // the local window exists
   }
 
+  test("q93: chunking is row-local — no joins, no windows, one shuffle") {
+    val p = plan("q93_context_chunks")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // the per-source rollup is the ONLY exchange (AQE may add a final
+    // coalesce read, but no second shuffle boundary)
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"$shuffles shuffles:\n${p.take(2000)}")
+  }
+
+  test("q94/q95: LM and DSIR tables broadcast — the corpus token " +
+      "stream never sort-merge-joins") {
+    for (q <- Seq("q94_lm_quality_buckets", "q95_dsir_weights")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q:\n${p.take(2000)}")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
+  test("q96: the estimator never runs the pair join or touches " +
+      "shingle arrays past the signature stage") {
+    val p = plan("q96_dup_rate_estimate")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("q1: filter pushes into the parquet scan, codegen spans exist") {
     // plain toString truncates scan metadata — use the formatted mode
     val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
