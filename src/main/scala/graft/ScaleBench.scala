@@ -75,7 +75,10 @@ object ScaleBench {
     "q78_repetition_signals", "q79_semantic_dedup", "q80_boilerplate_grams",
     "q81_incremental_near_dedup", "q82_shard_packing",
     "q83_cross_source_overlap", "q84_adaptive_quality_filter",
-    "q85_curation_manifest", "q86_stream_near_dedup", "q87_pq_codes")
+    "q85_curation_manifest", "q86_stream_near_dedup", "q87_pq_codes",
+    "q90_span_boilerplate_removal", "q91_vocab_coverage",
+    "q92_leakage_safe_split", "q93_context_chunks",
+    "q94_lm_quality_buckets", "q95_dsir_weights", "q96_dup_rate_estimate")
 
   /** ANN with a FIXED query workload (replica 0 queries only): a corpus
     * scale-up grows the indexed side, not the query side — without the

@@ -128,7 +128,13 @@ bands AS (
   /** The minhash pipeline oracle with a pluggable candidate-join
     * predicate (q23 uses the canonical a<b; q81's incremental variant
     * restricts the left side to the new batch). */
-  private def minhashOracleCand(candPred: String): String = {
+  private def minhashOracleCand(candPred: String): String =
+    s"""${minhashJacCtes(candPred)}
+SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= $MhThreshold"""
+
+  /** CTE prefix through the exact-Jaccard verification of every
+    * candidate pair (unthresholded — consumers filter `j`). */
+  private def minhashJacCtes(candPred: String): String = {
     s"""$minhashBandsCtes,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -141,8 +147,7 @@ jac AS (
       len(list_distinct(list_concat(x.s, y.s)))::DOUBLE AS j
   FROM cand c
   JOIN sh x ON x.doc_id = c.doc_a
-  JOIN sh y ON y.doc_id = c.doc_b)
-SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= $MhThreshold"""
+  JOIN sh y ON y.doc_id = c.doc_b)"""
   }
 
   /** The verified minhash near-dup pair graph — a SHARED materialized
@@ -1371,7 +1376,46 @@ FROM g GROUP BY band_id""") { (s, dir) =>
           .as("collision_pairs"))
   }
 
+  // ------------------------------------------------------------ q97
+
+  /** Verified-Jaccard histogram over ALL candidate pairs (threshold 0):
+    * the threshold-tuning table — where q23's 0.5 cutoff actually
+    * lands in the candidate similarity distribution. Zero-overlap
+    * candidates (possible only via full-band hash collisions) have no
+    * shared-gram rows and are excluded on both engines (`j > 0`).
+    * Buckets compare the 6-dp ROUNDED Jaccard on both sides, so bucket
+    * boundaries are engine-exact. Costs one unthresholded verify pass
+    * over the same bucket-bounded candidates as q23 — nothing here is
+    * corpus-quadratic. */
+  val q97 = Query(
+    "q97_jaccard_histogram",
+    s"""${minhashJacCtes("AND a.doc_id < b.doc_id")},
+h AS (
+  SELECT CAST(floor(ROUND(j, 6) * 10) AS BIGINT) AS bucket,
+    ROUND(j, 6) AS jr
+  FROM jac WHERE j > 0)
+SELECT bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND(AVG(jr), 6) AS avg_jaccard,
+  ROUND(MIN(jr), 6) AS min_jaccard,
+  ROUND(MAX(jr), 6) AS max_jaccard
+FROM h GROUP BY bucket""") { (s, dir) =>
+    val pairs = SharedFrames.getOrBuild(SharedFrames.key(s, dir,
+        "minhash_pairs_all", s"$MhShingle:$MhHashes:$MhBands:0.0")) {
+      TextDedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        MhShingle, MhHashes, MhBands, 0.0)
+    }
+    pairs
+      .select(floor(col("jaccard") * 10).cast("long").as("bucket"),
+        col("jaccard").as("jr"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jr")), 6).as("avg_jaccard"),
+        round(min(col("jr")), 6).as("min_jaccard"),
+        round(max(col("jr")), 6).as("max_jaccard"))
+  }
+
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88,
-    q96)
+    q96, q97)
 }
