@@ -168,7 +168,18 @@ object TextDedup {
     * shuffling shingle arrays. `rows` must be the (doc_id, g) distinct
     * gram rows of every doc appearing in `cand`. */
   private def verifyJaccard(cand: DataFrame, rows: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    verifyJaccardAll(cand, rows)
+      .filter(col("jraw") >= threshold)
+      .drop("jraw")
+
+  /** Unthresholded verification: every candidate pair with ≥1 shared
+    * gram, carrying BOTH the raw Jaccard (`jraw` — filter on this;
+    * `jraw >= t` is the same comparison the thresholded path makes) and
+    * the 6-dp presentation value (`jaccard`). Lets one verify pass
+    * serve every threshold downstream. */
+  private def verifyJaccardAll(cand: DataFrame, rows: DataFrame)
+      : DataFrame = {
     val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = rows.select(col("doc_id").as("doc_a"), col("g"))
     val b = rows.select(col("doc_id").as("doc_b"), col("g"))
@@ -182,8 +193,20 @@ object TextDedup {
         Map("doc_id" -> "doc_b", "sz" -> "sz_b")), "doc_b")
       .withColumn("__jac", col("ovl").cast("double") /
         (col("sz_a") + col("sz_b") - col("ovl")).cast("double"))
-      .filter(col("__jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("__jac"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("__jac").as("jraw"),
+        round(col("__jac"), 6).as("jaccard"))
+  }
+
+  /** [[minhashNearDups]] without the threshold: the full verified
+    * candidate-pair frame (jraw + jaccard) — build once, filter many. */
+  def minhashNearDupsAll(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = docShingleRows(docs, idCol, textCol, shingleN)
+      .transform(InternalCache.persist(_))
+    val signed = minhashSignatures(rows, numHashes)
+    val cand = lshCandidates(signed, bands, numHashes / bands)
+    verifyJaccardAll(cand, rows)
   }
 
   /** Incremental near-dedup: the daily-run shape. A NEW batch of docs

@@ -150,17 +150,28 @@ jac AS (
   JOIN sh y ON y.doc_id = c.doc_b)"""
   }
 
+  /** The UNTHRESHOLDED verified candidate-pair frame (jraw + jaccard) —
+    * the one expensive minhash build, SHARED: q23/q48/q83/q85/q92 read
+    * it through the [[minhashPairsShared]] filter and q97's histogram
+    * reads it whole. */
+  private[queries] def minhashPairsAllShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "minhash_pairs_all",
+        s"$MhShingle:$MhHashes:$MhBands")) {
+      TextDedup.minhashNearDupsAll(Tables.documents(s, dir), "doc_id",
+        "text", MhShingle, MhHashes, MhBands)
+    }
+
   /** The verified minhash near-dup pair graph — a SHARED materialized
-    * intermediate: q23 reports it, q48 clusters over it. Built (and
-    * paid for) once per pipeline run, like the materialized pair table
-    * a daily dedup pipeline would write. */
+    * intermediate: q23 reports it, q48 clusters over it. A filter on
+    * the raw (unrounded) Jaccard of [[minhashPairsAllShared]] — the
+    * identical comparison the thresholded pipeline made when it built
+    * the frame itself, so derived consumers see byte-identical pairs. */
   private[queries] def minhashPairsShared(s: org.apache.spark.sql.SparkSession,
       dir: String) =
-    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "minhash_pairs",
-        s"$MhShingle:$MhHashes:$MhBands:$MhThreshold")) {
-      TextDedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        MhShingle, MhHashes, MhBands, MhThreshold)
-    }
+    minhashPairsAllShared(s, dir)
+      .filter(col("jraw") >= MhThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   /** MinHash+LSH near-dedup: shingle → 16 seeded minhashes → 4 banded
     * buckets → candidate pairs within buckets only → exact-Jaccard
@@ -1400,12 +1411,7 @@ SELECT bucket,
   ROUND(MIN(jr), 6) AS min_jaccard,
   ROUND(MAX(jr), 6) AS max_jaccard
 FROM h GROUP BY bucket""") { (s, dir) =>
-    val pairs = SharedFrames.getOrBuild(SharedFrames.key(s, dir,
-        "minhash_pairs_all", s"$MhShingle:$MhHashes:$MhBands:0.0")) {
-      TextDedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        MhShingle, MhHashes, MhBands, 0.0)
-    }
-    pairs
+    minhashPairsAllShared(s, dir)
       .select(floor(col("jaccard") * 10).cast("long").as("bucket"),
         col("jaccard").as("jr"))
       .groupBy(col("bucket"))
@@ -1415,7 +1421,46 @@ FROM h GROUP BY bucket""") { (s, dir) =>
         round(max(col("jr")), 6).as("max_jaccard"))
   }
 
+  // ------------------------------------------------------------ q98
+
+  /** Near-dup cluster-size histogram: how big the duplicate groups
+    * are (the dedup-impact profile — `n_removable` per size row is the
+    * exact row count q54's keep-one-per-cluster pass deletes). Sizes
+    * come from the SHARED component labels (built once, q48/q85/q92
+    * reuse them); docs outside the pair graph are the size-1 row via
+    * one anti-join against the label set (near-dup docs only, the same
+    * bounded shape q85 uses). Pure integer aggregates. */
+  val q98 = Query(
+    "q98_cluster_size_histogram",
+    s"""WITH cl AS (
+       |${componentsOracle(minhashOracle)}),
+       |s AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY 1),
+       |h AS (
+       |  SELECT sz, COUNT(*) AS n_clusters FROM s GROUP BY 1
+       |  UNION ALL
+       |  SELECT 1, (SELECT COUNT(*) FROM documents) -
+       |    (SELECT COUNT(*) FROM cl))
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  CAST(n_clusters AS BIGINT) AS n_clusters,
+       |  CAST(sz * n_clusters AS BIGINT) AS n_docs,
+       |  CAST((sz - 1) * n_clusters AS BIGINT) AS n_removable
+       |FROM h WHERE n_clusters > 0""".stripMargin) { (s, dir) =>
+    val cl = minhashClustersShared(s, dir)
+    val multi = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+    val singles = Tables.documents(s, dir).select(col("doc_id"))
+      .join(cl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("sz"), col("n_clusters"))
+    multi.unionByName(singles)
+      .filter(col("n_clusters") > 0)
+      .select(col("sz").cast("long").as("cluster_size"),
+        col("n_clusters").cast("long").as("n_clusters"),
+        (col("sz") * col("n_clusters")).cast("long").as("n_docs"),
+        ((col("sz") - 1) * col("n_clusters")).cast("long").as("n_removable"))
+  }
+
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88,
-    q96, q97)
+    q96, q97, q98)
 }

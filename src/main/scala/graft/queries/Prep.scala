@@ -461,16 +461,17 @@ object Prep {
         explode(tokens(col("text"))).as("word"))
       .select(col("doc_id"), col("source"), col("lang"),
         pmod(md5Long(col("word")), lit(DsirB.toLong)).as("bk"))
-    val tg = b.filter(col("source") === DsirTarget)
-      .groupBy(col("bk")).agg(count(lit(1)).as("tb"))
-    val rw = b.groupBy(col("bk")).agg(count(lit(1)).as("rb"))
-    val tot = b.agg(count(lit(1)).as("raw_tot"),
-      sum(when(col("source") === DsirTarget, 1).otherwise(0)).cast("long")
-        .as("tgt_tot"))
-    val lam = rw.join(tg, Seq("bk"), "left")
-      .crossJoin(broadcast(tot))
+    // one pass: per-bucket raw count + conditional target count (the
+    // oracle's tg/rw/tot CTEs collapsed — identical values)
+    val g = b.groupBy(col("bk"))
+      .agg(count(lit(1)).as("rb"),
+        sum(when(col("source") === DsirTarget, 1).otherwise(0)).cast("long")
+          .as("tb"))
+    val tot = g.agg(sum(col("rb")).cast("long").as("raw_tot"),
+      sum(col("tb")).cast("long").as("tgt_tot"))
+    val lam = g.crossJoin(broadcast(tot))
       .select(col("bk"),
-        (log((coalesce(col("tb"), lit(0L)) + lit(1)).cast("double") /
+        (log((col("tb") + lit(1)).cast("double") /
           (col("tgt_tot") + DsirB)) -
           log((col("rb") + lit(1)).cast("double") /
             (col("raw_tot") + DsirB))).as("lam"))
