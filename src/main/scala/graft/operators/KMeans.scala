@@ -1,0 +1,117 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over embedding vectors — the TRAINED
+  * counterpart to the hash-derived IVF coarse centroids and PQ
+  * codebooks in [[Similarity]] (reference basis: the ANN/IVF
+  * architecture the LLM extension targets; centroid training is the
+  * step that lifts IVF recall off the untrained floor).
+  *
+  * Scale shape (the canonical one): each iteration is ONE scan of the
+  * corpus — centroids are a k×dims literal broadcast into the row
+  * expression, the assignment is a per-row argmin, and the update is a
+  * `groupBy(cell)` with per-dimension sums + a count, all map-side
+  * combinable. The only driver-side state is the k×dims centroid table
+  * itself (a bounded collect of ≤ k rows per iteration, exactly like
+  * the star-contraction convergence scalar in TextDedup).
+  *
+  * Determinism contract (what makes a fixed-point ITERATIVE algorithm
+  * oracle-checkable): vector components are quantized ONCE to the
+  * integer grid `floor(x·Q + 0.5)`, so per-cluster component sums are
+  * exact integer sums (order-independent), and every updated centroid
+  * component is the deterministic double `sum / (n · Q)`. Distances are
+  * strict left-to-right folds over the 64 dims, assignments first-wins
+  * argmin (ties → lowest cell) — so the entire T-iteration trajectory,
+  * not just the final summary, is bit-replayable in plain SQL
+  * (DuckDB: the same folds via `list_reduce`, the same argmin via
+  * `row_number() ORDER BY dist, cell`).
+  */
+object KMeans {
+
+  /** Quantization grid: 1e-6 resolution, exact for |x| ≤ ~9e3. */
+  val Q: Double = 1e6
+
+  /** `floor(x·Q + 0.5)` per component — round-half-up on an exact
+    * integer grid, identical in any engine (floor is exact; the float →
+    * double widening and the double product are IEEE-defined). Returns
+    * `array<long>`. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(Q) + lit(0.5)))
+
+  /** Driver-side mirror of [[graft.functions.Functions.md5Long]]: first
+    * 15 hex chars of md5 as a positive 60-bit long. */
+  def hash60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(
+      s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Deterministic init: centroid `m`, dim `d` gets
+    * `(hash60("km:m:d") mod 1001 − 500) / 500` ∈ [−1, 1] — the same
+    * hash family as the LSH planes / IVF centroids, so the oracle
+    * derives the identical values with its inline md5 formula. */
+  def initCentroids(k: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(k)(m => Array.tabulate(dims)(d =>
+      ((hash60(s"km:$m:$d") % 1001) - 500) / 500.0))
+
+  /** Strict-left-fold L2² distance between a quantized vector column
+    * and a centroid literal: `Σ_d (vq[d]/Q − c[d])²`, seeded at 0.0 —
+    * bit-identical to DuckDB's `list_reduce` over the same terms. */
+  def distTo(vq: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(vq, lit(c), (q, cc) => {
+        val e = q.cast("double") / lit(Q) - cc; e * e
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Appends `__cell` (first-wins argmin assignment) and `__kdist`
+    * (the min distance) for the given centroid table. */
+  def withCellDist(df: DataFrame, vqCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val k = cents.length
+    val withD = cents.zipWithIndex.foldLeft(df) { case (d, (c, m)) =>
+      d.withColumn(s"__kd$m", distTo(col(vqCol), c))
+    }
+    withD
+      .withColumn("__cell",
+        Similarity.argminCell(k, m => col(s"__kd$m")))
+      .withColumn("__kdist",
+        if (k == 1) col("__kd0")
+        else least((0 until k).map(m => col(s"__kd$m")): _*))
+      .drop((0 until k).map(m => s"__kd$m"): _*)
+  }
+
+  /** `iters` Lloyd's iterations from the deterministic init; returns
+    * the final k×dims centroid table. Each iteration: one distributed
+    * scan (assign + per-cluster integer sums), one bounded ≤ k-row
+    * collect. Empty clusters keep their previous centroid. `vq` should
+    * be persisted by the caller when `iters > 1` (it is scanned
+    * `iters` times, plus once more for the caller's final pass). */
+  def fit(vq: DataFrame, vqCol: String, k: Int, dims: Int,
+      iters: Int): Array[Array[Double]] = {
+    var cents = initCentroids(k, dims)
+    for (_ <- 0 until iters) {
+      val assigned = withCellDist(vq, vqCol, cents)
+      val aggs = count(lit(1)).as("__n") +:
+        (0 until dims).map(d =>
+          sum(element_at(col(vqCol), d + 1)).as(s"__s$d"))
+      val rows = assigned.groupBy(col("__cell"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // bounded: ≤ k rows of k×(dims+2) scalars
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        val m = r.getInt(0)
+        val n = r.getLong(1)
+        next(m) = Array.tabulate(dims)(d =>
+          r.getLong(2 + d).toDouble / (n * Q))
+      }
+      cents = next
+    }
+    cents
+  }
+}

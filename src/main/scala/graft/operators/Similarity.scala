@@ -171,7 +171,7 @@ object Similarity {
     }: _*)
 
   /** First-wins argmin over `cells` distance columns supplied by `d`. */
-  private def argminCell(cells: Int, d: Int => Column): Column =
+  private[operators] def argminCell(cells: Int, d: Int => Column): Column =
     (0 until cells - 1).foldRight(lit(cells - 1): Column) { (m, acc) =>
       val later = (m + 1 until cells).map(d)
       val laterMin =

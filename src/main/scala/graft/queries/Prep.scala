@@ -488,5 +488,121 @@ object Prep {
         col("n_tokens").cast("long").as("n_tokens"), col("weight"))
   }
 
-  val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95)
+  // ------------------------------------------------------------ q99
+
+  private val KmK = 8 // clusters
+  private val KmDims = 64 // embedding dims
+  private val KmIters = 3 // Lloyd's iterations
+  private val KmQL = "1000000.0" // the quantization grid, as SQL
+
+  /** Init centroid `m` as a DuckDB list: the same md5 hash family the
+    * driver-side [[KMeans.initCentroids]] evaluates numerically. */
+  private def dKmInit(m: Int): String =
+    s"""[((('0x' || substr(md5('km:$m:' || CAST(i - 1 AS VARCHAR)), 1,
+       |  15))::BIGINT % 1001) - 500) / 500.0
+       |  for i in range(1, ${KmDims + 1})]""".stripMargin
+
+  /** Strict-left-fold L2² between quantized list `vq` and centroid
+    * list `c` — the mirror of [[KMeans.distTo]]. */
+  private def dKmDist: String =
+    s"""list_reduce([(vq[i] / $KmQL - c.c[i]) * (vq[i] / $KmQL - c.c[i])
+       |  for i in range(1, ${KmDims + 1})], (x, y) -> x + y)""".stripMargin
+
+  /** The full T-iteration Lloyd's trajectory as a CTE chain: assign
+    * (first-wins argmin via `row_number ORDER BY dist, cell`), update
+    * (exact integer sums → `SUM/ (COUNT·Q)` centroids, empty cells keep
+    * the previous centroid), repeated [[KmIters]] times, then a final
+    * assignment under the trained centroids. */
+  private def kmOracle: String = {
+    val init = (0 until KmK).map { m =>
+      if (m == 0) s"  SELECT 0 AS cell, ${dKmInit(0)} AS c"
+      else s"  UNION ALL SELECT $m, ${dKmInit(m)}"
+    }.mkString("\n")
+    val meanList = (1 to KmDims)
+      .map(i => s"CAST(SUM(vq[$i]) AS DOUBLE) / (COUNT(*) * $KmQL)")
+      .mkString(",\n      ")
+    val iters = (1 to KmIters).map { t =>
+      s"""a$t AS (
+         |  SELECT vec_id, vq, cell FROM (
+         |    SELECT vec_id, vq, cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, cell) AS rk
+         |    FROM (SELECT v.vec_id, v.vq, c.cell, $dKmDist AS dist
+         |          FROM v, c${t - 1} c))
+         |  WHERE rk = 1),
+         |c$t AS (
+         |  SELECT p.cell, CASE WHEN n.cell IS NULL THEN p.c ELSE n.c END AS c
+         |  FROM c${t - 1} p LEFT JOIN (
+         |    SELECT cell, [$meanList] AS c
+         |    FROM a$t GROUP BY cell) n ON p.cell = n.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings),
+       |c0 AS (
+       |$init),
+       |$iters,
+       |af AS (
+       |  SELECT cell, dist FROM (
+       |    SELECT cell, dist,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT v.vec_id, c.cell, $dKmDist AS dist
+       |          FROM v, c$KmIters c))
+       |  WHERE rk = 1),
+       |st AS (
+       |  SELECT cell,
+       |    ROUND(list_reduce([c[i] * c[i] for i in range(1, ${KmDims + 1})],
+       |      (x, y) -> x + y), 6) AS centroid_norm,
+       |    CAST(list_reduce([CAST(floor(c[i] * $KmQL) AS BIGINT)
+       |      for i in range(1, ${KmDims + 1})], (x, y) -> x + y) AS BIGINT)
+       |      AS centroid_checksum
+       |  FROM c$KmIters)
+       |SELECT CAST(st.cell AS BIGINT) AS cell,
+       |  CAST(COALESCE(g.n, 0) AS BIGINT) AS n_vectors,
+       |  CAST(COALESCE(g.iq, 0) AS BIGINT) AS inertia_q,
+       |  centroid_norm, centroid_checksum
+       |FROM st LEFT JOIN (
+       |  SELECT cell, COUNT(*) AS n,
+       |    SUM(CAST(floor(dist * $KmQL) AS BIGINT)) AS iq
+       |  FROM af GROUP BY cell) g ON st.cell = g.cell""".stripMargin
+  }
+
+  /** Distributed k-means centroid training ([[graft.operators.KMeans]]):
+    * [[KmIters]] Lloyd's iterations over the embedding corpus from a
+    * deterministic hash init, reported as per-cluster sizes, quantized
+    * inertia, and centroid fingerprints. The ENTIRE iterative
+    * trajectory hash-matches the oracle's CTE replay — exact because
+    * components are integer-quantized once, so centroid updates are
+    * ratios of exact integers and every distance is a strict left fold.
+    * At 100 TB: one scan per iteration, centroids broadcast as
+    * literals, per-cluster sums map-side combinable; the only driver
+    * state is the k×dims table (the same bounded-collect contract as
+    * the star-contraction convergence scalar). */
+  val q99 = Query("q99_kmeans_centroids", kmOracle) { (s, dir) =>
+    import graft.operators.{InternalCache, KMeans}
+    val vq = InternalCache.persist(Tables.embeddings(s, dir)
+      .select(col("vec_id"), KMeans.quantize(col("embedding")).as("vq")))
+    val cents = KMeans.fit(vq, "vq", KmK, KmDims, KmIters)
+    val g = KMeans.withCellDist(vq, "vq", cents)
+      .groupBy(col("__cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("__kdist") * lit(1e6))).cast("long").as("iq"))
+    val stats = s.createDataFrame(cents.zipWithIndex.toIndexedSeq.map {
+      case (c, m) =>
+        (m.toLong,
+          c.foldLeft(0.0)((a, x) => a + x * x),
+          c.foldLeft(0L)((a, x) => a + math.floor(x * 1e6).toLong))
+    }).toDF("cell", "__norm", "centroid_checksum")
+    broadcast(stats).join(g, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_vectors"),
+        coalesce(col("iq"), lit(0L)).cast("long").as("inertia_q"),
+        round(col("__norm"), 6).as("centroid_norm"),
+        col("centroid_checksum"))
+  }
+
+  val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99)
 }
