@@ -38,9 +38,18 @@ object SharedFrames {
   def key(spark: org.apache.spark.sql.SparkSession, parts: String*): String =
     (System.identityHashCode(spark).toString +: parts).mkString(":")
 
+  private val values = new ConcurrentHashMap[String, AnyRef]()
+
+  /** Shared DRIVER-SIDE value (bounded, e.g. a trained k×dims centroid
+    * table) with the same run lifecycle as the shared frames: computed
+    * once per (key), dropped at `release()`. */
+  def getOrCompute[T <: AnyRef](key: String)(f: => T): T =
+    values.computeIfAbsent(key, _ => f).asInstanceOf[T]
+
   /** Unpersist and forget every shared frame (end of a pipeline run). */
   def release(blocking: Boolean = false): Unit = {
     frames.values.forEach(df => { df.unpersist(blocking); () })
     frames.clear()
+    values.clear()
   }
 }

@@ -346,6 +346,33 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** TRAINED-IVF approximate top-k: like [[ivfTopK]], but cells come
+    * from a [[KMeans]]-trained centroid table instead of the
+    * hash-derived family — the recall lever the untrained layout
+    * leaves on the floor. Assignment uses the same quantized-L2 argmin
+    * the training loop used (so train and serve agree on boundaries);
+    * scoring within a cell is exact cosine. Plan shape is identical to
+    * the untrained path: centroids fold into the row expression, the
+    * cell join is equi, top-k is the partial-aggregatable Aggregator. */
+  def trainedIvfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, cents: Array[Array[Double]]): DataFrame = {
+    def binned(df: DataFrame, vec: String) =
+      KMeans.withCellDist(
+          df.withColumn("__vq", KMeans.quantize(col(vec))), "__vq", cents)
+        .drop("__vq", "__kdist")
+    val b = binned(vectors, vecCol)
+    val qb = binned(queries, queryVecCol)
+      .withColumnRenamed("__cell", "__qcell")
+    val scored = b.join(broadcast(qb),
+        col("__cell") === col("__qcell") &&
+          col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol).as("query_id"),
+        col(idCol).as("id"),
+        cosineF(col(vecCol), col(queryVecCol)).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** Multi-probe LSH top-k: each query probes its own sign-bucket PLUS
     * every bucket at Hamming distance 1 (one flipped hyperplane) —
     * `planes + 1` probes recover the neighbors lost to a single

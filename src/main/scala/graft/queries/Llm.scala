@@ -253,12 +253,12 @@ jac AS (
 
   // ------------------------------------------------------------ q24
 
-  private val TopkEvery = 50
+  private[queries] val TopkEvery = 50
   private val TopkK = 5
 
   /** DuckDB fragment: strict left-fold cosine between list columns `a`
     * and `b` (matches Spark's `aggregate` fold bit for bit). */
-  private def dCosine(a: String, b: String) =
+  private[queries] def dCosine(a: String, b: String) =
     s"""list_reduce([$a[i] * $b[i] for i in range(1, len($a) + 1)],
        |      (x, y) -> x + y) /
        |    (sqrt(list_reduce([$a[i] * $a[i] for i in range(1, len($a) + 1)],
@@ -268,7 +268,7 @@ jac AS (
 
   /** DuckDB oracle for brute-force exact cosine top-k (parameterized so
     * q24 and the q53 recall baseline share one definition). */
-  private def bruteForceOracle(k: Int): String =
+  private[queries] def bruteForceOracle(k: Int): String =
     s"""WITH v AS (
        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS e
        |  FROM embeddings),
@@ -294,7 +294,7 @@ jac AS (
   /** The exact brute-force top-[[TopkK]] — SHARED: q24 reports it, and
     * q53's recall baseline is its rank-prefix (top-3 ⊂ top-5 under the
     * same (cosine desc, id) order, so the prefix IS the exact top-3). */
-  private def bruteForceShared(s: org.apache.spark.sql.SparkSession,
+  private[queries] def bruteForceShared(s: org.apache.spark.sql.SparkSession,
       dir: String) =
     SharedFrames.getOrBuild(SharedFrames.key(s, dir, "brute_topk",
         s"$TopkK:$TopkEvery")) {
@@ -727,8 +727,8 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
 
   // ------------------------------------------------------------ q49
 
-  private val IvfCells = 8
-  private val IvfK = 3
+  private[queries] val IvfCells = 8
+  private[queries] val IvfK = 3
 
   /** DuckDB fragments for the IVF coarse-cell assignment — shared by
     * q49's inverted-file search and q88's IVF+PQ composition. */
@@ -747,7 +747,7 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p WHERE c >= $NdThreshold"""
       s"WHEN d$m >= $laterMax THEN $m"
     }.mkString("\n         ")
 
-  private def ivfOracle: String = {
+  private[queries] def ivfOracle: String = {
     val dotCols = dIvfDotCols
     val cellCase = dIvfCellCase
     s"""WITH v AS (
@@ -783,7 +783,7 @@ FROM r WHERE rk <= $IvfK"""
     * inverted-file counterpart to q30's hyperplane LSH. */
   /** The IVF search result — SHARED: q49 reports it, q53's ivf recall
     * leg consumes it. */
-  private def ivfShared(s: org.apache.spark.sql.SparkSession,
+  private[queries] def ivfShared(s: org.apache.spark.sql.SparkSession,
       dir: String) =
     SharedFrames.getOrBuild(SharedFrames.key(s, dir, "ann_ivf",
         s"$IvfK:$IvfCells:$AnnDims")) {
