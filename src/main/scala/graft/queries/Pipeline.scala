@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType, StringType,
 
 import graft.functions.Functions._
 import graft.operators.{Marts, Multimodal}
-import graft.sources.{Ingest, Tables}
+import graft.sources.{Ingest, Materialize, Tables}
 import graft.stage.Staging
 import graft.streaming.Streaming
 
@@ -923,7 +923,43 @@ object Pipeline {
       .withColumn("month", col("month").cast("timestamp_ntz"))
   }
 
+  // ------------------------------------------------------------ q101
+
+  /** Bucketed co-located fact⋈fact join ([[Materialize.bucketedTable]],
+    * reference "clustering" intent `README.md:12,90`): both fact tables
+    * are materialized bucketed + sorted on the join key, so the join
+    * needs NO exchange on either side — at 100 TB this turns the
+    * single most expensive mart-layer operation (fact-to-fact shuffle)
+    * into a zero-movement merge; the shuffle-free plan shape is locked
+    * by ScaleSpec's bucketed-join contract test. The oracle sees the
+    * same rows via a plain join, proving the bucketed physical layout
+    * changes nothing semantically. */
+  val q101 = Query(
+    "q101_bucketed_join",
+    """SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+      |    AS month,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS gross,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val h = math.abs(dir.hashCode)
+    val bo = Materialize.bucketedTable(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+      "graft_bk_orders", Seq("o_orderkey"), 8,
+      Some(s"/tmp/graft_bk_orders_$h"))
+    val bl = Materialize.bucketedTable(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice")),
+      "graft_bk_lineitem", Seq("l_orderkey"), 8,
+      Some(s"/tmp/graft_bk_lineitem_$h"))
+    bo.join(bl, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sumMoney(col("l_extendedprice")).as("gross"),
+        count(lit(1)).as("n_items"))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
-    q74, q76, q77)
+    q74, q76, q77, q101)
 }

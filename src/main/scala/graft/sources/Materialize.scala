@@ -35,11 +35,12 @@ object Materialize {
     * biggest single lever for a join-heavy mart layer at 100 TB (both
     * sides bucketed on the key ⇒ SortMergeJoin with zero Exchange). */
   def bucketedTable(df: DataFrame, name: String, bucketCols: Seq[String],
-      numBuckets: Int): DataFrame = {
-    df.write.mode("overwrite").format("parquet")
+      numBuckets: Int, path: Option[String] = None): DataFrame = {
+    val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(name)
+    path.foreach(p => w.option("path", p)) // external location when given
+    w.saveAsTable(name)
     df.sparkSession.table(name)
   }
 
