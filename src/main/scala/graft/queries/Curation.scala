@@ -466,5 +466,84 @@ object Curation {
           lit(MixBudget.toDouble)).cast("long").as("target_tokens"))
   }
 
-  val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85, q89)
+  // ------------------------------------------------------------ q102
+
+  // RE2-safe patterns (no lookarounds, no \d shorthand inside classes)
+  // so Spark's Java regex and DuckDB's RE2 match identically
+  private val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction — the scrub counterpart to q20's detection: every
+    * email and phone-shaped span is replaced with a fixed placeholder
+    * token, reported per source with match counts, the net character
+    * delta, and a `bit_xor` checksum of every redacted document (so
+    * the oracle verifies the REDACTED TEXT itself, not just counts).
+    * The synthetic corpus carries no organic PII, so both pipelines
+    * first INJECT deterministic email/phone spans into a keyed subset
+    * of docs (doc_id mod 7 / mod 11) — the redaction then has real
+    * work, and the cross-engine checksum proves the match boundaries
+    * and replacements agree byte for byte. Pure per-row regex work
+    * inside one scan — codegen'd, no joins, no shuffle beyond the
+    * rollup; exactly the shape that sustains a 100 TB scrub pass. */
+  val q102 = Query(
+    "q102_pii_redaction",
+    s"""WITH aug AS (
+       |  SELECT doc_id, source,
+       |    text ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+       |      CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |      THEN ' call +44 20 7946 0958 today' ELSE '' END AS text
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, text,
+       |    len(regexp_extract_all(text,
+       |      '${graft.functions.Functions.EmailPattern}')) AS n_email,
+       |    regexp_replace(
+       |      regexp_replace(text,
+       |        '${graft.functions.Functions.EmailPattern}', '<EMAIL>', 'g'),
+       |      '$PhonePattern', '<PHONE>', 'g') AS red,
+       |    len(regexp_extract_all(text, '$PhonePattern')) AS n_phone
+       |  FROM aug)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_docs_with_pii,
+       |  CAST(SUM(n_email) AS BIGINT) AS n_emails,
+       |  CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+       |  CAST(SUM(length(text) - length(red)) AS BIGINT) AS chars_delta,
+       |  CAST(bit_xor(${dHash64("red")}) AS BIGINT) AS redacted_checksum
+       |FROM r GROUP BY source""".stripMargin) { (s, dir) =>
+    import graft.functions.Functions.{md5Long, EmailPattern}
+    val aug = Tables.documents(s, dir)
+      .select(col("source"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com now"))).otherwise(""),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit(" call +44 20 7946 0958 today")).otherwise(""))
+          .as("text"))
+    val r = aug
+      .select(col("source"), col("text"),
+        size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+          .as("n_email"),
+        size(regexp_extract_all(col("text"), lit(PhonePattern), lit(0)))
+          .as("n_phone"),
+        regexp_replace(
+          regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>").as("red"))
+      .withColumn("__h", md5Long(col("red")))
+    r.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_phone") > 0, 1).otherwise(0))
+          .cast("long").as("n_docs_with_pii"),
+        sum(col("n_email")).cast("long").as("n_emails"),
+        sum(col("n_phone")).cast("long").as("n_phones"),
+        sum(length(col("text")) - length(col("red"))).cast("long")
+          .as("chars_delta"),
+        expr("bit_xor(__h)").cast("long").as("redacted_checksum"))
+  }
+
+  val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85, q89, q102)
 }
