@@ -680,7 +680,77 @@ object Warehouse {
     malformed.unionByName(drift).unionByName(pii)
   }
 
+  /** Pivot → unpivot roundtrip: monthly revenue spread into one column
+    * per order status (`pivot` with EXPLICIT values — the dynamic
+    * two-pass form is a driver-side distinct, never needed when the
+    * domain is declared), then melted back to rows with `unpivot`. The
+    * null cells a pivot manufactures for absent (month, status) combos
+    * are filtered after the melt, so the roundtrip is exactly the plain
+    * grouped form the oracle computes — proving the two reshapes are
+    * lossless inverses. Pivot compiles to ONE aggregate pass
+    * (conditional sums), not a join per status. */
+  val q103 = Query(
+    "q103_pivot_roundtrip",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |  o_orderstatus AS status,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM orders GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val wide = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sumMoney(col("o_totalprice")))
+    wide.unpivot(Array(col("month")),
+        Array(col("F"), col("O"), col("P")), "status", "revenue")
+      .filter(col("revenue").isNotNull)
+  }
+
+  /** Record linkage ([[graft.operators.Linkage.fuzzyJoin]]): a "CRM"
+    * side is derived from part names with a deterministic first-char
+    * corruption (ucfirst), then fuzzy-joined back to the clean dim —
+    * blocked on (length, chars 2..8), which is invariant under the
+    * injected corruption, verified by `levenshtein <= 2` on candidates
+    * only (never all-pairs). The summary counts pairs by distance and
+    * how many link back to their own source row vs a colliding
+    * look-alike — the precision profile an entity-resolution pass
+    * reports before anyone trusts auto-merges. */
+  val q104 = Query(
+    "q104_fuzzy_join",
+    """WITH clean AS (SELECT p_partkey, p_name FROM part),
+      |dirty AS (
+      |  SELECT p_partkey AS crm_id,
+      |    upper(substr(p_name, 1, 1)) || substr(p_name, 2) AS crm_name
+      |  FROM part),
+      |cand AS (
+      |  SELECT crm_id, p_partkey,
+      |    levenshtein(crm_name, p_name) AS dist
+      |  FROM dirty JOIN clean
+      |    ON CAST(length(crm_name) AS VARCHAR) || ':' ||
+      |       substr(crm_name, 2, 7) =
+      |       CAST(length(p_name) AS VARCHAR) || ':' || substr(p_name, 2, 7))
+      |SELECT CAST(dist AS BIGINT) AS dist,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN crm_id = p_partkey THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_self,
+      |  CAST(COUNT(DISTINCT crm_id) AS BIGINT) AS n_crm_matched
+      |FROM cand WHERE dist <= 2 GROUP BY 1""".stripMargin) { (s, dir) =>
+    val clean = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+    val dirty = Tables.part(s, dir).select(
+      col("p_partkey").as("crm_id"),
+      concat(upper(substring(col("p_name"), 1, 1)),
+        expr("substring(p_name, 2)")).as("crm_name"))
+    val block = (c: org.apache.spark.sql.Column) =>
+      concat(length(c).cast("string"), lit(":"), substring(c, 2, 7))
+    graft.operators.Linkage
+      .fuzzyJoin(dirty, "crm_name", clean, "p_name", block, 2)
+      .groupBy(col("__dist").cast("long").as("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("crm_id") === col("p_partkey"), 1).otherwise(0))
+          .cast("long").as("n_self"),
+        countDistinct(col("crm_id")).as("n_crm_matched"))
+  }
+
   val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q63, q64, q65, q66, q67, q68, q70,
-    q73, q75)
+    q73, q75, q103, q104)
 }
