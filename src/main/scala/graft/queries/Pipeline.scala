@@ -959,7 +959,55 @@ object Pipeline {
         count(lit(1)).as("n_items"))
   }
 
+  // ------------------------------------------------------------ q105
+
+  /** The Morton interleave as DuckDB bit arithmetic (mirror of
+    * [[graft.operators.Zorder.zValue2]]). */
+  private def dZ(x: String, y: String): String =
+    (0 until 16).map { b =>
+      s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})"
+    }.mkString(" +\n    ")
+
+  /** Z-order locality audit ([[graft.operators.Zorder]]): events are
+    * quantized on (user_id, value cents), Morton-interleaved, and
+    * summarized per z-bucket (the top 12 bits — what a file would hold
+    * under z-clustered layout). Each bucket's min/max on BOTH columns
+    * is a tight rectangle — the footer stats a scan prunes on — and
+    * the `bit_xor` of raw z-values pins the interleave bit-for-bit
+    * against the oracle. ScaleSpec proves the payoff: a value-range
+    * predicate touches strictly fewer files under z-layout than under
+    * a single-column sort. */
+  val q105 = Query(
+    "q105_zorder_stats",
+    s"""WITH q AS (
+       |  SELECT greatest(0, least(user_id, 65535)) AS x,
+       |    greatest(0, least(CAST(floor(value * 100) AS BIGINT), 65535))
+       |      AS y
+       |  FROM events),
+       |z AS (
+       |  SELECT x, y,
+       |    ${dZ("x", "y")} AS z
+       |  FROM q)
+       |SELECT CAST(z >> 20 AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       |  CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max,
+       |  CAST(bit_xor(z) AS BIGINT) AS z_checksum
+       |FROM z GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.operators.Zorder
+    val q = Tables.events(s, dir).select(
+      Zorder.clampBits(col("user_id")).as("x"),
+      Zorder.clampBits(floor(col("value") * 100)).as("y"))
+    q.select(col("x"), col("y"),
+        Zorder.zValue2(col("x"), col("y")).as("z"))
+      .groupBy(shiftrightunsigned(col("z"), 20).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+        expr("bit_xor(z)").as("z_checksum"))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
-    q74, q76, q77, q101)
+    q74, q76, q77, q101, q105)
 }

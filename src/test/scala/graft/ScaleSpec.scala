@@ -98,4 +98,38 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE bk_orders")
     spark.sql("DROP TABLE bk_lines")
   }
+
+  test("z-order layout touches fewer files than a single-column sort") {
+    import graft.operators.Zorder
+    // two independent uniform dims — the worst case for one-column sort
+    val df = (0 until 20000).map { i =>
+      val x = (i * 2654435761L) % 4096
+      val y = (i * 40503L) % 4096
+      (x, y)
+    }.toDF("x", "y").persist()
+    val byX = "/tmp/graft_test_sortx"
+    val byZ = "/tmp/graft_test_zorder"
+    graft.sources.Ingest.deletePath(spark, byX)
+    graft.sources.Ingest.deletePath(spark, byZ)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(byX)
+    Zorder.clusterBy(df, Zorder.zValue2(col("x"), col("y"), 12), 16)
+      .write.parquet(byZ)
+    // a y-only range predicate: the x-sorted layout scatters it across
+    // every file; z-clustering confines it to the files whose y-bit
+    // prefix can match
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("y") >= 100 && col("y") < 200)
+        .select(input_file_name()).distinct().count()
+    val nx = filesTouched(byX)
+    val nz = filesTouched(byZ)
+    df.unpersist()
+    assert(nz < nx, s"z-order should touch fewer files: z=$nz, x-sort=$nx")
+    // and both layouts return the identical rows
+    assert(spark.read.parquet(byZ).filter(col("y") >= 100 && col("y") < 200)
+      .count() ==
+      spark.read.parquet(byX).filter(col("y") >= 100 && col("y") < 200)
+        .count())
+  }
 }
