@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge frames.
+  *
+  * Complements the connected-component operator
+  * ([[TextDedup.dupClusters]]'s large-star/small-star) with the other
+  * classic message-passing workload: PageRank. Used over the
+  * relationship graphs a warehouse holds implicitly — here the
+  * part↔supplier sourcing graph the reference's mart joins traverse
+  * (reference `models/example` SQL models' join keys).
+  *
+  * Determinism contract: ranks are FIXED-POINT integers (scaled by
+  * [[Graph.Scale]]) and every update is integer arithmetic — integer
+  * division for the per-edge share, integer sums for the gather — so
+  * the result is independent of partitioning and summation order and a
+  * SQL engine replays it bit for bit. The float division happens once,
+  * at presentation.
+  */
+object Graph {
+
+  /** Fixed-point scale: 1 rank unit = 1e-12. */
+  val Scale: Long = 1000000000000L
+
+  /** The scale as a SQL integer literal, for oracle construction. */
+  val ScaleSqlLiteral: String = Scale.toString
+
+  /** `iters` rounds of damped PageRank over directed `edges`
+    * (columns `src`, `dst`; every node must appear as a source, which
+    * holds for any undirected/bidirectional edge set). Returns
+    * `(node, pr)` with `pr` fixed-point.
+    *
+    * Scale posture: each round is one equi-join of the edge frame with
+    * the current rank frame plus one map-side-combinable sum by `dst` —
+    * the standard O(iters) shuffle schedule; no driver-side state, no
+    * collected node list. Edge and node frames are persisted via
+    * [[InternalCache]] (released by the caller) because every round
+    * re-reads them. */
+  def pageRankFixed(edges: DataFrame, iters: Int,
+      dampPct: Int = 85): DataFrame = {
+    require(dampPct >= 0 && dampPct <= 100)
+    val telePct = 100 - dampPct
+    val e = InternalCache.persist(edges.select(col("src"), col("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = InternalCache.persist(e.join(deg, Seq("src")))
+    val nodes = InternalCache.persist(
+      e.select(col("src").as("node")).distinct())
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    def teleported(ranked: DataFrame): DataFrame =
+      ranked.crossJoin(broadcast(nRow)).select(col("node"),
+        expr(s"($telePct * (${Scale}L div __n)) div 100" +
+          s" + ($dampPct * __in) div 100").as("pr"))
+    var pr = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), expr(s"${Scale}L div __n").as("pr"))
+    for (_ <- 1 to iters) {
+      val gathered = withDeg
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("pr div deg").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      pr = teleported(
+        nodes.join(gathered, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__in"), lit(0L)).as("__in")))
+    }
+    pr
+  }
+}

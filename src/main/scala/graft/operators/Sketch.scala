@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions.md5Long
+
+/** Count-Min sketch: frequency estimation in sub-linear state.
+  *
+  * The reference's skew/top-share checks (reference `README.md:59`,
+  * `pseudo_code_rules.txt:47-50` — whale-account concentration) need
+  * per-key frequencies; at 100 TB the exact per-key aggregate is a
+  * full-cardinality shuffle, while the sketch build below is ONE
+  * map-side-combinable aggregate with a FIXED group count (`d × w`
+  * cells) — state independent of key cardinality, mergeable across
+  * partitions/days by cell-wise addition, never wrong by undercount
+  * (estimates only ever overcount, by collision).
+  *
+  * Hashing is the repo-wide portable md5 scheme ([[md5Long]]), so a SQL
+  * engine replays the exact sketch cell-for-cell — the property the
+  * oracle check (q107) relies on.
+  */
+object Sketch {
+
+  /** Bucket of `k` (a string column) under hash row `r`. */
+  private def bucket(r: Column, k: Column, w: Int): Column =
+    md5Long(concat(lit("cm:"), r.cast("string"), lit(":"), k)) % w
+
+  /** Build the d×w Count-Min table over `key`: one row per non-empty
+    * cell `(r, b, c)`. The explode multiplies input rows by `d` BEFORE
+    * the aggregate, but partial aggregation collapses them to ≤ d·w
+    * groups per task — the shuffle carries at most d·w rows per
+    * partition regardless of input size. */
+  def countMin(df: DataFrame, key: Column, d: Int, w: Int): DataFrame =
+    df.select(key.cast("string").as("__k"))
+      .select(col("__k"), explode(sequence(lit(0), lit(d - 1))).as("__r"))
+      .groupBy(col("__r"), bucket(col("__r"), col("__k"), w).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+
+  /** Point-estimate every key in `keys` (column `keyCol`, cast to
+    * string for hashing): min over the d cells the key maps to. The
+    * sketch (≤ d·w rows) is BROADCAST, so probing any number of keys
+    * never shuffles them. Estimates satisfy `est ≥ true count`. */
+  def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      d: Int, w: Int): DataFrame = {
+    val probes = keys
+      .withColumn("__r", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("__b",
+        bucket(col("__r"), col(keyCol).cast("string"), w))
+    probes.join(broadcast(sketch), Seq("__r", "__b"))
+      .groupBy(keys.columns.map(col): _*)
+      .agg(min(col("__c")).as("est_cnt"))
+  }
+}

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Functions.money
+import graft.operators.Graph
 import graft.sources.Tables
 
 /** Warehouse-analytics extensions: the maintenance and analysis passes a
@@ -224,5 +225,215 @@ object Analytics {
         .as("fit_end"))
   }
 
-  val all: Seq[Query] = Seq(q106, q110, q112)
+  // ------------------------------------------------------------ q107
+
+  private val CmD = 4 // Count-Min hash rows
+  private val CmW = 256 // Count-Min buckets per row
+
+  /** DuckDB fragment: the Count-Min bucket of key expression `k` under
+    * hash row `r` (mirror of `Sketch.bucket`). */
+  private def dCmBucket(r: String, k: String) =
+    s"('0x' || substr(md5('cm:' || CAST($r AS VARCHAR) || ':' ||" +
+      s" CAST($k AS VARCHAR)), 1, 15))::BIGINT % $CmW"
+
+  /** Heavy hitters through a Count-Min sketch ([[Sketch]]): the exact
+    * top-20 part keys by lineitem frequency, each with its sketch
+    * estimate and the (always ≥ 0) collision overcount — the
+    * measured-accuracy view of the sketch the reference's whale-skew
+    * checks would use at scale (reference `pseudo_code_rules.txt:47-50`).
+    *
+    * Scale posture: the sketch build shuffles ≤ d·w = 1024 cells per
+    * task regardless of key cardinality; probes join against the
+    * BROADCAST sketch; the exact side (here, the ground truth being
+    * audited) goes through the distributed rank, not a single-partition
+    * window. The md5-derived buckets make the sketch itself — not just
+    * the exact counts — engine-portable, so the oracle replays every
+    * cell. */
+  val q107 = Query(
+    "q107_heavy_hitters", {
+      val ranges = s"(SELECT UNNEST(range($CmD)) AS r)"
+      s"""WITH ex AS (
+         |  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         |  FROM lineitem GROUP BY 1),
+         |top AS (
+         |  SELECT k, exact_cnt,
+         |    ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, k) AS rnk
+         |  FROM ex QUALIFY rnk <= 20),
+         |sk AS (
+         |  SELECT r, ${dCmBucket("r", "l_partkey")} AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lineitem CROSS JOIN $ranges GROUP BY 1, 2)
+         |SELECT t.k AS l_partkey, CAST(t.rnk AS BIGINT) AS rnk,
+         |  t.exact_cnt, CAST(MIN(sk.c) AS BIGINT) AS est_cnt,
+         |  CAST(MIN(sk.c) - t.exact_cnt AS BIGINT) AS overcount
+         |FROM top t CROSS JOIN $ranges rr
+         |JOIN sk ON sk.r = rr.r AND sk.b = ${dCmBucket("rr.r", "t.k")}
+         |GROUP BY 1, 2, 3""".stripMargin
+    }) { (s, dir) =>
+    import graft.operators.{Ranking, Sketch}
+    val li = Tables.lineitem(s, dir)
+    val exact = li.groupBy(col("l_partkey")).agg(
+      count(lit(1)).as("exact_cnt"))
+    val top = Ranking.withGlobalRank(exact,
+        struct((col("exact_cnt") * -1).as("nc"),
+          col("l_partkey").as("k")).asc, "rnk")
+      .filter(col("rnk") <= 20)
+    val sk = Sketch.countMin(li, col("l_partkey"), CmD, CmW)
+    Sketch.estimate(sk, top, "l_partkey", CmD, CmW)
+      .select(col("l_partkey"), col("rnk"), col("exact_cnt"),
+        col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overcount"))
+  }
+
+  // ------------------------------------------------------------ q111
+
+  private val PrIters = 3
+
+  /** PageRank over the part↔supplier sourcing graph ([[Graph]]):
+    * distinct lineitem (part, supplier) pairs as bidirectional edges,
+    * [[PrIters]] damped fixed-point rounds, top-20 nodes. Which parts /
+    * suppliers sit at the center of the sourcing network — the graph
+    * question behind the reference's supplier mart joins
+    * (reference `models/example` SQL models).
+    *
+    * The oracle unrolls the SAME [[PrIters]] integer-arithmetic rounds
+    * as nested CTEs, so the fixed-point ranks match exactly — no float
+    * tolerance anywhere. Top-20 via the distributed rank. */
+  val q111 = Query(
+    "q111_pagerank", {
+      val S = Graph.ScaleSqlLiteral
+      def round(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT n2.node,
+           |    (15 * ($S // nn.n)) // 100
+           |      + (85 * COALESCE(m.s, 0)) // 100 AS pr
+           |  FROM nodes n2
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(p.pr // d.deg) AS s
+           |    FROM e JOIN $prev p ON p.node = e.src
+           |      JOIN deg d ON d.src = e.src
+           |    GROUP BY 1) m ON m.node = n2.node
+           |  CROSS JOIN nn)"""
+      val rounds = (1 to PrIters)
+        .map(i => round(if (i == 1) "p0" else s"it${i - 1}", s"it$i"))
+        .mkString(",\n")
+      s"""WITH pe AS (
+         |  SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM lineitem),
+         |e AS (SELECT a AS src, b AS dst FROM pe
+         |  UNION ALL SELECT b, a FROM pe),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |p0 AS (SELECT node, $S // nn.n AS pr FROM nodes CROSS JOIN nn),
+         |$rounds,
+         |ranked AS (
+         |  SELECT node, pr,
+         |    ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rnk
+         |  FROM it$PrIters QUALIFY rnk <= 20)
+         |SELECT node, CAST(rnk AS BIGINT) AS rnk,
+         |  CAST(pr AS BIGINT) AS pr_fixed,
+         |  CAST(pr AS DOUBLE) / 1000000000000.0 AS pr
+         |FROM ranked""".stripMargin
+    }) { (s, dir) =>
+    import graft.operators.{Graph, Ranking}
+    val pe = Tables.lineitem(s, dir).select(
+      concat(lit("p:"), col("l_partkey").cast("string")).as("a"),
+      concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    val edges = pe.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pe.select(col("b").as("src"), col("a").as("dst")))
+    val pr = Graph.pageRankFixed(edges, PrIters)
+    Ranking.withGlobalRank(pr,
+        struct((col("pr") * -1).as("np"), col("node").as("n")).asc, "rnk")
+      .filter(col("rnk") <= 20)
+      .select(col("node"), col("rnk"), col("pr").as("pr_fixed"),
+        (col("pr").cast("double") / lit(1.0e12)).as("pr"))
+  }
+
+  // ------------------------------------------------------------ q113
+
+  private val DvB = 64 // divergence histogram buckets
+
+  /** Per-source token-distribution divergence vs the whole corpus:
+    * smoothed hashed-unigram histograms ([[DvB]] buckets, the q95 DSIR
+    * representation), KL both directions and Jensen-Shannon — the
+    * domain-shift monitor a training-data pipeline runs when a new
+    * source lands.
+    *
+    * Scale posture: the only fact-side work is one map-side-combinable
+    * (source × bucket) count; everything after runs on ≤ sources ×
+    * [[DvB]] rows with broadcast-only joins. Determinism: bucket counts
+    * are exact integers, each p/q is a single division, and the final
+    * sums run over [[DvB]] terms rounded at 6 dp — the q94/q95 ln()
+    * contract. */
+  val q113 = Query(
+    "q113_source_divergence", {
+      val h = Llm.dHash64("'dv:' || w")
+      s"""WITH tok AS (
+         |  SELECT source, UNNEST(${Llm.DTokens}) AS w FROM documents),
+         |tb AS (
+         |  SELECT source, $h % $DvB AS b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+         |  FROM tb GROUP BY 1),
+         |qb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS qc FROM tb GROUP BY 1),
+         |qt AS (SELECT CAST(SUM(c) AS BIGINT) AS qtot FROM tb),
+         |grid AS (
+         |  SELECT s.source, g.b
+         |  FROM (SELECT DISTINCT source FROM documents) s
+         |  CROSS JOIN (SELECT UNNEST(range($DvB)) AS b) g),
+         |terms AS (
+         |  SELECT grid.source, st.tot,
+         |    (COALESCE(tb.c, 0) + 1.0) / (st.tot + $DvB.0) AS p,
+         |    (COALESCE(qb.qc, 0) + 1.0) / (qt.qtot + $DvB.0) AS q
+         |  FROM grid
+         |  LEFT JOIN tb ON tb.source = grid.source AND tb.b = grid.b
+         |  JOIN st ON st.source = grid.source
+         |  LEFT JOIN qb ON qb.b = grid.b
+         |  CROSS JOIN qt)
+         |SELECT source, CAST(MAX(tot) AS BIGINT) AS n_tokens,
+         |  round(SUM(p * ln(p / q)), 6) AS kl_pq,
+         |  round(SUM(q * ln(q / p)), 6) AS kl_qp,
+         |  round(SUM(0.5 * p * ln(p / ((p + q) / 2))
+         |    + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS js
+         |FROM terms GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Functions.{md5Long, tokens}
+    import graft.operators.InternalCache
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("source"),
+      explode(tokens(col("text"))).as("w"))
+    val tb = InternalCache.persist(
+      tok.groupBy(col("source"),
+          (md5Long(concat(lit("dv:"), col("w"))) % DvB).as("b"))
+        .agg(count(lit(1)).as("c")))
+    val st = tb.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val qb = tb.groupBy(col("b")).agg(sum(col("c")).as("qc"))
+    val qt = tb.agg(sum(col("c")).as("qtot"))
+    val grid = docs.select(col("source")).distinct()
+      .withColumn("b", explode(sequence(lit(0), lit(DvB - 1))))
+    val terms = grid
+      .join(tb, Seq("source", "b"), "left")
+      .join(broadcast(st), Seq("source"))
+      .join(broadcast(qb), Seq("b"), "left")
+      .crossJoin(broadcast(qt))
+      .select(col("source"), col("tot"),
+        ((coalesce(col("c"), lit(0L)) + 1.0) / (col("tot") + lit(DvB)
+          .cast("double"))).as("p"),
+        ((coalesce(col("qc"), lit(0L)) + 1.0) / (col("qtot") + lit(DvB)
+          .cast("double"))).as("q"))
+    terms.groupBy(col("source")).agg(
+      max(col("tot")).cast("long").as("n_tokens"),
+      round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_pq"),
+      round(sum(col("q") * log(col("q") / col("p"))), 6).as("kl_qp"),
+      round(sum(lit(0.5) * col("p") * log(col("p") /
+          ((col("p") + col("q")) / 2)) +
+        lit(0.5) * col("q") * log(col("q") /
+          ((col("p") + col("q")) / 2))), 6).as("js"))
+  }
+
+  val all: Seq[Query] = Seq(q106, q107, q110, q111, q112, q113)
 }
