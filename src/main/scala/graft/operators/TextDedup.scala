@@ -171,7 +171,7 @@ object TextDedup {
       threshold: Double): DataFrame =
     verifyJaccardAll(cand, rows)
       .filter(col("jraw") >= threshold)
-      .drop("jraw")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   /** Unthresholded verification: every candidate pair with ≥1 shared
     * gram, carrying BOTH the raw Jaccard (`jraw` — filter on this;
@@ -193,7 +193,11 @@ object TextDedup {
         Map("doc_id" -> "doc_b", "sz" -> "sz_b")), "doc_b")
       .withColumn("__jac", col("ovl").cast("double") /
         (col("sz_a") + col("sz_b") - col("ovl")).cast("double"))
-      .select(col("doc_a"), col("doc_b"), col("__jac").as("jraw"),
+      // sizes + overlap ride along so containment-style consumers
+      // (q114) derive their ratios from the SAME verified frame instead
+      // of re-running the pipeline
+      .select(col("doc_a"), col("doc_b"), col("ovl"), col("sz_a"),
+        col("sz_b"), col("__jac").as("jraw"),
         round(col("__jac"), 6).as("jaccard"))
   }
 

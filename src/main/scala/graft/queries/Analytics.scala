@@ -435,5 +435,242 @@ object Analytics {
           ((col("p") + col("q")) / 2))), 6).as("js"))
   }
 
-  val all: Seq[Query] = Seq(q106, q107, q110, q111, q112, q113)
+  // ------------------------------------------------------------ q108
+
+  /** ORC sink + reload (S1/S2 format breadth beyond CSV/JSON/parquet):
+    * a two-column projection written as PARTITIONED ORC (directory per
+    * return flag), re-read through partition discovery, aggregated.
+    * The oracle computes the same mart from the parquet source — any
+    * loss in the ORC writer/reader roundtrip (values, partition-column
+    * reconstruction) would mismatch. Doubles survive ORC bit-exact
+    * (binary format); money still goes through exact decimal sums. */
+  val q108 = Query(
+    "q108_orc_roundtrip",
+    """SELECT l_returnflag AS flag,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS gross
+      |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.functions.Functions.sumMoney
+    import graft.sources.Ingest
+    val path = s"/tmp/graft_orc_sink_${math.abs(dir.hashCode)}"
+    Ingest.deletePath(s, path)
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .write.mode("overwrite").partitionBy("l_returnflag").orc(path)
+    s.read.orc(path)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n_items"),
+        sumMoney(col("l_extendedprice")).as("gross"))
+  }
+
+  // ------------------------------------------------------------ q109
+
+  private val SjWithinMin = 60
+
+  /** Stream-stream interval join ([[graft.streaming.Streaming
+    * .intervalJoinAvailableNow]]): view events joined to the same
+    * user's purchase events landing within [[SjWithinMin]] minutes —
+    * the streaming form of the reference's view→purchase attribution
+    * window (reference `pseudo_code_rules.txt:29-33`). Both streams are
+    * watermarked so a continuous deployment bounds its join state; the
+    * emitted pairs equal the batch interval join the oracle runs. */
+  val q109 = Query(
+    "q109_stream_interval_join",
+    s"""WITH v AS (
+       |  SELECT event_id, user_id, ts FROM events
+       |  WHERE event_type = 'view'),
+       |p AS (
+       |  SELECT event_id, user_id, ts FROM events
+       |  WHERE event_type = 'purchase')
+       |SELECT v.event_id AS l_id, p.event_id AS r_id,
+       |  v.user_id AS user_id,
+       |  (epoch_us(p.ts) - epoch_us(v.ts)) // 60000000 AS lag_minutes
+       |FROM v JOIN p ON v.user_id = p.user_id
+       |  AND p.ts >= v.ts
+       |  AND p.ts <= v.ts + INTERVAL $SjWithinMin MINUTES""".stripMargin) {
+    (s, dir) =>
+    graft.streaming.Streaming.intervalJoinAvailableNow(
+      s, s"$dir/events.parquet", "view", "purchase", SjWithinMin)
+  }
+
+  // ------------------------------------------------------------ q114
+
+  private val ContThreshold = 0.8
+
+  /** Near-SUPERSET detection via shingle containment: for every
+    * verified LSH candidate pair, containment = |A∩B| / min(|A|,|B|)
+    * (the smaller doc's coverage by the larger). A doc embedded inside
+    * a bigger one scores containment ≈ 1 while its Jaccard stays low —
+    * the doc-in-doc duplication Jaccard-threshold dedup (q23) misses
+    * by design. Pairs at containment ≥ [[ContThreshold]], with both
+    * set sizes, the overlap, and the Jaccard for contrast.
+    *
+    * Scale posture: ZERO new pipeline cost — rides the one shared
+    * verified minhash pair frame (sizes and overlap were carried
+    * through the verify join), so this is a filter over an
+    * already-built bounded frame. Determinism: exact integer sizes,
+    * one division, the repo's raw-threshold/rounded-presentation
+    * contract. */
+  val q114 = Query(
+    "q114_containment_pairs",
+    s"""${Llm.minhashJacCtes("AND a.doc_id < b.doc_id")}
+       |SELECT doc_a, doc_b,
+       |  CAST(sz_a AS BIGINT) AS sz_a, CAST(sz_b AS BIGINT) AS sz_b,
+       |  CAST(ovl AS BIGINT) AS ovl,
+       |  ROUND(ovl::DOUBLE / least(sz_a, sz_b)::DOUBLE, 6)
+       |    AS containment,
+       |  ROUND(j, 6) AS jaccard
+       |FROM jac
+       |WHERE ovl::DOUBLE / least(sz_a, sz_b)::DOUBLE
+       |  >= $ContThreshold""".stripMargin) { (s, dir) =>
+    Llm.minhashPairsAllShared(s, dir)
+      .withColumn("__cont", col("ovl").cast("double") /
+        least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("__cont") >= ContThreshold)
+      .select(col("doc_a"), col("doc_b"),
+        col("sz_a").cast("long").as("sz_a"),
+        col("sz_b").cast("long").as("sz_b"),
+        col("ovl").cast("long").as("ovl"),
+        round(col("__cont"), 6).as("containment"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------ q115
+
+  private val WavSamples = 8
+  private val WavRates = Seq(8000, 12000, 16000, 20000)
+
+  /** 4-byte little-endian hex of an int (WAV header fields). */
+  private def le4(v: Int): String =
+    f"${v & 255}%02X${(v >> 8) & 255}%02X${(v >> 16) & 255}%02X${(v >> 24) & 255}%02X"
+
+  /** The audio-side multimodal container path (q59's PNG twin): each
+    * doc's deterministic PCM payload is wrapped in REAL RIFF/WAV bytes
+    * (44-byte header, 16-bit mono, per-doc sample rate), then the
+    * header fields AND the samples are parsed back OUT OF THE BYTES —
+    * the byte-level metadata/feature extraction an audio ingest runs
+    * before any codec (here there is no codec at all: PCM in a RIFF
+    * container IS the raw format). Frame energy Σv² is an exact
+    * integer, checksummed across the corpus with order-independent
+    * `bit_xor`. All row-local byte arithmetic — one scan, no joins;
+    * the oracle rebuilds and reparses identical bytes in SQL. */
+  val q115 = Query(
+    "q115_wav_audio_frames", {
+      def h(e: String) = Llm.dHash64(e)
+      val dataBytes = WavSamples * 2
+      // per-sample 16-bit LE hex from the portable hash
+      val sampleHex = (0 until WavSamples).map { i =>
+        val sv = s"(${h(s"'wavs:$i:' || text")} % 65536)"
+        s"lpad(hex($sv % 256), 2, '0') || lpad(hex($sv // 256), 2, '0')"
+      }.mkString(" || ")
+      val rateCase = WavRates.zipWithIndex
+        .map { case (r, i) => s"WHEN $i THEN '${le4(r)}'" }
+        .mkString("CASE rate_idx ", " ", " END")
+      val byteRateCase = WavRates.zipWithIndex
+        .map { case (r, i) => s"WHEN $i THEN '${le4(2 * r)}'" }
+        .mkString("CASE rate_idx ", " ", " END")
+      val rateValCase = WavRates.zipWithIndex
+        .map { case (r, i) => s"WHEN $i THEN $r" }
+        .mkString("CASE rate_idx ", " ", " END")
+      // parsed sample i: LE bytes at hex positions 89+4i (lo), 91+4i (hi)
+      def sVal(i: Int) =
+        s"('0x' || substr(hx, ${91 + 4 * i}, 2) ||" +
+          s" substr(hx, ${89 + 4 * i}, 2))::BIGINT"
+      val energy = (0 until WavSamples).map { i =>
+        val v = s"(CASE WHEN ${sVal(i)} > 32767 THEN ${sVal(i)} - 65536" +
+          s" ELSE ${sVal(i)} END)"
+        s"$v * $v"
+      }.mkString(" + ")
+      def le4Parse(pos: Int) =
+        s"('0x' || substr(hx, ${pos + 6}, 2) || substr(hx, ${pos + 4}, 2)" +
+          s" || substr(hx, ${pos + 2}, 2) || substr(hx, $pos, 2))::BIGINT"
+      s"""WITH m AS (
+         |  SELECT text, ${h("'wavr:' || text")} % 4 AS rate_idx
+         |  FROM documents),
+         |w AS (
+         |  SELECT $rateValCase AS rate,
+         |    unhex('52494646' || '${le4(36 + dataBytes)}' || '57415645'
+         |      || '666D7420' || '10000000' || '0100' || '0100'
+         |      || $rateCase || $byteRateCase || '0200' || '1000'
+         |      || '64617461' || '${le4(dataBytes)}' || $sampleHex)
+         |      AS wav
+         |  FROM m),
+         |x AS (
+         |  SELECT rate, octet_length(wav) AS nb, hex(wav) AS hx
+         |  FROM w),
+         |p AS (
+         |  SELECT rate, nb,
+         |    (substr(hx, 1, 8) = '52494646'
+         |      AND substr(hx, 17, 8) = '57415645') AS riff_ok,
+         |    ${le4Parse(49)} AS parsed_rate,
+         |    ${le4Parse(81)} // 2 AS n_samples,
+         |    $energy AS energy
+         |  FROM x)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_audio,
+         |  CAST(SUM(CASE WHEN riff_ok THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_valid_riff,
+         |  CAST(SUM(CASE WHEN parsed_rate = rate THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_rate_ok,
+         |  CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+         |  CAST(bit_xor(energy) AS BIGINT) AS energy_checksum,
+         |  CAST(SUM(nb) AS BIGINT) AS total_bytes
+         |FROM p""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Functions.md5Long
+    val dataBytes = WavSamples * 2
+    def le2hex(c: Column): Column =
+      concat(lpad(hex(c % 256), 2, "0"),
+        lpad(hex(shiftright(c, 8)), 2, "0"))
+    val sampleHex = concat((0 until WavSamples).map { i =>
+      le2hex(md5Long(concat(lit(s"wavs:$i:"), col("text"))) % 65536)
+    }: _*)
+    val rateIdx = md5Long(concat(lit("wavr:"), col("text"))) % 4
+    def caseOf(f: Int => Column): Column =
+      WavRates.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (r, i)) => when(col("rate_idx") === i, f(r)).otherwise(acc)
+      }
+    val m = Tables.documents(s, dir)
+      .select(col("text"), rateIdx.as("rate_idx"))
+    val w = m.select(
+      WavRates.zipWithIndex.foldLeft(lit(-1)) { case (acc, (r, i)) =>
+        when(col("rate_idx") === i, lit(r)).otherwise(acc)
+      }.as("rate"),
+      unhex(concat(
+        lit("52494646"), lit(le4(36 + dataBytes)), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+        caseOf(r => lit(le4(r))), caseOf(r => lit(le4(2 * r))),
+        lit("0200"), lit("1000"), lit("64617461"), lit(le4(dataBytes)),
+        sampleHex)).as("wav"))
+    val x = w.select(col("rate"), length(col("wav")).as("nb"),
+      hex(col("wav")).as("hx"))
+    def sValC(i: Int): Column =
+      conv(concat(substring(col("hx"), 91 + 4 * i, 2),
+        substring(col("hx"), 89 + 4 * i, 2)), 16, 10).cast("long")
+    val energy = (0 until WavSamples).map { i =>
+      val v = when(sValC(i) > 32767, sValC(i) - 65536).otherwise(sValC(i))
+      v * v
+    }.reduce(_ + _)
+    def le4ParseC(pos: Int): Column =
+      conv(concat(substring(col("hx"), pos + 6, 2),
+        substring(col("hx"), pos + 4, 2),
+        substring(col("hx"), pos + 2, 2),
+        substring(col("hx"), pos, 2)), 16, 10).cast("long")
+    val p = x.select(col("rate"), col("nb"),
+      (substring(col("hx"), 1, 8) === "52494646" &&
+        substring(col("hx"), 17, 8) === "57415645").as("riff_ok"),
+      le4ParseC(49).as("parsed_rate"),
+      (le4ParseC(81) / 2).cast("long").as("n_samples"),
+      energy.as("energy"))
+    p.agg(count(lit(1)).as("n_audio"),
+      sum(when(col("riff_ok"), 1).otherwise(0)).cast("long")
+        .as("n_valid_riff"),
+      sum(when(col("parsed_rate") === col("rate"), 1).otherwise(0))
+        .cast("long").as("n_rate_ok"),
+      sum(col("n_samples")).cast("long").as("total_samples"),
+      expr("bit_xor(energy)").cast("long").as("energy_checksum"),
+      sum(col("nb")).cast("long").as("total_bytes"))
+  }
+
+  val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
+    q113, q114, q115)
 }

@@ -133,8 +133,9 @@ bands AS (
 SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= $MhThreshold"""
 
   /** CTE prefix through the exact-Jaccard verification of every
-    * candidate pair (unthresholded — consumers filter `j`). */
-  private def minhashJacCtes(candPred: String): String = {
+    * candidate pair (unthresholded — consumers filter `j`; set sizes
+    * and overlap ride along for containment-style consumers). */
+  private[queries] def minhashJacCtes(candPred: String): String = {
     s"""$minhashBandsCtes,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -143,6 +144,8 @@ cand AS (
     $candPred),
 jac AS (
   SELECT c.doc_a, c.doc_b,
+    len(list_intersect(x.s, y.s)) AS ovl,
+    len(x.s) AS sz_a, len(y.s) AS sz_b,
     len(list_intersect(x.s, y.s))::DOUBLE /
       len(list_distinct(list_concat(x.s, y.s)))::DOUBLE AS j
   FROM cand c

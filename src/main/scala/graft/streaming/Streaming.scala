@@ -133,6 +133,69 @@ object Streaming {
     spark.table(sink)
   }
 
+  /** Stream-STREAM interval join, run to completion over the parquet
+    * events fixture: the left stream (`leftType` events, e.g. views)
+    * joins the right stream (`rightType`, e.g. purchases) per user when
+    * the right event lands within `withinMinutes` AFTER the left one —
+    * the attribution-window join (reference
+    * `pseudo_code_rules.txt:29-33`'s view→purchase funnel) in its
+    * streaming form.
+    *
+    * Both sides carry watermarks sized to the join window, which is
+    * what lets a CONTINUOUS deployment drop buffered state once the
+    * other side can no longer match (Spark derives the state horizon
+    * from watermark + interval bounds). Inner join + append mode: each
+    * matched pair is emitted exactly once; the result equals the batch
+    * interval join the oracle runs. Output lag is integer micros
+    * divided down to minutes — exact in any engine. */
+  def intervalJoinAvailableNow(spark: SparkSession, eventsParquet: String,
+      leftType: String, rightType: String, withinMinutes: Int)
+      : DataFrame = {
+    val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val srcDir = stageIntoDir(spark, eventsParquet)
+      val batchSchema = spark.read.parquet(srcDir).schema
+      def side(tpe: String, tag: String): DataFrame = {
+        val raw = spark.readStream.schema(batchSchema).parquet(srcDir)
+        val ev =
+          if (batchSchema("ts").dataType == LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        ev.filter(col("event_type") === tpe)
+          .select(col("event_id").as(s"${tag}_id"),
+            col("user_id").as(s"${tag}_user"),
+            col("ts").as(s"${tag}_ts"))
+          .withWatermark(s"${tag}_ts", s"${2 * withinMinutes} minutes")
+      }
+      val l = side(leftType, "l")
+      val r = side(rightType, "r")
+      val joined = l.join(r,
+        col("l_user") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") +
+            expr(s"INTERVAL $withinMinutes MINUTES"))
+      val out = joined.select(
+        col("l_id"), col("r_id"), col("l_user").as("user_id"),
+        expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 60000000")
+          .cast("long").as("lag_minutes"))
+      val sink = s"graft_sj_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None => spark.conf.unset(NanosKey)
+      }
+    }
+  }
+
   /** Production sink shape tying ST3 to S7: a streaming frame upserted
     * into the partition-bounded incremental table via `foreachBatch` —
     * every micro-batch merges through `Materialize.tableIncremental`
