@@ -75,6 +75,47 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("q106: per-column stats never plan a multi-distinct Expand") {
+    val p = plan("q106_table_stats")
+    assert(!p.contains("Expand"), p.take(2000))
+  }
+
+  test("q107: the sketch probe joins broadcast — no sort-merge; the " +
+      "only nested loop is the rank's bounded triangular offsets join") {
+    val p = plan("q107_heavy_hitters")
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .toList
+    assert(bnlj.forall(_.contains("__pid")), bnlj.mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q110: the rolling frame's window is partitioned (never global)") {
+    val p = plan("q110_rolling_window")
+    val bad = p.linesIterator.map(_.replaceFirst("^[-+:*(0-9)\\s]*", ""))
+      .filter(_.startsWith("Window "))
+      .filterNot(_.matches(".*\\], \\[.*\\], \\[.*"))
+      .toList
+    assert(bad.isEmpty, bad.mkString("\n"))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("q113: divergence joins are broadcast-only past the token " +
+      "aggregate") {
+    val p = plan("q113_source_divergence")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q115: WAV construct/parse is row-local — no joins, no windows") {
+    val p = plan("q115_wav_audio_frames")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    val shuffles = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 0, s"$shuffles shuffles:\n${p.take(2000)}")
+  }
+
   test("q1: filter pushes into the parquet scan, codegen spans exist") {
     // plain toString truncates scan metadata — use the formatted mode
     val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Sketch}
+
+class SketchGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ Sketch
+
+  private val CmD = 4
+  private val CmW = 64
+
+  private def keyed(n: Int) =
+    // key i appears i+1 times → known exact counts 1..n
+    (0 until n).flatMap(i => Seq.fill(i + 1)(s"k$i")).toDF("k")
+
+  test("Count-Min estimates never undercount, and total mass is exact") {
+    val df = keyed(30)
+    val sk = Sketch.countMin(df, col("k"), CmD, CmW)
+    // every hash row holds the full stream mass
+    val perRow = rows(sk.groupBy("__r").agg(sum("__c").as("m")))
+      .map(r => r.getLong(1))
+    assert(perRow.size == CmD && perRow.forall(_ == 30 * 31 / 2))
+    val keys = df.distinct()
+    val est = rows(Sketch.estimate(sk, keys, "k", CmD, CmW))
+      .map(r => r.getString(0).drop(1).toInt -> r.getLong(1)).toMap
+    (0 until 30).foreach { i =>
+      assert(est(i) >= i + 1, s"k$i underestimated: ${est(i)}")
+    }
+  }
+
+  test("Count-Min cells are invariant to input partitioning") {
+    val df = keyed(30)
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      rows(Sketch.countMin(d, col("k"), CmD, CmW))
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cells(df.repartition(7)) == cells(df.coalesce(1)))
+  }
+
+  // ------------------------------------------------------------- Graph
+
+  /** Driver-side replica of the fixed-point update — the reference
+    * implementation the distributed operator must match exactly. */
+  private def prReference(edges: Seq[(String, String)], iters: Int)
+      : Map[String, Long] = {
+    val nodes = edges.map(_._1).distinct.sorted
+    val n = nodes.size.toLong
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var pr = nodes.map(_ -> Graph.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = nodes.map { nd =>
+        nd -> ((15L * (Graph.Scale / n)) / 100 +
+          (85L * in.getOrElse(nd, 0L)) / 100)
+      }.toMap
+    }
+    pr
+  }
+
+  private def undirected(pairs: (String, String)*): Seq[(String, String)] =
+    pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+
+  test("pageRankFixed: a symmetric pair stays at the uniform fixpoint") {
+    val e = undirected(("a", "b")).toDF("src", "dst")
+    val got = rows(Graph.pageRankFixed(e, 3))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> Graph.Scale / 2, "b" -> Graph.Scale / 2))
+    graft.operators.InternalCache.release()
+  }
+
+  test("pageRankFixed matches the integer reference on a star + chain") {
+    val edges = undirected(("c", "l1"), ("c", "l2"), ("c", "l3"),
+      ("c", "l4"), ("l4", "t1"), ("t1", "t2"))
+    val got = rows(Graph.pageRankFixed(edges.toDF("src", "dst"), 3))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == prReference(edges, 3))
+    // the hub outranks leaves; ranks are exact integers, no tolerance
+    assert(got("c") > got("l1"))
+    graft.operators.InternalCache.release()
+  }
+
+  test("pageRankFixed is invariant to edge partitioning") {
+    val edges = undirected(("c", "l1"), ("c", "l2"), ("l2", "l3"))
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val r = rows(Graph.pageRankFixed(df, 3))
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      graft.operators.InternalCache.release()
+      r
+    }
+    assert(run(edges.toDF("src", "dst").repartition(5)) ==
+      run(edges.toDF("src", "dst").coalesce(1)))
+  }
+}
