@@ -671,6 +671,182 @@ object Analytics {
       sum(col("nb")).cast("long").as("total_bytes"))
   }
 
+  // ------------------------------------------------------------ q116
+
+  /** Explicit GROUPING SETS with a grouping id (§2.4 completeness
+    * beyond q4's ROLLUP and q72's CUBE): per-flag totals, per-status
+    * totals, and the grand total in ONE pass — Spark plans a single
+    * Expand + aggregate, the relational form of "compute these three
+    * marts together". The grouping id is derived the portable way
+    * (2·grouping(flag) + grouping(status)), not from engine-specific
+    * `grouping_id()` bit order. */
+  val q116 = Query(
+    "q116_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+      |    AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS gross
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+      .stripMargin) { (s, dir) =>
+    import graft.functions.Functions.sumMoney
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg((lit(2) * grouping(col("l_returnflag")) +
+          grouping(col("l_linestatus"))).cast("long").as("gid"),
+        count(lit(1)).as("n_items"),
+        sumMoney(col("l_extendedprice")).as("gross"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("n_items"), col("gross"))
+  }
+
+  // ------------------------------------------------------------ q117
+
+  /** Exact higher-moment statistics per return flag: variance,
+    * skewness, kurtosis of the price distribution, computed from EXACT
+    * integer power sums (cents, cents², cents³, cents⁴ in decimal(38)/
+    * HUGEINT — never a streaming float variance, whose merge order
+    * changes the result). The four sums are one map-side-combinable
+    * aggregate; the moment formulas then run as an IDENTICAL fixed
+    * sequence of double ops in both engines, so values match at 6 dp
+    * without any variance-algorithm coupling. The scale shape is the
+    * textbook distributed-moments pattern: power sums merge
+    * associatively across any partitioning. */
+  val q117 = Query(
+    "q117_price_moments",
+    """WITH c AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS v
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT flag, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(v AS HUGEINT) * v * v) AS DOUBLE) AS s3,
+      |    CAST(SUM(CAST(v AS HUGEINT) * v * v * v) AS DOUBLE) AS s4,
+      |    CAST(COUNT(*) AS BIGINT) AS n_items
+      |  FROM c GROUP BY 1),
+      |m AS (
+      |  SELECT flag, n_items, s1 / n AS mean,
+      |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+      |    s3 / n - 3.0 * (s1 / n) * (s2 / n)
+      |      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+      |    s4 / n - 4.0 * (s1 / n) * (s3 / n)
+      |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+      |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      |  FROM s)
+      |SELECT flag, n_items,
+      |  round(mean / 100.0, 6) AS mean_price,
+      |  round(m2 / 10000.0, 6) AS variance,
+      |  round(m3 / (sqrt(m2) * m2), 6) AS skewness,
+      |  round(m4 / (m2 * m2), 6) AS kurtosis
+      |FROM m""".stripMargin) { (s, dir) =>
+    val c = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"),
+      (money(col("l_extendedprice")) * 100).cast("long").as("v"))
+    val vd = col("v").cast(D38)
+    val sums = c.groupBy(col("flag")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(vd).cast("double").as("s1"),
+      sum(vd * col("v")).cast("double").as("s2"),
+      sum(vd * col("v") * col("v")).cast("double").as("s3"),
+      sum(vd * col("v") * col("v") * col("v")).cast("double").as("s4"),
+      count(lit(1)).as("n_items"))
+    def mn = col("s1") / col("n")
+    val m = sums.select(col("flag"), col("n_items"), mn.as("mean"),
+      (col("s2") / col("n") - mn * mn).as("m2"),
+      (col("s3") / col("n") - lit(3.0) * mn * (col("s2") / col("n"))
+        + lit(2.0) * mn * mn * mn).as("m3"),
+      (col("s4") / col("n") - lit(4.0) * mn * (col("s3") / col("n"))
+        + lit(6.0) * mn * mn * (col("s2") / col("n"))
+        - lit(3.0) * mn * mn * mn * mn).as("m4"))
+    m.select(col("flag"), col("n_items"),
+      round(col("mean") / 100.0, 6).as("mean_price"),
+      round(col("m2") / 10000.0, 6).as("variance"),
+      round(col("m3") / (sqrt(col("m2")) * col("m2")), 6).as("skewness"),
+      round(col("m4") / (col("m2") * col("m2")), 6).as("kurtosis"))
+  }
+
+  // ------------------------------------------------------------ q118
+
+  /** Calendar gap-fill + forward fill over the event stream: each
+    * event type's daily counts densified to its full [first, last] day
+    * range (`sequence` + explode — the relational dimension-generate,
+    * no driver loop), missing days zero-filled AND forward-filled with
+    * the last observed count, flagged as gaps. The window runs over
+    * calendar-bounded daily rows per type, partitioned — never the
+    * event stream. The time-series-preparation operator every
+    * BI/feature pipeline needs before resampling or joins against
+    * dense series. */
+  val q118 = Query(
+    "q118_gap_fill",
+    """WITH d AS (
+      |  SELECT event_type,
+      |    (CAST(ts AS DATE) - DATE '1970-01-01') AS day_num,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT event_type, MIN(day_num) AS d0, MAX(day_num) AS d1
+      |  FROM d GROUP BY 1),
+      |g AS (
+      |  SELECT b.event_type, UNNEST(range(b.d0, b.d1 + 1)) AS day_num
+      |  FROM b),
+      |j AS (
+      |  SELECT g.event_type, g.day_num, d.c
+      |  FROM g LEFT JOIN d
+      |    ON d.event_type = g.event_type AND d.day_num = g.day_num)
+      |SELECT event_type, CAST(day_num AS INT) AS day_num,
+      |  CAST(COALESCE(c, 0) AS BIGINT) AS n_events,
+      |  CAST(last_value(c IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY day_num
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_events_ffill,
+      |  (c IS NULL) AS was_gap
+      |FROM j""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        dayNum(col("ts")).as("day_num"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = daily.groupBy(col("event_type"))
+      .agg(min(col("day_num")).as("d0"), max(col("day_num")).as("d1"))
+    val grid = bounds.select(col("event_type"),
+      explode(sequence(col("d0"), col("d1"))).as("day_num"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("event_type", "day_num"), "left")
+      .select(col("event_type"), col("day_num"),
+        coalesce(col("c"), lit(0L)).as("n_events"),
+        last(col("c"), ignoreNulls = true).over(w).cast("long")
+          .as("n_events_ffill"),
+        col("c").isNull.as("was_gap"))
+  }
+
+  // ------------------------------------------------------------ q119
+
+  /** Streaming exact-dedup ([[graft.streaming.Streaming
+    * .streamDedupAvailableNow]]): the fixture arrives fully DUPLICATED
+    * (staged twice) and `dropDuplicatesWithinWatermark` must emit each
+    * event id exactly once — per-type counts equal the plain batch
+    * counts over the single fixture. The watermark variant is the
+    * production shape: dedup state is evicted at the horizon instead
+    * of growing with the stream. */
+  val q119 = Query(
+    "q119_stream_dedup",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    graft.streaming.Streaming
+      .streamDedupAvailableNow(s, s"$dir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
-    q113, q114, q115)
+    q113, q114, q115, q116, q117, q118, q119)
 }

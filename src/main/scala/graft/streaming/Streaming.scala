@@ -196,6 +196,56 @@ object Streaming {
     }
   }
 
+  /** Streaming exact-dedup (`dropDuplicatesWithinWatermark`), run to
+    * completion: the events fixture is staged TWICE into the source
+    * directory — every row arrives as a duplicate — and the stream
+    * must emit each `event_id` exactly once. The watermark bounds the
+    * dedup state in a continuous deployment (ids older than the
+    * watermark horizon are evicted — the production reason to prefer
+    * the WithinWatermark variant over unbounded `dropDuplicates`).
+    * Returns the deduplicated (event_id, event_type) rows. */
+  def streamDedupAvailableNow(spark: SparkSession,
+      eventsParquet: String): DataFrame = {
+    val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      // stage the single fixture file twice → a fully duplicated stream
+      val conf = spark.sparkContext.hadoopConfiguration
+      val src = new org.apache.hadoop.fs.Path(eventsParquet)
+      val fs = src.getFileSystem(conf)
+      val dir = new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_stream_dup_src_${math.abs(eventsParquet.hashCode)}")
+      fs.mkdirs(dir)
+      for (copy <- Seq("a.parquet", "b.parquet"))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(dir, copy), false, true, conf)
+      val batchSchema = spark.read.parquet(dir.toString).schema
+      val raw = spark.readStream.schema(batchSchema).parquet(dir.toString)
+      val ev =
+        if (batchSchema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val out = ev
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"))
+      val sink = s"graft_dd_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None => spark.conf.unset(NanosKey)
+      }
+    }
+  }
+
   /** Production sink shape tying ST3 to S7: a streaming frame upserted
     * into the partition-bounded incremental table via `foreachBatch` —
     * every micro-batch merges through `Materialize.tableIncremental`
