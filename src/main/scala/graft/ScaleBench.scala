@@ -78,7 +78,9 @@ object ScaleBench {
     "q85_curation_manifest", "q86_stream_near_dedup", "q87_pq_codes",
     "q90_span_boilerplate_removal", "q91_vocab_coverage",
     "q92_leakage_safe_split", "q93_context_chunks",
-    "q94_lm_quality_buckets", "q95_dsir_weights", "q96_dup_rate_estimate")
+    "q94_lm_quality_buckets", "q95_dsir_weights", "q96_dup_rate_estimate",
+    "q113_source_divergence", "q114_containment_pairs",
+    "q115_wav_audio_frames")
 
   /** ANN with a FIXED query workload (replica 0 queries only): a corpus
     * scale-up grows the indexed side, not the query side — without the

@@ -44,24 +44,34 @@ object Graph {
     val telePct = 100 - dampPct
     val e = InternalCache.persist(edges.select(col("src"), col("dst")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = InternalCache.persist(e.join(deg, Seq("src")))
+    // cache the edge frame PRE-PARTITIONED on src: every round's
+    // rank join then reuses the cached partitioning, and since the
+    // rank frame leaves each round hash-partitioned on node (= src
+    // domain), the per-round join needs NO exchange — one shuffle
+    // (the dst gather) per round, the Pregel schedule
+    val withDeg = InternalCache.persist(
+      e.join(deg, Seq("src")).repartition(col("src")))
     val nodes = InternalCache.persist(
       e.select(col("src").as("node")).distinct())
-    val nRow = nodes.agg(count(lit(1)).as("__n"))
-    def teleported(ranked: DataFrame): DataFrame =
-      ranked.crossJoin(broadcast(nRow)).select(col("node"),
-        expr(s"($telePct * (${Scale}L div __n)) div 100" +
-          s" + ($dampPct * __in) div 100").as("pr"))
-    var pr = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), expr(s"${Scale}L div __n").as("pr"))
+    // ONE bounded driver scalar (the node count) — replaces a
+    // broadcast-join of the count row into every round's projection;
+    // the derived constants are the same integers the oracle computes
+    val n = nodes.count()
+    val pr0 = Scale / n
+    val tele = (telePct.toLong * pr0) / 100
+    var pr = nodes.select(col("node"), lit(pr0).as("pr"))
     for (_ <- 1 to iters) {
       val gathered = withDeg
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("pr div deg").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
-      pr = teleported(
+      // persist each round's small (node, pr) frame — the final
+      // consumer reads it twice (ranking's range + counts legs)
+      pr = InternalCache.persist(
         nodes.join(gathered, Seq("node"), "left")
-          .select(col("node"), coalesce(col("__in"), lit(0L)).as("__in")))
+          .select(col("node"),
+            expr(s"${tele}L + ($dampPct * coalesce(__in, 0L)) div 100")
+              .as("pr")))
     }
     pr
   }

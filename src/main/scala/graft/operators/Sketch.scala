@@ -22,19 +22,28 @@ import graft.functions.Functions.md5Long
   */
 object Sketch {
 
-  /** Bucket of `k` (a string column) under hash row `r`. */
-  private def bucket(r: Column, k: Column, w: Int): Column =
-    md5Long(concat(lit("cm:"), r.cast("string"), lit(":"), k)) % w
+  /** Carter-Wegman hash pair: row r's bucket is `(h1 + r·h2) mod w` —
+    * the standard pairwise-independent CMS family, and only TWO md5
+    * evaluations per key regardless of sketch depth (the same trick
+    * the minhash signatures use). h2 is clamped to 2^50 so
+    * `h1 + (d-1)·h2` never overflows a long. */
+  private def h1(k: Column): Column = md5Long(concat(lit("cm1:"), k))
+  private def h2(k: Column): Column =
+    pmod(md5Long(concat(lit("cm2:"), k)), lit(1L << 50))
 
   /** Build the d×w Count-Min table over `key`: one row per non-empty
-    * cell `(r, b, c)`. The explode multiplies input rows by `d` BEFORE
-    * the aggregate, but partial aggregation collapses them to ≤ d·w
-    * groups per task — the shuffle carries at most d·w rows per
-    * partition regardless of input size. */
+    * cell `(r, b, c)`. The explode multiplies input rows by `d` AFTER
+    * the two hashes are computed once per row, and partial aggregation
+    * collapses the exploded rows to ≤ d·w groups per task — the
+    * shuffle carries at most d·w rows per partition regardless of
+    * input size. */
   def countMin(df: DataFrame, key: Column, d: Int, w: Int): DataFrame =
     df.select(key.cast("string").as("__k"))
-      .select(col("__k"), explode(sequence(lit(0), lit(d - 1))).as("__r"))
-      .groupBy(col("__r"), bucket(col("__r"), col("__k"), w).as("__b"))
+      .select(h1(col("__k")).as("__h1"), h2(col("__k")).as("__h2"))
+      .select(col("__h1"), col("__h2"),
+        explode(sequence(lit(0), lit(d - 1))).as("__r"))
+      .groupBy(col("__r"),
+        ((col("__h1") + col("__r") * col("__h2")) % w).as("__b"))
       .agg(count(lit(1)).as("__c"))
 
   /** Point-estimate every key in `keys` (column `keyCol`, cast to
@@ -44,9 +53,10 @@ object Sketch {
   def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
       d: Int, w: Int): DataFrame = {
     val probes = keys
+      .withColumn("__h1", h1(col(keyCol).cast("string")))
+      .withColumn("__h2", h2(col(keyCol).cast("string")))
       .withColumn("__r", explode(sequence(lit(0), lit(d - 1))))
-      .withColumn("__b",
-        bucket(col("__r"), col(keyCol).cast("string"), w))
+      .withColumn("__b", (col("__h1") + col("__r") * col("__h2")) % w)
     probes.join(broadcast(sketch), Seq("__r", "__b"))
       .groupBy(keys.columns.map(col): _*)
       .agg(min(col("__c")).as("est_cnt"))

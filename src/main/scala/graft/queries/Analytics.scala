@@ -231,10 +231,13 @@ object Analytics {
   private val CmW = 256 // Count-Min buckets per row
 
   /** DuckDB fragment: the Count-Min bucket of key expression `k` under
-    * hash row `r` (mirror of `Sketch.bucket`). */
-  private def dCmBucket(r: String, k: String) =
-    s"('0x' || substr(md5('cm:' || CAST($r AS VARCHAR) || ':' ||" +
-      s" CAST($k AS VARCHAR)), 1, 15))::BIGINT % $CmW"
+    * hash row `r` (mirror of `Sketch`'s Carter-Wegman pair). */
+  private def dCmBucket(r: String, k: String) = {
+    def h(seed: String) =
+      s"('0x' || substr(md5('$seed:' || CAST($k AS VARCHAR)), 1, 15))" +
+        "::BIGINT"
+    s"((${h("cm1")} + $r * (${h("cm2")} % ${1L << 50})) % $CmW)"
+  }
 
   /** Heavy hitters through a Count-Min sketch ([[Sketch]]): the exact
     * top-20 part keys by lineitem frequency, each with its sketch
@@ -270,10 +273,11 @@ object Analytics {
          |JOIN sk ON sk.r = rr.r AND sk.b = ${dCmBucket("rr.r", "t.k")}
          |GROUP BY 1, 2, 3""".stripMargin
     }) { (s, dir) =>
-    import graft.operators.{Ranking, Sketch}
+    import graft.operators.{InternalCache, Ranking, Sketch}
     val li = Tables.lineitem(s, dir)
-    val exact = li.groupBy(col("l_partkey")).agg(
-      count(lit(1)).as("exact_cnt"))
+    // the rank reads the exact counts twice (range + counts legs)
+    val exact = InternalCache.persist(
+      li.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_cnt")))
     val top = Ranking.withGlobalRank(exact,
         struct((col("exact_cnt") * -1).as("nc"),
           col("l_partkey").as("k")).asc, "rnk")

@@ -714,5 +714,66 @@ object Prep {
       .unionByName(leg("ivf_trained", trained))
   }
 
-  val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99, q100)
+  // ------------------------------------------------------------ q120
+
+  private val BpeK = 6
+
+  /** The q120 oracle: the ENTIRE BPE training loop unrolled as CTEs —
+    * pair counts, deterministic argmax (freq desc, then pair), and the
+    * `list_reduce` merge fold, [[BpeK]] rounds deep. Every round's
+    * winning pair must match the distributed trainer's merge-for-merge,
+    * so the oracle checks the training TRAJECTORY, not just the final
+    * table. */
+  private def bpeOracle: String = {
+    def pairs(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT p.x AS x, p.y AS y, CAST(COUNT(*) AS BIGINT) AS f
+         |  FROM (SELECT UNNEST([{'x': t[i], 'y': t[i + 1]}
+         |      for i in range(1, len(t))]) AS p FROM $src)
+         |  GROUP BY 1, 2)""".stripMargin
+    def best(src: String, out: String) =
+      s"$out AS (SELECT x, y, f FROM $src ORDER BY f DESC, x, y LIMIT 1)"
+    def merge(src: String, b: String, out: String) =
+      s"""$out AS (
+         |  SELECT CASE WHEN len(t) <= 1 THEN t
+         |    ELSE string_split(list_reduce(t, (acc, e) -> CASE
+         |      WHEN e = $b.y AND acc = $b.x THEN $b.x || chr(1) || $b.y
+         |      WHEN e = $b.y AND ends_with(acc, ' ' || $b.x)
+         |        THEN left(acc, length(acc) - length($b.x)) ||
+         |          $b.x || chr(1) || $b.y
+         |      ELSE acc || ' ' || e END), ' ')
+         |    END AS t
+         |  FROM $src CROSS JOIN $b)""".stripMargin
+    val rounds = (1 to BpeK).flatMap { r =>
+      Seq(pairs(s"t${r - 1}", s"p$r"), best(s"p$r", s"b$r")) ++
+        (if (r < BpeK) Seq(merge(s"t${r - 1}", s"b$r", s"t$r")) else Nil)
+    }.mkString(",\n")
+    val legs = (1 to BpeK)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS merge_rank, x AS left_tok," +
+        s" y AS right_tok, f AS freq FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (
+       |  SELECT ${Llm.DTokens} AS t FROM documents),
+       |$rounds
+       |$legs""".stripMargin
+  }
+
+  /** Distributed BPE merge-rule training ([[graft.operators.Bpe]]):
+    * [[BpeK]] greedy rounds over the documents corpus at word level —
+    * the tokenizer-training workload of an LLM data pipeline, run as
+    * k map-side-combinable pair counts + k row-local merge folds, with
+    * one bounded argmax scalar per round (the k-means action class).
+    * The oracle replays the full loop; a single diverging merge or
+    * count anywhere in the trajectory fails the hash. */
+  val q120 = Query("q120_bpe_merges", bpeOracle) { (s, dir) =>
+    import graft.operators.Bpe
+    val merges = Bpe.learnMerges(Tables.documents(s, dir), "text", BpeK)
+    import s.implicits._
+    merges.toDF("merge_rank", "left_tok", "right_tok", "freq")
+      .select(col("merge_rank").cast("long").as("merge_rank"),
+        col("left_tok"), col("right_tok"), col("freq"))
+  }
+
+  val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99, q100,
+    q120)
 }
