@@ -33,4 +33,22 @@ object Linkage {
       .withColumn("__dist", levenshtein(col(leftKey), col(rightKey)))
       .filter(col("__dist") <= maxDist)
       .drop("__blk")
+
+  /** Value-level blocked fuzzy join — the skew-proof form. Both sides
+    * are first collapsed to DISTINCT values with multiplicities
+    * (`__ln`, `__rn`), so the quadratic `levenshtein` runs once per
+    * distinct value PAIR, not once per row pair: a column with v
+    * distinct values over n rows pays ≤ (in-block) v² comparisons
+    * instead of n². Row-level statistics are recovered exactly as
+    * weighted sums (`__ln · __rn` row pairs per value pair). This is
+    * the dedupe-before-compare rule every entity-resolution engine
+    * applies when match columns are heavily repeated — precisely when
+    * blocked joins blow up. */
+  def fuzzyJoinValues(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      blockOf: Column => Column, maxDist: Int): DataFrame =
+    fuzzyJoin(
+      left.groupBy(col(leftKey)).agg(count(lit(1)).as("__ln")), leftKey,
+      right.groupBy(col(rightKey)).agg(count(lit(1)).as("__rn")), rightKey,
+      blockOf, maxDist)
 }
