@@ -851,6 +851,228 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  // ------------------------------------------------------------ q121
+
+  private val BfM = 256 // Bloom bits (deliberately tight: FPs visible)
+  private val BfK = 3 // Bloom probes per key
+
+  /** DuckDB fragment: 60-bit seeded md5 hash of an expression. */
+  private def dBfHash(seed: String, k: String) =
+    s"('0x' || substr(md5('$seed:' || CAST($k AS VARCHAR)), 1, 15))" +
+      "::BIGINT"
+
+  /** Bloom-filter scan pruning ([[graft.operators.Bloom]]): the
+    * supplier keys of a nation group compress into a [[BfM]]-bit filter
+    * that ships as a plan LITERAL — the fact scan drops non-matching
+    * rows inside whole-stage codegen with zero joins and zero
+    * shuffles, then the (broadcast) exact join removes the false
+    * positives. At 100 TB this is the semi-join pushdown that turns
+    * "join then discard 97% of the fact table" into "never read it
+    * past the scan". The filter is deliberately small so false
+    * positives are VISIBLE: the oracle replays the exact bit
+    * positions (portable md5 double-hashing), so n_candidates —
+    * including every false positive — hash-matches, not just the
+    * exact result. */
+  val q121 = Query(
+    "q121_bloom_prune", {
+      val pPos = (0 until BfK)
+        .map(i => s"(ph.h1 + $i * ph.h2) % $BfM").mkString(", ")
+      val lPos = (0 until BfK)
+        .map(i => s"(lh.h1 + $i * lh.h2) % $BfM").mkString(", ")
+      s"""WITH probe AS (
+         |  SELECT s_suppkey FROM supplier JOIN nation
+         |    ON s_nationkey = n_nationkey
+         |  WHERE n_nationkey % 5 = 3),
+         |ph AS (
+         |  SELECT ${dBfHash("bf1", "s_suppkey")} AS h1,
+         |    ${dBfHash("bf2", "s_suppkey")} AS h2
+         |  FROM probe),
+         |pos AS (
+         |  SELECT DISTINCT UNNEST([$pPos]) AS p FROM ph),
+         |pl AS (SELECT list(p) AS pl FROM pos),
+         |lh AS (
+         |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+         |      AS month,
+         |    l_suppkey, l_extendedprice,
+         |    ${dBfHash("bf1", "l_suppkey")} AS h1,
+         |    ${dBfHash("bf2", "l_suppkey")} AS h2
+         |  FROM lineitem),
+         |cand AS (
+         |  SELECT month, l_suppkey, l_extendedprice
+         |  FROM lh CROSS JOIN pl
+         |  WHERE list_has_all(pl, [$lPos])),
+         |a AS (
+         |  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_candidates
+         |  FROM cand GROUP BY 1),
+         |b AS (
+         |  SELECT c.month, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |    SUM(CAST(c.l_extendedprice AS DECIMAL(18,2))) AS rev
+         |  FROM cand c JOIN probe ON c.l_suppkey = probe.s_suppkey
+         |  GROUP BY 1)
+         |SELECT a.month, a.n_candidates,
+         |  COALESCE(b.n_true, 0) AS n_true,
+         |  CAST(COALESCE(b.rev, 0) AS DOUBLE) AS revenue
+         |FROM a LEFT JOIN b ON a.month = b.month""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Functions.md5Long
+    import graft.operators.{Bloom, InternalCache}
+    def h(seed: String, c: Column) =
+      md5Long(concat(lit(s"$seed:"), c.cast("string")))
+    val probe = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_nationkey") % 5 === 3)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val posRows = probe.select(explode(Bloom.positionsArray(
+      h("bf1", col("s_suppkey")), h("bf2", col("s_suppkey")),
+      BfK, BfM)).as("p"))
+    val words = Bloom.bitsetWords(posRows, "p", BfM)
+    val cand = InternalCache.persist(Tables.lineitem(s, dir)
+      .select(date_trunc("month", col("l_shipdate")).as("month"),
+        col("l_suppkey"), col("l_extendedprice"))
+      .filter(Bloom.mightContain(words,
+        h("bf1", col("l_suppkey")), h("bf2", col("l_suppkey")),
+        BfK, BfM)))
+    val a = cand.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val b = cand.join(broadcast(probe),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(money(col("l_extendedprice"))).cast("double").as("revenue"))
+    a.join(b, Seq("month"), "left")
+      .select(col("month"), col("n_candidates"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+  }
+
+  // ------------------------------------------------------------ q122
+
+  private val SwSizeS = 6 * 3600 // 6-hour windows...
+  private val SwSlideS = 5400 // ...advancing every 90 minutes
+
+  /** Sliding-window streaming rollup ([[graft.streaming.Streaming
+    * .slidingRollupAvailableNow]]): 6-hour event-time windows every 90
+    * minutes — each event feeds size/slide = 4 overlapping windows.
+    * The oracle enumerates the same epoch-aligned window starts per
+    * event (integer-second arithmetic) and reproduces every window's
+    * count and exact-decimal value sum. */
+  val q122 = Query(
+    "q122_sliding_rollup",
+    s"""WITH e AS (
+       |  SELECT ts, value,
+       |    (epoch_us(ts) // ${SwSlideS.toLong * 1000000}) * $SwSlideS
+       |      AS base_s
+       |  FROM events),
+       |w AS (
+       |  SELECT make_timestamp((base_s - j.r * $SwSlideS) * 1000000)
+       |      AS window_start,
+       |    value
+       |  FROM e CROSS JOIN (SELECT UNNEST(range(${SwSizeS / SwSlideS}))
+       |    AS r) j)
+       |SELECT window_start,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total_value
+       |FROM w GROUP BY 1""".stripMargin) { (s, dir) =>
+    graft.streaming.Streaming.slidingRollupAvailableNow(
+      s, s"$dir/events.parquet", s"${SwSizeS / 3600} hours",
+      s"${SwSlideS / 60} minutes")
+  }
+
+  // ------------------------------------------------------------ q123
+
+  /** Incremental AGGREGATE mart maintenance
+    * ([[graft.sources.Materialize.aggIncremental]]): a monthly revenue
+    * mart built from two increments split mid-month — the overlap
+    * month receives partial sums from BOTH runs, so the additive merge
+    * itself is exercised, and the second run rewrites only the
+    * partitions it touches. The oracle is the FULL aggregate over all
+    * orders: incremental maintenance must equal a from-scratch
+    * rebuild. */
+  val q123 = Query(
+    "q123_incremental_agg",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+      |    AS month,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.sources.{Ingest, Materialize}
+    val name = s"graft_agginc_${math.abs(dir.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    Ingest.deletePath(s,
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+        s"/$name")
+    val orders = Tables.orders(s, dir)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(money(col("o_totalprice"))).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    val cut = lit("1996-06-15").cast("date")
+    Materialize.aggIncremental(s, name,
+      partial(orders.filter(col("o_orderdate") < cut)),
+      Seq("month"), "month")
+    Materialize.aggIncremental(s, name,
+      partial(orders.filter(col("o_orderdate") >= cut)),
+      Seq("month"), "month")
+    s.table(name).select(col("month").cast("timestamp_ntz").as("month"),
+      col("revenue").cast("double").as("revenue"), col("n_orders"))
+  }
+
+  // ------------------------------------------------------------ q124
+
+  private val AqpMod = 10 // deterministic 1-in-10 hash sample
+
+  /** Approximate query processing by deterministic hash sampling: a
+    * 10% md5 sample of lineitem estimates monthly revenue (scale-up is
+    * an EXACT decimal ×10 — no float scaling), reported against the
+    * exact answer with the relative error. The 100 TB story: a 10%
+    * sample answers the dashboard query from 10% of the bytes; the
+    * hash cut is deterministic and engine-portable, so the oracle
+    * replays the sample membership row for row (same pattern as q56's
+    * train/val split). */
+  val q124 = Query(
+    "q124_sample_estimate", {
+      val h = "('0x' || substr(md5('smp:' || CAST(l_orderkey AS " +
+        "VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))" +
+        "::BIGINT"
+      s"""WITH l AS (
+         |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+         |      AS month,
+         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         |    ($h % $AqpMod = 0) AS in_sample
+         |  FROM lineitem)
+         |SELECT month,
+         |  CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sample,
+         |  CAST(SUM(CASE WHEN in_sample THEN price ELSE 0 END)
+         |    * $AqpMod AS DOUBLE) AS est_revenue,
+         |  CAST(SUM(price) AS DOUBLE) AS exact_revenue,
+         |  round(abs(CAST(SUM(CASE WHEN in_sample THEN price ELSE 0
+         |    END) * $AqpMod AS DOUBLE) - CAST(SUM(price) AS DOUBLE))
+         |    / CAST(SUM(price) AS DOUBLE), 6) AS rel_err
+         |FROM l GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Functions.md5Long
+    val l = Tables.lineitem(s, dir).select(
+      date_trunc("month", col("l_shipdate")).as("month"),
+      money(col("l_extendedprice")).as("price"),
+      (md5Long(concat(lit("smp:"), col("l_orderkey").cast("string"),
+        lit(":"), col("l_linenumber").cast("string"))) % AqpMod === 0)
+        .as("in_sample"))
+    val est = sum(when(col("in_sample"), col("price")).otherwise(
+      lit(0).cast(graft.functions.Functions.Money))) * AqpMod
+    val exact = sum(col("price"))
+    l.groupBy(col("month")).agg(
+        sum(when(col("in_sample"), 1).otherwise(0)).cast("long")
+          .as("n_sample"),
+        est.cast("double").as("est_revenue"),
+        exact.cast("double").as("exact_revenue"),
+        round(abs(est.cast("double") - exact.cast("double")) /
+          exact.cast("double"), 6).as("rel_err"))
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
-    q113, q114, q115, q116, q117, q118, q119)
+    q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124)
 }

@@ -196,6 +196,47 @@ object Streaming {
     }
   }
 
+  /** SLIDING-window streaming rollup run to completion: overlapping
+    * event-time windows (`size` wide, advancing every `slide`), the
+    * moving-aggregate form of [[dailyRollupAvailableNow]]'s tumbling
+    * day. Each event lands in size/slide windows; Spark's `window()`
+    * enumerates them epoch-aligned, which the batch oracle reproduces
+    * exactly. Complete-mode memory sink (bounded source). */
+  def slidingRollupAvailableNow(spark: SparkSession, eventsParquet: String,
+      size: String, slide: String): DataFrame = {
+    val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val srcDir = stageIntoDir(spark, eventsParquet)
+      val batchSchema = spark.read.parquet(srcDir).schema
+      val raw = spark.readStream.schema(batchSchema).parquet(srcDir)
+      val ev =
+        if (batchSchema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val agg = ev
+        .groupBy(window(col("ts"), size, slide).as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(money(col("value"))).cast("double").as("total_value"))
+        .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+          col("n_events"), col("total_value"))
+      val sink = s"graft_sw_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None => spark.conf.unset(NanosKey)
+      }
+    }
+  }
+
   /** Streaming exact-dedup (`dropDuplicatesWithinWatermark`), run to
     * completion: the events fixture is staged TWICE into the source
     * directory — every row arrives as a duplicate — and the stream
