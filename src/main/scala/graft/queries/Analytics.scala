@@ -927,12 +927,18 @@ object Analytics {
       h("bf1", col("s_suppkey")), h("bf2", col("s_suppkey")),
       BfK, BfM)).as("p"))
     val words = Bloom.bitsetWords(posRows, "p", BfM)
-    val cand = InternalCache.persist(Tables.lineitem(s, dir)
+    // hash the key ONCE per row into a cached projection; the bit
+    // tests then run over the materialized hash pair instead of
+    // re-deriving md5 for every probe position
+    val lh = InternalCache.persist(Tables.lineitem(s, dir)
       .select(date_trunc("month", col("l_shipdate")).as("month"),
-        col("l_suppkey"), col("l_extendedprice"))
-      .filter(Bloom.mightContain(words,
-        h("bf1", col("l_suppkey")), h("bf2", col("l_suppkey")),
-        BfK, BfM)))
+        col("l_suppkey"), col("l_extendedprice"),
+        h("bf1", col("l_suppkey")).as("__h1"),
+        h("bf2", col("l_suppkey")).as("__h2")))
+    val cand = InternalCache.persist(lh
+      .filter(Bloom.mightContain(words, col("__h1"), col("__h2"),
+        BfK, BfM))
+      .drop("__h1", "__h2"))
     val a = cand.groupBy(col("month"))
       .agg(count(lit(1)).as("n_candidates"))
     val b = cand.join(broadcast(probe),
@@ -1073,6 +1079,36 @@ object Analytics {
           exact.cast("double"), 6).as("rel_err"))
   }
 
+  // ------------------------------------------------------------ q127
+
+  /** Streaming ADDITIVE mart ([[graft.streaming.Streaming
+    * .streamIntoAggIncremental]]): events stream in two micro-batches
+    * split mid-day into a day-partitioned aggregate table via
+    * `foreachBatch` → `Materialize.aggIncremental`; the boundary day
+    * merges partial sums from both batches. The oracle is the one-shot
+    * batch aggregate — streaming maintenance must land on identical
+    * state. */
+  val q127 = Query(
+    "q127_stream_agg_mart",
+    """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import graft.sources.Ingest
+    val name = s"graft_stragg_${math.abs(dir.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    Ingest.deletePath(s,
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+        s"/$name")
+    graft.streaming.Streaming.streamIntoAggIncremental(
+        s, s"$dir/events.parquet", name, "2024-01-15 12:00:00")
+      .select(col("day").cast("timestamp_ntz").as("day"),
+        col("event_type"), col("n_events"),
+        col("value_sum").cast("double").as("total_value"))
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
-    q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124)
+    q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
+    q127)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.Functions._
 import graft.sources.Tables
 
@@ -207,5 +208,97 @@ object Relational {
           col("revenue"), col("n_orders"))
   }
 
-  val all: Seq[Query] = Seq(q1, q2, q3, q4, q58, q71, q72)
+  // ------------------------------------------------------------ q125
+
+  /** Deep multi-join analytical composition (the TPC-H Q5 shape —
+    * "local supplier volume"): six relations, a region filter, a date
+    * window, and the co-nationality predicate between customer and
+    * supplier. What the reference's mart layer would run as a single
+    * reporting query; exercises join ordering + dim broadcasts in one
+    * plan. Revenue stays exact decimal end to end: the discount is
+    * cast to DECIMAL(4,2) (the data's true granularity) BEFORE the
+    * multiply, so price·(1−disc) is exact rational arithmetic in both
+    * engines — no double product ever enters a sum. */
+  val q125 = Query(
+    "q125_local_supplier_volume",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val rev = money(col("l_extendedprice")) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+      .groupBy(col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // ------------------------------------------------------------ q126
+
+  private val DormantCut = "2000-01-01"
+
+  /** Anti-join + scalar-aggregate composition (the TPC-H Q22 shape —
+    * "global sales opportunity"): customers whose balance beats the
+    * positive-balance average but who have placed NO order since the
+    * dormancy cutoff. The scalar threshold is one broadcast single-row
+    * aggregate (exact decimal sum / count, ONE double division); the
+    * dormancy predicate is a LEFT ANTI join against the date-filtered
+    * order scan — never a correlated per-row subquery, and the filter
+    * pushes into the fact scan before the anti join. */
+  val q126 = Query(
+    "q126_dormant_customers",
+    s"""WITH t AS (
+       |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+       |  FROM customer WHERE c_acctbal > 0)
+       |SELECT c_mktsegment,
+       |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total_bal
+       |FROM customer c CROSS JOIN t
+       |WHERE c_acctbal > t.avg_bal
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |    WHERE o.o_custkey = c.c_custkey
+       |    AND CAST(o.o_orderdate AS DATE) >= DATE '$DormantCut')
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val thr = c.filter(col("c_acctbal") > 0)
+      .agg((sum(money(col("c_acctbal"))).cast("double") /
+        count(lit(1)).cast("double")).as("avg_bal"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate").cast("date") >=
+            lit(DormantCut).cast("date")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(money(col("c_acctbal"))).cast("double").as("total_bal"))
+  }
+
+  val all: Seq[Query] = Seq(q1, q2, q3, q4, q58, q71, q72, q125, q126)
 }

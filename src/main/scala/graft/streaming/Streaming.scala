@@ -196,6 +196,76 @@ object Streaming {
     }
   }
 
+  /** Streaming ADDITIVE mart maintenance: micro-batches of events fold
+    * into a partitioned daily aggregate table via `foreachBatch` →
+    * [[graft.sources.Materialize.aggIncremental]] — each batch merges
+    * partial sums into only the day-partitions it touches. The source
+    * is staged as TWO disjoint halves split mid-day
+    * (`maxFilesPerTrigger=1` → two micro-batches), so the boundary day
+    * receives partial sums from BOTH batches and the additive merge is
+    * exercised, not just appends. Post-condition (the q127 oracle):
+    * table ≡ the one-shot batch aggregate. */
+  def streamIntoAggIncremental(spark: SparkSession, eventsParquet: String,
+      name: String, cutTs: String): DataFrame = {
+    val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val batch = spark.read.parquet(eventsParquet)
+      val ev0 =
+        if (batch.schema("ts").dataType == LongType)
+          batch.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else batch
+      val srcDir = s"/tmp/graft_stream_agg_src_" +
+        s"${math.abs((eventsParquet + cutTs).hashCode)}"
+      val cut = lit(cutTs).cast("timestamp")
+      ev0.filter(col("ts") < cut).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/a")
+      ev0.filter(col("ts") >= cut).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/b")
+      // one staged dir holding exactly two data files
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dir = new org.apache.hadoop.fs.Path(s"$srcDir/in")
+      val fs = dir.getFileSystem(conf)
+      fs.delete(dir, true); fs.mkdirs(dir)
+      for (half <- Seq("a", "b")) {
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$srcDir/$half/part-*")).head
+        org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs,
+          new org.apache.hadoop.fs.Path(dir, s"$half.parquet"),
+          false, true, conf)
+      }
+      val schema = spark.read.parquet(dir.toString).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$srcDir/ckpt_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val partial = b.groupBy(col("ts").cast("date").as("day"),
+                col("event_type"))
+              .agg(count(lit(1)).as("n_events"),
+                sum(money(col("value"))).as("value_sum"))
+            graft.sources.Materialize.aggIncremental(
+              b.sparkSession, name, partial,
+              Seq("day", "event_type"), "day")
+            ()
+          }
+        }
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None => spark.conf.unset(NanosKey)
+      }
+    }
+  }
+
   /** SLIDING-window streaming rollup run to completion: overlapping
     * event-time windows (`size` wide, advancing every `slide`), the
     * moving-aggregate form of [[dailyRollupAvailableNow]]'s tumbling
