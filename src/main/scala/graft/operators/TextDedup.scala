@@ -371,6 +371,66 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), round(col("__jac"), 6).as("jaccard"))
   }
 
+  /** EXACT set-similarity join by prefix filtering (the PPJoin family,
+    * Xiao et al. 2008): for token-set Jaccard ≥ t, two sets MUST share
+    * at least one token among the first `|x| − ⌈t·|x|⌉ + 1` of a
+    * global canonical ordering (rarest token first) — so candidates
+    * are an equi join on PREFIX tokens only, and because rare tokens
+    * lead, prefix postings are the SHORTEST lists in the corpus.
+    * Unlike the df-capped inverted index ([[ngramJaccardPairs]], which
+    * trades recall for bound), the prefix filter is LOSSLESS: every
+    * qualifying pair is found (property-tested against brute force).
+    *
+    * Scale shape: one df aggregate, one ordered-list build (sorted
+    * per-doc arrays — deterministic (df, token) order), prefix explode
+    * (≈ half of each doc's tokens at t = 0.5), posting-list self-join,
+    * exact verify on candidates through token rows. No all-pairs
+    * product anywhere; the join is bounded by prefix-posting sizes,
+    * which the rarest-first ordering minimizes. */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold == 0.5,
+      "integer-exact prefix length implemented for t = 0.5")
+    // shingle sets, not raw tokens: on template-heavy corpora raw
+    // token sets are corpus-wide near-identical (Jaccard ≥ 0.5 for
+    // most pairs), while n-word shingles keep the similarity signal
+    // discriminative — the same reason q23's minhash runs on shingles
+    val rows = docShingleRows(docs, idCol, textCol, shingleN)
+      .withColumnRenamed("g", "w")
+      .transform(InternalCache.persist(_))
+    val dfc = rows.groupBy(col("w")).agg(count(lit(1)).as("dfw"))
+    val lists = rows.join(dfc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("dfw"), col("w"))))
+        .as("lst"))
+      .select(col("doc_id"), size(col("lst")).as("n"), col("lst"))
+    // prefix length for Jaccard t = 0.5: n − ⌈n/2⌉ + 1, exact integers
+    val prefix = lists.select(col("doc_id"),
+        explode(expr("slice(lst, 1, n - ((n + 1) div 2) + 1)")).as("p"))
+      .select(col("doc_id"), col("p.w").as("w"))
+      .transform(InternalCache.persist(_))
+    val cand = prefix.select(col("w"), col("doc_id").as("doc_a"))
+      .join(prefix.select(col("w"), col("doc_id").as("doc_b")), Seq("w"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = rows.select(col("doc_id").as("doc_a"), col("w"))
+    val b = rows.select(col("doc_id").as("doc_b"), col("w"))
+    val ovl = cand.join(a, "doc_a").join(b, Seq("doc_b", "w"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("ovl"))
+    ovl
+      .join(sizes.withColumnsRenamed(
+        Map("doc_id" -> "doc_a", "sz" -> "sz_a")), "doc_a")
+      .join(sizes.withColumnsRenamed(
+        Map("doc_id" -> "doc_b", "sz" -> "sz_b")), "doc_b")
+      .withColumn("__pjac", col("ovl").cast("double") /
+        (col("sz_a") + col("sz_b") - col("ovl")).cast("double"))
+      .filter(col("__pjac") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("__pjac"), 6).as("jaccard"))
+  }
+
   /** Connected components over near-dup pairs → dedup clusters:
     * every doc in a component gets the component's minimum doc id as
     * `cluster_id` (the canonical representative).

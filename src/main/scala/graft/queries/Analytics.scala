@@ -1108,7 +1108,141 @@ object Analytics {
         col("value_sum").cast("double").as("total_value"))
   }
 
+  // ------------------------------------------------------------ q129
+
+  /** Strict-ORDER funnel (q9's funnel counts steps; this requires the
+    * sequence view → click → purchase in temporal order): earliest
+    * view per user, earliest click AFTER it, earliest purchase after
+    * that — three bounded aggregate+join rounds, the relational
+    * encoding of sequential pattern matching (no per-user UDF state,
+    * no window over the event stream). Latency stays integer micros
+    * until one mirrored division pair at the end. */
+  val q129 = Query(
+    "q129_event_sequence",
+    """WITH v AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS v_us
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+      |  GROUP BY 1),
+      |u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM events)
+      |SELECT u.n_users,
+      |  CAST(COUNT(p.user_id) AS BIGINT) AS n_sequenced,
+      |  round(CAST(SUM(p.p_us - v.v_us) AS DOUBLE)
+      |    / CAST(COUNT(p.user_id) AS DOUBLE) / 60000000.0, 6)
+      |    AS avg_latency_min
+      |FROM p JOIN v ON v.user_id = p.user_id CROSS JOIN u
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    def firstAfter(tpe: String, prev: DataFrame, prevCol: String,
+        outCol: String): DataFrame =
+      ev.filter(col("event_type") === tpe)
+        .join(prev, Seq("user_id"))
+        .filter(col("us") > col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("us")).as(outCol))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = firstAfter("click", v, "v_us", "c_us")
+    val p = firstAfter("purchase", c, "c_us", "p_us")
+    val u = ev.agg(count_distinct(col("user_id")).as("n_users"))
+    p.join(v, Seq("user_id")).crossJoin(broadcast(u))
+      .groupBy(col("n_users"))
+      .agg(count(col("user_id")).as("n_sequenced"),
+        round(sum(col("p_us") - col("v_us")).cast("double") /
+          count(col("user_id")).cast("double") / 60000000.0, 6)
+          .as("avg_latency_min"))
+  }
+
+  // ------------------------------------------------------------ q130
+
+  /** The stats catalog USED: textbook CBO join-cardinality estimation
+    * — `|A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k))` from exactly the
+    * statistics q106 collects — against the measured row count, for
+    * the two central mart joins. Integer arithmetic end to end (the
+    * estimate is an integer division; the error ratio is one mirrored
+    * double division). At 100 TB this formula (over sketched NDVs) is
+    * what decides join order and broadcast eligibility before any data
+    * moves. */
+  val q130 = Query(
+    "q130_join_estimate",
+    """WITH ol AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_o,
+      |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv_o
+      |  FROM orders),
+      |ll AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_l,
+      |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_l
+      |  FROM lineitem),
+      |cl AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_c,
+      |    CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS ndv_c
+      |  FROM customer),
+      |oc AS (
+      |  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_oc
+      |  FROM orders),
+      |a1 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS actual
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |a2 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS actual
+      |  FROM customer JOIN orders ON c_custkey = o_custkey)
+      |SELECT 'orders_lineitem' AS join_name,
+      |  ol.n_o AS n_left, ll.n_l AS n_right,
+      |  ol.ndv_o AS ndv_left, ll.ndv_l AS ndv_right,
+      |  (ol.n_o * ll.n_l) // greatest(ol.ndv_o, ll.ndv_l) AS est_rows,
+      |  a1.actual,
+      |  round(CAST((ol.n_o * ll.n_l) // greatest(ol.ndv_o, ll.ndv_l)
+      |    AS DOUBLE) / CAST(a1.actual AS DOUBLE), 6) AS est_over_actual
+      |FROM ol, ll, a1
+      |UNION ALL
+      |SELECT 'customer_orders',
+      |  cl.n_c, ol.n_o, cl.ndv_c, oc.ndv_oc,
+      |  (cl.n_c * ol.n_o) // greatest(cl.ndv_c, oc.ndv_oc),
+      |  a2.actual,
+      |  round(CAST((cl.n_c * ol.n_o) // greatest(cl.ndv_c, oc.ndv_oc)
+      |    AS DOUBLE) / CAST(a2.actual AS DOUBLE), 6)
+      |FROM cl, ol, oc, a2""".stripMargin) { (s, dir) =>
+    def stats(df: DataFrame, key: String, nc: String, dc: String) =
+      df.agg(count(lit(1)).as(nc), count_distinct(col(key)).as(dc))
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val c = Tables.customer(s, dir)
+    def leg(name: String, sLeft: DataFrame, sRight: DataFrame,
+        actual: DataFrame): DataFrame =
+      sLeft.crossJoin(sRight).crossJoin(actual)
+        .select(lit(name).as("join_name"),
+          col("n_left"), col("n_right"), col("ndv_left"),
+          col("ndv_right"),
+          expr("(n_left * n_right) div " +
+            "greatest(ndv_left, ndv_right)").as("est_rows"),
+          col("actual"),
+          round(expr("(n_left * n_right) div " +
+            "greatest(ndv_left, ndv_right)").cast("double") /
+            col("actual").cast("double"), 6).as("est_over_actual"))
+    val leg1 = leg("orders_lineitem",
+      stats(o, "o_orderkey", "n_left", "ndv_left"),
+      stats(l, "l_orderkey", "n_right", "ndv_right"),
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("actual")))
+    val leg2 = leg("customer_orders",
+      stats(c, "c_custkey", "n_left", "ndv_left"),
+      stats(o, "o_custkey", "n_right", "ndv_right"),
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .agg(count(lit(1)).as("actual")))
+    leg1.unionAll(leg2)
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
-    q127)
+    q127, q129, q130)
 }

@@ -1463,7 +1463,65 @@ FROM h GROUP BY bucket""") { (s, dir) =>
         ((col("sz") - 1) * col("n_clusters")).cast("long").as("n_removable"))
   }
 
+  // ------------------------------------------------------------ q128
+
+  /** Exact set-similarity self-join via PPJoin-style prefix filtering
+    * ([[TextDedup.prefixFilterPairs]]): shingle-set Jaccard ≥ 0.5
+    * pairs (q23's EXACT ground truth) found through the LOSSLESS
+    * prefix filter — candidates must share a shingle among each doc's
+    * rarest-first prefix — then verified exactly. Complements q23
+    * (probabilistic LSH recall — q128 ⊇ q23's pairs by construction)
+    * and q26 (df-capped index, bounded-but-lossy): this one is exact
+    * AND bounded. The oracle replays the identical pipeline — the
+    * global (df, shingle) canonical order, the integer prefix length,
+    * the posting join, the verify. */
+  val q128 = Query(
+    "q128_prefix_filter_join",
+    s"""WITH tw AS (
+       |  SELECT doc_id, $DTokens AS w FROM documents),
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
+       |                   for i in range(1, len(w) - 1)]) AS t
+       |  FROM tw WHERE len(w) >= 3),
+       |tok_rows AS (SELECT doc_id, UNNEST(t) AS w FROM toks),
+       |dfc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS dfw
+       |  FROM tok_rows GROUP BY 1),
+       |lists AS (
+       |  SELECT doc_id,
+       |    list({'dfw': dfw, 'w': w} ORDER BY dfw, w) AS lst
+       |  FROM tok_rows JOIN dfc USING (w) GROUP BY doc_id),
+       |pr AS (
+       |  SELECT doc_id,
+       |    UNNEST(list_slice(lst, 1,
+       |      len(lst) - ((len(lst) + 1) // 2) + 1)).w AS w
+       |  FROM lists),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pr a JOIN pr b ON a.w = b.w AND a.doc_id < b.doc_id),
+       |sz AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+       |  FROM tok_rows GROUP BY 1),
+       |ovl AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS ovl
+       |  FROM cand c
+       |  JOIN tok_rows ra ON ra.doc_id = c.doc_a
+       |  JOIN tok_rows rb ON rb.doc_id = c.doc_b AND rb.w = ra.w
+       |  GROUP BY 1, 2)
+       |SELECT o.doc_a, o.doc_b,
+       |  ROUND(o.ovl::DOUBLE / (sa.sz + sb.sz - o.ovl)::DOUBLE, 6)
+       |    AS jaccard
+       |FROM ovl o
+       |JOIN sz sa ON sa.doc_id = o.doc_a
+       |JOIN sz sb ON sb.doc_id = o.doc_b
+       |WHERE o.ovl::DOUBLE / (sa.sz + sb.sz - o.ovl)::DOUBLE
+       |  >= 0.5""".stripMargin) { (s, dir) =>
+    TextDedup.prefixFilterPairs(Tables.documents(s, dir), "doc_id",
+      "text", MhShingle, 0.5)
+  }
+
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88,
-    q96, q97, q98)
+    q96, q97, q98, q128)
 }

@@ -234,4 +234,38 @@ class TextDedupSpec extends SparkSpec {
     assert(got.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
       == Seq((1L, 1L), (2L, 3L)))
   }
+
+  test("prefixFilterPairs is LOSSLESS: equals brute-force shingle " +
+      "Jaccard >= 0.5, and is a superset of the LSH pipeline's pairs") {
+    val fams = (0 until 3).map(f => (200 to 240).map(i => s"f${f}w$i"))
+    val docs = (0L until 9L).map { id =>
+      val fam = fams((id % 3).toInt)
+      (id, fam.updated(id.toInt / 3, s"p$id").mkString(" "))
+    }.toDF("doc_id", "text").persist()
+    val got = rows(TextDedup.prefixFilterPairs(docs, "doc_id", "text",
+        3, 0.5))
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+      .toSet
+    // brute force over all pairs via the same shingle rows
+    val sh = rows(TextDedup.docShingleRows(docs, "doc_id", "text", 3))
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val ids = sh.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      ovl = (sh(a) & sh(b)).size
+      j = ovl.toDouble / (sh(a).size + sh(b).size - ovl)
+      if j >= 0.5
+    } yield (a, b, math.rint(j * 1e6) / 1e6)).toSet
+    assert(got == brute, s"got ${got.size} brute ${brute.size}")
+    graft.operators.InternalCache.release()
+    // the probabilistic LSH path can only ever find a subset
+    val lsh = rows(TextDedup.minhashNearDups(docs, "doc_id", "text",
+        3, 16, 4, 0.5))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(got.map(t => (t._1, t._2))))
+    graft.operators.InternalCache.release()
+    docs.unpersist()
+    ()
+  }
 }
