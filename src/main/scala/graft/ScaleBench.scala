@@ -80,7 +80,8 @@ object ScaleBench {
     "q92_leakage_safe_split", "q93_context_chunks",
     "q94_lm_quality_buckets", "q95_dsir_weights", "q96_dup_rate_estimate",
     "q113_source_divergence", "q114_containment_pairs",
-    "q115_wav_audio_frames", "q120_bpe_merges")
+    "q115_wav_audio_frames", "q120_bpe_merges",
+    "q128_prefix_filter_join")
 
   /** ANN with a FIXED query workload (replica 0 queries only): a corpus
     * scale-up grows the indexed side, not the query side — without the

@@ -1242,7 +1242,56 @@ object Analytics {
     leg1.unionAll(leg2)
   }
 
+  // ------------------------------------------------------------ q131
+
+  /** Rolling 7-day active users (WAU) with DAU and stickiness — the
+    * sliding COUNT DISTINCT, which no window frame can compute
+    * (distinct doesn't merge across frame slides). Relational form:
+    * the DISTINCT (user, day) frame — bounded by users × days, not
+    * events — fans each row out to the ≤ 7 target days it supports,
+    * then one distinct-count per target. The fact table is touched
+    * once; everything after runs on the bounded activity frame. */
+  val q131 = Query(
+    "q131_rolling_wau",
+    """WITH du AS (
+      |  SELECT DISTINCT (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+      |    user_id
+      |  FROM events),
+      |mx AS (SELECT MAX(day) AS md FROM du),
+      |t AS (
+      |  SELECT du.user_id, du.day + j.r AS target
+      |  FROM du CROSS JOIN (SELECT UNNEST(range(7)) AS r) j),
+      |w AS (
+      |  SELECT target, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      |  FROM t CROSS JOIN mx WHERE target <= mx.md GROUP BY 1),
+      |d AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1)
+      |SELECT CAST(w.target AS INT) AS day_num,
+      |  CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau, w.wau,
+      |  round(CAST(COALESCE(d.dau, 0) AS DOUBLE)
+      |    / CAST(w.wau AS DOUBLE), 6) AS stickiness
+      |FROM w LEFT JOIN d ON d.day = w.target""".stripMargin) {
+    (s, dir) =>
+    import graft.operators.InternalCache
+    val du = InternalCache.persist(Tables.events(s, dir)
+      .select(dayNum(col("ts")).as("day"), col("user_id")).distinct())
+    val mx = du.agg(max(col("day")).as("md"))
+    val w = du
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("target"))
+      .crossJoin(broadcast(mx))
+      .filter(col("target") <= col("md"))
+      .groupBy(col("target"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+    val d = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    w.join(d, col("day") === col("target"), "left")
+      .select(col("target").as("day_num"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        round(coalesce(col("dau"), lit(0L)).cast("double") /
+          col("wau").cast("double"), 6).as("stickiness"))
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
-    q127, q129, q130)
+    q127, q129, q130, q131)
 }
