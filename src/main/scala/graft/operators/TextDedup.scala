@@ -394,9 +394,13 @@ object TextDedup {
     // shingle sets, not raw tokens: on template-heavy corpora raw
     // token sets are corpus-wide near-identical (Jaccard ≥ 0.5 for
     // most pairs), while n-word shingles keep the similarity signal
-    // discriminative — the same reason q23's minhash runs on shingles
+    // discriminative — the same reason q23's minhash runs on shingles.
+    // Shingles travel as 60-bit md5 hashes: every downstream shuffle
+    // (df join, posting join, verify) carries 8-byte keys instead of
+    // strings — q23's portable-hash trade, replayed by the oracle
     val rows = docShingleRows(docs, idCol, textCol, shingleN)
-      .withColumnRenamed("g", "w")
+      .select(col("doc_id"), md5Long(col("g")).as("w"))
+      .distinct() // distinct over HASHES, mirroring the oracle's form
       .transform(InternalCache.persist(_))
     val dfc = rows.groupBy(col("w")).agg(count(lit(1)).as("dfw"))
     val lists = rows.join(dfc, Seq("w"))
@@ -404,9 +408,13 @@ object TextDedup {
       .agg(sort_array(collect_list(struct(col("dfw"), col("w"))))
         .as("lst"))
       .select(col("doc_id"), size(col("lst")).as("n"), col("lst"))
-    // prefix length for Jaccard t = 0.5: n − ⌈n/2⌉ + 1, exact integers
+    // prefix length for Jaccard t = 0.5: n − ⌈n/2⌉ + 1, exact integers.
+    // Singleton pruning (lossless): a candidate pair needs its shared
+    // token in BOTH prefixes, so df = 1 postings can never pair —
+    // and rarest-first ordering makes singletons MOST of every prefix
     val prefix = lists.select(col("doc_id"),
         explode(expr("slice(lst, 1, n - ((n + 1) div 2) + 1)")).as("p"))
+      .filter(col("p.dfw") >= 2)
       .select(col("doc_id"), col("p.w").as("w"))
       .transform(InternalCache.persist(_))
     val cand = prefix.select(col("w"), col("doc_id").as("doc_a"))

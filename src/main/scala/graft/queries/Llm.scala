@@ -1481,7 +1481,8 @@ FROM h GROUP BY bucket""") { (s, dir) =>
        |  SELECT doc_id, $DTokens AS w FROM documents),
        |toks AS (
        |  SELECT doc_id,
-       |    list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
+       |    list_distinct([${dHash64(
+              "array_to_string(list_slice(w, i, i + 2), ' ')")}
        |                   for i in range(1, len(w) - 1)]) AS t
        |  FROM tw WHERE len(w) >= 3),
        |tok_rows AS (SELECT doc_id, UNNEST(t) AS w FROM toks),
@@ -1493,10 +1494,12 @@ FROM h GROUP BY bucket""") { (s, dir) =>
        |    list({'dfw': dfw, 'w': w} ORDER BY dfw, w) AS lst
        |  FROM tok_rows JOIN dfc USING (w) GROUP BY doc_id),
        |pr AS (
-       |  SELECT doc_id,
-       |    UNNEST(list_slice(lst, 1,
-       |      len(lst) - ((len(lst) + 1) // 2) + 1)).w AS w
-       |  FROM lists),
+       |  SELECT doc_id, u.w AS w FROM (
+       |    SELECT doc_id,
+       |      UNNEST(list_slice(lst, 1,
+       |        len(lst) - ((len(lst) + 1) // 2) + 1)) AS u
+       |    FROM lists)
+       |  WHERE u.dfw >= 2),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM pr a JOIN pr b ON a.w = b.w AND a.doc_id < b.doc_id),
