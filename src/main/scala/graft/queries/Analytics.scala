@@ -1291,7 +1291,86 @@ object Analytics {
           col("wau").cast("double"), 6).as("stickiness"))
   }
 
+  // ------------------------------------------------------------ q132
+
+  /** Co-occurrence mining (market-basket pairs): parts ordered
+    * together in the same order, counted and ranked. The pair
+    * generation is ORDER-bounded (an order holds a handful of lines →
+    * ≤ lines² pairs per order, generated by a within-order self-join
+    * on the already-shuffled order key), never a global product; the
+    * global top-20 goes through the distributed rank. The first step
+    * of any co-purchase recommender over the reference's order data.
+    */
+  val q132 = Query(
+    "q132_part_cooccurrence",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT part_a, part_b, n_orders,
+      |    ROW_NUMBER() OVER (ORDER BY n_orders DESC, part_a, part_b)
+      |      AS rnk
+      |  FROM pairs QUALIFY rnk <= 20)
+      |SELECT part_a, part_b, n_orders, CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked""".stripMargin) { (s, dir) =>
+    import graft.operators.{InternalCache, Ranking}
+    val li = InternalCache.persist(Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct())
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+    Ranking.withGlobalRank(pairs,
+        struct((col("n_orders") * -1).as("no"), col("part_a").as("a"),
+          col("part_b").as("b")).asc, "rnk")
+      .filter(col("rnk") <= 20)
+      .select(col("part_a"), col("part_b"), col("n_orders"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------ q133
+
+  /** Customer revenue deciles through the DISTRIBUTED percent rank
+    * (`Ranking.withGlobalPercentRank`: range partition + per-partition
+    * window + broadcast offsets — never a single-partition global
+    * window): per-decile customer counts and exact decimal revenue
+    * totals, the segmentation cut every CRM mart ships. The oracle
+    * uses a plain `percent_rank()` window — DuckDB doesn't need to
+    * scale; the engine side must. */
+  val q133 = Query(
+    "q133_revenue_deciles",
+    """WITH cr AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |pr AS (
+      |  SELECT o_custkey, rev,
+      |    percent_rank() OVER (ORDER BY rev, o_custkey) AS p
+      |  FROM cr)
+      |SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(rev) AS DOUBLE) AS revenue
+      |FROM pr GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.operators.Ranking
+    val cr = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    Ranking.withGlobalPercentRank(cr,
+        struct(col("rev").as("r"), col("o_custkey").as("k")).asc, "p")
+      .select(least(floor(col("p") * 10), lit(9)).cast("long")
+          .as("decile"), col("rev"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
-    q127, q129, q130, q131)
+    q127, q129, q130, q131, q132, q133)
 }
