@@ -116,6 +116,29 @@ class PlanContractSpec extends SparkSpec {
     assert(shuffles == 0, s"$shuffles shuffles:\n${p.take(2000)}")
   }
 
+  test("q128: the prefix-filter join never plans a cartesian and " +
+      "verifies through equi joins only") {
+    val p = plan("q128_prefix_filter_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q121: the bloom-pruned scan keeps the filter outside any join") {
+    val p = plan("q121_bloom_prune")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the exact FP-removal join broadcasts the tiny probe side
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q133: the decile cut has no single-partition global window") {
+    val p = plan("q133_revenue_deciles")
+    val bad = p.linesIterator.map(_.replaceFirst("^[-+:*(0-9)\\s]*", ""))
+      .filter(_.startsWith("Window "))
+      .filterNot(_.matches(".*\\], \\[.*\\], \\[.*"))
+      .toList
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("q1: filter pushes into the parquet scan, codegen spans exist") {
     // plain toString truncates scan metadata — use the formatted mode
     val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
