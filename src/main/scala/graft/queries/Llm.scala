@@ -354,9 +354,17 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxHamming"""
     * candidates (pigeonhole covers Hamming ≤ 3), exact bit_count(xor)
     * verification. */
   val q25 = Query("q25_simhash_near_dedup", simhashOracle) { (s, dir) =>
-    TextDedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-      ShMaxHamming)
+    simhashPairsShared(s, dir)
   }
+
+  /** Shared verified simhash pair frame (q25 + q134). */
+  private[queries] def simhashPairsShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "simhash_pairs",
+        s"$ShMaxHamming")) {
+      TextDedup.simhashNearDups(Tables.documents(s, dir), "doc_id",
+        "text", ShMaxHamming)
+    }
 
   // ------------------------------------------------------------ q26
 
@@ -367,8 +375,7 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxHamming"""
   /** Character-n-gram Jaccard near-dups over an inverted index with
     * stop-gram removal (df > maxDf dropped — the quadratic-bucket
     * guard). Jaccard is over the filtered gram sets in both engines. */
-  val q26 = Query(
-    "q26_ngram_jaccard",
+  private def ngramOracle: String =
     s"""WITH g AS (
        |  SELECT doc_id, unnest(
        |    CASE WHEN length(text) >= $NgN THEN
@@ -391,10 +398,20 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxHamming"""
        |  JOIN sz x ON x.doc_id = doc_a
        |  JOIN sz y ON y.doc_id = doc_b)
        |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
-       |FROM j WHERE j >= $NgThreshold""".stripMargin) { (s, dir) =>
-    TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      NgN, NgMaxDf, NgThreshold)
+       |FROM j WHERE j >= $NgThreshold""".stripMargin
+
+  val q26 = Query("q26_ngram_jaccard", ngramOracle) { (s, dir) =>
+    ngramPairsShared(s, dir)
   }
+
+  /** Shared df-capped n-gram pair frame (q26 + q134). */
+  private[queries] def ngramPairsShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "ngram_pairs",
+        s"$NgN:$NgMaxDf:$NgThreshold")) {
+      TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
+        "text", NgN, NgMaxDf, NgThreshold)
+    }
 
   // ------------------------------------------------------------ q27
 
@@ -1475,8 +1492,7 @@ FROM h GROUP BY bucket""") { (s, dir) =>
     * AND bounded. The oracle replays the identical pipeline — the
     * global (df, shingle) canonical order, the integer prefix length,
     * the posting join, the verify. */
-  val q128 = Query(
-    "q128_prefix_filter_join",
+  private def prefixOracle: String =
     s"""WITH tw AS (
        |  SELECT doc_id, $DTokens AS w FROM documents),
        |toks AS (
@@ -1519,12 +1535,84 @@ FROM h GROUP BY bucket""") { (s, dir) =>
        |JOIN sz sa ON sa.doc_id = o.doc_a
        |JOIN sz sb ON sb.doc_id = o.doc_b
        |WHERE o.ovl::DOUBLE / (sa.sz + sb.sz - o.ovl)::DOUBLE
-       |  >= 0.5""".stripMargin) { (s, dir) =>
-    TextDedup.prefixFilterPairs(Tables.documents(s, dir), "doc_id",
-      "text", MhShingle, 0.5)
+       |  >= 0.5""".stripMargin
+
+  val q128 = Query("q128_prefix_filter_join", prefixOracle) { (s, dir) =>
+    prefixPairsShared(s, dir)
+  }
+
+  /** Shared EXACT shingle-Jaccard pair frame (q128 + q134's ground
+    * truth). */
+  private[queries] def prefixPairsShared(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "prefix_pairs",
+        s"$MhShingle:0.5")) {
+      TextDedup.prefixFilterPairs(Tables.documents(s, dir), "doc_id",
+        "text", MhShingle, 0.5)
+    }
+
+  // ------------------------------------------------------------ q134
+
+  /** The text-dedup quality panel: measured recall AND precision of
+    * every approximate near-dup method against the EXACT shingle-set
+    * Jaccard ≥ 0.5 ground truth q128 computes (the q53 pattern — the
+    * measured-retrieval-quality number — applied to text dedup). `lsh`
+    * (q23) verifies true Jaccard on its candidates, so its precision
+    * is 1.0 by construction and its row measures pure LSH candidate
+    * recall; `simhash` (q25) and `char_ngram` (q26) match on DIFFERENT
+    * similarity criteria (fingerprint Hamming, df-capped char-gram
+    * Jaccard), so both their recall and precision against the
+    * word-shingle truth are informative. All counts ride the SHARED
+    * pair frames — the panel adds zero new pipeline builds to a sweep.
+    * Each method's oracle pair set is its own already-proven query,
+    * composed as nested-WITH CTEs. */
+  val q134 = Query(
+    "q134_dedup_method_recall", {
+      def leg(name: String, cte: String) =
+        s"""SELECT '$name' AS method,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $cte) AS n_method,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $cte m
+           |     JOIN ex ON m.doc_a = ex.doc_a AND m.doc_b = ex.doc_b)
+           |    AS n_hit,
+           |  round((SELECT COUNT(*) FROM $cte m JOIN ex
+           |      ON m.doc_a = ex.doc_a AND m.doc_b = ex.doc_b)::DOUBLE
+           |    / (SELECT COUNT(*) FROM ex)::DOUBLE, 6) AS recall,
+           |  round((SELECT COUNT(*) FROM $cte m JOIN ex
+           |      ON m.doc_a = ex.doc_a AND m.doc_b = ex.doc_b)::DOUBLE
+           |    / (SELECT COUNT(*) FROM $cte)::DOUBLE, 6)
+           |    AS precision""".stripMargin
+      s"""WITH ex AS ($prefixOracle),
+         |lsh AS ($minhashOracle),
+         |sim AS ($simhashOracle),
+         |ng AS ($ngramOracle)
+         |${leg("lsh", "lsh")}
+         |UNION ALL
+         |${leg("simhash", "sim")}
+         |UNION ALL
+         |${leg("char_ngram", "ng")}""".stripMargin
+    }) { (s, dir) =>
+    val ex = prefixPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
+    def leg(name: String, m: org.apache.spark.sql.DataFrame) = {
+      val mm = m.select(col("doc_a"), col("doc_b"))
+      val nM = mm.agg(count(lit(1)).as("n_method"))
+      val nE = ex.agg(count(lit(1)).as("n_exact"))
+      val nH = mm.join(ex, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_hit"))
+      nM.crossJoin(nE).crossJoin(nH)
+        .select(lit(name).as("method"), col("n_method"), col("n_exact"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") /
+            col("n_exact").cast("double"), 6).as("recall"),
+          round(col("n_hit").cast("double") /
+            col("n_method").cast("double"), 6).as("precision"))
+    }
+    leg("lsh", minhashPairsShared(s, dir))
+      .unionByName(leg("simhash", simhashPairsShared(s, dir)))
+      .unionByName(leg("char_ngram", ngramPairsShared(s, dir)))
   }
 
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88,
-    q96, q97, q98, q128)
+    q96, q97, q98, q128, q134)
 }
