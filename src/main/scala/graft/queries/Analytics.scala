@@ -1370,7 +1370,39 @@ object Analytics {
         sum(col("rev")).cast("double").as("revenue"))
   }
 
+  // ------------------------------------------------------------ q140
+
+  /** Mergeable-sketch rollup: per-DAY HLL sketches of distinct users
+    * (`hll_sketch_agg`, Apache DataSketches) unioned into per-MONTH
+    * estimates — the pre-aggregated distinct-count table every
+    * warehouse keeps because COUNT(DISTINCT) does not roll up but
+    * sketches do. At 100 TB the daily sketch table is a few KB per
+    * (day, dimension) cell and the monthly rollup never rescans the
+    * fact. Sketch bytes differ per engine, so the contract is the q39
+    * accuracy bound (±15% at lgK=12 is ~50σ headroom), checked per
+    * month, plus the exact values. */
+  val q140 = Query(
+    "q140_hll_sketch_rollup",
+    """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS approx_within_tolerance
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(date_trunc("month", col("ts")).as("month"),
+        date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy(col("month"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val monthly = daily.groupBy(col("month"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+    val exact = ev.groupBy(col("month"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(monthly, Seq("month"))
+      .select(col("month"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double") /
+          col("exact_users") < 0.15).as("approx_within_tolerance"))
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
-    q127, q129, q130, q131, q132, q133)
+    q127, q129, q130, q131, q132, q133, q140)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{NaiveBayes, TfIdf}
+import graft.operators.{Graph, InternalCache, NaiveBayes, Sampling, TfIdf}
 import graft.sources.Tables
 
 /** Text/data-mining operators beyond the dedup + ANN families:
@@ -122,5 +122,93 @@ object Mining {
       .agg(count(lit(1)).as("n_docs"))
   }
 
-  val all: Seq[Query] = Seq(q135, q136)
+  // ------------------------------------------------------------ q138
+
+  private val TriMinSupport = 2 // co-occurrence support for an edge
+
+  /** Triangle count + global clustering coefficient of the part
+    * co-occurrence graph (q132's edges at support ≥ 2) — the graph-
+    * statistics companion to PageRank (q111) and connected components
+    * (q48). The Spark side counts wedges with DEGREE ORIENTATION
+    * (per-node fan-out capped at O(√m) — a degree-10⁶ hub yields zero
+    * oriented wedges, not 10¹²); the oracle's id-ordered triple join
+    * provably counts the same triangles. */
+  val q138 = Query(
+    "q138_triangle_count",
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b,
+       |    COUNT(*) AS n
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT a, b FROM p WHERE n >= $TriMinSupport),
+       |d AS (
+       |  SELECT v, COUNT(*) AS deg FROM (
+       |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+       |  GROUP BY 1),
+       |tri AS (
+       |  SELECT COUNT(*) AS t
+       |  FROM e e1
+       |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |w AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+       |  FROM d)
+       |SELECT w.n_nodes,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       |  CAST(tri.t AS BIGINT) AS n_triangles,
+       |  w.n_wedges,
+       |  round(3 * tri.t::DOUBLE / w.n_wedges::DOUBLE, 6) AS gcc
+       |FROM w CROSS JOIN tri""".stripMargin) { (s, dir) =>
+    val li = InternalCache.persist(Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct())
+    val x = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val y = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val edges = x.join(y, Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= TriMinSupport)
+      .select(col("a"), col("b"))
+    Graph.triangleStats(edges)
+  }
+
+  // ------------------------------------------------------------ q139
+
+  private val WsK = 100
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * exponential keys) of 100 orders, weight = order value: the
+    * deterministic draw a curation pipeline uses for quality-weighted
+    * subset selection. The md5-derived uniform makes the sample
+    * retry- and partitioning-invariant, and lets the oracle replay
+    * the exact draw: same keys, same ranks. */
+  val q139 = Query(
+    "q139_weighted_sample",
+    s"""WITH k AS (
+       |  SELECT o_orderkey, o_totalprice AS weight,
+       |    ln((${Llm.dHash64(
+              "'ws:' || CAST(o_orderkey AS VARCHAR)")} + 1)::DOUBLE
+       |      / 1152921504606846976.0) / o_totalprice AS ws_key
+       |  FROM orders),
+       |r AS (
+       |  SELECT o_orderkey, weight, ws_key, row_number() OVER (
+       |    ORDER BY ws_key DESC, o_orderkey) AS rnk
+       |  FROM k)
+       |SELECT o_orderkey, weight, round(ws_key, 6) AS ws_key,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= $WsK""".stripMargin) { (s, dir) =>
+    Sampling
+      .weightedSample(
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_totalprice").as("weight")),
+        col("o_orderkey"), col("weight"), WsK, "ws")
+      .select(col("o_orderkey"), col("weight"),
+        round(col("ws_key"), 6).as("ws_key"), col("rnk"))
+  }
+
+  val all: Seq[Query] = Seq(q135, q136, q138, q139)
 }

@@ -5,9 +5,10 @@ import java.sql.Timestamp
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{MapType, StringType}
+import org.apache.spark.sql.Column
 
 import graft.functions.Functions._
-import graft.operators.{Marts, Scd2}
+import graft.operators.{Cdc, Marts, Scd2}
 import graft.quality._
 import graft.sources.Tables
 import graft.stage.Staging
@@ -766,7 +767,71 @@ object Warehouse {
         sum(col("__ln")).as("n_crm_matched"))
   }
 
+  // ------------------------------------------------------------ q137
+
+  /** CDC changelog apply ([[graft.operators.Cdc]]): base snapshot +
+    * I/U/D change stream → current state, highest-seq-wins, winning D
+    * removes the key, U/I on an absent key upserts. The fixture
+    * derives a deterministic changelog from `orders` via the portable
+    * md5 hash (70% of keys in base; updates, double-updates, deletes,
+    * and late inserts from disjoint hash classes), so the oracle
+    * replays the exact apply. One shuffle; the reducer is a
+    * map-combinable `max(struct(seq, …))`, not a window. */
+  val q137 = Query(
+    "q137_cdc_apply",
+    s"""WITH h AS (
+       |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p0,
+       |    ${Llm.dHash64("'cdc:' || CAST(o_orderkey AS VARCHAR)")} % 100
+       |      AS h
+       |  FROM orders),
+       |base AS (SELECT o_orderkey, p0 AS price FROM h WHERE h < 70),
+       |log AS (
+       |  SELECT o_orderkey, 1 AS seq, 'U' AS op,
+       |    CAST(p0 + 1.00 AS DECIMAL(18,2)) AS price
+       |  FROM h WHERE h % 7 IN (0, 2)
+       |  UNION ALL
+       |  SELECT o_orderkey, 2, 'U', CAST(p0 * 2 AS DECIMAL(18,2))
+       |  FROM h WHERE h % 7 = 2
+       |  UNION ALL
+       |  SELECT o_orderkey, 1, 'D', NULL FROM h WHERE h % 7 = 1
+       |  UNION ALL
+       |  SELECT o_orderkey, 1, 'I', p0 FROM h WHERE h >= 70 AND h % 7 = 3),
+       |u AS (
+       |  SELECT o_orderkey, seq, op, price FROM (
+       |    SELECT o_orderkey, seq, op, price, row_number() OVER (
+       |      PARTITION BY o_orderkey ORDER BY seq DESC) AS rk
+       |    FROM (
+       |      SELECT o_orderkey, -1 AS seq, 'I' AS op, price FROM base
+       |      UNION ALL SELECT * FROM log))
+       |  WHERE rk = 1),
+       |cnt AS (SELECT o_orderkey, COUNT(*) AS n_ops FROM log GROUP BY 1)
+       |SELECT u.o_orderkey, CAST(u.price AS DOUBLE) AS price,
+       |  CAST(u.seq AS BIGINT) AS last_seq,
+       |  CAST(COALESCE(cnt.n_ops, 0) AS BIGINT) AS n_ops
+       |FROM u LEFT JOIN cnt USING (o_orderkey)
+       |WHERE u.op <> 'D'""".stripMargin) { (s, dir) =>
+    val h = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      money(col("o_totalprice")).as("p0"),
+      (md5Long(concat(lit("cdc:"), col("o_orderkey").cast("string")))
+        % 100).as("h"))
+    val base = h.filter(col("h") < 70)
+      .select(col("o_orderkey"), col("p0").as("price"))
+    def leg(pred: Column, seq: Int, op: String, price: Column) =
+      h.filter(pred).select(col("o_orderkey"), lit(seq).as("seq"),
+        lit(op).as("op"), money(price).as("price"))
+    val changelog = leg(col("h") % 7 === 0 || col("h") % 7 === 2, 1, "U",
+        col("p0") + lit(BigDecimal("1.00")))
+      .unionByName(leg(col("h") % 7 === 2, 2, "U", col("p0") * 2))
+      .unionByName(leg(col("h") % 7 === 1, 1, "D", lit(null)))
+      .unionByName(leg(col("h") >= 70 && col("h") % 7 === 3, 1, "I",
+        col("p0")))
+    Cdc.apply(base, changelog, Seq("o_orderkey"), "seq", "op")
+      .select(col("o_orderkey"), col("price").cast("double").as("price"),
+        col("last_seq"), col("n_ops"))
+  }
+
   val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q63, q64, q65, q66, q67, q68, q70,
-    q73, q75, q103, q104)
+    q73, q75, q103, q104, q137)
 }
