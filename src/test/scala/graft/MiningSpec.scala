@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Graph, NaiveBayes, Sampling, TfIdf}
+
+/** The mining/warehouse operators added with q135-q140: CDC apply
+  * semantics, triangle counting on known graphs, weighted-sample
+  * determinism, NB separability, TF-IDF pair symmetry bounds. */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- Cdc
+
+  private def baseDf = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    .toDF("k", "v")
+
+  test("cdc: latest seq wins, delete removes, upsert inserts") {
+    val log = Seq(
+      (1L, 1L, "U", 11.0), (1L, 2L, "U", 12.0), // double update
+      (2L, 1L, "D", 0.0), //                       delete
+      (4L, 1L, "I", 40.0), //                      late insert
+      (5L, 1L, "U", 50.0), (5L, 2L, "D", 0.0), //  insert then delete
+      (6L, 1L, "D", 0.0), (6L, 2L, "U", 60.0)) //  delete then re-add
+      .toDF("k", "seq", "op", "v")
+    val out = rows(Cdc.apply(baseDf, log, Seq("k"), "seq", "op")
+      .orderBy("k"))
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"),
+        r.getAs[Long]("last_seq"), r.getAs[Long]("n_ops")))
+    assert(out == Seq(
+      (1L, 12.0, 2L, 2L), // latest update won
+      (3L, 30.0, -1L, 0L), // untouched base row
+      (4L, 40.0, 1L, 1L),
+      (6L, 60.0, 2L, 2L))) // re-added after delete
+  }
+
+  test("cdc: empty changelog is identity") {
+    val empty = Seq.empty[(Long, Long, String, Double)]
+      .toDF("k", "seq", "op", "v")
+    val out = Cdc.apply(baseDf, empty, Seq("k"), "seq", "op")
+    assert(rows(out.orderBy("k")).map(r => (r.getAs[Long]("k"),
+      r.getAs[Double]("v"))) == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+  }
+
+  // ------------------------------------------------- triangle counting
+
+  private def edges(es: (Long, Long)*) = es.toSeq.toDF("a", "b")
+
+  test("triangles: K4 has 4 triangles, gcc 1.0") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val r = rows(Graph.triangleStats(k4)).head
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    assert(r.getAs[Long]("n_wedges") == 12L)
+    assert(r.getAs[Double]("gcc") == 1.0)
+    graft.operators.InternalCache.release()
+  }
+
+  test("triangles: a star has none; path graph has none") {
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    assert(rows(Graph.triangleStats(star)).head
+      .getAs[Long]("n_triangles") == 0L)
+    graft.operators.InternalCache.release()
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(rows(Graph.triangleStats(path)).head
+      .getAs[Long]("n_triangles") == 0L)
+    graft.operators.InternalCache.release()
+  }
+
+  test("triangles: one triangle with a pendant edge") {
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val r = rows(Graph.triangleStats(g)).head
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    // wedges: deg 2,2,3,1 -> 1+1+3+0 = 5; gcc = 3/5
+    assert(r.getAs[Long]("n_wedges") == 5L)
+    assert(r.getAs[Double]("gcc") == 0.6)
+    graft.operators.InternalCache.release()
+  }
+
+  // --------------------------------------------------------- sampling
+
+  test("weighted sample: deterministic under repartitioning, k rows") {
+    val df = (1L to 500L).map(i => (i, i.toDouble)).toDF("id", "w")
+    val s1 = rows(Sampling.weightedSample(df, col("id"), col("w"), 50,
+      "t").select("id", "rnk").orderBy("rnk"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val s2 = rows(Sampling.weightedSample(df.repartition(7), col("id"),
+      col("w"), 50, "t").select("id", "rnk").orderBy("rnk"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(s1 == s2)
+    assert(s1.size == 50)
+    // heavier rows should dominate: the sample mean id must exceed the
+    // population mean by a wide margin (weights grow linearly in id)
+    val meanId = s1.map(_._1).sum.toDouble / s1.size
+    assert(meanId > 300.0, s"weighted draw looks uniform: mean $meanId")
+  }
+
+  // ------------------------------------------------------ naive bayes
+
+  test("naive bayes: separable vocabularies classify perfectly") {
+    val docs = (1 to 30).map { i =>
+      if (i % 2 == 0) (i.toLong, "aaa bbb aaa ccc", "en")
+      else (i.toLong, "xxx yyy zzz yyy", "fr")
+    }.toDF("id", "text", "lab")
+    val out = NaiveBayes.trainPredict(docs, "id", "text", "lab", 100, 1000000L)
+    assert(rows(out.filter(col("label") =!= col("pred"))).isEmpty)
+  }
+
+  // ------------------------------------------------------------ tfidf
+
+  test("tfidf: identical docs hit cosine 1.0, disjoint docs absent") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana cherry"),
+      (3L, "dog elephant fox"))
+      .toDF("id", "text")
+    val out = rows(TfIdf.cosinePairs(docs, "id", "text", 10, 1000, 0.1))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("cosine")))
+    assert(out == Seq((1L, 2L, 1.0)))
+  }
+}

@@ -139,6 +139,37 @@ class PlanContractSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("q136: the NB model grid broadcasts — the corpus token stream " +
+      "never sort-merge-joins against it") {
+    val p = plan("q136_naive_bayes_langid")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q135/q137/q138: no cartesians, no windows (rank/argmax paths " +
+      "are aggregate- or range-based); q137/q138 no nested loops") {
+    for (q <- Seq("q135_tfidf_cosine_pairs", "q137_cdc_apply",
+        "q138_triangle_count")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("Window"), s"$q:\n${p.take(2000)}")
+      // q135/q138 carry deliberate single-row-aggregate cross
+      // broadcasts (the q11 pattern); q137's joins must ALL be hash
+      if (q == "q137_cdc_apply")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(2000)}")
+    }
+    graft.operators.InternalCache.release()
+  }
+
+  test("q139: the weighted draw has no single-partition global window") {
+    val p = plan("q139_weighted_sample")
+    val bad = p.linesIterator.map(_.replaceFirst("^[-+:*(0-9)\\s]*", ""))
+      .filter(_.startsWith("Window "))
+      .filterNot(_.matches(".*\\], \\[.*\\], \\[.*"))
+      .toList
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("q1: filter pushes into the parquet scan, codegen spans exist") {
     // plain toString truncates scan metadata — use the formatted mode
     val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
