@@ -56,9 +56,10 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // operator-internal frames die with the query; shared frames
-        // (built inside whichever query first asked) live to sweep end
+        // (built inside whichever query first asked) live to sweep end —
+        // so NO clearCache here: it would evict them (as it silently did
+        // before r5, making every consumer rebuild its "shared" frame)
         graft.operators.InternalCache.release()
-        spark.catalog.clearCache()
         // a 70+-query sweep accumulates generated-class + broadcast
         // debris; collecting between queries keeps late queries from
         // paying the GC bill of earlier ones (observed up to 2.5x)

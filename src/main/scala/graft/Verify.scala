@@ -27,12 +27,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // targeted release of operator-internal caches (the documented
-      // library lifecycle); clearCache as a backstop for anything else
+      // library lifecycle). NOT spark.catalog.clearCache(): that would
+      // also evict the SharedFrames intermediates, whose whole point is
+      // living across consumer queries (every persist in main goes
+      // through InternalCache or SharedFrames, so nothing else lingers)
       graft.operators.InternalCache.release()
-      spark.catalog.clearCache()
     }
     // shared materialized intermediates live for the whole dump
     graft.operators.SharedFrames.release()
+    spark.catalog.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
