@@ -210,5 +210,94 @@ object Mining {
         round(col("ws_key"), 6).as("ws_key"), col("rnk"))
   }
 
-  val all: Seq[Query] = Seq(q135, q136, q138, q139)
+  // ------------------------------------------------------------ q141
+
+  private val BmK = 10 // results per probe query
+  private val BmProbes: Seq[(Int, String)] = Seq(
+    0 -> "join", 0 -> "hash", 0 -> "scan",
+    1 -> "customer", 1 -> "order", 1 -> "line",
+    2 -> "stream", 2 -> "window", 2 -> "batch")
+
+  /** BM25 keyword retrieval (Robertson–Walker Okapi, k1=1.2, b=0.75):
+    * top-10 documents for each of three probe keyword queries — the
+    * SEARCH path over the corpus, beside the pairwise-similarity and
+    * ANN paths. Per-(doc, term) BM25 contributions are a fixed
+    * parenthesized chain of IEEE double ops (identical in both
+    * engines), quantized to a 1e-6 integer grid, so per-doc scores are
+    * exact integer sums; ranking is per-query partitioned (never a
+    * global window). Only probe-term postings are scored — the corpus
+    * is scanned once and never joined to itself. */
+  val q141 = Query(
+    "q141_bm25_search", {
+      val probeRows = BmProbes
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH probes(query_id, term) AS (VALUES $probeRows),
+         |t AS (
+         |  SELECT doc_id, unnest($DTokens) AS word FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+         |tf AS (
+         |  SELECT p.query_id, t.doc_id, t.word, COUNT(*) AS tf
+         |  FROM t JOIN probes p ON p.term = t.word
+         |  GROUP BY 1, 2, 3),
+         |df AS (
+         |  SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.query_id, tf.doc_id,
+         |    CAST(SUM(CAST(round(
+         |      ln(1.0 + (g.n::DOUBLE - df.df::DOUBLE + 0.5)
+         |        / (df.df::DOUBLE + 0.5))
+         |      * ((tf.tf::DOUBLE * 2.2) / (tf.tf::DOUBLE
+         |        + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE
+         |          / (g.tot::DOUBLE / g.n::DOUBLE)))))
+         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score
+         |  FROM tf
+         |  JOIN df USING (word)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN g
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score
+         |FROM (
+         |  SELECT query_id, doc_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= $BmK""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val probes = broadcast(BmProbes.toDF("query_id", "term"))
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.Functions.tokens(col("text"))).as("word"))
+    val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val g = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val tf = t.join(probes, probes("term") === t("word"))
+      .groupBy(col("query_id"), col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val dD = col("df").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n").cast("double") - dD + lit(0.5)) / (dD + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val tfc = (tfD * lit(2.2)) / (tfD +
+      lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") /
+        (col("tot").cast("double") / col("n").cast("double")))))
+    val sc = tf
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(g))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(round(idf * tfc * lit(1000000.0)).cast("long")).as("score"))
+    sc.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rnk") <= BmK)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("score"))
+  }
+
+  val all: Seq[Query] = Seq(q135, q136, q138, q139, q141)
 }
