@@ -1402,7 +1402,44 @@ object Analytics {
           col("exact_users") < 0.15).as("approx_within_tolerance"))
   }
 
+  // ------------------------------------------------------------ q142
+
+  /** Materialized-view rollup rewrite ([[graft.plans.Mv]], a Catalyst
+    * `Rule[LogicalPlan]` via `experimental.extraOptimizations`): the
+    * per-type revenue rollup keeps addressing the EVENTS fact table,
+    * but with the daily mart registered as its MV the optimizer plans
+    * the scan against the mart (days×types rows instead of the raw
+    * fact — the rollup factor at 100 TB is 10³-10⁶×). The oracle runs
+    * the plain fact-side SQL: the rewrite must be semantically
+    * invisible. Evaluated eagerly inside the register/deregister
+    * window (`localCheckpoint`) so the rule never sees another
+    * query's plan; MvSpec locks that the rewrite actually fires for
+    * this shape and stays out of uncovered ones. */
+  val q142 = Query(
+    "q142_mv_rewrite_rollup",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val mv = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(money(col("value"))).as("total"))
+    graft.sources.Materialize.table(mv, "mv_daily_type")
+    graft.plans.Mv.register(s, "mv_daily_type", ev,
+      keys = Seq("day" -> date_trunc("day", col("ts")),
+        "event_type" -> col("event_type")),
+      sums = Seq("total" -> money(col("value"))),
+      countStar = Some("n_events"))
+    try
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(money(col("value"))).cast("double").as("total_value"))
+        .localCheckpoint()
+    finally graft.plans.Mv.deregister("mv_daily_type")
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
-    q127, q129, q130, q131, q132, q133, q140)
+    q127, q129, q130, q131, q132, q133, q140, q142)
 }
