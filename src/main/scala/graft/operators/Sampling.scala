@@ -30,12 +30,31 @@ object Sampling {
     * be unique. */
   def weightedSample(df: DataFrame, idCol: Column, weight: Column, k: Int,
       seed: String): DataFrame = {
-    val u = (md5Long(concat(lit(s"$seed:"), idCol.cast("string"))) + 1)
-      .cast("double") / HashRange
-    val keyed = df.withColumn("ws_key", log(u) / weight)
+    val keyed = df.withColumn("ws_key", aesKey(idCol, weight, seed))
     Ranking
       .withGlobalRank(keyed,
         struct((col("ws_key") * -1).as("nk"), idCol.as("id")).asc, "rnk")
       .filter(col("rnk") <= k)
+  }
+
+  /** STRATIFIED weighted sample: an independent A-ES draw of size `k`
+    * inside every group — the per-domain / per-language quota draw of
+    * a curation mix. The rank window is PARTITIONED by the group
+    * (bounded per-group state, the q5 window shape), never global. */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: Column, weight: Column, k: Int, seed: String): DataFrame = {
+    val keyed = df.withColumn("ws_key", aesKey(idCol, weight, seed))
+    keyed.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+          .orderBy(col("ws_key").desc, idCol)))
+      .filter(col("rnk") <= k)
+  }
+
+  /** The A-ES key `ln(u)/w` with the portable md5-derived uniform. */
+  private def aesKey(idCol: Column, weight: Column, seed: String): Column = {
+    val u = (md5Long(concat(lit(s"$seed:"), idCol.cast("string"))) + 1)
+      .cast("double") / HashRange
+    log(u) / weight
   }
 }

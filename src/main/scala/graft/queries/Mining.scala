@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, InternalCache, NaiveBayes, Sampling, TfIdf}
+import graft.operators.{Graph, InternalCache, NaiveBayes, Ranking, Sampling, TfIdf}
 import graft.sources.Tables
 
 /** Text/data-mining operators beyond the dedup + ANN families:
@@ -299,5 +299,111 @@ object Mining {
         col("doc_id"), col("score"))
   }
 
-  val all: Seq[Query] = Seq(q135, q136, q138, q139, q141)
+  // ------------------------------------------------------------ q143
+
+  private val TriTopK = 20
+
+  /** Frequent triples via A-PRIORI pruning over the market baskets
+    * (Agrawal & Srikant 1994, the downward-closure step after q132's
+    * pairs): candidate triples are generated ONLY by extending
+    * frequent pairs, and every face of the triple must itself be a
+    * frequent pair before the support count. At 100 TB the candidate
+    * space is bounded by the frequent-pair set (a semi-join filter),
+    * never by baskets³; the top-k goes through the distributed rank.
+    */
+  val q143 = Query(
+    "q143_frequent_triples",
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+       |t AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b, z.l_partkey AS c,
+       |    CAST(COUNT(*) AS BIGINT) AS support
+       |  FROM li x
+       |  JOIN li y ON y.l_orderkey = x.l_orderkey
+       |    AND y.l_partkey > x.l_partkey
+       |  JOIN li z ON z.l_orderkey = x.l_orderkey
+       |    AND z.l_partkey > y.l_partkey
+       |  JOIN p ab ON ab.a = x.l_partkey AND ab.b = y.l_partkey
+       |  JOIN p ac ON ac.a = x.l_partkey AND ac.b = z.l_partkey
+       |  JOIN p bc ON bc.a = y.l_partkey AND bc.b = z.l_partkey
+       |  GROUP BY 1, 2, 3
+       |  HAVING COUNT(*) >= $TriMinSupport),
+       |r AS (
+       |  SELECT a, b, c, support, row_number() OVER (
+       |    ORDER BY support DESC, a, b, c) AS rnk
+       |  FROM t)
+       |SELECT a, b, c, support, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= $TriTopK""".stripMargin) { (s, dir) =>
+    val li = InternalCache.persist(Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct())
+    def side(n: String) =
+      li.select(col("l_orderkey"), col("l_partkey").as(n))
+    val pairs = InternalCache.persist(
+      side("a").join(side("b"), Seq("l_orderkey"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= TriMinSupport)
+        .select(col("a"), col("b")))
+    def face(x: String, y: String) = pairs
+      .select(col("a").as(x), col("b").as(y))
+    val triples = side("a").join(side("b"), Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .join(side("c"), Seq("l_orderkey"))
+      .filter(col("b") < col("c"))
+      .join(face("a", "b"), Seq("a", "b"), "left_semi")
+      .join(face("a", "c"), Seq("a", "c"), "left_semi")
+      .join(face("b", "c"), Seq("b", "c"), "left_semi")
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= TriMinSupport)
+    Ranking.withGlobalRank(triples,
+        struct((col("support") * -1).as("ns"), col("a").as("ka"),
+          col("b").as("kb"), col("c").as("kc")).asc, "rnk")
+      .filter(col("rnk") <= TriTopK)
+      .select(col("a"), col("b"), col("c"), col("support"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------ q144
+
+  private val WsgK = 5
+
+  /** Stratified weighted sampling: an independent Efraimidis–Spirakis
+    * draw of 5 docs per language, weighted by document length — the
+    * per-domain quota draw of a curation mix (each stratum gets its
+    * quota regardless of corpus share; within the stratum, longer
+    * docs are proportionally more likely). Partitioned rank window,
+    * exact-replay oracle. */
+  val q144 = Query(
+    "q144_stratified_weighted_sample",
+    s"""WITH k AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    ln((${Llm.dHash64(
+              "'wsg:' || CAST(doc_id AS VARCHAR)")} + 1)::DOUBLE
+       |      / 1152921504606846976.0) / n_chars::DOUBLE AS ws_key
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id, n_chars, ws_key, row_number() OVER (
+       |    PARTITION BY lang ORDER BY ws_key DESC, doc_id) AS rnk
+       |  FROM k)
+       |SELECT lang, doc_id, n_chars, round(ws_key, 6) AS ws_key,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= $WsgK""".stripMargin) { (s, dir) =>
+    Sampling
+      .weightedSamplePerGroup(
+        Tables.documents(s, dir).select(col("lang"), col("doc_id"),
+          col("n_chars")),
+        Seq("lang"), col("doc_id"), col("n_chars").cast("double"),
+        WsgK, "wsg")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        round(col("ws_key"), 6).as("ws_key"), col("rnk").cast("long")
+          .as("rnk"))
+  }
+
+  val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144)
 }

@@ -1007,7 +1007,33 @@ object Pipeline {
         expr("bit_xor(z)").as("z_checksum"))
   }
 
+  // ------------------------------------------------------------ q145
+
+  /** Stream-STATIC enrichment join (ST: the reference-data lookup
+    * inside a stream — `Streaming.enrichedRollupAvailableNow`): each
+    * micro-batch joins the broadcast category dimension before the
+    * keyed rollup; run to completion and checked against the batch
+    * oracle, the stream/batch-parity pattern of q40/q50. */
+  val q145 = Query(
+    "q145_stream_static_enrich",
+    """WITH dim(event_type, category) AS (VALUES
+      |  ('view', 'browse'), ('click', 'browse'),
+      |  ('purchase', 'convert'), ('signup', 'convert'),
+      |  ('error', 'ops'))
+      |SELECT category, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN dim USING (event_type)
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val dim = Seq(
+      "view" -> "browse", "click" -> "browse",
+      "purchase" -> "convert", "signup" -> "convert",
+      "error" -> "ops").toDF("event_type", "category")
+    Streaming.enrichedRollupAvailableNow(s, s"$dir/events.parquet",
+      dim, "event_type", "category")
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
-    q74, q76, q77, q101, q105)
+    q74, q76, q77, q101, q105, q145)
 }

@@ -65,6 +65,47 @@ object Streaming {
     }
   }
 
+  /** Stream-STATIC enrichment join (the dimension lookup inside a
+    * stream): each micro-batch of events joins the static `dim` frame
+    * on `joinCol` — Spark re-reads/broadcasts the static side per
+    * batch, the standard reference-data pattern — then rolls up
+    * `count(*)` + exact-decimal `sum(value)` per `catCol`. Run to
+    * completion with AvailableNow so the batch oracle can check the
+    * result; the continuous deployment is the same plan with a
+    * watermark. 100 TB posture: the dim is dimension-sized
+    * (broadcast), the stream never shuffles before the rollup's own
+    * keyed exchange. */
+  def enrichedRollupAvailableNow(spark: SparkSession, eventsParquet: String,
+      dim: DataFrame, joinCol: String, catCol: String): DataFrame = {
+    val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val srcDir = stageIntoDir(spark, eventsParquet)
+      val batchSchema = spark.read.parquet(srcDir).schema
+      val ev = spark.readStream.schema(batchSchema).parquet(srcDir)
+      val agg = ev
+        .join(broadcast(dim), Seq(joinCol))
+        .groupBy(col(catCol))
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.functions.Functions.money(col("value")))
+            .cast("double").as("total_value"))
+      val sink = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = agg.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None => spark.conf.unset(NanosKey)
+      }
+    }
+  }
+
   /** Copy a single parquet file into a stable temp directory so the
     * file stream source (directory-based) can list it. */
   private def stageIntoDir(spark: SparkSession, file: String): String = {
