@@ -405,5 +405,65 @@ object Mining {
           .as("rnk"))
   }
 
-  val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144)
+  // ------------------------------------------------------------ q146
+
+  /** Per-user event-path features through the NESTED-DATA route: the
+    * event sequence is collected into a sorted array of structs and
+    * every feature is computed row-locally with higher-order array
+    * functions (`transform`/`filter`/`aggregate`) — one shuffle (the
+    * collect), zero windows, the complex-type processing path a
+    * sequence mart uses when per-entity history must travel as ONE
+    * row (session replay, trajectory features). The oracle computes
+    * identical scalars with window functions — the two routes must
+    * agree exactly. Per-user state is bounded by the user's own event
+    * count (same bound any per-entity window has). */
+  val q146 = Query(
+    "q146_event_path_features",
+    """WITH s AS (
+      |  SELECT user_id, event_type, ts,
+      |    lag(event_type) OVER w AS prev_type,
+      |    lag(ts) OVER w AS prev_ts,
+      |    row_number() OVER w AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (
+      |  SELECT user_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CASE WHEN prev_type IS NOT NULL
+      |      AND prev_type <> event_type THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_transitions,
+      |    COALESCE(CAST(MAX(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT),
+      |      0) AS max_gap_us,
+      |    MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+      |    MAX(CASE WHEN rn = cnt THEN event_type END) AS last_type
+      |  FROM s GROUP BY 1)
+      |SELECT user_id, n_events, n_transitions, max_gap_us,
+      |  first_type, last_type
+      |FROM f""".stripMargin) { (s, dir) =>
+    val path = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("p"))
+    val n = size(col("p"))
+    val heads = slice(col("p"), lit(1), greatest(n - 1, lit(0)))
+    val tails = slice(col("p"), lit(2), greatest(n - 1, lit(0)))
+    val steps = zip_with(heads, tails, (a, b) => struct(
+      (unix_micros(b.getField("ts")) - unix_micros(a.getField("ts")))
+        .as("gap_us"),
+      (b.getField("event_type") =!= a.getField("event_type"))
+        .cast("long").as("chg")))
+    path.select(
+      col("user_id"),
+      n.cast("long").as("n_events"),
+      aggregate(steps, lit(0L), (acc, x) =>
+        acc + x.getField("chg")).as("n_transitions"),
+      aggregate(steps, lit(0L), (acc, x) =>
+        greatest(acc, x.getField("gap_us"))).as("max_gap_us"),
+      element_at(col("p"), 1).getField("event_type").as("first_type"),
+      element_at(col("p"), -1).getField("event_type").as("last_type"))
+  }
+
+  val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144,
+    q146)
 }
