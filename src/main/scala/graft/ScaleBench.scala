@@ -81,7 +81,9 @@ object ScaleBench {
     "q94_lm_quality_buckets", "q95_dsir_weights", "q96_dup_rate_estimate",
     "q113_source_divergence", "q114_containment_pairs",
     "q115_wav_audio_frames", "q120_bpe_merges",
-    "q128_prefix_filter_join")
+    "q128_prefix_filter_join", "q134_dedup_method_recall",
+    "q135_tfidf_cosine_pairs", "q136_naive_bayes_langid",
+    "q141_bm25_search", "q144_stratified_weighted_sample")
 
   /** ANN with a FIXED query workload (replica 0 queries only): a corpus
     * scale-up grows the indexed side, not the query side — without the

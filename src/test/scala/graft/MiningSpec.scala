@@ -95,6 +95,22 @@ class MiningSpec extends SparkSpec {
     assert(meanId > 300.0, s"weighted draw looks uniform: mean $meanId")
   }
 
+  test("stratified weighted sample: k per group, independent draws, " +
+      "deterministic under repartitioning") {
+    val df = (1L to 300L).map(i => (s"g${i % 3}", i, 1.0 + (i % 7)))
+      .toDF("g", "id", "w")
+    val s1 = rows(Sampling.weightedSamplePerGroup(df, Seq("g"), col("id"),
+      col("w"), 10, "t2").select("g", "id", "rnk").orderBy("g", "rnk"))
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val s2 = rows(Sampling.weightedSamplePerGroup(df.repartition(5),
+      Seq("g"), col("id"), col("w"), 10, "t2")
+      .select("g", "id", "rnk").orderBy("g", "rnk"))
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(s1 == s2)
+    assert(s1.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map("g0" -> 10, "g1" -> 10, "g2" -> 10))
+  }
+
   // ------------------------------------------------------ naive bayes
 
   test("naive bayes: separable vocabularies classify perfectly") {
