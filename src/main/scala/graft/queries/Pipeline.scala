@@ -1033,7 +1033,48 @@ object Pipeline {
       dim, "event_type", "category")
   }
 
+  // ------------------------------------------------------------ q147
+
+  /** Schema evolution across raw-zone batches (the daily-load reality:
+    * a source adds a column mid-stream): an early batch without
+    * `o_orderpriority` and a later batch with it land in the SAME
+    * parquet directory; the `mergeSchema` read reconciles the footers
+    * into one schema with nulls for the missing column — no rewrite of
+    * the old files (at 100 TB, rewriting history for a schema change
+    * is not an option). The oracle replays the split from the source
+    * table, nulling the column for early-batch rows. */
+  val q147 = Query(
+    "q147_schema_evolution",
+    s"""WITH h AS (
+       |  SELECT o_orderkey, o_totalprice,
+       |    CASE WHEN ${Llm.dHash64(
+              "'evo:' || CAST(o_orderkey AS VARCHAR)")} % 2 = 1
+       |      THEN o_orderpriority END AS o_orderpriority
+       |  FROM orders)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority,
+       |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total
+       |FROM h""".stripMargin) { (s, dir) =>
+    val h = Tables.orders(s, dir).withColumn("__h",
+      md5Long(concat(lit("evo:"), col("o_orderkey").cast("string"))) % 2)
+    val out = s"/tmp/graft_schema_evo_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    h.filter(col("__h") === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(out)
+    h.filter(col("__h") === 1)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("append").parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        sumMoney(col("o_totalprice")).as("total"))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
-    q74, q76, q77, q101, q105, q145)
+    q74, q76, q77, q101, q105, q145, q147)
 }
