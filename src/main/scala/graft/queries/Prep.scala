@@ -774,6 +774,70 @@ object Prep {
         col("left_tok"), col("right_tok"), col("freq"))
   }
 
+  // ------------------------------------------------------------ q148
+
+  /** BPE ENCODE — the apply step completing q120's train step: the
+    * trained merge rules run over the whole corpus as [[BpeK]] chained
+    * row-local merge folds (`Bpe.applyMerges` — no shuffle at all for
+    * the encode; the only exchange is the final per-language rollup),
+    * surfaced as per-language token counts and the compression ratio
+    * the tokenizer actually achieves. The oracle replays training AND
+    * encoding; any divergence in either phase fails the hash. The
+    * trained rule list is a bounded driver value (k rows, the q99
+    * centroid pattern). */
+  val q148 = Query(
+    "q148_bpe_encode", {
+      def pairs(src: String, out: String) =
+        s"""$out AS (
+           |  SELECT p.x AS x, p.y AS y, CAST(COUNT(*) AS BIGINT) AS f
+           |  FROM (SELECT UNNEST([{'x': t[i], 'y': t[i + 1]}
+           |      for i in range(1, len(t))]) AS p FROM $src)
+           |  GROUP BY 1, 2)""".stripMargin
+      def best(src: String, out: String) =
+        s"$out AS (SELECT x, y, f FROM $src ORDER BY f DESC, x, y LIMIT 1)"
+      // carries (lang, n0) through every fold so the rollup can see them
+      def merge(src: String, b: String, out: String) =
+        s"""$out AS (
+           |  SELECT lang, n0, CASE WHEN len(t) <= 1 THEN t
+           |    ELSE string_split(list_reduce(t, (acc, e) -> CASE
+           |      WHEN e = $b.y AND acc = $b.x THEN $b.x || chr(1) || $b.y
+           |      WHEN e = $b.y AND ends_with(acc, ' ' || $b.x)
+           |        THEN left(acc, length(acc) - length($b.x)) ||
+           |          $b.x || chr(1) || $b.y
+           |      ELSE acc || ' ' || e END), ' ')
+           |    END AS t
+           |  FROM $src CROSS JOIN $b)""".stripMargin
+      val rounds = (1 to BpeK).flatMap { r =>
+        Seq(pairs(s"t${r - 1}", s"p$r"), best(s"p$r", s"b$r"),
+          merge(s"t${r - 1}", s"b$r", s"t$r"))
+      }.mkString(",\n")
+      s"""WITH t0 AS (
+         |  SELECT lang, len(${Llm.DTokens}) AS n0, ${Llm.DTokens} AS t
+         |  FROM documents),
+         |$rounds
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n0) AS BIGINT) AS word_tokens,
+         |  CAST(SUM(len(t)) AS BIGINT) AS bpe_tokens,
+         |  round(SUM(n0)::DOUBLE / SUM(len(t))::DOUBLE, 6)
+         |    AS compression
+         |FROM t$BpeK GROUP BY lang""".stripMargin
+    }) { (s, dir) =>
+    import graft.operators.Bpe
+    import graft.functions.Functions.tokens
+    val merges = Bpe.learnMerges(Tables.documents(s, dir), "text", BpeK)
+      .map { case (_, x, y, _) => (x, y) }
+    Tables.documents(s, dir)
+      .select(col("lang"), tokens(col("text")).as("t"))
+      .select(col("lang"), size(col("t")).as("n0"),
+        Bpe.applyMerges(col("t"), merges).as("enc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n0")).as("word_tokens"),
+        sum(size(col("enc"))).as("bpe_tokens"),
+        round(sum(col("n0")).cast("double") /
+          sum(size(col("enc"))).cast("double"), 6).as("compression"))
+  }
+
   val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99, q100,
-    q120)
+    q120, q148)
 }
