@@ -23,11 +23,26 @@ object Materialize {
     * relation so downstream plans scan the stored copy. */
   def table(df: DataFrame, name: String,
       path: Option[String] = None): DataFrame = {
+    if (path.isEmpty) dropOrphanLocation(df.sparkSession, name)
     val w = df.write.mode("overwrite").format("parquet")
     path.foreach(p => w.option("path", p)) // external location when given
     w.saveAsTable(name)
     df.sparkSession.table(name)
   }
+
+  /** A run that dies between writing a managed table's files and
+    * committing its catalog entry leaves an orphan directory that
+    * `saveAsTable` then refuses (LOCATION_ALREADY_EXISTS) — remove the
+    * location iff the catalog has NO entry for the table (a cataloged
+    * table's location is never touched; overwrite mode owns that). */
+  private def dropOrphanLocation(spark: SparkSession, name: String): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        name.toLowerCase(java.util.Locale.ROOT))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) { fs.delete(wh, true); () }
+    }
 
   /** Bucketed table materialization (reference "clustering" intent,
     * `README.md:12,90`): co-locate a table on its join key so repeated
@@ -36,6 +51,7 @@ object Materialize {
     * sides bucketed on the key ⇒ SortMergeJoin with zero Exchange). */
   def bucketedTable(df: DataFrame, name: String, bucketCols: Seq[String],
       numBuckets: Int, path: Option[String] = None): DataFrame = {
+    if (path.isEmpty) dropOrphanLocation(df.sparkSession, name)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
