@@ -765,9 +765,20 @@ object Prep {
     * one bounded argmax scalar per round (the k-means action class).
     * The oracle replays the full loop; a single diverging merge or
     * count anywhere in the trajectory fails the hash. */
+  /** The trained merge-rule list — SHARED driver-side value (the
+    * kmCentsShared pattern): q120 reports the trajectory, q148
+    * encodes with it. */
+  private def bpeMergesShared(s: SparkSession,
+      dir: String): Seq[(Int, String, String, Long)] =
+    graft.operators.SharedFrames.getOrCompute(
+        graft.operators.SharedFrames.key(s, dir, "bpe_merges",
+          s"$BpeK")) {
+      graft.operators.Bpe.learnMerges(Tables.documents(s, dir), "text",
+        BpeK)
+    }
+
   val q120 = Query("q120_bpe_merges", bpeOracle) { (s, dir) =>
-    import graft.operators.Bpe
-    val merges = Bpe.learnMerges(Tables.documents(s, dir), "text", BpeK)
+    val merges = bpeMergesShared(s, dir)
     import s.implicits._
     merges.toDF("merge_rank", "left_tok", "right_tok", "freq")
       .select(col("merge_rank").cast("long").as("merge_rank"),
@@ -824,8 +835,7 @@ object Prep {
     }) { (s, dir) =>
     import graft.operators.Bpe
     import graft.functions.Functions.tokens
-    val merges = Bpe.learnMerges(Tables.documents(s, dir), "text", BpeK)
-      .map { case (_, x, y, _) => (x, y) }
+    val merges = bpeMergesShared(s, dir).map { case (_, x, y, _) => (x, y) }
     Tables.documents(s, dir)
       .select(col("lang"), tokens(col("text")).as("t"))
       .select(col("lang"), size(col("t")).as("n0"),
