@@ -49,4 +49,29 @@ object Cdc {
         payload.map(p => col(s"__w.$p").as(p)) ++
         Seq(col("__w.__seq").as("last_seq"), col("n_ops")): _*)
   }
+
+  /** Survivorship merge (the MDM "golden record"): several source
+    * records per key, each with its own `seqCol` recency and partial
+    * (nullable) fields — the golden record takes, PER FIELD, the value
+    * from the most recent record where that field is non-null
+    * (`max_by(field, seq-if-present)`; both Spark's `max_by` and SQL
+    * `arg_max` skip rows whose ordering value is null, which is
+    * exactly the survivorship rule). A field null in every record
+    * stays null. One shuffle, partial-aggregatable — a key with a
+    * thousand source records sends one candidate per field per map
+    * partition. */
+  def survivorship(records: DataFrame, keyCols: Seq[String],
+      seqCol: String): DataFrame = {
+    val payload = records.columns
+      .filterNot(c => keyCols.contains(c) || c == seqCol).toSeq
+    records.groupBy(keyCols.map(col): _*)
+      .agg(
+        max_by(col(payload.head),
+          when(col(payload.head).isNotNull, col(seqCol)))
+          .as(payload.head),
+        payload.tail.map(p =>
+          max_by(col(p), when(col(p).isNotNull, col(seqCol))).as(p)) ++
+          Seq(count(lit(1)).as("n_records"),
+            max(col(seqCol)).cast("long").as("last_seq")): _*)
+  }
 }

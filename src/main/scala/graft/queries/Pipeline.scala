@@ -1074,7 +1074,40 @@ object Pipeline {
         sumMoney(col("o_totalprice")).as("total"))
   }
 
+  // ------------------------------------------------------------ q149
+
+  private val RetentionCutoff = "2024-01-20"
+
+  /** Partition retention (`Materialize.expirePartitions`): the daily
+    * events table drops every partition before the cutoff as a
+    * METADATA-ONLY operation — retained data is never read or
+    * rewritten (at 100 TB, retention must cost O(partitions dropped),
+    * not a scan). The oracle recomputes the retained window from the
+    * raw source; the table read-back must equal it exactly. Completes
+    * the table lifecycle: create (q51) → incremental (q36) → compact
+    * (q74) → expire. */
+  val q149 = Query(
+    "q149_partition_retention",
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM events
+       |WHERE strftime(ts, '%Y-%m-%d') >= '$RetentionCutoff'
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Materialize.dropOrphanLocation(s, "events_retention")
+    ev.repartition(col("day"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("day").saveAsTable("events_retention")
+    Materialize
+      .expirePartitions(s, "events_retention", "day", RetentionCutoff)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sumMoney(col("value")).as("total_value"))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
-    q74, q76, q77, q101, q105, q145, q147)
+    q74, q76, q77, q101, q105, q145, q147, q149)
 }

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{MapType, StringType}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.functions.Functions._
 import graft.operators.{Cdc, Marts, Scd2}
@@ -831,7 +831,74 @@ object Warehouse {
         col("last_seq"), col("n_ops"))
   }
 
+  // ------------------------------------------------------------ q150
+
+  /** Survivorship merge ([[graft.operators.Cdc.survivorship]], the
+    * MDM golden record): three partially-populated source records per
+    * customer (legacy / CRM / app, with deterministic field nulls and
+    * recency seqs) merge into one — per FIELD, the most recent
+    * non-null value wins; a field null everywhere stays null. Both
+    * engines' argmax-by-presence (`max_by` / `arg_max`) skip
+    * null-ordered rows, which IS the survivorship rule. One
+    * partial-aggregatable shuffle. */
+  val q150 = Query(
+    "q150_survivorship_golden",
+    s"""WITH h AS (
+       |  SELECT c_custkey, c_name, c_mktsegment,
+       |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+       |    ${Llm.dHash64("'gr:' || CAST(c_custkey AS VARCHAR)")} % 60
+       |      AS h
+       |  FROM customer),
+       |recs AS (
+       |  SELECT c_custkey, 1 AS seq, c_name AS name,
+       |    CASE WHEN h % 3 = 0 THEN NULL ELSE bal END AS acctbal,
+       |    c_mktsegment AS segment
+       |  FROM h
+       |  UNION ALL
+       |  SELECT c_custkey, 2,
+       |    CASE WHEN h % 2 = 0 THEN NULL ELSE upper(c_name) END,
+       |    NULL,
+       |    CASE WHEN h % 4 = 0 THEN 'UNKNOWN' ELSE NULL END
+       |  FROM h
+       |  UNION ALL
+       |  SELECT c_custkey, 3, NULL,
+       |    CAST(bal + 1.00 AS DECIMAL(18,2)), NULL
+       |  FROM h WHERE h % 5 = 0)
+       |SELECT c_custkey,
+       |  arg_max(name, CASE WHEN name IS NOT NULL THEN seq END) AS name,
+       |  CAST(arg_max(acctbal, CASE WHEN acctbal IS NOT NULL THEN seq END)
+       |    AS DOUBLE) AS acctbal,
+       |  arg_max(segment, CASE WHEN segment IS NOT NULL THEN seq END)
+       |    AS segment,
+       |  CAST(COUNT(*) AS BIGINT) AS n_records,
+       |  CAST(MAX(seq) AS BIGINT) AS last_seq
+       |FROM recs GROUP BY 1""".stripMargin) { (s, dir) =>
+    val h = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      money(col("c_acctbal")).as("bal"),
+      (md5Long(concat(lit("gr:"), col("c_custkey").cast("string")))
+        % 60).as("h"))
+    def rec(seq: Int, name: Column, bal: Column, seg: Column,
+        src: DataFrame = h) =
+      src.select(col("c_custkey"), lit(seq.toLong).as("seq"),
+        name.as("name"), money(bal).as("acctbal"), seg.as("segment"))
+    val recs = rec(1, col("c_name"),
+        when(col("h") % 3 === 0, lit(null)).otherwise(col("bal")),
+        col("c_mktsegment"))
+      .unionByName(rec(2,
+        when(col("h") % 2 === 0, lit(null)).otherwise(upper(col("c_name"))),
+        lit(null), when(col("h") % 4 === 0, lit("UNKNOWN"))
+          .otherwise(lit(null))))
+      .unionByName(rec(3, lit(null),
+        col("bal") + lit(BigDecimal("1.00")), lit(null),
+        h.filter(col("h") % 5 === 0)))
+    Cdc.survivorship(recs, Seq("c_custkey"), "seq")
+      .select(col("c_custkey"), col("name"),
+        col("acctbal").cast("double").as("acctbal"), col("segment"),
+        col("n_records"), col("last_seq"))
+  }
+
   val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q63, q64, q65, q66, q67, q68, q70,
-    q73, q75, q103, q104, q137)
+    q73, q75, q103, q104, q137, q150)
 }

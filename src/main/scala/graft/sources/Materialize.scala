@@ -35,7 +35,7 @@ object Materialize {
     * `saveAsTable` then refuses (LOCATION_ALREADY_EXISTS) — remove the
     * location iff the catalog has NO entry for the table (a cataloged
     * table's location is never touched; overwrite mode owns that). */
-  private def dropOrphanLocation(spark: SparkSession, name: String): Unit =
+  private[graft] def dropOrphanLocation(spark: SparkSession, name: String): Unit =
     if (!spark.catalog.tableExists(name)) {
       val wh = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"),
@@ -251,6 +251,32 @@ object Materialize {
         case Some(v) => spark.conf.set(PoKey, v)
         case None => spark.conf.unset(PoKey)
       }
+    }
+    spark.table(name)
+  }
+
+  /** Retention enforcement: drop every partition of `name` whose
+    * `partitionCol` VALUE sorts strictly below `cutoff` — a
+    * metadata-only operation (`ALTER TABLE … DROP PARTITION`): retained
+    * data is never read or rewritten, which is the whole point of
+    * partition-level retention at 100 TB (dropping 3 years of history
+    * costs O(partitions dropped), not a table scan). Values compare as
+    * strings — ISO dates sort correctly. The partition list is
+    * catalog METADATA (one row per partition, the same bounded driver
+    * list `tableIncremental` touches), not data. */
+  def expirePartitions(spark: SparkSession, name: String,
+      partitionCol: String, cutoff: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val expired = spark.sql(s"SHOW PARTITIONS $name")
+      .collect()
+      .map(_.getString(0))
+      .collect { case p if p.startsWith(s"$partitionCol=") =>
+        p.stripPrefix(s"$partitionCol=")
+      }
+      .filter(_ < cutoff)
+    expired.foreach { v =>
+      spark.sql(
+        s"ALTER TABLE $name DROP IF EXISTS PARTITION ($partitionCol='$v')")
     }
     spark.table(name)
   }
