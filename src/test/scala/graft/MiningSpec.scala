@@ -42,6 +42,41 @@ class MiningSpec extends SparkSpec {
       r.getAs[Double]("v"))) == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("survivorship: per-field latest non-null wins; all-null stays " +
+      "null; fields from different records combine") {
+    val recs = Seq(
+      (1L, 1L, Option("a"), Option(10.0)),
+      (1L, 2L, None, Option(20.0)), //       name null: keeps seq1's "a"
+      (1L, 3L, Option("c"), None), //        bal null: keeps seq2's 20.0
+      (2L, 1L, None: Option[String], None: Option[Double]), // all null
+      (2L, 2L, None, None))
+      .toDF("k", "seq", "name", "bal")
+    val out = rows(Cdc.survivorship(recs, Seq("k"), "seq").orderBy("k"))
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("name"),
+        Option(r.getAs[Any]("bal")), r.getAs[Long]("n_records")))
+    assert(out == Seq(
+      (1L, "c", Some(20.0), 3L),
+      (2L, null, None, 2L)))
+  }
+
+  test("expirePartitions: metadata-only drop below the cutoff") {
+    spark.sql("DROP TABLE IF EXISTS exp_test")
+    graft.sources.Materialize.dropOrphanLocation(spark, "exp_test")
+    Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L))
+      .toDF("day", "v")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("day").saveAsTable("exp_test")
+    val kept = graft.sources.Materialize
+      .expirePartitions(spark, "exp_test", "day", "2024-01-02")
+    assert(rows(kept.select("day").distinct().orderBy("day"))
+      .map(_.getString(0)) == Seq("2024-01-02", "2024-01-03"))
+    // dropped partition is gone from catalog metadata too
+    val parts = rows(spark.sql("SHOW PARTITIONS exp_test"))
+      .map(_.getString(0))
+    assert(parts == Seq("day=2024-01-02", "day=2024-01-03"), parts)
+    spark.sql("DROP TABLE IF EXISTS exp_test")
+  }
+
   // ------------------------------------------------- triangle counting
 
   private def edges(es: (Long, Long)*) = es.toSeq.toDF("a", "b")
