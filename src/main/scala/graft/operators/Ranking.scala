@@ -26,16 +26,29 @@ import org.apache.spark.sql.functions._
 object Ranking {
 
   /** Shared core: (range-partitioned frame with __pid, per-partition
-    * counts). The repartitionByRange exchange is identical for every
-    * consumer, so Spark's exchange reuse computes it once. */
+    * counts).
+    *
+    * The ranged frame is PERSISTED (registered with [[InternalCache]]):
+    * both consumers — the counts aggregate and the ranked join — must
+    * observe the SAME partition boundaries, and `repartitionByRange`
+    * samples its boundaries with an RDD-id-derived seed, so two
+    * separate physical instantiations of this plan can land rows in
+    * different partitions. Exchange reuse usually dedups the two
+    * reads, but it is not guaranteed (nested rank applications have
+    * been observed to defeat it, yielding offsets that disagree with
+    * the ranked partitions — ranks beyond n). Persisting pins one
+    * physical RDD for both reads, making the boundaries consistent by
+    * construction; recompute-on-eviction reuses the same partitioner,
+    * so consistency survives memory pressure too. */
   private def rangedWithCounts(df: DataFrame, order: Column,
       numPartitions: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val nPart =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(nPart, order)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = InternalCache.persist(
+      df.repartitionByRange(nPart, order)
+        .withColumn("__pid", spark_partition_id()))
     // per-range-partition row counts: at most nPart rows
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
     (ranged, counts)
@@ -80,9 +93,13 @@ object Ranking {
     val nPart =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(nPart, order)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__w", weight.cast("long"))
+    // persisted for the same boundary-consistency reason as
+    // rangedWithCounts: the sums aggregate and the offset join must
+    // read identical range partitions
+    val ranged = InternalCache.persist(
+      df.repartitionByRange(nPart, order)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__w", weight.cast("long")))
     // per-range-partition weight sums: at most nPart rows
     val sums = ranged.groupBy(col("__pid"))
       .agg(coalesce(sum(col("__w")), lit(0L)).as("__cnt"))

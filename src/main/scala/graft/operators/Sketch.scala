@@ -1,6 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.Functions.md5Long
@@ -60,5 +64,85 @@ object Sketch {
     probes.join(broadcast(sketch), Seq("__r", "__b"))
       .groupBy(keys.columns.map(col): _*)
       .agg(min(col("__c")).as("est_cnt"))
+  }
+
+  // ------------------------------------------------------------ KLL
+
+  /** Merge per-partition KLL sketch blobs into one. The input rows are
+    * ALREADY sketches (one per partition×key from [[kllBy]]'s local
+    * build), so the heapify cost is per-sketch, never per raw row. */
+  private object KllMergeAgg
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def mergeB(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val s = KllDoublesSketch.heapify(Memory.wrap(a))
+        s.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+        s.toByteArray
+      }
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(acc: Array[Byte], x: Array[Byte]): Array[Byte] = mergeB(acc, x)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeB(a, b)
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Merge sketch blobs and finish with the estimated quantile `q` —
+    * keeps quantile extraction inside an Aggregator, so no scalar
+    * row-UDF exists anywhere on the path. */
+  private final class KllQuantileAgg(q: Double)
+      extends Aggregator[Array[Byte], Array[Byte], Double] {
+    def zero: Array[Byte] = KllMergeAgg.zero
+    def reduce(acc: Array[Byte], x: Array[Byte]): Array[Byte] =
+      KllMergeAgg.reduce(acc, x)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      KllMergeAgg.merge(a, b)
+    def finish(r: Array[Byte]): Double =
+      if (r.isEmpty) Double.NaN
+      else KllDoublesSketch.heapify(Memory.wrap(r)).getQuantile(q)
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Column aggregate: merge KLL sketch blobs (column of binary). */
+  def kllMerge(sketch: Column): Column = udaf(KllMergeAgg).apply(sketch)
+
+  /** Column aggregate: merge KLL sketch blobs and estimate quantile
+    * `q` of the merged sketch. */
+  def kllQuantile(sketch: Column, q: Double): Column =
+    udaf(new KllQuantileAgg(q)).apply(sketch)
+
+  /** Per-key KLL quantile sketches (Apache DataSketches,
+    * `KllDoublesSketch`, parameter `k`): the MERGEABLE quantile state
+    * that `percentile`/`approx_percentile` outputs are not — daily
+    * sketches roll up to monthly/yearly by merge, never rescanning
+    * the fact (the quantile twin of the q140 HLL rollup).
+    *
+    * Build shape: one `mapPartitions` pass holds a local
+    * key→sketch map (bounded by keys-per-partition × k doubles) and
+    * emits ONE sketch row per partition×key — the map-side combine —
+    * then a single aggregate merges those blobs per key. The shuffle
+    * carries sketches, not values, so a 100 TB fact shuffles a few KB
+    * per (partition, key) cell.
+    *
+    * `keyCol` must be a string column that round-trips its value
+    * (e.g. an ISO `yyyy-MM-dd` day); `valueCol` is cast to double. */
+  def kllBy(df: DataFrame, keyCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df
+      .select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+    val local = pairs.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap[String, KllDoublesSketch]()
+      it.foreach { case (key, v) =>
+        m.getOrElseUpdate(key, KllDoublesSketch.newHeapInstance(k)).update(v)
+      }
+      m.iterator.map { case (key, sk) => (key, sk.toByteArray) }
+    }.toDF(keyCol, "sketch")
+    local.groupBy(col(keyCol)).agg(kllMerge(col("sketch")).as("sketch"))
   }
 }

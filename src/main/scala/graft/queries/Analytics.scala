@@ -1439,7 +1439,188 @@ object Analytics {
     finally graft.plans.Mv.deregister("mv_daily_type")
   }
 
+  // ------------------------------------------------------------ q151
+
+  /** RFM customer segmentation (recency/frequency/monetary quintiles —
+    * the standard CRM mart over the order fact). Each dimension's
+    * bucket comes from an exact global row_number through
+    * [[graft.operators.Ranking.withGlobalRank]] (unique tie-break on
+    * custkey makes rank ≡ row_number), so no unpartitioned window
+    * exists at any customer cardinality. The bucket cut is integer
+    * arithmetic — `((rn-1)*5) DIV n + 1` — identical in both engines
+    * (no NTILE, whose remainder placement is engine-defined). */
+  val q151 = Query(
+    "q151_rfm_segments",
+    """WITH b AS (
+      |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order,
+      |    COUNT(*) AS freq,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_cust FROM b),
+      |r AS (
+      |  SELECT o_custkey, monetary,
+      |    ROW_NUMBER() OVER (ORDER BY last_order, o_custkey) AS r_rn,
+      |    ROW_NUMBER() OVER (ORDER BY freq, o_custkey) AS f_rn,
+      |    ROW_NUMBER() OVER (ORDER BY monetary, o_custkey) AS m_rn
+      |  FROM b),
+      |s AS (
+      |  SELECT CAST(((r_rn - 1) * 5) // n_cust + 1 AS BIGINT) AS r_bucket,
+      |    CAST(((f_rn - 1) * 5) // n_cust + 1 AS BIGINT) AS f_bucket,
+      |    CAST(((m_rn - 1) * 5) // n_cust + 1 AS BIGINT) AS m_bucket,
+      |    monetary
+      |  FROM r CROSS JOIN n)
+      |SELECT r_bucket, f_bucket, m_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(monetary) AS DOUBLE) AS monetary_total
+      |FROM s GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    import graft.operators.Ranking
+    val base = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(money(col("o_totalprice"))).as("monetary"))
+    val ranked = Seq(
+      ("r_rn", struct(col("last_order"), col("o_custkey")).asc),
+      ("f_rn", struct(col("freq"), col("o_custkey")).asc),
+      ("m_rn", struct(col("monetary"), col("o_custkey")).asc))
+      .foldLeft(base) { case (df, (c, ord)) =>
+        Ranking.withGlobalRank(df, ord, c)
+      }
+    val n = base.agg(count(lit(1)).as("n_cust"))
+    def bucket(rn: String): Column =
+      expr(s"(($rn - 1) * 5) DIV n_cust").cast("long") + 1
+    ranked.crossJoin(broadcast(n))
+      .select(bucket("r_rn").as("r_bucket"), bucket("f_rn").as("f_bucket"),
+        bucket("m_rn").as("m_bucket"), col("monetary"))
+      .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).cast("double").as("monetary_total"))
+  }
+
+  // ------------------------------------------------------------ q152
+
+  /** Consecutive-day activity streaks (gaps-and-islands): per user,
+    * the island id is `day - row_number` over the user's distinct
+    * activity days — the classic identity, with every window
+    * PARTITIONED BY user (no global window, so user cardinality never
+    * collapses a stage). Output is the distribution of per-user
+    * longest streaks. */
+  val q152 = Query(
+    "q152_activity_streaks",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |    day - CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      |  FROM d),
+      |s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2),
+      |m AS (SELECT user_id, MAX(len) AS streak_days FROM s GROUP BY 1)
+      |SELECT CAST(streak_days AS BIGINT) AS streak_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("streak_days"))
+      .groupBy(col("streak_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  // ------------------------------------------------------------ q153
+
+  private val EsAlpha = 0.3
+
+  /** Single-exponential-smoothing forecast of monthly revenue per
+    * order priority: the per-group series is aggregated first (months
+    * × priorities rows), collected into an ordered array, and smoothed
+    * by a ROW-LOCAL left fold (`aggregate` HOF seeded with the first
+    * month) — the same fixed IEEE sequence DuckDB's `list_reduce`
+    * replays, so the forecast hash-matches bit for bit. No window, no
+    * driver collect; the heavy input never leaves its aggregate. */
+  val q153 = Query(
+    "q153_exp_smoothing",
+    s"""WITH m AS (
+       |  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+       |  FROM orders GROUP BY 1, 2),
+       |s AS (
+       |  SELECT o_orderpriority,
+       |    list(CAST(rev AS DOUBLE) ORDER BY month) AS l
+       |  FROM m GROUP BY 1)
+       |SELECT o_orderpriority, CAST(len(l) AS BIGINT) AS n_months,
+       |  round(list_reduce(l,
+       |    (acc, x) -> $EsAlpha*x + ${1 - EsAlpha}*acc), 6) AS forecast
+       |FROM s""".stripMargin) { (s, dir) =>
+    val monthly = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    val series = monthly
+      .groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_list(
+        struct(col("month"), col("rev").cast("double").as("rev"))))
+        .as("sr"))
+      .withColumn("l", transform(col("sr"), _.getField("rev")))
+    series.select(col("o_orderpriority"),
+      size(col("l")).cast("long").as("n_months"),
+      round(aggregate(
+        slice(col("l"), lit(2), greatest(size(col("l")) - 1, lit(0))),
+        element_at(col("l"), 1),
+        (acc, x) => lit(EsAlpha) * x + lit(1 - EsAlpha) * acc), 6)
+        .as("forecast"))
+  }
+
+  // ------------------------------------------------------------ q154
+
+  private val KllK = 200 // ~1.65% normalized rank error at 99% conf
+
+  /** Mergeable QUANTILE rollup (Apache DataSketches KLL,
+    * [[graft.operators.Sketch.kllBy]]) — q140's HLL pattern for the
+    * other non-additive aggregate every warehouse pre-computes:
+    * per-DAY value sketches merge into per-MONTH medians without
+    * rescanning the fact. Sketch bytes are engine-specific, so the
+    * contract is rank accuracy: the estimated median's TRUE rank
+    * inside the month must sit within 0.5 ± 0.05 (30× the k=200
+    * error bound), checked in-engine; the exact median itself is
+    * value-checked against the oracle (q47's interpolation parity). */
+  val q154 = Query(
+    "q154_kll_quantile_rollup",
+    """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+      |  quantile_cont(value, 0.5) AS exact_median,
+      |  TRUE AS approx_within_tolerance
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.operators.Sketch
+    val ev = Tables.events(s, dir)
+      .select(to_date(date_trunc("day", col("ts"))).as("day"),
+        date_trunc("month", col("ts")).as("month"), col("value"))
+    val daily = Sketch.kllBy(ev.select(col("day"), col("value")),
+      "day", "value", KllK)
+    val monthly = daily
+      .withColumn("month",
+        date_trunc("month", to_date(col("day"))).as("month"))
+      .groupBy(col("month"))
+      .agg(Sketch.kllQuantile(col("sketch"), 0.5).as("approx_median"))
+    val exact = ev.groupBy(col("month"))
+      .agg(expr("percentile(value, 0.5)").as("exact_median"),
+        count(lit(1)).as("n"))
+    exact.join(monthly, Seq("month"))
+      .join(ev.select(col("month"), col("value")), Seq("month"))
+      .groupBy(col("month"), col("exact_median"), col("n"),
+        col("approx_median"))
+      .agg(sum(when(col("value") <= col("approx_median"), 1L)
+        .otherwise(0L)).as("rank"))
+      .select(col("month"), col("exact_median"),
+        (abs(col("rank").cast("double") / col("n") - 0.5) <= 0.05)
+          .as("approx_within_tolerance"))
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
-    q127, q129, q130, q131, q132, q133, q140, q142)
+    q127, q129, q130, q131, q132, q133, q140, q142, q151, q152, q153,
+    q154)
 }

@@ -545,5 +545,61 @@ object Curation {
         expr("bit_xor(__h)").cast("long").as("redacted_checksum"))
   }
 
-  val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85, q89, q102)
+  // ------------------------------------------------------------ q155
+
+  private val KAnonK = 20
+
+  /** k-anonymity audit (privacy compliance beside q102's PII
+    * redaction): a released row is safe only if its quasi-identifier
+    * combination is shared by ≥ k rows. Audited at two generalization
+    * levels — (segment, nation) and the coarser (segment, region) —
+    * showing how generalizing the hierarchy recovers suppressed rows.
+    * Pure two-level aggregation (rows → QI groups → audit summary);
+    * the dimension joins are broadcasts; nothing is row-order
+    * dependent. */
+  val q155 = Query(
+    "q155_k_anonymity",
+    s"""WITH c AS (
+       |  SELECT c_mktsegment, n_name, r_name
+       |  FROM customer
+       |  JOIN nation ON n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey),
+       |lv AS (
+       |  SELECT 'nation' AS level, c_mktsegment AS qi1, n_name AS qi2,
+       |    COUNT(*) AS n FROM c GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT 'region' AS level, c_mktsegment AS qi1, r_name AS qi2,
+       |    COUNT(*) AS n FROM c GROUP BY 1, 2, 3)
+       |SELECT level,
+       |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(SUM(CASE WHEN n < $KAnonK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_groups_suppressed,
+       |  CAST(SUM(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS BIGINT)
+       |    AS n_rows_suppressed,
+       |  CAST(SUM(CASE WHEN n >= $KAnonK THEN n ELSE 0 END) AS BIGINT)
+       |    AS n_rows_safe
+       |FROM lv GROUP BY 1""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("r_regionkey") === col("n_regionkey"))
+      .select(col("c_mktsegment"), col("n_name"), col("r_name"))
+    def level(name: String, qi2: String) = c
+      .groupBy(col("c_mktsegment").as("qi1"), col(qi2).as("qi2"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit(name).as("level"), col("n"))
+    level("nation", "n_name").unionAll(level("region", "r_name"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < KAnonK, 1L).otherwise(0L))
+          .as("n_groups_suppressed"),
+        sum(when(col("n") < KAnonK, col("n")).otherwise(0L))
+          .as("n_rows_suppressed"),
+        sum(when(col("n") >= KAnonK, col("n")).otherwise(0L))
+          .as("n_rows_safe"))
+  }
+
+  val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85, q89, q102,
+    q155)
 }
