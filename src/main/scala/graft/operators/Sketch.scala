@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
@@ -144,5 +145,111 @@ object Sketch {
       m.iterator.map { case (key, sk) => (key, sk.toByteArray) }
     }.toDF(keyCol, "sketch")
     local.groupBy(col(keyCol)).agg(kllMerge(col("sketch")).as("sketch"))
+  }
+
+  // ------------------------------------------------------------ Theta
+
+  /** Union-merge theta sketch blobs (compact serialized form). Inputs
+    * are already-built sketches, so cost is per-sketch. */
+  private object ThetaUnionAgg
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def mergeB(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val u = SetOperation.builder().buildUnion()
+        u.union(Sketches.wrapSketch(Memory.wrap(a)))
+        u.union(Sketches.wrapSketch(Memory.wrap(b)))
+        u.getResult.toByteArray
+      }
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(acc: Array[Byte], x: Array[Byte]): Array[Byte] = mergeB(acc, x)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeB(a, b)
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Union-merge theta blobs and finish with the distinct estimate. */
+  private object ThetaUnionEstAgg
+      extends Aggregator[Array[Byte], Array[Byte], Double] {
+    def zero: Array[Byte] = ThetaUnionAgg.zero
+    def reduce(acc: Array[Byte], x: Array[Byte]): Array[Byte] =
+      ThetaUnionAgg.reduce(acc, x)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      ThetaUnionAgg.merge(a, b)
+    def finish(r: Array[Byte]): Double =
+      if (r.isEmpty) 0.0
+      else Sketches.wrapSketch(Memory.wrap(r)).getEstimate
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Intersect theta blobs and finish with the distinct estimate of
+    * the intersection — the set operation HLL cannot do. The empty
+    * blob is the "no sketch yet" identity (a real empty sketch still
+    * serializes to >0 bytes, so the two are never confused). */
+  private object ThetaIntersectEstAgg
+      extends Aggregator[Array[Byte], Array[Byte], Double] {
+    private def inter(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val i = SetOperation.builder().buildIntersection()
+        i.intersect(Sketches.wrapSketch(Memory.wrap(a)))
+        i.intersect(Sketches.wrapSketch(Memory.wrap(b)))
+        i.getResult.toByteArray
+      }
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(acc: Array[Byte], x: Array[Byte]): Array[Byte] = inter(acc, x)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inter(a, b)
+    def finish(r: Array[Byte]): Double =
+      if (r.isEmpty) 0.0
+      else Sketches.wrapSketch(Memory.wrap(r)).getEstimate
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Column aggregate: union theta blobs into one blob. */
+  def thetaUnion(sketch: Column): Column = udaf(ThetaUnionAgg).apply(sketch)
+
+  /** Column aggregate: union theta blobs, estimate distinct count. */
+  def thetaUnionEstimate(sketch: Column): Column =
+    udaf(ThetaUnionEstAgg).apply(sketch)
+
+  /** Column aggregate: intersect theta blobs, estimate the distinct
+    * count of the intersection. */
+  def thetaIntersectEstimate(sketch: Column): Column =
+    udaf(ThetaIntersectEstAgg).apply(sketch)
+
+  /** Per-key theta sketches of distinct `valueCol` (cast to long) —
+    * the mergeable distinct-count state with full SET ALGEBRA: unlike
+    * HLL (union-only, q140), theta sketches intersect, so
+    * audience-overlap questions ("users who did A and B") are
+    * answered from per-segment sketches without rescanning the fact.
+    *
+    * Build shape mirrors [[kllBy]]: one `mapPartitions` pass holds a
+    * local key→UpdateSketch map and emits ONE compact blob per
+    * partition×key (the map-side combine; ≤ 4096 retained hashes each
+    * at the default lgK), then a single aggregate unions blobs per
+    * key. The shuffle carries sketches, not values. Downstream set
+    * ops run over the per-key sketch table — rows bounded by KEY
+    * cardinality, independent of fact size. */
+  def thetaBy(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df
+      .select(col(keyCol).cast("string"), col(valueCol).cast("long"))
+      .as[(String, Long)]
+    val local = pairs.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap[String, UpdateSketch]()
+      it.foreach { case (key, v) =>
+        m.getOrElseUpdate(key, UpdateSketch.builder().build()).update(v)
+      }
+      m.iterator.map { case (key, sk) =>
+        (key, sk.compact().toByteArray)
+      }
+    }.toDF(keyCol, "sketch")
+    local.groupBy(col(keyCol)).agg(thetaUnion(col("sketch")).as("sketch"))
   }
 }

@@ -1619,8 +1619,165 @@ object Analytics {
           .as("approx_within_tolerance"))
   }
 
+  // ------------------------------------------------------------ q156
+
+  /** Theta-sketch audience overlap: distinct-user intersection AND
+    * union for every event-type pair from per-type sketches
+    * ([[graft.operators.Sketch.thetaBy]]) — the set algebra HLL
+    * (q140) cannot do. The fact is scanned once to build one sketch
+    * per type; every pairwise question is then answered over the
+    * sketch table (rows = type-pair count, independent of fact size —
+    * the self-join is over ~5 sketch rows, never over users). Exact
+    * counts ride the same output; the sketch contract is the q140
+    * tolerance bound (default lgK retains 4096 hashes — exact mode at
+    * test scale, ±15% is ~50σ headroom beyond). */
+  val q156 = Query(
+    "q156_theta_overlap",
+    """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+      |n AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS exact_both
+      |  FROM d a JOIN d b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, exact_both,
+      |  CAST(na.n + nb.n - exact_both AS BIGINT) AS exact_union,
+      |  TRUE AS overlap_within_tolerance,
+      |  TRUE AS union_within_tolerance
+      |FROM p
+      |JOIN n na ON na.event_type = type_a
+      |JOIN n nb ON nb.event_type = type_b""".stripMargin) { (s, dir) =>
+    import graft.operators.{InternalCache, Sketch}
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    // one sketch row per event type; all pair ops run over this frame
+    val sk = InternalCache.persist(Sketch.thetaBy(ev, "event_type", "user_id"))
+    val skPairs = sk.select(col("event_type").as("type_a"),
+        col("sketch").as("sk_a"))
+      .join(sk.select(col("event_type").as("type_b"),
+        col("sketch").as("sk_b")), col("type_a") < col("type_b"))
+    // unpivot each pair to two sketch rows, then intersect/union-agg
+    val approx = skPairs
+      .select(col("type_a"), col("type_b"),
+        explode(array(col("sk_a"), col("sk_b"))).as("sketch"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(Sketch.thetaIntersectEstimate(col("sketch")).as("approx_both"),
+        Sketch.thetaUnionEstimate(col("sketch")).as("approx_union"))
+    val d = InternalCache.persist(ev.distinct())
+    val perType = d.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val exact = d.select(col("event_type").as("type_a"), col("user_id"))
+      .join(d.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_both"))
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_both"),
+        (col("n_a") + col("n_b") - col("exact_both")).as("exact_union"))
+    exact.join(broadcast(approx), Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_both"),
+        col("exact_union"),
+        (abs(col("approx_both") - col("exact_both")) /
+          col("exact_both").cast("double") < 0.15)
+          .as("overlap_within_tolerance"),
+        (abs(col("approx_union") - col("exact_union")) /
+          col("exact_union").cast("double") < 0.15)
+          .as("union_within_tolerance"))
+  }
+
+  // ------------------------------------------------------------ q157
+
+  /** Event-transition (first-order Markov) matrix: for each ordered
+    * pair of consecutive events WITHIN a user's stream, the count and
+    * the conditional probability P(next | current). The sequence
+    * window is partitioned by user — user cardinality is the
+    * parallelism, nothing global — and the per-from normalizer is a
+    * types-sized broadcast. The single double op per row (the
+    * probability division) is rounded to 6 dp in both engines. */
+  val q157 = Query(
+    "q157_event_transitions",
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_transitions
+      |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_type, SUM(n_transitions) AS tot FROM t GROUP BY 1)
+      |SELECT from_type, to_type, n_transitions,
+      |  round(CAST(n_transitions AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+      |    AS probability
+      |FROM t JOIN f USING (from_type)""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("tot"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        round(col("n_transitions").cast("double") /
+          col("tot").cast("double"), 6).as("probability"))
+  }
+
+  // ------------------------------------------------------------ q159
+
+  /** Expected first-digit shares under Benford's law, in exact ppm —
+    * computed once driver-side (9 constants), emitted as literals in
+    * BOTH engines. */
+  private val BenfordPpm: Map[Int, Long] = (1 to 9).map { d =>
+    d -> Math.round(Math.log10(1.0 + 1.0 / d) * 1000000L)
+  }.toMap
+
+  /** Benford's-law audit of order amounts — the standard financial
+    * anomaly screen. The first significant digit comes from the
+    * DECIMAL string form (`regexp_extract '[1-9]'`), never from
+    * `log10` on a double, so both engines bin identically; shares are
+    * integer ppm via the exact round-half-up identity
+    * `(n·2e6 + total) DIV (2·total)` — no floating point anywhere.
+    * One scan, 9 groups, map-side combinable. */
+  val q159 = Query(
+    "q159_benford_audit",
+    s"""WITH d AS (
+       |  SELECT CAST(regexp_extract(
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+       |    '[1-9]', 0) AS BIGINT) AS digit
+       |  FROM orders),
+       |t AS (SELECT COUNT(*) AS total FROM d),
+       |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1)
+       |SELECT digit, CAST(n AS BIGINT) AS n_orders,
+       |  CAST((n * 2000000 + total) // (2 * total) AS BIGINT) AS obs_ppm,
+       |  CAST(CASE digit ${BenfordPpm.toSeq.sorted
+            .map { case (d, p) => s"WHEN $d THEN $p" }
+            .mkString(" ")} END AS BIGINT) AS benford_ppm
+       |FROM g CROSS JOIN t""".stripMargin) { (s, dir) =>
+    val digits = Tables.orders(s, dir)
+      .select(regexp_extract(money(col("o_totalprice")).cast("string"),
+        "[1-9]", 0).cast("long").as("digit"))
+    val total = digits.agg(count(lit(1)).as("total"))
+    val benford = BenfordPpm.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n").as("n_orders"),
+        expr("(n * 2000000 + total) DIV (2 * total)")
+          .cast("long").as("obs_ppm"),
+        benford.as("benford_ppm"))
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
     q127, q129, q130, q131, q132, q133, q140, q142, q151, q152, q153,
-    q154)
+    q154, q156, q157, q159)
 }

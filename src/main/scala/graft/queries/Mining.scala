@@ -464,6 +464,89 @@ object Mining {
       element_at(col("p"), -1).getField("event_type").as("last_type"))
   }
 
+  // ------------------------------------------------------------ q158
+
+  private val RuleMinSupport = 3
+  private val RuleTopK = 30
+
+  /** Association rules from frequent item pairs (q143's a-priori
+    * machinery, surfaced as the market-basket end product): for every
+    * frequent co-occurring pair, both directed rules with support,
+    * confidence `s(a,b)/s(a)` and lift `s(a,b)·N/(s(a)·s(b))`. All
+    * counts are exact basket counts; confidence and lift are each ONE
+    * double division of exact integer products, rounded to 6 dp in
+    * both engines, and the top-k goes through the distributed rank
+    * (unique (lift, antecedent, consequent) order, so rank ≡
+    * row_number). Pair generation is the same basket self-join as
+    * q143 — bounded by per-basket item counts, never items². */
+  val q158 = Query(
+    "q158_association_rules",
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+       |it AS (SELECT l_partkey, COUNT(*) AS s FROM li GROUP BY 1),
+       |p AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS s_ab
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $RuleMinSupport),
+       |r AS (
+       |  SELECT a AS antecedent, b AS consequent, s_ab FROM p
+       |  UNION ALL SELECT b, a, s_ab FROM p),
+       |j AS (
+       |  SELECT antecedent, consequent, s_ab AS support,
+       |    round(CAST(s_ab AS DOUBLE) / CAST(sa.s AS DOUBLE), 6)
+       |      AS confidence,
+       |    round(CAST(s_ab * n_baskets AS DOUBLE)
+       |      / CAST(sa.s * sc.s AS DOUBLE), 6) AS lift
+       |  FROM r
+       |  JOIN it sa ON sa.l_partkey = antecedent
+       |  JOIN it sc ON sc.l_partkey = consequent
+       |  CROSS JOIN nb),
+       |k AS (
+       |  SELECT *, row_number() OVER (
+       |    ORDER BY lift DESC, antecedent, consequent) AS rnk
+       |  FROM j)
+       |SELECT antecedent, consequent, support, confidence, lift,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM k WHERE rnk <= $RuleTopK""".stripMargin) { (s, dir) =>
+    val li = InternalCache.persist(Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct())
+    val nBaskets = li.agg(
+      countDistinct(col("l_orderkey")).as("n_baskets"))
+    val items = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
+    def side(n: String) =
+      li.select(col("l_orderkey"), col("l_partkey").as(n))
+    val pairs = side("a").join(side("b"), Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("s_ab"))
+      .filter(col("s_ab") >= RuleMinSupport)
+    val rules = pairs.select(col("a").as("antecedent"),
+        col("b").as("consequent"), col("s_ab"))
+      .unionAll(pairs.select(col("b").as("antecedent"),
+        col("a").as("consequent"), col("s_ab")))
+    val scored = rules
+      .join(items.select(col("l_partkey").as("antecedent"),
+        col("s").as("s_a")), Seq("antecedent"))
+      .join(items.select(col("l_partkey").as("consequent"),
+        col("s").as("s_c")), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"),
+        col("s_ab").as("support"),
+        round(col("s_ab").cast("double") / col("s_a").cast("double"), 6)
+          .as("confidence"),
+        round((col("s_ab") * col("n_baskets")).cast("double") /
+          (col("s_a") * col("s_c")).cast("double"), 6).as("lift"))
+    Ranking.withGlobalRank(scored,
+        struct((col("lift") * -1).as("nl"), col("antecedent").as("ka"),
+          col("consequent").as("kc")).asc, "rnk")
+      .filter(col("rnk") <= RuleTopK)
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("confidence"), col("lift"), col("rnk"))
+  }
+
   val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144,
-    q146)
+    q146, q158)
 }

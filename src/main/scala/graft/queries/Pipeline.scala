@@ -1107,7 +1107,56 @@ object Pipeline {
         sumMoney(col("value")).as("total_value"))
   }
 
+  // ------------------------------------------------------------ q160
+
+  /** Write-audit-publish lifecycle ([[Materialize.publishAudited]]):
+    * a clean mart build passes its audit and publishes; a subsequent
+    * POISONED rebuild (status nulled for urgent orders — a simulated
+    * broken upstream) fails `not_null` and is rejected, leaving the
+    * published table exactly at version 1. Readers can never observe
+    * the bad build: publish is a catalog swap after the audit, and a
+    * reject drops only the invisible staging table. Output: the audit
+    * trail of both attempts joined with the FINAL table state (which
+    * must equal the v1 build in both rows and total). */
+  val q160 = Query(
+    "q160_wap_publish",
+    """WITH m AS (
+      |  SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1),
+      |f AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS final_status_rows,
+      |    CAST(SUM(n) AS BIGINT) AS final_orders
+      |  FROM m)
+      |SELECT CAST(attempt AS BIGINT) AS attempt, check_name, status,
+      |  published, final_status_rows, final_orders
+      |FROM (VALUES
+      |  (1, 'not_null_o_orderstatus', 'pass', TRUE),
+      |  (2, 'not_null_o_orderstatus', 'error', FALSE))
+      |  AS a(attempt, check_name, status, published)
+      |CROSS JOIN f""".stripMargin) { (s, dir) =>
+    import graft.quality.{NotNull, Quality}
+    val checks = Seq(NotNull("o_orderstatus"))
+    val mart = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val (ok1, r1) = Materialize.publishAudited(mart, "wap_mart", checks)
+    // poisoned rebuild: urgent orders lose their status upstream
+    val poisoned = Tables.orders(s, dir)
+      .withColumn("o_orderstatus",
+        when(col("o_orderpriority") === "1-URGENT", lit(null))
+          .otherwise(col("o_orderstatus")))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val (ok2, r2) = Materialize.publishAudited(poisoned, "wap_mart", checks)
+    val finalState = s.table("wap_mart")
+      .agg(count(lit(1)).as("final_status_rows"),
+        sum(col("n")).as("final_orders"))
+    val trail = Seq((1L, r1.head, ok1), (2L, r2.head, ok2))
+    import s.implicits._
+    trail.map { case (a, r: Quality.Result, ok) =>
+      (a, r.check, r.status, ok)
+    }.toDF("attempt", "check_name", "status", "published")
+      .crossJoin(broadcast(finalState))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
-    q74, q76, q77, q101, q105, q145, q147, q149)
+    q74, q76, q77, q101, q105, q145, q147, q149, q160)
 }

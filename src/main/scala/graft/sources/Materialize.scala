@@ -280,4 +280,34 @@ object Materialize {
     }
     spark.table(name)
   }
+
+  /** Write-audit-publish (the Iceberg/dbt "WAP" release pattern, the
+    * blue-green form of the reference's test-then-promote CI gate,
+    * reference `.github/workflows/dbt-ci.yml:36-42`): the new build is
+    * staged under an invisible name, the quality suite runs against
+    * the STAGED files, and only a fully passing audit swaps it in.
+    * Readers therefore never observe a half-written or failing table:
+    * publish is a catalog rename (O(1) metadata — data files are
+    * written once and never copied), and a failed audit drops the
+    * staging table leaving the previous published version untouched.
+    *
+    * Returns (published?, audit results). `warnAsError` promotes
+    * warn-tier checks to blocking, dbt `--warn-error` parity. */
+  def publishAudited(df: DataFrame, name: String,
+      checks: Seq[graft.quality.Check], warnAsError: Boolean = false)
+      : (Boolean, Seq[graft.quality.Quality.Result]) = {
+    val spark = df.sparkSession
+    val staging = name + "__staging"
+    table(df, staging)
+    val results =
+      graft.quality.Quality.run(spark.table(staging), checks, warnAsError)
+    val ok = results.forall(_.passed)
+    if (ok) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+    } else {
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+    (ok, results)
+  }
 }

@@ -18,6 +18,31 @@ class MaterializeSpec extends SparkSpec {
     spark.sql("DROP TABLE mz_table")
   }
 
+  test("publishAudited: passing audit swaps, failing audit rejects") {
+    import graft.quality.NotNull
+    spark.sql("DROP TABLE IF EXISTS mz_wap")
+    spark.sql("DROP TABLE IF EXISTS mz_wap__staging")
+    val v1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val (ok1, r1) = Materialize.publishAudited(v1, "mz_wap",
+      Seq(NotNull("v")))
+    assert(ok1 && r1.head.status == "pass")
+    assert(rows(spark.table("mz_wap")).map(_.getInt(0)).sorted == Seq(1, 2))
+    // poisoned v2: audit fails, published table must stay at v1
+    val v2 = Seq((3, null.asInstanceOf[String])).toDF("id", "v")
+    val (ok2, r2) = Materialize.publishAudited(v2, "mz_wap",
+      Seq(NotNull("v")))
+    assert(!ok2 && r2.head.status == "error" && r2.head.violations == 1)
+    assert(rows(spark.table("mz_wap")).map(_.getInt(0)).sorted == Seq(1, 2))
+    // staging never lingers, in either outcome
+    assert(!spark.catalog.tableExists("mz_wap__staging"))
+    // a clean v3 replaces v1 (repeatable lifecycle)
+    val v3 = Seq((9, "z")).toDF("id", "v")
+    val (ok3, _) = Materialize.publishAudited(v3, "mz_wap",
+      Seq(NotNull("v")))
+    assert(ok3 && rows(spark.table("mz_wap")).map(_.getInt(0)) == Seq(9))
+    spark.sql("DROP TABLE mz_wap")
+  }
+
   test("tableIncremental merges only touched partitions, deduped at rest") {
     spark.sql("DROP TABLE IF EXISTS mz_inc")
     graft.sources.Ingest.deletePath(spark, "/tmp/graft_test_warehouse/mz_inc")

@@ -94,4 +94,25 @@ class SketchGraphSpec extends SparkSpec {
     assert(run(edges.toDF("src", "dst").repartition(5)) ==
       run(edges.toDF("src", "dst").coalesce(1)))
   }
+
+  // ------------------------------------------------------------ Theta
+
+  test("theta: exact-mode estimates, set algebra, partition invariance") {
+    // two keys with a known overlap, both under the 4096 exact-mode cap
+    val a = (0 until 300).map(i => ("a", i.toLong))
+    val b = (200 until 500).map(i => ("b", i.toLong))
+    val df = (a ++ b ++ a ++ b).toDF("k", "v") // duplicates must not count
+    def est(d: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val sk = Sketch.thetaBy(d, "k", "v")
+      val r = sk.select(col("sketch"))
+        .agg(Sketch.thetaUnionEstimate(col("sketch")).as("u"),
+          Sketch.thetaIntersectEstimate(col("sketch")).as("i"))
+        .head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (u, i) = est(df.repartition(7))
+    assert(u == 500.0, s"union estimate $u") // exact mode below lgK cap
+    assert(i == 100.0, s"intersect estimate $i")
+    assert(est(df.coalesce(1)) == ((u, i)))
+  }
 }
