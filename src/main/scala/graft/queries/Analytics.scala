@@ -1776,8 +1776,255 @@ object Analytics {
         benford.as("benford_ppm"))
   }
 
+  // ------------------------------------------------------------ q161
+
+  /** Weight-of-evidence / information-value screening of a categorical
+    * feature against a binary outcome (the credit-scoring feature-
+    * selection standard): does order priority predict order failure?
+    * Per category: exact good/bad counts, WOE = ln of a single ratio
+    * of exact integer products (one ln per row, rounded 6 dp — the
+    * q94/q113 ln contract), and the category's IV contribution
+    * computed the same way. One scan, categories-sized output, no
+    * cross-row double summation (each row is independently exact). */
+  val q161 = Query(
+    "q161_woe_iv",
+    """WITH c AS (
+      |  SELECT o_orderpriority AS category,
+      |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_bad,
+      |    SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_good
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT SUM(n_bad) AS b_tot, SUM(n_good) AS g_tot FROM c)
+      |SELECT category, CAST(n_good AS BIGINT) AS n_good,
+      |  CAST(n_bad AS BIGINT) AS n_bad,
+      |  round(ln(CAST(n_good * b_tot AS DOUBLE)
+      |    / CAST(n_bad * g_tot AS DOUBLE)), 6) AS woe,
+      |  round((CAST(n_good AS DOUBLE) / CAST(g_tot AS DOUBLE)
+      |    - CAST(n_bad AS DOUBLE) / CAST(b_tot AS DOUBLE))
+      |    * ln(CAST(n_good * b_tot AS DOUBLE)
+      |      / CAST(n_bad * g_tot AS DOUBLE)), 6) AS iv_contribution
+      |FROM c CROSS JOIN t""".stripMargin) { (s, dir) =>
+    val cats = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("category"))
+      .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .as("n_bad"),
+        sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L))
+          .as("n_good"))
+    val tot = cats.agg(sum(col("n_bad")).as("b_tot"),
+      sum(col("n_good")).as("g_tot"))
+    val woe = log((col("n_good") * col("b_tot")).cast("double") /
+      (col("n_bad") * col("g_tot")).cast("double"))
+    cats.crossJoin(broadcast(tot))
+      .select(col("category"), col("n_good"), col("n_bad"),
+        round(woe, 6).as("woe"),
+        round((col("n_good").cast("double") / col("g_tot").cast("double") -
+          col("n_bad").cast("double") / col("b_tot").cast("double")) * woe, 6)
+          .as("iv_contribution"))
+  }
+
+  // ------------------------------------------------------------ q162
+
+  /** Equi-depth histogram boundaries for the CBO stats catalog
+    * (q106/q130's missing piece — range selectivity needs depth
+    * boundaries, not just min/max): the EXACT decile boundary values
+    * of order totals, each the value at global row_number `k·n DIV 10`
+    * under a unique (price, orderkey) order — computed through the
+    * distributed rank, so no unpartitioned window at any fact size.
+    * The boundary-rank table is 10 rows built from the row count; the
+    * fact is scanned once for ranking and filtered to exactly the 10
+    * boundary rows. */
+  val q162 = Query(
+    "q162_equidepth_histogram",
+    """WITH b AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderkey,
+      |    row_number() OVER (
+      |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rn
+      |  FROM orders),
+      |n AS (SELECT COUNT(*) AS n FROM b),
+      |k AS (
+      |  SELECT unnest(generate_series(1, 10)) AS bucket),
+      |r AS (SELECT bucket, (bucket * n) // 10 AS brn FROM k CROSS JOIN n)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(brn AS BIGINT) AS boundary_rank,
+      |  CAST(price AS DOUBLE) AS boundary_value
+      |FROM r JOIN b ON b.rn = r.brn""".stripMargin) { (s, dir) =>
+    import graft.operators.Ranking
+    val priced = Tables.orders(s, dir)
+      .select(money(col("o_totalprice")).as("price"), col("o_orderkey"))
+    val ranked = Ranking.withGlobalRank(priced,
+      struct(col("price"), col("o_orderkey")).asc, "rn")
+    val n = priced.agg(count(lit(1)).as("n"))
+    val boundaries = s.range(1, 11).select(col("id").as("bucket"))
+      .crossJoin(broadcast(n))
+      .select(col("bucket"), expr("(bucket * n) DIV 10").as("brn"))
+    ranked.join(broadcast(boundaries), col("rn") === col("brn"))
+      .select(col("bucket"), col("brn").as("boundary_rank"),
+        col("price").cast("double").as("boundary_value"))
+  }
+
+  // ------------------------------------------------------------ q163
+
+  private val HoltAlpha = 0.4
+  private val HoltBeta = 0.3
+
+  /** Holt linear-trend (double exponential smoothing) one-step
+    * forecast of monthly revenue per order priority — q153's level-
+    * only smoother plus a trend term. The per-group series aggregates
+    * first; the smoother is a ROW-LOCAL fold over a (level, trend)
+    * struct accumulator seeded with (x₁, x₂−x₁) and folded from x₃ —
+    * the identical fixed IEEE sequence the oracle replays with a
+    * RECURSIVE CTE over the per-month rows. (Not `list_reduce` with a
+    * struct lambda: DuckDB v1.0.0 aliases accumulator fields to their
+    * already-updated siblings mid-step, silently corrupting any
+    * multi-field recurrence.) */
+  val q163 = Query(
+    "q163_holt_forecast",
+    s"""WITH RECURSIVE x AS (
+       |  SELECT o_orderpriority AS p, date_trunc('month', o_orderdate)
+       |      AS month,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+       |  FROM orders GROUP BY 1, 2),
+       |r AS (
+       |  SELECT p, rev, row_number() OVER (
+       |    PARTITION BY p ORDER BY month) AS rn FROM x),
+       |n AS (SELECT p, COUNT(*) AS n FROM r GROUP BY 1),
+       |h AS (
+       |  SELECT r1.p, CAST(2 AS BIGINT) AS j, r1.rev AS lv,
+       |    r2.rev - r1.rev AS tr
+       |  FROM (SELECT p, rev FROM r WHERE rn = 1) r1
+       |  JOIN (SELECT p, rev FROM r WHERE rn = 2) r2 USING (p)
+       |  UNION ALL
+       |  SELECT h.p, h.j + 1,
+       |    $HoltAlpha*r.rev + ${1 - HoltAlpha}*(h.lv + h.tr),
+       |    $HoltBeta*(($HoltAlpha*r.rev + ${1 - HoltAlpha}*(h.lv + h.tr))
+       |      - h.lv) + ${1 - HoltBeta}*h.tr
+       |  FROM h JOIN r ON r.p = h.p AND r.rn = h.j + 1)
+       |SELECT p AS o_orderpriority, CAST(n AS BIGINT) AS n_months,
+       |  round(lv + tr, 6) AS forecast
+       |FROM h JOIN n USING (p) WHERE j = n""".stripMargin) { (s, dir) =>
+    val monthly = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    val series = monthly
+      .groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_list(
+        struct(col("month"), col("rev").cast("double").as("rev"))))
+        .as("sr"))
+      .withColumn("l", transform(col("sr"), _.getField("rev")))
+    def step(acc: Column, x: Column): Column = {
+      val lv = lit(HoltAlpha) * x +
+        lit(1 - HoltAlpha) * (acc.getField("lv") + acc.getField("tr"))
+      struct(lv.as("lv"),
+        (lit(HoltBeta) * (lv - acc.getField("lv")) +
+          lit(1 - HoltBeta) * acc.getField("tr")).as("tr"))
+    }
+    series.select(col("o_orderpriority"),
+      size(col("l")).cast("long").as("n_months"),
+      round({
+        val acc = aggregate(
+          slice(col("l"), lit(3), greatest(size(col("l")) - 2, lit(0))),
+          struct(element_at(col("l"), 1).as("lv"),
+            (element_at(col("l"), 2) - element_at(col("l"), 1)).as("tr")),
+          step)
+        acc.getField("lv") + acc.getField("tr")
+      }, 6).as("forecast"))
+  }
+
+  // ------------------------------------------------------------ q167
+
+  /** Exact Pearson correlation matrix over the four lineitem measures
+    * (q117's power-sum machinery widened to CROSS moments): all 14
+    * sums — four Σx, four Σx², six Σxy — come from ONE map-side-
+    * combinable aggregate over hundredths-scaled integers in
+    * DECIMAL(38)/HUGEINT (associative-exact under any partitioning,
+    * unlike a streaming covariance). Each correlation is then a fixed
+    * double tree over the exact sums; sqrt is IEEE-correctly-rounded,
+    * so values match the oracle bit for bit at 6 dp. */
+  val q167 = Query(
+    "q167_correlation_matrix",
+    """WITH c AS (
+      |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS q,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS e,
+      |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d,
+      |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) AS sq,
+      |    CAST(SUM(CAST(e AS HUGEINT)) AS DOUBLE) AS se,
+      |    CAST(SUM(CAST(d AS HUGEINT)) AS DOUBLE) AS sd,
+      |    CAST(SUM(CAST(t AS HUGEINT)) AS DOUBLE) AS st,
+      |    CAST(SUM(CAST(q AS HUGEINT) * q) AS DOUBLE) AS sqq,
+      |    CAST(SUM(CAST(e AS HUGEINT) * e) AS DOUBLE) AS see,
+      |    CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE) AS sdd,
+      |    CAST(SUM(CAST(t AS HUGEINT) * t) AS DOUBLE) AS stt,
+      |    CAST(SUM(CAST(q AS HUGEINT) * e) AS DOUBLE) AS sqe,
+      |    CAST(SUM(CAST(q AS HUGEINT) * d) AS DOUBLE) AS sqd,
+      |    CAST(SUM(CAST(q AS HUGEINT) * t) AS DOUBLE) AS sqt,
+      |    CAST(SUM(CAST(e AS HUGEINT) * d) AS DOUBLE) AS sed,
+      |    CAST(SUM(CAST(e AS HUGEINT) * t) AS DOUBLE) AS set_,
+      |    CAST(SUM(CAST(d AS HUGEINT) * t) AS DOUBLE) AS sdt
+      |  FROM c)
+      |SELECT var_x, var_y, n_rows,
+      |  round((n * sxy - sx * sy)
+      |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+      |    AS corr
+      |FROM (
+      |  SELECT 'quantity' AS var_x, 'extendedprice' AS var_y, n_rows,
+      |    n, sqe AS sxy, sq AS sx, se AS sy, sqq AS sxx, see AS syy FROM s
+      |  UNION ALL SELECT 'quantity', 'discount', n_rows,
+      |    n, sqd, sq, sd, sqq, sdd FROM s
+      |  UNION ALL SELECT 'quantity', 'tax', n_rows,
+      |    n, sqt, sq, st, sqq, stt FROM s
+      |  UNION ALL SELECT 'extendedprice', 'discount', n_rows,
+      |    n, sed, se, sd, see, sdd FROM s
+      |  UNION ALL SELECT 'extendedprice', 'tax', n_rows,
+      |    n, set_, se, st, see, stt FROM s
+      |  UNION ALL SELECT 'discount', 'tax', n_rows,
+      |    n, sdt, sd, st, sdd, stt FROM s)""".stripMargin) { (s, dir) =>
+    val c = Tables.lineitem(s, dir).select(
+      (money(col("l_quantity")) * 100).cast("long").as("q"),
+      (money(col("l_extendedprice")) * 100).cast("long").as("e"),
+      (money(col("l_discount")) * 100).cast("long").as("d"),
+      (money(col("l_tax")) * 100).cast("long").as("t"))
+    def dd(x: String) = col(x).cast(D38)
+    val sums = c.agg(
+      count(lit(1)).cast("double").as("n"),
+      count(lit(1)).as("n_rows"),
+      sum(dd("q")).cast("double").as("sq"),
+      sum(dd("e")).cast("double").as("se"),
+      sum(dd("d")).cast("double").as("sd"),
+      sum(dd("t")).cast("double").as("st"),
+      sum(dd("q") * col("q")).cast("double").as("sqq"),
+      sum(dd("e") * col("e")).cast("double").as("see"),
+      sum(dd("d") * col("d")).cast("double").as("sdd"),
+      sum(dd("t") * col("t")).cast("double").as("stt"),
+      sum(dd("q") * col("e")).cast("double").as("sqe"),
+      sum(dd("q") * col("d")).cast("double").as("sqd"),
+      sum(dd("q") * col("t")).cast("double").as("sqt"),
+      sum(dd("e") * col("d")).cast("double").as("sed"),
+      sum(dd("e") * col("t")).cast("double").as("set_"),
+      sum(dd("d") * col("t")).cast("double").as("sdt"))
+    val pairs = Seq(
+      ("quantity", "extendedprice", "sqe", "sq", "se", "sqq", "see"),
+      ("quantity", "discount", "sqd", "sq", "sd", "sqq", "sdd"),
+      ("quantity", "tax", "sqt", "sq", "st", "sqq", "stt"),
+      ("extendedprice", "discount", "sed", "se", "sd", "see", "sdd"),
+      ("extendedprice", "tax", "set_", "se", "st", "see", "stt"),
+      ("discount", "tax", "sdt", "sd", "st", "sdd", "stt"))
+    pairs.map { case (vx, vy, sxy, sx, sy, sxx, syy) =>
+      sums.select(lit(vx).as("var_x"), lit(vy).as("var_y"), col("n_rows"),
+        round((col("n") * col(sxy) - col(sx) * col(sy)) /
+          (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+            sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6).as("corr"))
+    }.reduce(_ unionAll _)
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
     q127, q129, q130, q131, q132, q133, q140, q142, q151, q152, q153,
-    q154, q156, q157, q159)
+    q154, q156, q157, q159, q161, q162, q163, q167)
 }

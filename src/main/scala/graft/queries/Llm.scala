@@ -1612,7 +1612,78 @@ FROM h GROUP BY bucket""") { (s, dir) =>
       .unionByName(leg("char_ngram", ngramPairsShared(s, dir)))
   }
 
+  // ------------------------------------------------------------ q164
+
+  private val PmiMinCount = 5
+  private val PmiTopK = 20
+
+  /** Pointwise-mutual-information collocations — the statistically
+    * bound phrases ("new york"-style) a tokenizer or phrase-mining
+    * pass wants, beyond q80's raw document-frequency boilerplate.
+    * Bigram and unigram counts are exact multiplicity-preserving
+    * corpus sums (one shuffle each, map-side combinable); PMI is ONE
+    * ln of an explicitly parenthesized double product/quotient of
+    * exact integers — identical IEEE tree in both engines, rounded
+    * 6 dp. Top-k by (PMI, bigram) through the distributed rank; the
+    * min-count floor keeps the rare-pair PMI pathology out. */
+  val q164 = Query(
+    "q164_pmi_collocations",
+    s"""WITH toks AS (SELECT $DTokens AS w FROM documents),
+       |bi AS (
+       |  SELECT unnest([array_to_string(list_slice(w, i, i + 1), ' ')
+       |                 for i in range(1, len(w))]) AS bigram
+       |  FROM toks WHERE len(w) >= 2),
+       |bc AS (
+       |  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+       |  FROM bi GROUP BY 1),
+       |tb AS (SELECT SUM(c_ab) AS tb FROM bc),
+       |un AS (SELECT unnest(w) AS word FROM toks),
+       |uc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM un GROUP BY 1),
+       |tu AS (SELECT SUM(c) AS tu FROM uc),
+       |p AS (
+       |  SELECT bigram, c_ab,
+       |    round(ln(((CAST(c_ab AS DOUBLE) * tu) * tu)
+       |      / ((CAST(tb AS DOUBLE) * ca.c) * cb.c)), 6) AS pmi
+       |  FROM bc
+       |  JOIN uc ca ON ca.word = string_split(bigram, ' ')[1]
+       |  JOIN uc cb ON cb.word = string_split(bigram, ' ')[2]
+       |  CROSS JOIN tb CROSS JOIN tu
+       |  WHERE c_ab >= $PmiMinCount),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram) AS rnk
+       |  FROM p)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, bigram, c_ab, pmi
+       |FROM r WHERE rnk <= $PmiTopK""".stripMargin) { (s, dir) =>
+    import graft.operators.{Ranking, TextDedup}
+    val docs = Tables.documents(s, dir)
+    val bc = TextDedup
+      .docShingleRows(docs, "doc_id", "text", 2, distinctGrams = false)
+      .groupBy(col("g").as("bigram"))
+      .agg(count(lit(1)).as("c_ab"))
+    val uc = TextDedup
+      .docShingleRows(docs, "doc_id", "text", 1, distinctGrams = false)
+      .groupBy(col("g").as("word"))
+      .agg(count(lit(1)).as("c"))
+    val tb = bc.agg(sum(col("c_ab")).as("tb"))
+    val tu = uc.agg(sum(col("c")).as("tu"))
+    val scored = bc.filter(col("c_ab") >= PmiMinCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uc.select(col("word").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uc.select(col("word").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(tu))
+      .select(col("bigram"), col("c_ab"),
+        round(log(((col("c_ab").cast("double") * col("tu")) * col("tu")) /
+          ((col("tb").cast("double") * col("c_a")) * col("c_b"))), 6)
+          .as("pmi"))
+    Ranking.withGlobalRank(scored,
+        struct((col("pmi") * -1).as("np"), col("bigram").as("bg")).asc,
+        "rnk")
+      .filter(col("rnk") <= PmiTopK)
+      .select(col("rnk"), col("bigram"), col("c_ab"), col("pmi"))
+  }
+
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88,
-    q96, q97, q98, q128, q134)
+    q96, q97, q98, q128, q134, q164)
 }

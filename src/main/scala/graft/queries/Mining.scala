@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Graph, InternalCache, NaiveBayes, Ranking, Sampling, TfIdf}
@@ -547,6 +548,57 @@ object Mining {
         col("confidence"), col("lift"), col("rnk"))
   }
 
+  // ------------------------------------------------------------ q166
+
+  private val KwTopK = 3
+
+  /** Per-document TF-IDF keyword extraction — q135's weighting turned
+    * into the per-doc summarization product (the "top terms" column a
+    * search index or doc-card wants). Scores are exact integers (tf ×
+    * the q135 quantized-idf grid), so the per-doc top-k order
+    * (score desc, word asc) is total and engine-exact; the window is
+    * PARTITIONED BY doc — parallelism is document count, nothing
+    * global. */
+  val q166 = Query(
+    "q166_doc_keywords",
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest($DTokens) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |w AS (
+       |  SELECT doc_id, tf.word,
+       |    tf * CAST(round(ln(n.n::DOUBLE / df.df::DOUBLE)
+       |      * $TfIdfScale) AS BIGINT) AS score
+       |  FROM tf JOIN df USING (word) CROSS JOIN n),
+       |r AS (
+       |  SELECT doc_id, word, score, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, word) AS rnk
+       |  FROM w WHERE score > 0)
+       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, score
+       |FROM r WHERE rnk <= $KwTopK""".stripMargin) { (s, dir) =>
+    import graft.operators.TextDedup
+    val docs = Tables.documents(s, dir)
+    val tf = TextDedup
+      .docShingleRows(docs, "doc_id", "text", 1, distinctGrams = false)
+      .groupBy(col("doc_id"), col("g").as("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, Seq("word"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"),
+        (col("tf") * round(log(col("n").cast("double") /
+          col("df").cast("double")) * TfIdfScale).cast("long"))
+          .as("score"))
+      .filter(col("score") > 0)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= KwTopK)
+      .select(col("doc_id"), col("rnk"), col("word"), col("score"))
+  }
+
   val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144,
-    q146, q158)
+    q146, q158, q166)
 }

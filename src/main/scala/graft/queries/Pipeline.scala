@@ -1156,7 +1156,75 @@ object Pipeline {
       .crossJoin(broadcast(finalState))
   }
 
+  // ------------------------------------------------------------ q165
+
+  /** GDPR right-to-erasure ([[Materialize.eraseKeys]]): a request
+    * list of user ids is deleted from a day-partitioned events table
+    * by rewriting ONLY the partitions that contain those users (one
+    * pruned semi-join scan finds them; dynamic partition overwrite
+    * rewrites them; a fully-erased partition is dropped). Output is
+    * the post-erasure per-day audit — identical to filtering the
+    * erased users out of the source, which is exactly what the oracle
+    * does. Erased set: every 97th user (deterministic). */
+  val q165 = Query(
+    "q165_gdpr_erasure",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events WHERE user_id % 97 <> 0
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    s.sql("DROP TABLE IF EXISTS events_gdpr")
+    Ingest.deletePath(s, s.conf.get("spark.sql.warehouse.dir")
+      + "/events_gdpr")
+    ev.repartition(col("day"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("day").saveAsTable("events_gdpr")
+    val erased = ev.select(col("user_id"))
+      .filter(col("user_id") % 97 === 0).distinct()
+    Materialize.eraseKeys(s, "events_gdpr", "user_id", erased, "day")
+    s.table("events_gdpr")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  // ------------------------------------------------------------ q168
+
+  /** Small-file compaction ([[Materialize.compactFiles]]): a
+    * fragmented write (16-way shuffle before a day-partitioned save →
+    * up to 16 files per partition) is compacted down to one file per
+    * partition; the audit proves BOTH invariants in-engine — file
+    * count per partition is 1 afterwards (`input_file_name()`
+    * aggregate), and content is byte-for-byte the source (the oracle
+    * recomputes the same rollup from the raw events). */
+  val q168 = Query(
+    "q168_file_compaction",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  TRUE AS compacted
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    s.sql("DROP TABLE IF EXISTS events_compact")
+    Ingest.deletePath(s, s.conf.get("spark.sql.warehouse.dir")
+      + "/events_compact")
+    // fragmented layout: hash shuffle spreads every day over 16 tasks
+    ev.repartition(16)
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("day").saveAsTable("events_compact")
+    Materialize.compactFiles(s, "events_compact", "day", maxFiles = 1)
+    s.table("events_compact")
+      .withColumn("__f", input_file_name())
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sumMoney(col("value")).as("total_value"),
+        (countDistinct(col("__f")) === 1).as("compacted"))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
-    q74, q76, q77, q101, q105, q145, q147, q149, q160)
+    q74, q76, q77, q101, q105, q145, q147, q149, q160, q165, q168)
 }

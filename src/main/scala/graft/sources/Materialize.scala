@@ -281,6 +281,95 @@ object Materialize {
     spark.table(name)
   }
 
+  /** Right-to-erasure (GDPR art. 17) for a partitioned table: delete
+    * every row whose `keyCol` is in `keys`, rewriting ONLY partitions
+    * that actually contain a target key. One pruned-aggregate scan
+    * finds the affected partition values (rows matching keys →
+    * distinct partition value — a bounded list, same contract as
+    * [[tableIncremental]]'s touched set); those partitions are
+    * rewritten minus the matching rows via dynamic partition
+    * overwrite; untouched partitions are untouched bytes. `keys` is
+    * broadcast through both uses — an erasure batch is a bounded
+    * request list, not data. Returns the affected partition values
+    * (the audit trail a DPO wants). */
+  def eraseKeys(spark: SparkSession, name: String, keyCol: String,
+      keys: DataFrame, partitionCol: String): Seq[Any] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val k = broadcast(keys.select(col(keys.columns.head).as(keyCol))
+      .distinct())
+    val t = spark.table(name)
+    val affected = t.join(k, Seq(keyCol), "left_semi")
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (affected.nonEmpty) {
+      val schema = spark.table(name).schema
+      val kept = t.filter(col(partitionCol).isin(affected: _*))
+        .join(k, Seq(keyCol), "left_anti")
+      // dynamic overwrite only rewrites partitions PRESENT in the
+      // output: a partition erased down to zero rows must be dropped
+      // explicitly or its stale files survive
+      val keptParts = kept.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      val PoKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(PoKey)
+      spark.conf.set(PoKey, "dynamic")
+      try kept
+        .select(schema.map(f => col(f.name)): _*)
+        .repartition(col(partitionCol))
+        .write.mode("overwrite").insertInto(name)
+      finally prev match {
+        case Some(v) => spark.conf.set(PoKey, v)
+        case None => spark.conf.unset(PoKey)
+      }
+      affected.filterNot(keptParts.contains).foreach { v =>
+        spark.sql(
+          s"ALTER TABLE $name DROP IF EXISTS PARTITION ($partitionCol='$v')")
+      }
+    }
+    affected
+  }
+
+  /** Small-file compaction: rewrite every partition whose FILE COUNT
+    * exceeds `maxFiles`, clustering rows by partition value so each
+    * rewritten partition lands in few large files (the daily
+    * OPTIMIZE/rewrite_data_files maintenance pass — at 100 TB, small
+    * files are the silent scan killer: per-file open cost and
+    * footer reads dominate once files ≪ the 128 MB split size).
+    * Detection is a distributed `input_file_name()` aggregate (never
+    * a driver filesystem walk); only the affected partition VALUES
+    * (bounded metadata) reach the driver. Content is bit-identical
+    * after compaction — only layout changes. Returns affected
+    * partition values. */
+  def compactFiles(spark: SparkSession, name: String,
+      partitionCol: String, maxFiles: Int = 1): Seq[Any] = {
+    import org.apache.spark.sql.functions.{col, countDistinct, input_file_name}
+    val t = spark.table(name)
+    // nondeterministic exprs may be projected but not aggregated —
+    // bind the file name to a column first
+    val affected = t
+      .select(col(partitionCol), input_file_name().as("__f"))
+      .groupBy(col(partitionCol))
+      .agg(countDistinct(col("__f")).as("__nf"))
+      .filter(col("__nf") > maxFiles)
+      .select(col(partitionCol)).collect().map(_.get(0)).toSeq
+    if (affected.nonEmpty) {
+      val schema = t.schema
+      val rewritten = t.filter(col(partitionCol).isin(affected: _*))
+      val PoKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(PoKey)
+      spark.conf.set(PoKey, "dynamic")
+      try rewritten
+        .select(schema.map(f => col(f.name)): _*)
+        .repartition(col(partitionCol))
+        .write.mode("overwrite").insertInto(name)
+      finally prev match {
+        case Some(v) => spark.conf.set(PoKey, v)
+        case None => spark.conf.unset(PoKey)
+      }
+    }
+    affected
+  }
+
   /** Write-audit-publish (the Iceberg/dbt "WAP" release pattern, the
     * blue-green form of the reference's test-then-promote CI gate,
     * reference `.github/workflows/dbt-ci.yml:36-42`): the new build is

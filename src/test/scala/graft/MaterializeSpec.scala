@@ -18,6 +18,48 @@ class MaterializeSpec extends SparkSpec {
     spark.sql("DROP TABLE mz_table")
   }
 
+  test("eraseKeys rewrites only affected partitions, drops emptied ones") {
+    spark.sql("DROP TABLE IF EXISTS mz_gdpr")
+    graft.sources.Ingest.deletePath(spark,
+      "/tmp/graft_test_warehouse/mz_gdpr")
+    val src = Seq((1L, "d1", "x"), (2L, "d1", "y"), (3L, "d2", "z"),
+      (4L, "d3", "w")).toDF("uid", "d", "v")
+    src.write.mode("overwrite").format("parquet")
+      .partitionBy("d").saveAsTable("mz_gdpr")
+    // erase uid 2 (partial partition) and uid 4 (entire partition d3)
+    val affected = Materialize.eraseKeys(spark, "mz_gdpr", "uid",
+      Seq(2L, 4L).toDF("uid"), "d")
+    assert(affected.toSet == Set("d1", "d3"))
+    val left = rows(spark.table("mz_gdpr")).map(_.getLong(0)).sorted
+    assert(left == Seq(1L, 3L))
+    // the fully-erased partition is gone from the catalog, not stale
+    assert(rows(spark.sql("SHOW PARTITIONS mz_gdpr"))
+      .map(_.getString(0)).forall(!_.contains("d3")))
+    spark.sql("DROP TABLE mz_gdpr")
+  }
+
+  test("compactFiles: content identical, one file per partition after") {
+    spark.sql("DROP TABLE IF EXISTS mz_cmp")
+    graft.sources.Ingest.deletePath(spark,
+      "/tmp/graft_test_warehouse/mz_cmp")
+    val df = (1 to 100).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "d")
+    df.repartition(8).write.mode("overwrite").format("parquet")
+      .partitionBy("d").saveAsTable("mz_cmp")
+    def filesPerPart() = rows(spark.table("mz_cmp")
+        .withColumn("__f", input_file_name())
+        .groupBy($"d").agg(countDistinct($"__f").as("nf")))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(filesPerPart().values.exists(_ > 1), "fixture not fragmented")
+    val before = rows(spark.table("mz_cmp")).map(_.getLong(0)).sorted
+    val affected = Materialize.compactFiles(spark, "mz_cmp", "d")
+    assert(affected.nonEmpty)
+    assert(filesPerPart().values.forall(_ == 1))
+    assert(rows(spark.table("mz_cmp")).map(_.getLong(0)).sorted == before)
+    // idempotent: second pass finds nothing to do
+    assert(Materialize.compactFiles(spark, "mz_cmp", "d").isEmpty)
+    spark.sql("DROP TABLE mz_cmp")
+  }
+
   test("publishAudited: passing audit swaps, failing audit rejects") {
     import graft.quality.NotNull
     spark.sql("DROP TABLE IF EXISTS mz_wap")
