@@ -21,9 +21,16 @@ object PlanLint {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        // a Window line prints `[fns], [partSpec], [orderSpec]`;
+        // partitioned-but-unordered windows print two groups with NO
+        // sort direction in the second — only flag a true global
+        // window: one group, or two where the second is an orderSpec
         val globalWindow = plan.linesIterator.exists { l =>
           val t = l.replaceFirst("^[-+:\\s]*", "")
-          t.startsWith("Window ") && !t.matches(".*\\], \\[.*\\], \\[.*")
+          t.startsWith("Window ") &&
+            !t.matches(".*\\], \\[.*\\], \\[.*") &&
+            (!t.matches(".*\\], \\[.*") ||
+              t.replaceFirst(".*\\], \\[", "").matches(".*(ASC|DESC).*"))
         }
         val msgs =
           (if (plan.contains("CartesianProduct")) Seq("cartesian product")

@@ -83,7 +83,8 @@ object ScaleBench {
     "q115_wav_audio_frames", "q120_bpe_merges",
     "q128_prefix_filter_join", "q134_dedup_method_recall",
     "q135_tfidf_cosine_pairs", "q136_naive_bayes_langid",
-    "q141_bm25_search", "q144_stratified_weighted_sample")
+    "q141_bm25_search", "q144_stratified_weighted_sample",
+    "q164_pmi_collocations", "q166_doc_keywords")
 
   /** ANN with a FIXED query workload (replica 0 queries only): a corpus
     * scale-up grows the indexed side, not the query side — without the

@@ -2023,8 +2023,127 @@ object Analytics {
     }.reduce(_ unionAll _)
   }
 
+  // ------------------------------------------------------------ q169
+
+  /** Forecast-accuracy backtest (MASE — mean absolute scaled error,
+    * the standard scale-free forecast metric): the seasonal-naive
+    * forecast x_{t-12} is scored against the walk-forward naive
+    * x_{t-1} over each priority's monthly revenue series. Lag joins
+    * are self-equi-joins on (priority, month±k) — no windows, no
+    * order dependence; absolute errors are exact integer cents summed
+    * exactly, with ONE double division (the MASE ratio) per group. */
+  val q169 = Query(
+    "q169_mase_backtest",
+    """WITH m AS (
+      |  SELECT o_orderpriority AS p, date_trunc('month', o_orderdate)
+      |      AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |sn AS (
+      |  SELECT a.p, a.month, abs(a.rev - b.rev) AS err
+      |  FROM m a JOIN m b
+      |    ON b.p = a.p AND b.month = a.month - INTERVAL 12 MONTH),
+      |nv AS (
+      |  SELECT a.p, a.month, abs(a.rev - b.rev) AS err
+      |  FROM m a JOIN m b
+      |    ON b.p = a.p AND b.month = a.month - INTERVAL 1 MONTH
+      |  WHERE a.month >= (SELECT MIN(month) + INTERVAL 12 MONTH FROM m)),
+      |s AS (
+      |  SELECT sn.p, CAST(COUNT(*) AS BIGINT) AS n_backtest_months,
+      |    SUM(sn.err) AS sae FROM sn GROUP BY 1),
+      |v AS (SELECT p, SUM(err) AS nae, COUNT(*) AS nn FROM nv GROUP BY 1)
+      |SELECT s.p AS o_orderpriority, n_backtest_months,
+      |  round((CAST(sae AS DOUBLE) / n_backtest_months)
+      |    / (CAST(nae AS DOUBLE) / nn), 6) AS mase
+      |FROM s JOIN v ON v.p = s.p""".stripMargin) { (s, dir) =>
+    val m = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("p"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rev"))
+    def lagged(k: Int) = m.select(col("p"), col("month"),
+      col("rev").as("prev"))
+      .withColumn("month", col("month") + expr(s"INTERVAL $k MONTH"))
+    val sn = m.join(lagged(12), Seq("p", "month"))
+      .select(col("p"), col("month"), abs(col("rev") - col("prev"))
+        .as("err"))
+    val minM = m.agg(min(col("month")).as("m0"))
+    val nv = m.join(lagged(1), Seq("p", "month"))
+      .crossJoin(broadcast(minM))
+      .filter(col("month") >= col("m0") + expr("INTERVAL 12 MONTH"))
+      .select(col("p"), abs(col("rev") - col("prev")).as("err"))
+    val sAgg = sn.groupBy(col("p"))
+      .agg(count(lit(1)).as("n_backtest_months"), sum(col("err")).as("sae"))
+    val vAgg = nv.groupBy(col("p"))
+      .agg(sum(col("err")).as("nae"), count(lit(1)).as("nn"))
+    sAgg.join(vAgg, Seq("p"))
+      .select(col("p").as("o_orderpriority"), col("n_backtest_months"),
+        round((col("sae").cast("double") / col("n_backtest_months")) /
+          (col("nae").cast("double") / col("nn")), 6).as("mase"))
+  }
+
+  // ------------------------------------------------------------ q170
+
+  /** Exact grouped percentile bands (P10/P50/P90 of event value per
+    * event type) through the q84 bucketed-histogram pattern: 2-dp
+    * values ARE integer cents, so the histogram (type, cents) → count
+    * is a lossless map-side-combinable aggregate; the cumulative
+    * window runs over aggregated HISTOGRAM rows per type (≤ distinct
+    * values, not events), and each band picks the FIRST value whose
+    * cumulative count reaches the integer-cross-multiplied rank
+    * threshold — no approximation, no per-event sort, no global
+    * window, identical arithmetic in both engines. */
+  val q170 = Query(
+    "q170_percentile_bands",
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, cents, cnt,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |b AS (
+      |  SELECT event_type, q,
+      |    MIN(cents) AS cents
+      |  FROM c CROSS JOIN (VALUES (10), (50), (90)) AS t(q)
+      |  WHERE cum * 100 >= q * n
+      |  GROUP BY 1, 2)
+      |SELECT event_type,
+      |  CAST(MAX(CASE WHEN q = 10 THEN cents END) AS DOUBLE) / 100 AS p10,
+      |  CAST(MAX(CASE WHEN q = 50 THEN cents END) AS DOUBLE) / 100 AS p50,
+      |  CAST(MAX(CASE WHEN q = 90 THEN cents END) AS DOUBLE) / 100 AS p90
+      |FROM b GROUP BY 1""".stripMargin) { (s, dir) =>
+    val h = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val totals = h.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val c = h.select(col("event_type"), col("cents"),
+        sum(col("cnt")).over(w).as("cum"))
+      .join(broadcast(totals), Seq("event_type"))
+    val qs = s.range(0, 3).select(
+      element_at(array(lit(10), lit(50), lit(90)), col("id").cast("int") + 1)
+        .as("q"))
+    c.crossJoin(broadcast(qs))
+      .filter(col("cum") * 100 >= col("q") * col("n"))
+      .groupBy(col("event_type"), col("q"))
+      .agg(min(col("cents")).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        (max(when(col("q") === 10, col("cents"))).cast("double") / 100)
+          .as("p10"),
+        (max(when(col("q") === 50, col("cents"))).cast("double") / 100)
+          .as("p50"),
+        (max(when(col("q") === 90, col("cents"))).cast("double") / 100)
+          .as("p90"))
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
     q127, q129, q130, q131, q132, q133, q140, q142, q151, q152, q153,
-    q154, q156, q157, q159, q161, q162, q163, q167)
+    q154, q156, q157, q159, q161, q162, q163, q167, q169, q170)
 }

@@ -393,6 +393,10 @@ object Materialize {
     val ok = results.forall(_.passed)
     if (ok) {
       spark.sql(s"DROP TABLE IF EXISTS $name")
+      // a previous JVM's published table may survive as files with no
+      // catalog entry (in-memory catalog died) — clear the orphan or
+      // the rename refuses with LOCATION_ALREADY_EXISTS
+      dropOrphanLocation(spark, name)
       spark.sql(s"ALTER TABLE $staging RENAME TO $name")
     } else {
       spark.sql(s"DROP TABLE IF EXISTS $staging")
