@@ -88,6 +88,17 @@ object TextDedup {
     if (distinctGrams) rows.distinct() else rows
   }
 
+  /** Distinct word-n-gram count of a text column — ROW-LOCAL (array
+    * HOFs, no explode/shuffle); 0 for texts shorter than n words.
+    * Matches [[docShingleRows]]'s gram definition exactly. */
+  def distinctGramCount(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      size(array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " ")))))
+      .otherwise(lit(0))
+  }
+
   /** MinHash signatures `(doc_id, __sig0..__sig{k-1})` via
     * Carter-Wegman double hashing: only TWO md5 evaluations per shingle
     * (h1, h2); family member i is `min over shingles of

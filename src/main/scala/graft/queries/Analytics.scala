@@ -2142,8 +2142,47 @@ object Analytics {
           .as("p90"))
   }
 
+  // ------------------------------------------------------------ q171
+
+  /** Streaming mergeable-sketch state
+    * ([[graft.streaming.Streaming.streamIntoSketchRollup]]): the
+    * micro-batch-maintained daily theta-sketch table rolled up to
+    * monthly distinct users by SKETCH UNION — q140's rollup with the
+    * state built by a stream instead of a batch scan, and the
+    * mid-day split proving cross-batch merge. Exact counts ride
+    * along; the q39/q140 tolerance contract closes it (exact mode at
+    * test scale). */
+  val q171 = Query(
+    "q171_stream_sketch_rollup",
+    """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS approx_within_tolerance
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.operators.Sketch
+    import graft.sources.Ingest
+    val name = s"graft_strsketch_${math.abs(dir.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    Ingest.deletePath(s,
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+        s"/$name")
+    val daily = graft.streaming.Streaming.streamIntoSketchRollup(
+      s, s"$dir/events.parquet", name, "2024-01-15 12:00:00")
+    val monthly = daily
+      .groupBy(date_trunc("month", col("day").cast("timestamp_ntz"))
+        .as("month"))
+      .agg(Sketch.thetaUnionEstimate(col("sketch")).as("approx"))
+    val exact = Tables.events(s, dir)
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(monthly, Seq("month"))
+      .select(col("month").cast("timestamp_ntz").as("month"),
+        col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double") /
+          col("exact_users") < 0.15).as("approx_within_tolerance"))
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
     q127, q129, q130, q131, q132, q133, q140, q142, q151, q152, q153,
-    q154, q156, q157, q159, q161, q162, q163, q167, q169, q170)
+    q154, q156, q157, q159, q161, q162, q163, q167, q169, q170, q171)
 }

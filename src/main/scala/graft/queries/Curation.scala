@@ -600,6 +600,103 @@ object Curation {
           .as("n_rows_safe"))
   }
 
+  // ------------------------------------------------------------ q173
+
+  /** Source-priority survivorship for near-dup clusters: within each
+    * minhash component, keep the doc from the LEXICOGRAPHICALLY first
+    * source (ingestion-trust order), tie-broken by doc_id — the text
+    * analogue of q150's golden-record rule, riding the SHARED
+    * component labels (zero extra pipeline builds in a sweep). The
+    * winner per cluster is one `min(struct(source, doc_id))`
+    * aggregate — map-side combinable, no window. Output: the
+    * per-source keep/drop ledger. */
+  val q173 = Query(
+    "q173_survivorship_dedup",
+    s"""WITH cl AS (
+       |${Llm.componentsOracle(Llm.minhashOracle)}),
+       |j AS (
+       |  SELECT d.doc_id, d.source, cl.cluster_id
+       |  FROM documents d JOIN cl USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, source, row_number() OVER (
+       |    PARTITION BY cluster_id ORDER BY source, doc_id) AS rn
+       |  FROM j),
+       |drops AS (
+       |  SELECT source, COUNT(*) AS n_dropped FROM r
+       |  WHERE rn > 1 GROUP BY 1),
+       |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT tot.source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped,
+       |  CAST(n_docs - COALESCE(n_dropped, 0) AS BIGINT) AS n_kept
+       |FROM tot LEFT JOIN drops USING (source)""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val labeled = docs.select(col("doc_id"), col("source"))
+      .join(Llm.minhashClustersShared(s, dir), Seq("doc_id"))
+    val winners = labeled.groupBy(col("cluster_id"))
+      .agg(min(struct(col("source"), col("doc_id"))).as("w"))
+    val drops = labeled.join(broadcast(winners), Seq("cluster_id"))
+      .filter(struct(col("source"), col("doc_id")) =!= col("w"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dropped"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(drops, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_docs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+  }
+
+  // ------------------------------------------------------------ q174
+
+  private val CanaryOffset = 10000000L
+
+  /** Canary end-to-end decontamination proof — pipeline VALIDATION,
+    * not another detector: every benchmark probe is injected verbatim
+    * into the corpus as a synthetic canary doc, the q55 contamination
+    * pass runs over the augmented corpus, and the output certifies
+    * that EVERY detectable canary (probe with ≥ [[Llm.DcMinShared]]
+    * distinct word-trigrams — a shorter probe has nothing to share)
+    * was flagged against exactly its own probe. The oracle computes
+    * the detectability bound independently; `all_detected` is the
+    * proof bit. */
+  val q174 = Query(
+    "q174_canary_decontamination",
+    s"""WITH pr AS (
+       |  SELECT doc_id, $DTokens AS w FROM documents
+       |  WHERE doc_id % ${Llm.DcProbeEvery} = 0),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= ${Llm.DcN}
+       |      THEN len(list_distinct(
+       |        [array_to_string(list_slice(w, i, i + ${Llm.DcN - 1}), ' ')
+       |         for i in range(1, len(w) - ${Llm.DcN - 2})]))
+       |      ELSE 0 END AS n_grams
+       |  FROM pr)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_canaries,
+       |  CAST(SUM(CASE WHEN n_grams >= ${Llm.DcMinShared} THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_detectable,
+       |  CAST(SUM(CASE WHEN n_grams >= ${Llm.DcMinShared} THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_detected,
+       |  TRUE AS all_detected
+       |FROM g""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val probes = docs.filter(col("doc_id") % Llm.DcProbeEvery === 0)
+    val canaries = probes.select(
+      (col("doc_id") + CanaryOffset).as("doc_id"), col("text"))
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(canaries)
+    val pairs = TextDedup.contaminationPairs(corpus, "doc_id", "text",
+      probes, "doc_id", "text", Llm.DcN, Llm.DcMinShared)
+    val canaryHits = pairs
+      .filter(col("doc_id") >= CanaryOffset &&
+        col("doc_id") - CanaryOffset === col("probe_id"))
+      .agg(countDistinct(col("doc_id")).as("n_detected"))
+    probes.agg(count(lit(1)).as("n_canaries"),
+        sum(when(TextDedup.distinctGramCount(col("text"), Llm.DcN) >=
+          Llm.DcMinShared, 1L).otherwise(0L)).as("n_detectable"))
+      .crossJoin(broadcast(canaryHits))
+      .select(col("n_canaries"), col("n_detectable"), col("n_detected"),
+        (col("n_detectable") === col("n_detected")).as("all_detected"))
+  }
+
   val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85, q89, q102,
-    q155)
+    q155, q173, q174)
 }

@@ -1224,7 +1224,84 @@ object Pipeline {
         (countDistinct(col("__f")) === 1).as("compacted"))
   }
 
+  // ------------------------------------------------------------ q172
+
+  /** Late-arriving dimension repair: the enrichment mart is built
+    * while a THIRD of the customer dimension hasn't landed (those
+    * orders get segment 'UNKNOWN' — the standard late-dim
+    * placeholder), then the full dimension arrives and a repair pass
+    * rewrites ONLY the partitions that still hold now-resolvable
+    * placeholder rows (pruned semi-join detection → dynamic partition
+    * overwrite, the [[Materialize.eraseKeys]] shape applied to
+    * updates). Post-condition, which IS the oracle: mart ≡ the
+    * enrichment under the complete dimension; `n_late_resolved`
+    * counts the repaired rows per segment. */
+  val q172 = Query(
+    "q172_late_dim_repair",
+    """SELECT c_mktsegment AS segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_late_resolved
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val name = "orders_enriched"
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    Ingest.deletePath(s, s.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:") + s"/$name")
+    val fact = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        money(col("o_totalprice")).as("price"),
+        date_trunc("month", col("o_orderdate")).cast("date")
+          .cast("string").as("month"))
+    def enrich(f: org.apache.spark.sql.DataFrame,
+        dim: org.apache.spark.sql.DataFrame) =
+      f.join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("price"),
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+          col("month"))
+    val dim = Tables.customer(s, dir)
+    // wave 1: a third of the dimension is late
+    enrich(fact, dim.filter(col("c_custkey") % 3 =!= 0))
+      .repartition(col("month"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("month").saveAsTable(name)
+    // the late wave lands — repair only partitions holding resolvable
+    // placeholder rows
+    val t = s.table(name)
+    val lateDim = broadcast(dim.select(col("c_custkey"),
+      col("c_mktsegment")))
+    val parts = t.filter(col("segment") === "UNKNOWN")
+      .join(lateDim, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("month")).distinct().collect().map(_.get(0)).toSeq
+    if (parts.nonEmpty) {
+      val fixed = t.filter(col("month").isin(parts: _*))
+        .drop("segment")
+        .join(lateDim, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("price"),
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+          col("month"))
+      val PoKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(PoKey)
+      s.conf.set(PoKey, "dynamic")
+      try fixed.repartition(col("month"))
+        .write.mode("overwrite").insertInto(name)
+      finally prev match {
+        case Some(v) => s.conf.set(PoKey, v)
+        case None => s.conf.unset(PoKey)
+      }
+    }
+    s.table(name)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("revenue"),
+        sum(when(col("o_custkey") % 3 === 0, 1L).otherwise(0L))
+          .as("n_late_resolved"))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
-    q74, q76, q77, q101, q105, q145, q147, q149, q160, q165, q168)
+    q74, q76, q77, q101, q105, q145, q147, q149, q160, q165, q168, q172)
 }

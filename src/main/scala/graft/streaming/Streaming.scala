@@ -246,39 +246,48 @@ object Streaming {
     * receives partial sums from BOTH batches and the additive merge is
     * exercised, not just appends. Post-condition (the q127 oracle):
     * table ≡ the one-shot batch aggregate. */
+  /** Stage `eventsParquet` as a dir of exactly TWO data files split at
+    * `cutTs` — with `maxFilesPerTrigger=1` the stream runs as two
+    * micro-batches, so cross-batch state merging is exercised. */
+  private def stageTwoHalves(spark: SparkSession, eventsParquet: String,
+      cutTs: String, tag: String): (String, DataFrame) = {
+    val batch = spark.read.parquet(eventsParquet)
+    val ev0 =
+      if (batch.schema("ts").dataType == LongType)
+        batch.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else batch
+    val srcDir = s"/tmp/graft_stream_${tag}_src_" +
+      s"${math.abs((eventsParquet + cutTs).hashCode)}"
+    val cut = lit(cutTs).cast("timestamp")
+    ev0.filter(col("ts") < cut).coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/a")
+    ev0.filter(col("ts") >= cut).coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/b")
+    // one staged dir holding exactly two data files
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(s"$srcDir/in")
+    val fs = dir.getFileSystem(conf)
+    fs.delete(dir, true); fs.mkdirs(dir)
+    for (half <- Seq("a", "b")) {
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$srcDir/$half/part-*")).head
+      org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs,
+        new org.apache.hadoop.fs.Path(dir, s"$half.parquet"),
+        false, true, conf)
+    }
+    val schema = spark.read.parquet(dir.toString).schema
+    (srcDir, spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+  }
+
   def streamIntoAggIncremental(spark: SparkSession, eventsParquet: String,
       name: String, cutTs: String): DataFrame = {
     val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prevNanos = spark.conf.getOption(NanosKey)
     spark.conf.set(NanosKey, "true")
     try {
-      val batch = spark.read.parquet(eventsParquet)
-      val ev0 =
-        if (batch.schema("ts").dataType == LongType)
-          batch.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else batch
-      val srcDir = s"/tmp/graft_stream_agg_src_" +
-        s"${math.abs((eventsParquet + cutTs).hashCode)}"
-      val cut = lit(cutTs).cast("timestamp")
-      ev0.filter(col("ts") < cut).coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/a")
-      ev0.filter(col("ts") >= cut).coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/b")
-      // one staged dir holding exactly two data files
-      val conf = spark.sparkContext.hadoopConfiguration
-      val dir = new org.apache.hadoop.fs.Path(s"$srcDir/in")
-      val fs = dir.getFileSystem(conf)
-      fs.delete(dir, true); fs.mkdirs(dir)
-      for (half <- Seq("a", "b")) {
-        val part = fs.globStatus(
-          new org.apache.hadoop.fs.Path(s"$srcDir/$half/part-*")).head
-        org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs,
-          new org.apache.hadoop.fs.Path(dir, s"$half.parquet"),
-          false, true, conf)
-      }
-      val schema = spark.read.parquet(dir.toString).schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val (srcDir, stream) =
+        stageTwoHalves(spark, eventsParquet, cutTs, "agg")
       val q = stream.writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$srcDir/ckpt_" +
@@ -293,6 +302,73 @@ object Streaming {
             graft.sources.Materialize.aggIncremental(
               b.sparkSession, name, partial,
               Seq("day", "event_type"), "day")
+            ()
+          }
+        }
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None => spark.conf.unset(NanosKey)
+      }
+    }
+  }
+
+  /** Streaming MERGEABLE-SKETCH state maintenance: micro-batches fold
+    * into a day-partitioned theta-sketch table — per batch, one local
+    * sketch build ([[graft.operators.Sketch.thetaBy]]) and a
+    * union-merge into only the day-partitions the batch touches
+    * (the [[streamIntoAggIncremental]] shape with sketch-union in
+    * place of sum — the non-additive aggregate made additive by
+    * sketching). The split mid-day forces the boundary day to merge
+    * sketches from BOTH batches. At 100 TB the state table is a few
+    * KB per day and never rescans the fact; any later rollup
+    * (monthly distinct, cross-day overlap) merges sketches. */
+  def streamIntoSketchRollup(spark: SparkSession, eventsParquet: String,
+      name: String, cutTs: String): DataFrame = {
+    import graft.operators.Sketch
+    val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val (srcDir, stream) =
+        stageTwoHalves(spark, eventsParquet, cutTs, "sketch")
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$srcDir/ckpt_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val s = b.sparkSession
+            val partial = Sketch.thetaBy(
+              b.withColumn("day", col("ts").cast("date").cast("string")),
+              "day", "user_id")
+            if (!s.catalog.tableExists(name)) {
+              partial.repartition(col("day"))
+                .write.mode("overwrite").format("parquet")
+                .partitionBy("day").saveAsTable(name)
+            } else {
+              val touched = partial.select(col("day")).distinct()
+                .collect().map(_.get(0)).toSeq
+              val existing = s.table(name)
+                .filter(col("day").isin(touched: _*))
+              val merged = existing.unionByName(partial)
+                .groupBy(col("day"))
+                .agg(Sketch.thetaUnion(col("sketch")).as("sketch"))
+              val PoKey = "spark.sql.sources.partitionOverwriteMode"
+              val prev = s.conf.getOption(PoKey)
+              s.conf.set(PoKey, "dynamic")
+              try merged.select(col("sketch"), col("day"))
+                .repartition(col("day"))
+                .write.mode("overwrite").insertInto(name)
+              finally prev match {
+                case Some(v) => s.conf.set(PoKey, v)
+                case None => s.conf.unset(PoKey)
+              }
+            }
             ()
           }
         }
