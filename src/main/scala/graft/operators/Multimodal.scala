@@ -74,6 +74,29 @@ object Multimodal {
       .withColumn("parsed_height",
         conv(hex(substring(col(binCol), 21, 4)), 16, 10).cast("long"))
 
+  /** Binary-file SINK: each row's binary column written as one
+    * standalone file `<dir>/<prefix><id><suffix>` — the on-disk layout
+    * `spark.read.format("binaryFile")` ingests (an image/audio landing
+    * zone). IO is executor-side through the Hadoop FileSystem API (one
+    * FS handle per partition), so the sink distributes and works
+    * against any Hadoop-resolvable store; nothing is collected to the
+    * driver. */
+  def writeBinaryFiles(df: DataFrame, idCol: String, binCol: String,
+      dir: String, prefix: String = "doc_", suffix: String = ".png"): Unit =
+    df.select(col(idCol).cast("long"), col(binCol))
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(conf)
+        fs.mkdirs(base)
+        it.foreach { r =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(base,
+              prefix + r.getLong(0) + suffix), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+      }
+
   /** Frame/byte sampling: hex of `k` evenly spaced single-byte slices
     * of the payload — the shape of video frame-sampling (seek + decode
     * at k offsets) without the codec. */

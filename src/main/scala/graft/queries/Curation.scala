@@ -697,6 +697,197 @@ object Curation {
         (col("n_detectable") === col("n_detected")).as("all_detected"))
   }
 
+  // ------------------------------------------------------------ q175
+
+  /** Segment width (whitespace tokens) for exact-substring dedup. */
+  private val SegW = 10
+
+  /** Exact SEGMENT-level dedup (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" shape, at fixed
+    * granularity): every doc is cut into non-overlapping [[SegW]]-word
+    * segments, a segment is duplicated when its text occurs anywhere
+    * else in the corpus, and the per-source report gives the
+    * duplicated-segment mass a substring-level scrub would remove —
+    * strictly finer than q22's whole-doc hash and cheaper than q23's
+    * similarity pass.
+    *
+    * Scale: segments never shuffle as text — each segment becomes one
+    * portable 60-bit md5 immediately after the row-local slice, the
+    * frequency table is a map-combinable count on that hash, and the
+    * flag-back join is hash×hash. One corpus scan, two bounded
+    * shuffles; at 100 TB the segment-hash table is the only state. */
+  val q175 = Query(
+    "q175_segment_dedup",
+    s"""WITH t AS (
+       |  SELECT doc_id, source, $DTokens AS w FROM documents),
+       |s AS (
+       |  SELECT doc_id, source,
+       |    [array_to_string(list_slice(w, 1 + k*$SegW, (k+1)*$SegW), ' ')
+       |     for k in range(0, len(w) // $SegW)] AS segs
+       |  FROM t),
+       |e AS (SELECT doc_id, source, unnest(segs) AS seg FROM s),
+       |hh AS (
+       |  SELECT doc_id, source, ${dHash64("seg")} AS h FROM e),
+       |f AS (SELECT h, COUNT(*) AS freq FROM hh GROUP BY 1),
+       |d AS (
+       |  SELECT hh.source, COUNT(*) AS n_seg,
+       |    SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS n_dup
+       |  FROM hh JOIN f USING (h) GROUP BY 1),
+       |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT tot.source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(n_seg, 0) AS BIGINT) AS n_segments,
+       |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_segments,
+       |  CAST(CASE WHEN COALESCE(n_seg, 0) > 0
+       |    THEN (1000000 * COALESCE(n_dup, 0)) // n_seg
+       |    ELSE 0 END AS BIGINT) AS dup_ppm
+       |FROM tot LEFT JOIN d ON tot.source = d.source""".stripMargin) {
+    (s, dir) =>
+    import graft.functions.Functions.{md5Long, tokens}
+    val docs = Tables.documents(s, dir)
+    val segRows = docs
+      .select(col("source"), tokens(col("text")).as("w"))
+      .withColumn("nseg", floor(size(col("w")) / SegW).cast("int"))
+      .filter(col("nseg") >= 1)
+      .select(col("source"),
+        explode(sequence(lit(0), col("nseg") - 1)).as("k"), col("w"))
+      .select(col("source"),
+        md5Long(array_join(
+          slice(col("w"), col("k") * SegW + 1, lit(SegW)), " ")).as("h"))
+    val freq = segRows.groupBy(col("h")).agg(count(lit(1)).as("freq"))
+    val d = segRows.join(freq, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("freq") > 1, 1L).otherwise(0L)).as("n_dup"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(d, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_seg"), lit(0L)).as("n_segments"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_segments"))
+      .withColumn("dup_ppm",
+        when(col("n_segments") > 0,
+          expr("(1000000 * n_dup_segments) div n_segments"))
+          .otherwise(0L))
+  }
+
+  // ------------------------------------------------------------ q176
+
+  /** 2^60 as a double — md5Long's range, the uniform's denominator. */
+  private val DpHashRange = 1152921504606846976.0
+
+  /** Differentially-private mart release: per-source doc and token
+    * counts published with Laplace(b=2) noise (ε=0.5 per statistic,
+    * ε=1.0 total per source) via the inverse-CDF transform of a SEEDED
+    * uniform — `u = (md5(key)+0.5)/2^60` — so the mechanism is
+    * deterministic given the release key (a retry or a different
+    * partitioning publishes the SAME noisy value; rotate the key
+    * prefix per release period to re-randomize). Complements q155's
+    * k-anonymity: suppression bounds re-identification, the noisy
+    * release bounds what any single row can shift. The oracle replays
+    * hash → uniform → Laplace bit for bit; a 6-dp rounding contract
+    * absorbs cross-engine `ln` ulps.
+    *
+    * Scale: one map-combinable aggregate per source; the noise is a
+    * row-local expression over the aggregated (tiny) frame. */
+  val q176 = Query(
+    "q176_dp_release",
+    s"""WITH a AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    SUM(len($DTokens)) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |u AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    ((${dHash64("'dp:docs:' || source")} + 0.5)
+       |      / $DpHashRange) AS u1,
+       |    ((${dHash64("'dp:tokens:' || source")} + 0.5)
+       |      / $DpHashRange) AS u2
+       |  FROM a)
+       |SELECT source,
+       |  ROUND(n_docs + (-2.0 * sign(u1 - 0.5)
+       |    * ln(1.0 - 2.0 * abs(u1 - 0.5))), 6) AS released_docs,
+       |  ROUND(n_tokens + (-2.0 * sign(u2 - 0.5)
+       |    * ln(1.0 - 2.0 * abs(u2 - 0.5))), 6) AS released_tokens,
+       |  CAST(1.0 AS DOUBLE) AS epsilon_spent
+       |FROM u""".stripMargin) { (s, dir) =>
+    import graft.functions.Functions.{md5Long, tokens}
+    def uniform(prefix: String) =
+      (md5Long(concat(lit(prefix), col("source"))) + lit(0.5)) /
+        lit(DpHashRange)
+    def laplace(cnt: org.apache.spark.sql.Column,
+        u: org.apache.spark.sql.Column) =
+      round(cnt + (lit(-2.0) * signum(u - lit(0.5)) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))), 6)
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("n_tokens"))
+      .withColumn("u1", uniform("dp:docs:"))
+      .withColumn("u2", uniform("dp:tokens:"))
+      .select(col("source"),
+        laplace(col("n_docs"), col("u1")).as("released_docs"),
+        laplace(col("n_tokens"), col("u2")).as("released_tokens"),
+        lit(1.0).as("epsilon_spent"))
+  }
+
+  // ------------------------------------------------------------ q177
+
+  /** Per-source keep cap for the quality rank. */
+  private val CapK = 15
+
+  /** Per-source document cap (the per-domain quota every web-scale
+    * curation run applies): each source keeps its [[CapK]] best docs by
+    * the shared q28 quality score (doc_id tie-break), everything else
+    * drops. The per-source rank is the GLOBAL distributed rank on
+    * `(source, -score, doc_id)` minus a per-source offset from a
+    * triangular join over the per-source counts (#sources rows) — the
+    * sort key keeps each source contiguous, so no per-source window
+    * ever sees unbounded rows and a hot source cannot pin a task.
+    * Score doubles are bit-identical cross-engine (q28's contract), so
+    * the kept SET matches exactly, not just the counts. */
+  val q177 = Query(
+    "q177_source_cap",
+    s"""WITH f AS (
+       |  ${Llm.dQualityFeatures("doc_id, source")}),
+       |sc AS (
+       |  SELECT doc_id, source, tok,
+       |    ${Llm.DScore} AS score
+       |  FROM f),
+       |r AS (
+       |  SELECT doc_id, source, tok,
+       |    row_number() OVER (
+       |      PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+       |  FROM sc)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN rn <= $CapK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN rn > $CapK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(SUM(CASE WHEN rn <= $CapK THEN tok ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens
+       |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+    val sc = Llm.qualityFeatures(Tables.documents(s, dir), "doc_id", "source")
+      .select(col("doc_id"), col("source"), col("tok"),
+        Llm.qualityScoreCol.as("score"))
+    val ranked = Ranking.withGlobalRank(sc,
+      struct(col("source"), (-col("score")).as("ns"),
+        col("doc_id").as("id")).asc, "grnk")
+    val cnt = sc.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    // exclusive per-source offsets: triangular join over #sources rows
+    val off = cnt.select(col("source")).join(
+        cnt.select(col("source").as("src_b"), col("cnt")),
+        col("src_b") < col("source"), "left")
+      .groupBy(col("source"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("off"))
+    ranked.join(broadcast(off), "source")
+      .withColumn("rn", col("grnk") - col("off"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= CapK, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > CapK, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rn") <= CapK, col("tok")).otherwise(0L))
+          .cast("long").as("kept_tokens"))
+  }
+
   val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85, q89, q102,
-    q155, q173, q174)
+    q155, q173, q174, q175, q176, q177)
 }

@@ -692,6 +692,57 @@ object Pipeline {
           .as("n_rgba"))
   }
 
+  // ------------------------------------------------------------ q178
+
+  /** Every [[BfEvery]]-th doc lands as a file in the q178 landing zone. */
+  private val BfEvery = 7
+
+  /** Binary-file landing zone, both directions: PNG containers (q59's
+    * real bytes) are written one FILE per image by
+    * [[Multimodal.writeBinaryFiles]] — executor-side Hadoop FS IO, the
+    * layout of an image/audio drop directory — then ingested back
+    * through Spark's `binaryFile` source (path + length + content) and
+    * validated byte-level: signature check, IHDR width parse, file
+    * size, and the id recovered from the FILENAME. The oracle
+    * recomputes every figure from the container construction, so a
+    * drift anywhere in write → list → read → parse mismatches.
+    * Container-format ingestion is the front door of the multimodal
+    * pipeline (SURVEY §2's media columns) — this is the source side;
+    * q41/q76 are the decode side. */
+  val q178 = Query(
+    "q178_binaryfile_scan",
+    s"""WITH m AS (
+       |  SELECT doc_id, encode(text) AS payload,
+       |    (${dH("text")} % 1024 + 1) AS width
+       |  FROM documents WHERE doc_id % $BfEvery = 0)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(COUNT(*) AS BIGINT) AS n_valid_sig,
+       |  CAST(SUM(29 + octet_length(payload)) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(width) AS BIGINT) AS total_width,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM m""".stripMargin) { (s, dir) =>
+    val path = s"/tmp/graft_binfiles_${math.abs(dir.hashCode)}"
+    Ingest.deletePath(s, path)
+    val staged = Multimodal.wrapPng(
+      Multimodal.decodeStub(
+        Multimodal.attachBinary(
+          Tables.documents(s, dir)
+            .filter(col("doc_id") % BfEvery === 0), "text"), "text"))
+      .select(col("doc_id"), col("png"))
+    Multimodal.writeBinaryFiles(staged, "doc_id", "png", path)
+    val files = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(path)
+    Multimodal.parsePngMeta(files, "content")
+      .select(col("sig_ok"), col("parsed_width"), col("length"),
+        regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+          .cast("long").as("file_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("sig_ok"), 1L).otherwise(0L)).as("n_valid_sig"),
+        sum(col("length")).as("total_bytes"),
+        sum(col("parsed_width")).as("total_width"),
+        sum(col("file_id")).as("id_checksum"))
+  }
+
   // ------------------------------------------------------------ q77
 
   /** Streaming upsert, end to end (ST3∘S7 composed — the q50/q51
@@ -1303,5 +1354,6 @@ object Pipeline {
 
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
-    q74, q76, q77, q101, q105, q145, q147, q149, q160, q165, q168, q172)
+    q74, q76, q77, q101, q105, q145, q147, q149, q160, q165, q168, q172,
+    q178)
 }
