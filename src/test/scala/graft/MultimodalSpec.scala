@@ -39,6 +39,25 @@ class MultimodalSpec extends SparkSpec {
       col("media_format") =!= "png" || col("channels") =!= 4).isEmpty)
   }
 
+  test("writeBinaryFiles + binaryFile source roundtrip bytes exactly") {
+    val dir = "/tmp/graft_test_binfiles"
+    graft.sources.Ingest.deletePath(spark, dir)
+    val staged = Multimodal.wrapPng(
+      Multimodal.decodeStub(Multimodal.attachBinary(
+        fixture.withColumn("id", monotonically_increasing_id()), "text"),
+        "text"))
+    Multimodal.writeBinaryFiles(
+      staged.select(col("id"), col("png")), "id", "png", dir)
+    val back = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+        .cast("long").as("id"), col("content"))
+    val joined = staged.select(col("id"), col("png"))
+      .join(back, "id")
+    assert(joined.count() == 3)
+    assert(joined.filter(col("png") =!= col("content")).isEmpty)
+  }
+
   test("PngIhdrDecoder rejects payloads without a PNG signature") {
     val bad = Multimodal.attachBinary(fixture, "text")
       .select(col("doc_id"), col("payload"))

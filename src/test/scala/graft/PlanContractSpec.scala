@@ -172,7 +172,33 @@ class PlanContractSpec extends SparkSpec {
 
   test("q1: filter pushes into the parquet scan, codegen spans exist") {
     // plain toString truncates scan metadata — use the formatted mode
-    val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    val df0 = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    checkQ1(df0)
+  }
+
+  test("q175/q176/q177: the new curation queries keep their shapes — " +
+      "no global window, no nested loop, q176 join-free") {
+    // q177's triangular offsets join (≤ #sources² aggregated rows) is a
+    // DELIBERATE bounded nested loop, like Ranking.offsets — only q175
+    // must be loop-free
+    val p175 = plan("q175_segment_dedup")
+    assert(!p175.contains("BroadcastNestedLoopJoin") &&
+      !p175.contains("CartesianProduct"), p175.take(2000))
+    for (q <- Seq("q175_segment_dedup", "q177_source_cap")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+      val bad = p.linesIterator.map(_.replaceFirst("^[-+:*(0-9)\\s]*", ""))
+        .filter(_.startsWith("Window "))
+        .filterNot(_.matches(".*\\], \\[.*\\], \\[.*"))
+        .toList
+      assert(bad.isEmpty, s"$q global windows:\n${bad.mkString("\n")}")
+    }
+    val p176 = plan("q176_dp_release")
+    assert(!p176.contains("Join") && !p176.contains("Window"),
+      p176.take(2000))
+  }
+
+  private def checkQ1(df: org.apache.spark.sql.DataFrame): Unit = {
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
