@@ -140,4 +140,19 @@ object Functions {
   /** Seeded variant for minhash families: hash of seed-prefixed value. */
   def md5LongSeeded(c: Column, seed: Int): Column =
     md5Long(concat_ws(":", lit(seed.toString), c))
+
+  /** Rendezvous (highest-random-weight) shard assignment: the shard in
+    * `[0, n)` whose portable md5 weight of `(id, shard)` is largest.
+    * Row-local — an n-entry hash array folded with `array_max`, no
+    * shuffle, no coordinator state — and partitioning/retry-invariant
+    * like every md5-derived draw here. The HRW property: growing to
+    * n+1 shards moves ONLY the keys whose new shard's weight wins
+    * (≈ 1/(n+1) of them), each moving TO the new shard. */
+  def rendezvousShard(id: Column, n: Int): Column =
+    array_max(transform(sequence(lit(0), lit(n - 1)),
+      s => struct(
+        md5Long(concat(id.cast("string"), lit(":"), s.cast("string")))
+          .as("h"),
+        s.as("sid"))))
+      .getField("sid").cast("long")
 }

@@ -76,6 +76,40 @@ object Graph {
     pr
   }
 
+  /** Breadth-first hop distance from a seed set: `maxHops` rounds of
+    * frontier expansion over directed `edges` (columns `src`, `dst`).
+    * Returns `(node, hop)` for every node reached within `maxHops`
+    * (hop 0 = the seeds). Unreached nodes are absent — the caller
+    * anti-joins if it wants them.
+    *
+    * Scale posture: the edge frame is cached pre-partitioned on `src`
+    * (the [[pageRankFixed]] schedule), so each round is one
+    * exchange-free join of the (small) frontier against the edges,
+    * one distinct on the new frontier, and one anti-join against the
+    * visited set — the frontier, not the graph, is what shuffles.
+    * Round count is FIXED (no per-round driver action), so the plan
+    * is a bounded composition and the whole traversal submits as one
+    * job. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = InternalCache.persist(
+      edges.select(col("src"), col("dst")).repartition(col("src")))
+    var visited = InternalCache.persist(
+      seeds.select(col("node")).distinct().withColumn("hop", lit(0L)))
+    var frontier = visited.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = e.join(frontier.withColumnRenamed("node", "src"),
+          Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+      // persist: the new frontier feeds BOTH the visited union and the
+      // next round's expansion
+      frontier = InternalCache.persist(next)
+      visited = InternalCache.persist(
+        visited.unionByName(frontier.withColumn("hop", lit(h.toLong))))
+    }
+    visited
+  }
+
   /** Triangle count + global clustering coefficient over an undirected
     * edge frame (columns `a`, `b`, distinct, `a < b`). Returns ONE row:
     * `n_nodes, n_edges, n_triangles, n_wedges, gcc` with

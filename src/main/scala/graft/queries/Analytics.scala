@@ -2181,8 +2181,74 @@ object Analytics {
           col("exact_users") < 0.15).as("approx_within_tolerance"))
   }
 
+  // ------------------------------------------------------------ q179
+
+  private val BfsMaxHops = 4
+
+  /** BFS reach audit ([[graft.operators.Graph.bfsHops]]): hop distance
+    * from the seed parts (partkey ≡ 0 mod 500) over the part↔supplier
+    * sourcing graph (q111's edge set) — "every entity within k
+    * relationship hops of a watchlist", the traversal form the graph
+    * family was missing next to PageRank / components / triangles.
+    * Output: nodes per hop (0 = seeds) plus a hop = −1 row for nodes
+    * outside the [[BfsMaxHops]]-hop ball. The oracle unrolls the same
+    * frontier rounds as chained CTEs — exact set equality per round,
+    * no tolerance. */
+  val q179 = Query(
+    "q179_bfs_reach", {
+      val rounds = (1 to BfsMaxHops).map { h =>
+        val prevF = if (h == 1) "v0" else s"f${h - 1}"
+        s"""f$h AS (
+           |  SELECT DISTINCT e.dst AS node FROM e
+           |  JOIN $prevF p ON p.node = e.src
+           |  WHERE e.dst NOT IN (SELECT node FROM v${h - 1})),
+           |v$h AS (SELECT node, hop FROM v${h - 1}
+           |  UNION ALL SELECT node, $h AS hop FROM f$h)"""
+      }.mkString(",\n")
+      s"""WITH pe AS (
+         |  SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM lineitem),
+         |e AS (SELECT a AS src, b AS dst FROM pe
+         |  UNION ALL SELECT b, a FROM pe),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |v0 AS (
+         |  SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS node,
+         |    0 AS hop
+         |  FROM lineitem WHERE l_partkey % 500 = 0),
+         |$rounds
+         |SELECT CAST(hop AS BIGINT) AS hop,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM v$BfsMaxHops GROUP BY 1
+         |UNION ALL
+         |SELECT -1, (SELECT COUNT(*) FROM nodes)
+         |  - (SELECT COUNT(*) FROM v$BfsMaxHops)""".stripMargin
+    }) { (s, dir) =>
+    import graft.operators.Graph
+    val pe = Tables.lineitem(s, dir).select(
+      concat(lit("p:"), col("l_partkey").cast("string")).as("a"),
+      concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    val edges = pe.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pe.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 500 === 0)
+      .select(concat(lit("p:"), col("l_partkey").cast("string"))
+        .as("node"))
+    val visited = Graph.bfsHops(edges, seeds, BfsMaxHops)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val unreached = nodes
+      .join(visited.select(col("node")), Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1L).as("hop"), col("n_nodes"))
+    visited.groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .unionByName(unreached)
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
     q127, q129, q130, q131, q132, q133, q140, q142, q151, q152, q153,
-    q154, q156, q157, q159, q161, q162, q163, q167, q169, q170, q171)
+    q154, q156, q157, q159, q161, q162, q163, q167, q169, q170, q171,
+    q179)
 }

@@ -888,6 +888,56 @@ object Curation {
           .cast("long").as("kept_tokens"))
   }
 
+  // ------------------------------------------------------------ q180
+
+  /** Shard counts before/after the resize. */
+  private val HrwOld = 8
+
+  /** Consistent shard REBALANCE via rendezvous hashing
+    * ([[graft.functions.Functions.rendezvousShard]]): docs are
+    * assigned to [[HrwOld]] shards by highest-random-weight, the
+    * fleet grows by one shard, and the per-shard ledger shows how
+    * many docs move — the HRW guarantee is that every mover lands ON
+    * THE NEW SHARD (no peer-to-peer churn), certified by the
+    * `all_moves_to_new` bit. This is the mod-free resharding a 100 TB
+    * store needs: `hash % n` would relocate (n−1)/n of all keys on a
+    * resize; HRW relocates ≈ 1/(n+1). Assignment is row-local (an
+    * n-entry hash array, no shuffle) and the oracle replays the
+    * argmax per key. */
+  val q180 = Query(
+    "q180_rendezvous_resharding", {
+      def assign(n: Int, alias: String) =
+        s"""(SELECT doc_id, s AS $alias FROM (
+           |  SELECT doc_id, s,
+           |    ${dHash64(s"CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)")} AS h
+           |  FROM documents CROSS JOIN range(0, $n) t(s))
+           |  QUALIFY row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY h DESC, s DESC) = 1)"""
+      s"""WITH a8 AS ${assign(HrwOld, "s_old")},
+         |a9 AS ${assign(HrwOld + 1, "s_new")},
+         |j AS (
+         |  SELECT s_old, s_new FROM a8 JOIN a9 USING (doc_id))
+         |SELECT CAST(s_old AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_moved,
+         |  COALESCE(BOOL_AND(s_old = s_new OR s_new = $HrwOld), TRUE)
+         |    AS all_moves_to_new
+         |FROM j GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Functions.rendezvousShard
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        rendezvousShard(col("doc_id"), HrwOld).as("s_old"),
+        rendezvousShard(col("doc_id"), HrwOld + 1).as("s_new"))
+      .groupBy(col("s_old").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s_old") =!= col("s_new"), 1L).otherwise(0L))
+          .as("n_moved"),
+        coalesce(every(col("s_old") === col("s_new") ||
+          col("s_new") === HrwOld), lit(true)).as("all_moves_to_new"))
+  }
+
   val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85, q89, q102,
-    q155, q173, q174, q175, q176, q177)
+    q155, q173, q174, q175, q176, q177, q180)
 }

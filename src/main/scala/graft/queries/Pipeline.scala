@@ -695,7 +695,7 @@ object Pipeline {
   // ------------------------------------------------------------ q178
 
   /** Every [[BfEvery]]-th doc lands as a file in the q178 landing zone. */
-  private val BfEvery = 7
+  private val BfEvery = 23
 
   /** Binary-file landing zone, both directions: PNG containers (q59's
     * real bytes) are written one FILE per image by
