@@ -115,4 +115,78 @@ class SketchGraphSpec extends SparkSpec {
     assert(i == 100.0, s"intersect estimate $i")
     assert(est(df.coalesce(1)) == ((u, i)))
   }
+
+  // ------------------------------------------------------------ BFS
+
+  /** Driver-side reference BFS over an adjacency list. */
+  private def bfsReference(edges: Seq[(String, String)],
+      seeds: Set[String], maxHops: Int): Map[String, Long] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (h <- 1 to maxHops) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> h.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfsHops matches the reference BFS on a random graph and is " +
+      "partitioning-invariant") {
+    val rnd = new scala.util.Random(42)
+    val nodes = (0 until 40).map(i => s"n$i")
+    val base = Seq.tabulate(70)(_ =>
+      (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size))))
+      .filter(p => p._1 != p._2).distinct
+    val edges = undirected(base: _*)
+    val seeds = Set("n0", "n7")
+    val expect = bfsReference(edges, seeds, 3)
+    def run(parts: Int) = {
+      val got = rows(Graph.bfsHops(
+          edges.toDF("src", "dst").repartition(parts),
+          seeds.toSeq.toDF("node"), 3))
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.operators.InternalCache.release()
+      got
+    }
+    assert(run(7) == expect)
+    assert(run(1) == expect)
+  }
+
+  test("bfsHops: hop counts are monotone covers — seeds at hop 0, " +
+      "no node appears twice") {
+    val edges = undirected(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val got = rows(Graph.bfsHops(edges.toDF("src", "dst"),
+        Seq("a").toDF("node"), 2))
+      .map(r => r.getString(0) -> r.getLong(1))
+    graft.operators.InternalCache.release()
+    assert(got.map(_._1).distinct.size == got.size)
+    assert(got.toMap == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  // ------------------------------------------------------ rendezvous
+
+  test("rendezvousShard: deterministic, bounded, and growing the " +
+      "fleet only moves keys onto the new shard") {
+    import graft.functions.Functions.rendezvousShard
+    val ids = (0L until 2000L).toDF("id")
+      .select(col("id"), rendezvousShard(col("id"), 8).as("s8"),
+        rendezvousShard(col("id"), 9).as("s9"))
+    val r = rows(ids)
+    assert(r.forall(x => x.getLong(1) >= 0 && x.getLong(1) < 8))
+    assert(r.forall(x => x.getLong(2) >= 0 && x.getLong(2) < 9))
+    // every mover lands on the NEW shard (HRW's defining property)
+    val movers = r.filter(x => x.getLong(1) != x.getLong(2))
+    assert(movers.nonEmpty && movers.forall(_.getLong(2) == 8))
+    // movement fraction ≈ 1/9 of keys (loose band: 5%..20%)
+    val frac = movers.size.toDouble / r.size
+    assert(frac > 0.05 && frac < 0.20, s"moved fraction $frac")
+    // partitioning invariance: row-local expression, same assignment
+    val again = rows((0L until 2000L).toDF("id").repartition(13)
+      .select(col("id"), rendezvousShard(col("id"), 8).as("s8")))
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.map(x => x.getLong(0) -> x.getLong(1)).toMap == again)
+  }
 }
