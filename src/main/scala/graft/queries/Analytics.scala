@@ -2181,6 +2181,165 @@ object Analytics {
           col("exact_users") < 0.15).as("approx_within_tolerance"))
   }
 
+  // ------------------------------------------------------------ q181
+
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM
+    * 2013): users split into two variants by id parity, the
+    * pre-period (Jan 1–15) per-user spend is the covariate, the
+    * post-period (Jan 16+) spend is the metric, and
+    * `θ = cov(X,Y)/var(X)` — computed from exact HUGEINT/DECIMAL(38)
+    * cents power sums, the q117 discipline — adjusts each variant's
+    * post mean: `μ_adj = μ_Y − θ·(μ_X − X̄)`. Variant means need only
+    * per-variant integer sums (the per-user adjustment is affine), so
+    * the whole readout is two map-combinable aggregates and one
+    * broadcast of the global θ row. 6-dp rounding closes the one
+    * double division per figure. */
+  val q181 = Query(
+    "q181_cuped_adjustment",
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |    COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END), 0) AS x,
+      |    COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END), 0) AS y
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      |  FROM u),
+      |v AS (
+      |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(COUNT(*) AS DOUBLE) AS nv,
+      |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sxv,
+      |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS syv
+      |  FROM u GROUP BY 1),
+      |t AS (
+      |  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+      |    sx / n AS xbar FROM g)
+      |SELECT CAST(variant AS BIGINT) AS variant, n_users,
+      |  ROUND(syv / nv / 100.0, 6) AS mean_post,
+      |  ROUND((syv / nv - theta * (sxv / nv - xbar)) / 100.0, 6)
+      |    AS mean_adjusted,
+      |  ROUND(theta, 6) AS theta
+      |FROM v CROSS JOIN t""".stripMargin) { (s, dir) =>
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val cents = (money(col("value")) * 100).cast("long")
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(
+        coalesce(sum(when(col("ts") < cut, cents).otherwise(0L)), lit(0L))
+          .as("x"),
+        coalesce(sum(when(col("ts") >= cut, cents).otherwise(0L)), lit(0L))
+          .as("y"))
+    val xd = col("x").cast(D38)
+    val g = u.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(xd).cast("double").as("sx"),
+      sum(col("y").cast(D38)).cast("double").as("sy"),
+      sum(xd * col("x")).cast("double").as("sxx"),
+      sum(xd * col("y")).cast("double").as("sxy"))
+    val t = g.select(
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))).as("theta"),
+      (col("sx") / col("n")).as("xbar"))
+    val v = u.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        count(lit(1)).cast("double").as("nv"),
+        sum(xd).cast("double").as("sxv"),
+        sum(col("y").cast(D38)).cast("double").as("syv"))
+    v.crossJoin(broadcast(t))
+      .select(col("variant"), col("n_users"),
+        round(col("syv") / col("nv") / 100.0, 6).as("mean_post"),
+        round((col("syv") / col("nv") - col("theta") *
+          (col("sxv") / col("nv") - col("xbar"))) / 100.0, 6)
+          .as("mean_adjusted"),
+        round(col("theta"), 6).as("theta"))
+  }
+
+  // ------------------------------------------------------------ q183
+
+  /** Pre-join skew audit — the fan-out forecast you run BEFORE
+    * committing a 100 TB join: per-key row counts on each side, the
+    * per-key output estimate `n_left · n_right`, and the top-10
+    * hottest keys through the distributed rank (no global window).
+    * The audit itself is two map-combinable counts and a broadcast-
+    * sized join of the count frames — reading two tables' keys, never
+    * their payloads. These are the numbers that decide broadcast vs
+    * shuffle vs salting (`operators/Skew.saltedJoin`, q58). */
+  val q183 = Query(
+    "q183_join_skew_audit",
+    """WITH l AS (
+      |  SELECT o_custkey AS key, COUNT(*) AS n_left
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT user_id AS key, COUNT(*) AS n_right
+      |  FROM events GROUP BY 1),
+      |j AS (
+      |  SELECT l.key, n_left, n_right, n_left * n_right AS est_rows
+      |  FROM l JOIN r USING (key)),
+      |rk AS (
+      |  SELECT key, n_left, n_right, est_rows,
+      |    ROW_NUMBER() OVER (ORDER BY est_rows DESC, key) AS rnk
+      |  FROM j QUALIFY rnk <= 10)
+      |SELECT CAST(key AS BIGINT) AS key,
+      |  CAST(n_left AS BIGINT) AS n_left,
+      |  CAST(n_right AS BIGINT) AS n_right,
+      |  CAST(est_rows AS BIGINT) AS est_rows,
+      |  CAST(rnk AS BIGINT) AS rnk
+      |FROM rk""".stripMargin) { (s, dir) =>
+    import graft.operators.Ranking
+    val l = Tables.orders(s, dir).groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = Tables.events(s, dir).groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val j = l.join(r, "key")
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("est_rows"))
+    Ranking.withGlobalRank(j,
+        struct((-col("est_rows")).as("ne"), col("key").as("k")).asc, "rnk")
+      .filter(col("rnk") <= 10)
+      .select(col("key"), col("n_left"), col("n_right"), col("est_rows"),
+        col("rnk"))
+  }
+
+  // ------------------------------------------------------------ q184
+
+  /** Rate screen for log-derived training data: per-user peak
+    * events-per-hour against a fixed abuse threshold — the bot /
+    * scraper filter a pipeline runs before user-generated text enters
+    * a corpus. Two map-combinable aggregates (user×hour counts, then
+    * per-user max/sum); no windows, no self-joins; the flagged set is
+    * naturally tiny. */
+  val q184 = Query(
+    "q184_rate_screen",
+    """WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, MAX(n) AS peak_hour_events,
+      |    SUM(n) AS n_events, COUNT(*) AS n_active_hours
+      |  FROM h GROUP BY 1)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(peak_hour_events AS BIGINT) AS peak_hour_events,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(n_active_hours AS BIGINT) AS n_active_hours
+      |FROM u WHERE peak_hour_events >= 4""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("peak_hour_events"),
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_active_hours"))
+      .filter(col("peak_hour_events") >= 4)
+  }
+
   // ------------------------------------------------------------ q179
 
   private val BfsMaxHops = 4
@@ -2250,5 +2409,5 @@ object Analytics {
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
     q127, q129, q130, q131, q132, q133, q140, q142, q151, q152, q153,
     q154, q156, q157, q159, q161, q162, q163, q167, q169, q170, q171,
-    q179)
+    q179, q181, q183, q184)
 }

@@ -938,6 +938,70 @@ object Curation {
           col("s_new") === HrwOld), lit(true)).as("all_moves_to_new"))
   }
 
+  // ------------------------------------------------------------ q182
+
+  /** Dataset VERSION DIFF (the DVC/LakeFS-style audit between two
+    * corpus snapshots): v2 deterministically removes every 13th doc,
+    * rewrites every surviving 17th, and lands new docs for every 19th
+    * under offset ids; the diff classifies every id on either side as
+    * added / removed / changed / unchanged by id-presence + content
+    * hash and reports doc and token deltas per class — what a corpus
+    * release note states. One full outer join on doc_id with row-local
+    * hash compare; content never shuffles beyond the id join, so the
+    * diff of two 100 TB snapshots moves ids + hashes + token counts,
+    * not text. */
+  val q182 = Query(
+    "q182_snapshot_diff",
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+       |v2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END
+       |      AS text
+       |  FROM documents WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, text FROM documents
+       |  WHERE doc_id % 19 = 0),
+       |d AS (
+       |  SELECT
+       |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+       |         WHEN v2.doc_id IS NULL THEN 'removed'
+       |         WHEN md5(v1.text) <> md5(v2.text) THEN 'changed'
+       |         ELSE 'unchanged' END AS status,
+       |    COALESCE(len(string_split_regex(trim(lower(v2.text)),
+       |      '\\s+')), 0)
+       |      - COALESCE(len(string_split_regex(trim(lower(v1.text)),
+       |      '\\s+')), 0) AS delta
+       |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+       |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(delta) AS BIGINT) AS token_delta
+       |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.functions.Functions.tokens
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    val a = v1.select(col("doc_id").as("id1"), col("text").as("t1"))
+    val b = v2.select(col("doc_id").as("id2"), col("text").as("t2"))
+    a.join(b, col("id1") === col("id2"), "full")
+      .select(
+        when(col("id1").isNull, "added")
+          .when(col("id2").isNull, "removed")
+          .when(md5(col("t1")) =!= md5(col("t2")), "changed")
+          .otherwise("unchanged").as("status"),
+        // size(null) is -1 in Spark (legacy sizeOfNull), so guard on
+        // the id instead of coalescing the size
+        (when(col("id2").isNull, 0).otherwise(size(tokens(col("t2")))) -
+          when(col("id1").isNull, 0).otherwise(size(tokens(col("t1")))))
+          .as("delta"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("delta")).cast("long").as("token_delta"))
+  }
+
   val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85, q89, q102,
-    q155, q173, q174, q175, q176, q177, q180)
+    q155, q173, q174, q175, q176, q177, q180, q182)
 }
