@@ -84,7 +84,10 @@ object ScaleBench {
     "q128_prefix_filter_join", "q134_dedup_method_recall",
     "q135_tfidf_cosine_pairs", "q136_naive_bayes_langid",
     "q141_bm25_search", "q144_stratified_weighted_sample",
-    "q164_pmi_collocations", "q166_doc_keywords")
+    "q148_bpe_encode", "q164_pmi_collocations", "q166_doc_keywords",
+    "q173_survivorship_dedup", "q174_canary_decontamination",
+    "q175_segment_dedup", "q176_dp_release", "q177_source_cap",
+    "q180_rendezvous_resharding", "q182_snapshot_diff")
 
   /** ANN with a FIXED query workload (replica 0 queries only): a corpus
     * scale-up grows the indexed side, not the query side — without the

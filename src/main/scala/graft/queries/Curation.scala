@@ -646,7 +646,7 @@ object Curation {
 
   // ------------------------------------------------------------ q174
 
-  private val CanaryOffset = 10000000L
+  private val CanaryOffset = 1000000000L
 
   /** Canary end-to-end decontamination proof — pipeline VALIDATION,
     * not another detector: every benchmark probe is injected verbatim
@@ -959,7 +959,7 @@ object Curation {
        |      AS text
        |  FROM documents WHERE doc_id % 13 <> 0
        |  UNION ALL
-       |  SELECT doc_id + 10000000, text FROM documents
+       |  SELECT doc_id + 1000000000, text FROM documents
        |  WHERE doc_id % 19 = 0),
        |d AS (
        |  SELECT
@@ -983,7 +983,7 @@ object Curation {
         when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")).as("text"))
       .unionByName(docs.filter(col("doc_id") % 19 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
     val a = v1.select(col("doc_id").as("id1"), col("text").as("t1"))
     val b = v2.select(col("doc_id").as("id2"), col("text").as("t2"))
     a.join(b, col("id1") === col("id2"), "full")
