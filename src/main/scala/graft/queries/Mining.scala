@@ -599,6 +599,59 @@ object Mining {
       .select(col("doc_id"), col("rnk"), col("word"), col("score"))
   }
 
+  // ------------------------------------------------------------ q186
+
+  private val TeFolds = 5
+
+  /** Out-of-fold TARGET ENCODING — the leakage-safe categorical
+    * encoder every tabular-ML prep pipeline ships: each
+    * (category, fold) cell gets the target mean computed from every
+    * OTHER fold (`(S_c − S_cf) / (n_c − n_cf)`), so a row never sees
+    * its own target. The whole encoder is one map-combinable
+    * (category × fold) aggregate plus a broadcast-sized per-category
+    * rollup — two tiny frames regardless of input size. Sums are
+    * exact HUGEINT/DECIMAL(38) cents (the q117 discipline); the one
+    * double division is 6-dp rounded. Single-fold categories encode
+    * NULL in both engines. */
+  val q186 = Query(
+    "q186_target_encoding",
+    s"""WITH b AS (
+       |  SELECT o_orderpriority AS priority, o_orderkey % $TeFolds AS fold,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM orders),
+       |cf AS (
+       |  SELECT priority, fold, COUNT(*) AS n_cf,
+       |    SUM(CAST(cents AS HUGEINT)) AS s_cf
+       |  FROM b GROUP BY 1, 2),
+       |c AS (
+       |  SELECT priority, SUM(n_cf) AS n_c, SUM(s_cf) AS s_c
+       |  FROM cf GROUP BY 1)
+       |SELECT cf.priority, CAST(fold AS BIGINT) AS fold,
+       |  CAST(n_cf AS BIGINT) AS n_rows,
+       |  CASE WHEN n_c > n_cf THEN
+       |    ROUND((CAST(s_c - s_cf AS DOUBLE)
+       |      / CAST(n_c - n_cf AS DOUBLE)) / 100.0, 6)
+       |  ELSE NULL END AS oof_mean_price
+       |FROM cf JOIN c USING (priority)""".stripMargin) { (s, dir) =>
+    import graft.functions.Functions.money
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("priority"),
+      (col("o_orderkey") % TeFolds).as("fold"),
+      (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val cf = b.groupBy(col("priority"), col("fold"))
+      .agg(count(lit(1)).as("n_cf"), sum(col("cents").cast(d38)).as("s_cf"))
+    val c = cf.groupBy(col("priority"))
+      .agg(sum(col("n_cf")).as("n_c"), sum(col("s_cf")).as("s_c"))
+    cf.join(broadcast(c), "priority")
+      .select(col("priority"), col("fold"), col("n_cf").as("n_rows"),
+        when(col("n_c") > col("n_cf"),
+          round((col("s_c") - col("s_cf")).cast("double") /
+            (col("n_c") - col("n_cf")).cast("double") / 100.0, 6))
+          .otherwise(lit(null).cast("double")).as("oof_mean_price"))
+  }
+
   val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144,
-    q146, q158, q166)
+    q146, q158, q166, q186)
 }

@@ -300,5 +300,44 @@ object Relational {
         sum(money(col("c_acctbal"))).cast("double").as("total_bal"))
   }
 
-  val all: Seq[Query] = Seq(q1, q2, q3, q4, q58, q71, q72, q125, q126)
+  // ------------------------------------------------------------ q185
+
+  /** TPC-H Q4 shape — order-priority checking: orders in a one-quarter
+    * window having AT LEAST ONE lineitem shipped more than 60 days
+    * after the order date (this corpus's "late" — it carries ship
+    * dates, not commit/receipt), counted by priority. The canonical
+    * correlated-EXISTS form: a LEFT SEMI join with a composite
+    * (equi + range) condition, which Spark executes without
+    * materializing or duplicating the probe side — no fan-out, no
+    * post-join dedup. Completes the explicit join-form inventory
+    * (inner/outer/anti/as-of/interval → + semi). */
+  val q185 = Query(
+    "q185_order_priority_exists",
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >=
+          lit("1995-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01 00:00:00").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val all: Seq[Query] = Seq(q1, q2, q3, q4, q58, q71, q72, q125, q126,
+    q185)
 }
