@@ -87,25 +87,33 @@ object Graph {
     * exchange-free join of the (small) frontier against the edges,
     * one distinct on the new frontier, and one anti-join against the
     * visited set — the frontier, not the graph, is what shuffles.
-    * Round count is FIXED (no per-round driver action), so the plan
-    * is a bounded composition and the whole traversal submits as one
-    * job. */
+    * Each round pays ONE bounded driver scalar (the frontier count,
+    * the [[pageRankFixed]] node-count precedent) to stop as soon as
+    * the ball stops growing — on a dense graph the ball covers
+    * everything in a few hops and the remaining rounds would scan the
+    * full edge set for nothing. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val e = InternalCache.persist(
       edges.select(col("src"), col("dst")).repartition(col("src")))
     var visited = InternalCache.persist(
       seeds.select(col("node")).distinct().withColumn("hop", lit(0L)))
     var frontier = visited.select(col("node"))
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var grew = true
+    while (h <= maxHops && grew) {
       val next = e.join(frontier.withColumnRenamed("node", "src"),
           Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
-      // persist: the new frontier feeds BOTH the visited union and the
-      // next round's expansion
+      // persist: the new frontier feeds the convergence count, the
+      // visited union, and the next round's expansion
       frontier = InternalCache.persist(next)
-      visited = InternalCache.persist(
-        visited.unionByName(frontier.withColumn("hop", lit(h.toLong))))
+      grew = frontier.count() > 0
+      if (grew) {
+        visited = InternalCache.persist(
+          visited.unionByName(frontier.withColumn("hop", lit(h.toLong))))
+      }
+      h += 1
     }
     visited
   }
