@@ -338,6 +338,161 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  // ------------------------------------------------------------ q187
+
+  /** TPC-H Q10 shape — returned-item report: top-20 customers by
+    * returned-revenue in one quarter. The canonical "fact⋈fact then
+    * decorate" plan: lineitem('R') ⋈ orders(window) shuffles on
+    * orderkey, aggregates to one row per customer, and only THEN joins
+    * the (broadcast) customer and nation dims — dims never touch the
+    * fact-sized stream. Revenue ranks as EXACT decimal (double only at
+    * presentation); top-20 through the distributed rank. */
+  val q187 = Query(
+    "q187_returned_items",
+    """WITH r AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT c_custkey, c_name, n_name, rev
+      |  FROM r JOIN customer ON c_custkey = o_custkey
+      |    JOIN nation ON n_nationkey = c_nationkey),
+      |k AS (
+      |  SELECT c_custkey, c_name, n_name, rev,
+      |    ROW_NUMBER() OVER (ORDER BY rev DESC, c_custkey) AS rnk
+      |  FROM j)
+      |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+      |  CAST(rev AS DOUBLE) AS revenue, CAST(rnk AS BIGINT) AS rnk
+      |FROM k WHERE rnk <= 20""".stripMargin) { (s, dir) =>
+    import graft.operators.Ranking
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >=
+          lit("1995-04-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-07-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val r = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (money(col("l_extendedprice")) *
+          (lit(1) - money(col("l_discount")))).as("rv"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("rv")).as("rev"))
+    val j = r
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("rev"))
+    Ranking.withGlobalRank(j,
+        struct((-col("rev")).as("nr"), col("c_custkey").as("ck")).asc,
+        "rnk")
+      .filter(col("rnk") <= 20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev").cast("double").as("revenue"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------ q188
+
+  /** TPC-H Q19 shape — discounted revenue under an OR-of-ANDs
+    * predicate spanning both join sides (brand/size from part,
+    * quantity from lineitem). Exercises disjunctive predicate
+    * handling: the per-side conjuncts (`p_size >= 1`, quantity
+    * bounds' union) still push to the scans, part stays a broadcast
+    * dim, and the residual OR evaluates inside codegen after the
+    * join — no plan split into a union of three joins. */
+  val q188 = Query(
+    "q188_disjunctive_revenue",
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |    AND l_quantity BETWEEN 1 AND 11)
+      |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+      |    AND l_quantity BETWEEN 10 AND 20)
+      |  OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(
+        sum(money(col("l_extendedprice")) *
+          (lit(1) - money(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // ------------------------------------------------------------ q189
+
+  /** TPC-H Q7 shape — volume shipping between two trading nations,
+    * by ship year and direction. Two ROLES of the same nation dim
+    * (supplier's vs customer's) via aliased broadcasts; the
+    * nation-pair disjunction prunes both dim sides before they touch
+    * the facts; the fact⋈fact orderkey join carries only the
+    * surviving keys. */
+  val q189 = Query(
+    "q189_nation_volume",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS volume
+      |FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = broadcast(Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nations),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcast(Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nations),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        (money(col("l_extendedprice")) *
+          (lit(1) - money(col("l_discount")))).as("rv"))
+      .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("c_custkey") === col("o_custkey"))
+      .join(supp, col("s_suppkey") === col("l_suppkey"))
+      .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(col("rv")).cast("double").as("volume"))
+  }
+
   val all: Seq[Query] = Seq(q1, q2, q3, q4, q58, q71, q72, q125, q126,
-    q185)
+    q185, q187, q188, q189)
 }
