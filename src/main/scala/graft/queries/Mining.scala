@@ -189,12 +189,11 @@ object Mining {
     * the exact draw: same keys, same ranks. */
   val q139 = Query(
     "q139_weighted_sample",
-    s"""WITH k AS (
-       |  SELECT o_orderkey, o_totalprice AS weight,
-       |    ln((${Llm.dHash64(
-              "'ws:' || CAST(o_orderkey AS VARCHAR)")} + 1)::DOUBLE
-       |      / 1152921504606846976.0) / o_totalprice AS ws_key
-       |  FROM orders),
+    s"""WITH ${Sampling.aesKeySqlCtes(
+         s"""SELECT o_orderkey, o_totalprice AS weight,
+            |    ${Llm.dHash64(
+                 "'ws:' || CAST(o_orderkey AS VARCHAR)")} + 1 AS __hn
+            |  FROM orders""".stripMargin, "k", "weight")},
        |r AS (
        |  SELECT o_orderkey, weight, ws_key, row_number() OVER (
        |    ORDER BY ws_key DESC, o_orderkey) AS rnk
@@ -382,12 +381,11 @@ object Mining {
     * exact-replay oracle. */
   val q144 = Query(
     "q144_stratified_weighted_sample",
-    s"""WITH k AS (
-       |  SELECT lang, doc_id, n_chars,
-       |    ln((${Llm.dHash64(
-              "'wsg:' || CAST(doc_id AS VARCHAR)")} + 1)::DOUBLE
-       |      / 1152921504606846976.0) / n_chars::DOUBLE AS ws_key
-       |  FROM documents),
+    s"""WITH ${Sampling.aesKeySqlCtes(
+         s"""SELECT lang, doc_id, n_chars,
+            |    ${Llm.dHash64(
+                 "'wsg:' || CAST(doc_id AS VARCHAR)")} + 1 AS __hn
+            |  FROM documents""".stripMargin, "k", "n_chars::DOUBLE")},
        |r AS (
        |  SELECT lang, doc_id, n_chars, ws_key, row_number() OVER (
        |    PARTITION BY lang ORDER BY ws_key DESC, doc_id) AS rnk
