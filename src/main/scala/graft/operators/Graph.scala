@@ -165,7 +165,12 @@ object Graph {
     wedges.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         col("n_wedges"),
-        round(lit(3) * col("n_triangles").cast("double") /
-          col("n_wedges").cast("double"), 6).as("gcc"))
+        // guard the zero-wedge graph (e.g. a perfect matching):
+        // Spark's double Divide yields NULL on 0/0 while other engines
+        // may yield NaN/Inf — pin the degenerate case to NULL in both
+        // (the oracle SQL mirrors this CASE)
+        when(col("n_wedges") > 0,
+          round(lit(3) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 6)).as("gcc"))
   }
 }

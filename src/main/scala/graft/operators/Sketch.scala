@@ -54,7 +54,14 @@ object Sketch {
   /** Point-estimate every key in `keys` (column `keyCol`, cast to
     * string for hashing): min over the d cells the key maps to. The
     * sketch (≤ d·w rows) is BROADCAST, so probing any number of keys
-    * never shuffles them. Estimates satisfy `est ≥ true count`. */
+    * never shuffles them. Estimates satisfy `est ≥ true count`.
+    *
+    * The join is a LEFT join with empty cells coalesced to 0: a key
+    * absent from the stream maps to d cells that may all be missing
+    * from the sparse sketch rows, and the CM semantics for it are
+    * est = 0 (min over d zero cells), not "row disappears"; likewise a
+    * key with SOME empty cells must take 0 from those cells, not min
+    * over only the non-empty ones (which would overestimate). */
   def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
       d: Int, w: Int): DataFrame = {
     val probes = keys
@@ -62,9 +69,9 @@ object Sketch {
       .withColumn("__h2", h2(col(keyCol).cast("string")))
       .withColumn("__r", explode(sequence(lit(0), lit(d - 1))))
       .withColumn("__b", (col("__h1") + col("__r") * col("__h2")) % w)
-    probes.join(broadcast(sketch), Seq("__r", "__b"))
+    probes.join(broadcast(sketch), Seq("__r", "__b"), "left")
       .groupBy(keys.columns.map(col): _*)
-      .agg(min(col("__c")).as("est_cnt"))
+      .agg(min(coalesce(col("__c"), lit(0L))).as("est_cnt"))
   }
 
   // ------------------------------------------------------------ KLL

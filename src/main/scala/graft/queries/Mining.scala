@@ -162,7 +162,9 @@ object Mining {
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
        |  CAST(tri.t AS BIGINT) AS n_triangles,
        |  w.n_wedges,
-       |  round(3 * tri.t::DOUBLE / w.n_wedges::DOUBLE, 6) AS gcc
+       |  CASE WHEN w.n_wedges > 0
+       |    THEN round(3 * tri.t::DOUBLE / w.n_wedges::DOUBLE, 6)
+       |  END AS gcc
        |FROM w CROSS JOIN tri""".stripMargin) { (s, dir) =>
     val li = InternalCache.persist(Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct())

@@ -392,15 +392,42 @@ object Materialize {
       graft.quality.Quality.run(spark.table(staging), checks, warnAsError)
     val ok = results.forall(_.passed)
     if (ok) {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
+      // Swap via rename-aside, NOT drop-then-rename: the previous
+      // version keeps existing (as <name>__prev) until the new one is
+      // in place, so a crash mid-publish can always be recovered from
+      // files on disk — never "no published table and data deleted".
+      // The remaining non-atomic window (between the two renames,
+      // <name> resolves to nothing) is inherent to a catalog without
+      // multi-op transactions; recoverPrev() documents the repair.
+      val prev = name + "__prev"
+      spark.sql(s"DROP TABLE IF EXISTS $prev")
+      dropOrphanLocation(spark, prev)
+      if (spark.catalog.tableExists(name))
+        spark.sql(s"ALTER TABLE $name RENAME TO $prev")
       // a previous JVM's published table may survive as files with no
       // catalog entry (in-memory catalog died) — clear the orphan or
       // the rename refuses with LOCATION_ALREADY_EXISTS
       dropOrphanLocation(spark, name)
       spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+      spark.sql(s"DROP TABLE IF EXISTS $prev")
     } else {
       spark.sql(s"DROP TABLE IF EXISTS $staging")
     }
     (ok, results)
+  }
+
+  /** Crash repair for [[publishAudited]]: if a crash landed between
+    * the rename-aside and the rename-in, the published name is gone
+    * but the previous version survives as `<name>__prev` — restore it.
+    * Idempotent; a no-op when `name` exists. Returns true if a
+    * restore happened. */
+  def recoverPrev(spark: SparkSession, name: String): Boolean = {
+    val prev = name + "__prev"
+    if (!spark.catalog.tableExists(name) &&
+        spark.catalog.tableExists(prev)) {
+      dropOrphanLocation(spark, name)
+      spark.sql(s"ALTER TABLE $prev RENAME TO $name")
+      true
+    } else false
   }
 }

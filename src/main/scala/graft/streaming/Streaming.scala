@@ -237,6 +237,32 @@ object Streaming {
     }
   }
 
+  /** Idempotence guard for `foreachBatch` sinks whose body is NOT
+    * idempotent (additive sums, sketch unions, blind appends):
+    * `foreachBatch` is at-least-once — a micro-batch whose
+    * checkpoint-offset commit failed is replayed on restart, and an
+    * unguarded additive merge then double-counts it. The guard records
+    * each applied batch id as a zero-byte marker under
+    * `<checkpoint>/applied/` and skips the body on replay. Markers are
+    * scoped to the CHECKPOINT because that is the unit of replay (a
+    * new checkpoint restarts batch ids at 0). The marker is written
+    * after the body commits, so the remaining double-apply window is a
+    * crash between the body's final write and the marker creation —
+    * strictly smaller than the unguarded window (every restart
+    * replay), and the standard floor without a transactional sink. */
+  private def oncePerBatch(spark: SparkSession, checkpoint: String,
+      batchId: Long)(body: => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(
+      s"$checkpoint/applied/batch-$batchId")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) {
+      body
+      fs.mkdirs(p.getParent)
+      fs.create(p, true).close()
+    }
+  }
+
   /** Streaming ADDITIVE mart maintenance: micro-batches of events fold
     * into a partitioned daily aggregate table via `foreachBatch` →
     * [[graft.sources.Materialize.aggIncremental]] — each batch merges
@@ -288,13 +314,15 @@ object Streaming {
     try {
       val (srcDir, stream) =
         stageTwoHalves(spark, eventsParquet, cutTs, "agg")
+      val ckpt = s"$srcDir/ckpt_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
       val q = stream.writeStream
         .outputMode("append")
-        .option("checkpointLocation", s"$srcDir/ckpt_" +
-          java.util.UUID.randomUUID().toString.replace("-", ""))
+        .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          if (!b.isEmpty) {
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          // additive merge → guard against at-least-once replay
+          if (!b.isEmpty) oncePerBatch(b.sparkSession, ckpt, batchId) {
             val partial = b.groupBy(col("ts").cast("date").as("day"),
                 col("event_type"))
               .agg(count(lit(1)).as("n_events"),
@@ -335,13 +363,15 @@ object Streaming {
     try {
       val (srcDir, stream) =
         stageTwoHalves(spark, eventsParquet, cutTs, "sketch")
+      val ckpt = s"$srcDir/ckpt_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
       val q = stream.writeStream
         .outputMode("append")
-        .option("checkpointLocation", s"$srcDir/ckpt_" +
-          java.util.UUID.randomUUID().toString.replace("-", ""))
+        .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          if (!b.isEmpty) {
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          // sketch-union merge → guard against at-least-once replay
+          if (!b.isEmpty) oncePerBatch(b.sparkSession, ckpt, batchId) {
             val s = b.sparkSession
             val partial = Sketch.thetaBy(
               b.withColumn("day", col("ts").cast("date").cast("string")),
@@ -523,8 +553,11 @@ object Streaming {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          batchId: Long) =>
+        // two blind appends (pairs + state) → guard against replay
+        if (!batch.isEmpty)
+          oncePerBatch(batch.sparkSession, checkpoint, batchId) {
           val sp = batch.sparkSession
           val state = sp.read.parquet(stateDir)
           graft.operators.TextDedup.minhashNearDupsIncremental(
