@@ -226,13 +226,14 @@ object Marts {
       tieBreak: Column, gapMinutes: Int): DataFrame = {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol).asc, tieBreak.asc)
-    val gapSec = gapMinutes * 60.0
-    // timestamp→double cast keeps fractional seconds, matching SQL
-    // engines' epoch() semantics (unix_timestamp truncates to seconds)
+    // micros-exact gap arithmetic (unix_micros), not a double cast:
+    // type-strict (rejects non-timestamp input at analysis) and immune to
+    // double rounding on large epochs, while still sub-second precise
+    val gapMicros = gapMinutes * 60L * 1000000L
     events
       .withColumn("__prev", lag(col(tsCol), 1).over(w))
       .withColumn("__new", when(col("__prev").isNull ||
-        col(tsCol).cast("double") - col("__prev").cast("double") > gapSec,
+        unix_micros(col(tsCol)) - unix_micros(col("__prev")) > gapMicros,
         1).otherwise(0))
       .withColumn("session_id",
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -291,6 +291,23 @@ object Analytics {
 
   // ------------------------------------------------------------ q111
 
+  /** The part↔supplier sourcing graph — distinct lineitem (part,
+    * supplier) pairs as bidirectional edges — shared by PageRank (q111)
+    * and BFS reach (q179) through [[graft.operators.SharedFrames]]: a
+    * pipeline materializes the edge table once, every graph consumer
+    * reads it. Also the cold-start fix: the first graph query pays the
+    * lineitem scan + distinct exactly once per run. */
+  private def partSupplierEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SharedFrames.getOrBuild(
+      graft.operators.SharedFrames.key(s, "psEdges", dir)) {
+      val pe = Tables.lineitem(s, dir).select(
+        concat(lit("p:"), col("l_partkey").cast("string")).as("a"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      pe.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pe.select(col("b").as("src"), col("a").as("dst")))
+    }
+
   private val PrIters = 3
 
   /** PageRank over the part↔supplier sourcing graph ([[Graph]]):
@@ -343,12 +360,7 @@ object Analytics {
          |FROM ranked""".stripMargin
     }) { (s, dir) =>
     import graft.operators.{Graph, Ranking}
-    val pe = Tables.lineitem(s, dir).select(
-      concat(lit("p:"), col("l_partkey").cast("string")).as("a"),
-      concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
-      .distinct()
-    val edges = pe.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pe.select(col("b").as("src"), col("a").as("dst")))
+    val edges = partSupplierEdges(s, dir)
     val pr = Graph.pageRankFixed(edges, PrIters)
     Ranking.withGlobalRank(pr,
         struct((col("pr") * -1).as("np"), col("node").as("n")).asc, "rnk")
@@ -2384,12 +2396,7 @@ object Analytics {
          |  - (SELECT COUNT(*) FROM v$BfsMaxHops)""".stripMargin
     }) { (s, dir) =>
     import graft.operators.Graph
-    val pe = Tables.lineitem(s, dir).select(
-      concat(lit("p:"), col("l_partkey").cast("string")).as("a"),
-      concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
-      .distinct()
-    val edges = pe.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pe.select(col("b").as("src"), col("a").as("dst")))
+    val edges = partSupplierEdges(s, dir)
     val seeds = Tables.lineitem(s, dir)
       .filter(col("l_partkey") % 500 === 0)
       .select(concat(lit("p:"), col("l_partkey").cast("string"))

@@ -30,21 +30,34 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's TimestampType (microseconds) cannot represent — the scan
-    * fails with PARQUET_TYPE_ILLEGAL by default. Read nanos as raw longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros,
-    * matching how microsecond engines (e.g. DuckDB) read the same file.
-    * Integer `div` (not `/`) — ns epochs exceed double's exact range. */
+  /** Normalize the events fixture's `ts` to session-zoned TimestampType
+    * regardless of how the parquet file encodes it — the fixture has
+    * drifted across generator versions and the engine contract (SURVEY
+    * §1.2) is TimestampType in UTC:
+    *  - TIMESTAMP(NANOS): Spark's TimestampType (micros) can't represent
+    *    it and the scan fails with PARQUET_TYPE_ILLEGAL by default. Read
+    *    nanos as raw longs (`spark.sql.legacy.parquet.nanosAsLong`) and
+    *    truncate to micros with integer `div` (ns epochs exceed double's
+    *    exact range), matching how micros engines (DuckDB) read the file.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads it as
+    *    TIMESTAMP_NTZ, which `withWatermark`/`unix_micros`/double casts
+    *    all reject. Cast to TimestampType: the session TZ is pinned UTC,
+    *    so wall-clock ≡ instant and DuckDB-oracle parity holds (DuckDB
+    *    reads the same file as naive micros).
+    *  - TIMESTAMP(MICROS, adjusted): already TimestampType; pass through. */
   private def loadNanosAware(spark: SparkSession, dir: String,
       name: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, name)
-    if (df.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn(tsCol,
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(s"$tsCol div 1000")))
-    else df
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

@@ -20,6 +20,22 @@ import graft.functions.Functions._
   */
 object Streaming {
 
+  /** Normalize an events frame's `ts` to session-zoned TimestampType —
+    * the same fixture-drift coercions as the batch reader
+    * (`Tables.events`): INT64 nanos → truncate to micros (integer
+    * `div`; ns epochs exceed double's exact range); TIMESTAMP_NTZ →
+    * cast (session TZ is pinned UTC, so wall-clock ≡ instant and
+    * watermarks/`unix_micros` work again). Works on batch and
+    * streaming frames alike — it is a pure projection. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   /** Streaming daily rollup over a parquet events source, executed to
     * completion with `Trigger.AvailableNow` and returned as a plain
     * DataFrame (memory sink — test/verify harness use; production
@@ -43,11 +59,7 @@ object Streaming {
       val srcDir = stageIntoDir(spark, eventsParquet)
       val batchSchema = spark.read.parquet(srcDir).schema
       val raw = spark.readStream.schema(batchSchema).parquet(srcDir)
-      // same nanos→micros coercion as the batch reader (Tables.events)
-      val ev =
-        if (batchSchema("ts").dataType == LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val ev = normalizeTs(raw)
       val agg = dailyRollup(ev)
       val sink = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = agg.writeStream
@@ -200,10 +212,7 @@ object Streaming {
       val batchSchema = spark.read.parquet(srcDir).schema
       def side(tpe: String, tag: String): DataFrame = {
         val raw = spark.readStream.schema(batchSchema).parquet(srcDir)
-        val ev =
-          if (batchSchema("ts").dataType == LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else raw
+        val ev = normalizeTs(raw)
         ev.filter(col("event_type") === tpe)
           .select(col("event_id").as(s"${tag}_id"),
             col("user_id").as(s"${tag}_user"),
@@ -250,7 +259,7 @@ object Streaming {
     * crash between the body's final write and the marker creation —
     * strictly smaller than the unguarded window (every restart
     * replay), and the standard floor without a transactional sink. */
-  private def oncePerBatch(spark: SparkSession, checkpoint: String,
+  private[graft] def oncePerBatch(spark: SparkSession, checkpoint: String,
       batchId: Long)(body: => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(
@@ -278,10 +287,7 @@ object Streaming {
   private def stageTwoHalves(spark: SparkSession, eventsParquet: String,
       cutTs: String, tag: String): (String, DataFrame) = {
     val batch = spark.read.parquet(eventsParquet)
-    val ev0 =
-      if (batch.schema("ts").dataType == LongType)
-        batch.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else batch
+    val ev0 = normalizeTs(batch)
     val srcDir = s"/tmp/graft_stream_${tag}_src_" +
       s"${math.abs((eventsParquet + cutTs).hashCode)}"
     val cut = lit(cutTs).cast("timestamp")
@@ -428,10 +434,7 @@ object Streaming {
       val srcDir = stageIntoDir(spark, eventsParquet)
       val batchSchema = spark.read.parquet(srcDir).schema
       val raw = spark.readStream.schema(batchSchema).parquet(srcDir)
-      val ev =
-        if (batchSchema("ts").dataType == LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val ev = normalizeTs(raw)
       val agg = ev
         .groupBy(window(col("ts"), size, slide).as("w"))
         .agg(count(lit(1)).as("n_events"),
@@ -480,10 +483,7 @@ object Streaming {
           new org.apache.hadoop.fs.Path(dir, copy), false, true, conf)
       val batchSchema = spark.read.parquet(dir.toString).schema
       val raw = spark.readStream.schema(batchSchema).parquet(dir.toString)
-      val ev =
-        if (batchSchema("ts").dataType == LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val ev = normalizeTs(raw)
       val out = ev
         .withWatermark("ts", "1 day")
         .dropDuplicatesWithinWatermark("event_id")

@@ -19,6 +19,15 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("events.ts normalizes to TimestampType whatever the fixture encodes") {
+    // fixture drift broke 6 queries silently in round 6 (NANOS→NTZ);
+    // the reader contract (SURVEY §1.2) is session-zoned TimestampType,
+    // so any future physical-encoding drift must fail HERE, loudly
+    import org.apache.spark.sql.types.TimestampType
+    assert(sources.Tables.events(spark, dir).schema("ts").dataType ==
+      TimestampType)
+  }
+
   test("every query has an oracle (or is consciously rows-only)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty,

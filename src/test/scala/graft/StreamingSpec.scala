@@ -165,4 +165,44 @@ class StreamingSpec extends SparkSpec {
     assert(plan.schema.fieldNames.toSeq ==
       Seq("day", "n_events", "total_value"))
   }
+
+  test("oncePerBatch applies a committed batchId exactly once on replay") {
+    val ckpt = s"/tmp/graft_test_once_${java.util.UUID.randomUUID()}"
+    var applied = 0
+    Streaming.oncePerBatch(spark, ckpt, 7L) { applied += 1 }
+    // at-least-once replay of the SAME batchId: the marker short-circuits
+    Streaming.oncePerBatch(spark, ckpt, 7L) { applied += 1 }
+    assert(applied == 1)
+    // a different batchId under the same checkpoint still applies
+    Streaming.oncePerBatch(spark, ckpt, 8L) { applied += 1 }
+    assert(applied == 2)
+    // a DIFFERENT checkpoint is a different replay scope: batch ids
+    // restart at 0 there, so its batch 7 must apply independently
+    val ckpt2 = s"/tmp/graft_test_once_${java.util.UUID.randomUUID()}"
+    Streaming.oncePerBatch(spark, ckpt2, 7L) { applied += 1 }
+    assert(applied == 3)
+  }
+
+  test("oncePerBatch marker-after-body window: crash before marker replays") {
+    // Documents the residual at-least-once window: the marker is written
+    // AFTER the body commits, so a crash between body and marker leaves
+    // no marker and the replay re-runs the body. This is the accepted
+    // floor without a transactional sink — callers' bodies are additive
+    // merges whose double-apply window is exactly this crash slice.
+    val ckpt = s"/tmp/graft_test_once_${java.util.UUID.randomUUID()}"
+    var applied = 0
+    intercept[RuntimeException] {
+      Streaming.oncePerBatch(spark, ckpt, 1L) {
+        applied += 1
+        throw new RuntimeException("crash before marker")
+      }
+    }
+    assert(applied == 1)
+    // no marker was written → the replay applies the body again
+    Streaming.oncePerBatch(spark, ckpt, 1L) { applied += 1 }
+    assert(applied == 2)
+    // and now the marker exists → further replays are no-ops
+    Streaming.oncePerBatch(spark, ckpt, 1L) { applied += 1 }
+    assert(applied == 2)
+  }
 }
