@@ -46,14 +46,29 @@ object Bench {
     graft.operators.SharedFrames.release()
     spark.catalog.clearCache()
 
+    // isolated-measurement mode: SPARK_GRAFT_BENCH_ONLY=q179_x,q53_y
+    // restricts the sweep to the named queries — the tool for separating
+    // in-sweep numbers (preceding queries' GC/codegen pressure included)
+    // from isolated medians when a regression needs an owner
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val times = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
+    // a throwing query must surface as a recorded ERROR, never as its
+    // ~0.1 s error-exit masquerading as a timing (that is exactly how
+    // round 6's six broken queries hid inside a plausible-looking sweep)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (_ <- 1 to reps) {
       for (name <- names) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("")
+              .replaceAll("""[\\"\n\r\t]""", " ").take(200)
+        }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // operator-internal frames die with the query; shared frames
         // (built inside whichever query first asked) live to sweep end —
@@ -86,6 +101,9 @@ object Bench {
       s"""    "$k": {"median": ${r3(v)}, "runs": [${
         times(k).reverse.map(r3).mkString(", ")}]}"""
     }.mkString("{\n", ",\n", "\n  }")
+    val errJson = errors
+      .map { case (k, v) => s"""    "$k": "$v"""" }
+      .mkString("{\n", ",\n", "\n  }")
     val fullJson =
       s"""{
          |  "metric": "total",
@@ -94,6 +112,7 @@ object Bench {
          |  "sf": "$sfShort",
          |  "reps": $reps,
          |  "stat": "median_per_query_across_sorted_sweeps",
+         |  "errors": ${if (errors.isEmpty) "{}" else errJson},
          |  "queries": $fullQs
          |}""".stripMargin
     Files.createDirectories(Paths.get("target"))
@@ -104,7 +123,7 @@ object Bench {
     val qs = medians.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfShort,"reps":$reps,"stat":"median_per_query_across_sorted_sweeps","full":"target/bench.json","queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfShort,"reps":$reps,"stat":"median_per_query_across_sorted_sweeps","errors":${errors.size},"full":"target/bench.json","queries":$qs}""")
     spark.stop()
   }
 }
