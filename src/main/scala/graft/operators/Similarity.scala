@@ -100,6 +100,26 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining (contrastive-training data prep): for each
+    * query vector, the exact top-k cosine neighbors whose label DIFFERS
+    * from the query's — the semantically-closest wrong-class examples,
+    * the standard negatives for training retrieval/embedding models.
+    * Same scale shape as [[bruteForceTopK]]: the query set is broadcast,
+    * the corpus is scanned once and never shuffled before the map-side-
+    * combinable TopK partial aggregation; at 100 TB the per-class ANN
+    * index replaces the brute scan, with this as its recall baseline. */
+  def hardNegativesTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, queryLabelCol: String, k: Int): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(queryIdCol) &&
+        col(labelCol) =!= col(queryLabelCol))
+      .select(col(queryIdCol).as("query_id"),
+        col(idCol).as("id"),
+        cosineF(col(vecCol), col(queryVecCol)).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** Shared tail: scored (query_id, id, score) → ranked top-k rows. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopK(k))

@@ -314,6 +314,46 @@ jac AS (
     bruteForceShared(s, dir)
   }
 
+  // ------------------------------------------------------------ q190
+
+  private val HnK = 3 // hard negatives per query
+
+  /** Hard-negative mining ([[graft.operators.Similarity
+    * .hardNegativesTopK]]): per query vector, the [[HnK]] highest-cosine
+    * neighbors with a DIFFERENT label — the closest wrong-class
+    * examples that contrastive training of retrieval/embedding models
+    * mines as negatives. Same query stride and exact-cosine fold as the
+    * q24 baseline; the oracle is q24's with the label-mismatch
+    * predicate added pre-rank (filtering after rank would be wrong —
+    * a same-label neighbor must not consume a rank slot). */
+  val q190 = Query(
+    "q190_hard_negatives",
+    s"""WITH v AS (
+       |  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, label AS ql, e AS qe FROM v
+       |  WHERE vec_id % $TopkEvery = 0),
+       |scored AS (
+       |  SELECT q.query_id, v.vec_id AS id,
+       |    ${dCosine("qe", "e")} AS score
+       |  FROM v, q WHERE v.vec_id != q.query_id AND v.label != q.ql),
+       |r AS (
+       |  SELECT query_id, id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, id) AS rk
+       |  FROM scored)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rank, id AS neighbor_id,
+       |  ROUND(score, 6) AS cosine
+       |FROM r WHERE rk <= $HnK""".stripMargin) { (s, dir) =>
+    val v = Tables.embeddings(s, dir)
+    val q = v.filter(col("vec_id") % TopkEvery === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qvec"), col("label").as("qlabel"))
+    Similarity.hardNegativesTopK(v, "vec_id", "embedding", "label",
+      q, "query_id", "qvec", "qlabel", HnK)
+  }
+
   // ------------------------------------------------------------ q25
 
   private val ShMaxHamming = 3
@@ -1685,5 +1725,5 @@ FROM h GROUP BY bucket""") { (s, dir) =>
 
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88,
-    q96, q97, q98, q128, q134, q164)
+    q96, q97, q98, q128, q134, q164, q190)
 }

@@ -628,6 +628,83 @@ object Prep {
         col("centroid_checksum"))
   }
 
+  // ------------------------------------------------------------ q191
+
+  /** Cluster↔label purity: each embedding assigned to its trained
+    * k-means cell (the q99/q100 centroids, shared), joined to its
+    * class label, summarized per cell as size, distinct labels,
+    * majority label (ties → smallest label), and purity =
+    * n_majority / n_vectors. The curation diagnostic that tells you
+    * whether unsupervised clusters line up with the label taxonomy —
+    * the gate before trusting cluster-based splits (q92) or semantic
+    * dedup (q79) to respect class boundaries.
+    *
+    * Scale: one assignment scan (centroids are broadcast literals),
+    * then aggregation over a bounded k×labels frame; the majority
+    * window runs on that bounded frame, never on rows. The oracle
+    * replays the SAME Lloyd's chain ([[dKmChain]]) and first-wins
+    * argmin, so cell assignment parity is inherited from q99. */
+  val q191 = Query(
+    "q191_cluster_label_purity",
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings),
+       |$dKmChain,
+       |af AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT v.vec_id, c.cell, $dKmDist AS dist
+       |          FROM v, c$KmIters c))
+       |  WHERE rk = 1),
+       |cl AS (
+       |  SELECT af.cell, e.label, COUNT(*) AS n
+       |  FROM af JOIN embeddings e USING (vec_id)
+       |  GROUP BY 1, 2),
+       |mj AS (
+       |  SELECT cell, label AS majority_label, n AS n_majority FROM (
+       |    SELECT cell, label, n,
+       |      row_number() OVER (PARTITION BY cell
+       |        ORDER BY n DESC, label) AS rk
+       |    FROM cl) WHERE rk = 1)
+       |SELECT CAST(cl.cell AS BIGINT) AS cell,
+       |  CAST(SUM(cl.n) AS BIGINT) AS n_vectors,
+       |  CAST(COUNT(*) AS BIGINT) AS n_labels,
+       |  CAST(ANY_VALUE(mj.majority_label) AS BIGINT) AS majority_label,
+       |  CAST(ANY_VALUE(mj.n_majority) AS BIGINT) AS n_majority,
+       |  ROUND(CAST(ANY_VALUE(mj.n_majority) AS DOUBLE)
+       |    / CAST(SUM(cl.n) AS DOUBLE), 6) AS purity
+       |FROM cl JOIN mj USING (cell)
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cents = kmCentsShared(s, dir)
+    val assigned = graft.operators.KMeans
+      .withCellDist(kmVqShared(s, dir), "vq", cents)
+      .select(col("vec_id"), col("__cell").cast("long").as("cell"))
+    val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val cl = assigned.join(lab, "vec_id")
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("n").desc, col("label").asc)
+    val mj = cl.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cell"),
+        col("label").cast("long").as("majority_label"),
+        col("n").as("n_majority"))
+    val per = cl.groupBy(col("cell"))
+      .agg(sum(col("n")).cast("long").as("n_vectors"),
+        count(lit(1)).cast("long").as("n_labels"))
+    per.join(mj, "cell")
+      .select(col("cell"), col("n_vectors"), col("n_labels"),
+        col("majority_label"), col("n_majority"),
+        round(col("n_majority").cast("double")
+          / col("n_vectors").cast("double"), 6).as("purity"))
+  }
+
   // ------------------------------------------------------------ q100
 
   /** q100's oracle: the Lloyd's chain, corpus + query assignment under
@@ -849,5 +926,5 @@ object Prep {
   }
 
   val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99, q100,
-    q120, q148)
+    q120, q148, q191)
 }

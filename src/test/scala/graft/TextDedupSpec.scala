@@ -235,6 +235,24 @@ class TextDedupSpec extends SparkSpec {
       == Seq((1L, 1L), (2L, 3L)))
   }
 
+  test("hardNegativesTopK excludes same-label neighbors BEFORE ranking") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(1.0f, 0.0f), 7),   // cosine 1 but SAME label: excluded
+      (2L, Array(0.0f, 1.0f), 8),   // cosine 0, other label
+      (3L, Array(1.0f, 1.0f), 8))   // cosine ~0.707, other label
+      .toDF("vec_id", "embedding", "label")
+    val q = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"),
+        $"label".as("qlabel"))
+    val got = rows(Similarity.hardNegativesTopK(vecs, "vec_id",
+      "embedding", "label", q, "query_id", "qvec", "qlabel", 2))
+    // the same-label id=1 must NOT consume a rank slot: the negatives
+    // are id=3 (0.707) then id=2 (0.0)
+    assert(got.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+      == Seq((1L, 3L), (2L, 2L)))
+  }
+
   test("prefixFilterPairs is LOSSLESS: equals brute-force shingle " +
       "Jaccard >= 0.5, and is a superset of the LSH pipeline's pairs") {
     val fams = (0 until 3).map(f => (200 to 240).map(i => s"f${f}w$i"))
