@@ -198,6 +198,20 @@ class PlanContractSpec extends SparkSpec {
       p176.take(2000))
   }
 
+  test("q190: the query set broadcasts; the corpus aggregates map-side " +
+      "(one exchange, for the per-query TopK merge)") {
+    val p = plan("q190_hard_negatives")
+    // brute scan is DELIBERATELY a broadcast nested-loop (every corpus
+    // row scores every query), but the corpus itself must never
+    // shuffle before the partial TopK: one hash exchange only
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"$shuffles shuffles:\n${p.take(2000)}")
+    // partial aggregation proves the TopK combines map-side
+    assert(p.contains("partial_topk") || p.contains("ObjectHashAggregate"),
+      p.take(2000))
+  }
+
   private def checkQ1(df: org.apache.spark.sql.DataFrame): Unit = {
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
