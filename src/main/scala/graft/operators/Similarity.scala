@@ -110,10 +110,29 @@ object Similarity {
     * index replaces the brute scan, with this as its recall baseline. */
   def hardNegativesTopK(vectors: DataFrame, idCol: String, vecCol: String,
       labelCol: String, queries: DataFrame, queryIdCol: String,
-      queryVecCol: String, queryLabelCol: String, k: Int): DataFrame = {
+      queryVecCol: String, queryLabelCol: String, k: Int): DataFrame =
+    labelFilteredTopK(vectors, idCol, vecCol, labelCol, queries,
+      queryIdCol, queryVecCol, queryLabelCol, k, sameLabel = false)
+
+  /** The positive counterpart: exact top-k cosine neighbors SHARING the
+    * query's label — the in-class nearest neighbors contrastive
+    * training pairs with the anchors (and the other half of a triplet
+    * next to [[hardNegativesTopK]]). */
+  def labelPositivesTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, queryLabelCol: String, k: Int): DataFrame =
+    labelFilteredTopK(vectors, idCol, vecCol, labelCol, queries,
+      queryIdCol, queryVecCol, queryLabelCol, k, sameLabel = true)
+
+  private def labelFilteredTopK(vectors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, queryLabelCol: String,
+      k: Int, sameLabel: Boolean): DataFrame = {
+    val labelPred =
+      if (sameLabel) col(labelCol) === col(queryLabelCol)
+      else col(labelCol) =!= col(queryLabelCol)
     val scored = vectors.crossJoin(broadcast(queries))
-      .filter(col(idCol) =!= col(queryIdCol) &&
-        col(labelCol) =!= col(queryLabelCol))
+      .filter(col(idCol) =!= col(queryIdCol) && labelPred)
       .select(col(queryIdCol).as("query_id"),
         col(idCol).as("id"),
         cosineF(col(vecCol), col(queryVecCol)).as("score"))

@@ -354,6 +354,63 @@ jac AS (
       q, "query_id", "qvec", "qlabel", HnK)
   }
 
+  // ------------------------------------------------------------ q192
+
+  /** Contrastive triplet export: for each anchor (the q24/q190 query
+    * stride), its nearest SAME-label neighbor (the positive), its
+    * nearest DIFFERENT-label neighbor (the hardest negative —
+    * q190 rank 1), and the margin between the two cosines — the
+    * (anchor, positive, negative) rows an embedding-model trainer
+    * consumes, with the margin as the curriculum/difficulty signal.
+    * Both legs are the same broadcast-queries/one-scan shape; the
+    * final join is per-anchor on the tiny query-strided frames. */
+  val q192 = Query(
+    "q192_contrastive_triplets",
+    s"""WITH v AS (
+       |  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, label AS ql, e AS qe FROM v
+       |  WHERE vec_id % $TopkEvery = 0),
+       |scored AS (
+       |  SELECT q.query_id, v.vec_id AS id, v.label = q.ql AS same,
+       |    ${dCosine("qe", "e")} AS score
+       |  FROM v, q WHERE v.vec_id != q.query_id),
+       |r AS (
+       |  SELECT query_id, id, same, score,
+       |    row_number() OVER (PARTITION BY query_id, same
+       |      ORDER BY score DESC, id) AS rk
+       |  FROM scored),
+       |pos AS (SELECT query_id, id AS positive_id,
+       |    ROUND(score, 6) AS positive_cosine
+       |  FROM r WHERE same AND rk = 1),
+       |neg AS (SELECT query_id, id AS negative_id,
+       |    ROUND(score, 6) AS negative_cosine
+       |  FROM r WHERE NOT same AND rk = 1)
+       |SELECT query_id AS anchor_id, positive_id, positive_cosine,
+       |  negative_id, negative_cosine,
+       |  ROUND(positive_cosine - negative_cosine, 6) AS margin
+       |FROM pos JOIN neg USING (query_id)""".stripMargin) { (s, dir) =>
+    val v = Tables.embeddings(s, dir)
+    val q = v.filter(col("vec_id") % TopkEvery === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qvec"), col("label").as("qlabel"))
+    val pos = Similarity.labelPositivesTopK(v, "vec_id", "embedding",
+        "label", q, "query_id", "qvec", "qlabel", 1)
+      .select(col("query_id"), col("neighbor_id").as("positive_id"),
+        col("cosine").as("positive_cosine"))
+    val neg = Similarity.hardNegativesTopK(v, "vec_id", "embedding",
+        "label", q, "query_id", "qvec", "qlabel", 1)
+      .select(col("query_id"), col("neighbor_id").as("negative_id"),
+        col("cosine").as("negative_cosine"))
+    pos.join(neg, "query_id")
+      .select(col("query_id").as("anchor_id"),
+        col("positive_id"), col("positive_cosine"),
+        col("negative_id"), col("negative_cosine"),
+        round(col("positive_cosine") - col("negative_cosine"), 6)
+          .as("margin"))
+  }
+
   // ------------------------------------------------------------ q25
 
   private val ShMaxHamming = 3
@@ -1725,5 +1782,5 @@ FROM h GROUP BY bucket""") { (s, dir) =>
 
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88,
-    q96, q97, q98, q128, q134, q164, q190)
+    q96, q97, q98, q128, q134, q164, q190, q192)
 }

@@ -251,6 +251,11 @@ class TextDedupSpec extends SparkSpec {
     // are id=3 (0.707) then id=2 (0.0)
     assert(got.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
       == Seq((1L, 3L), (2L, 2L)))
+    // and the positive counterpart sees ONLY the same-label neighbor
+    val pos = rows(Similarity.labelPositivesTopK(vecs, "vec_id",
+      "embedding", "label", q, "query_id", "qvec", "qlabel", 2))
+    assert(pos.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+      == Seq((1L, 1L)))
   }
 
   test("prefixFilterPairs is LOSSLESS: equals brute-force shingle " +
