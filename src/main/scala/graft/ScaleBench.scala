@@ -103,6 +103,21 @@ object ScaleBench {
       3, 8, 16)
   }
 
+  /** Hard-negative mining with the same FIXED query workload: anchors
+    * from replica 0 only, while the label-filtered corpus side grows
+    * with the scale-up — the honest scaling probe for the q190/q192
+    * brute family (O(Q·N): linear in corpus size at fixed Q). */
+  private def hardNegFixedQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = v.filter(col("vec_id") % 40 === 0 &&
+        col("vec_id") < ReplicaStride)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    Similarity.hardNegativesTopK(v, "vec_id", "embedding", "label",
+      q, "query_id", "qvec", "qlabel", 3)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir =
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -133,12 +148,16 @@ object ScaleBench {
     graft.operators.SharedFrames.release()
     spark.catalog.clearCache()
 
+    // SPARK_GRAFT_SCALE_ONLY=q22_exact_dedup,hardneg_fixedq restricts
+    // the run (dev loop / probe validation)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = scala.collection.mutable.LinkedHashMap[String,
       (Double, Double)]()
     for (m <- Seq(1, mult)) {
       val dir = s"/tmp/graft_scale_x$m"
       buildReplica(spark, baseDir, m, dir)
-      for (q <- corpusQueries) {
+      for (q <- corpusQueries.filter(q => only.forall(_.contains(q)))) {
         // min of 2: the scaling exponent needs the intrinsic cost, not
         // a GC hiccup
         val t = math.min(
@@ -148,12 +167,17 @@ object ScaleBench {
           else (results.get(q).map(_._1).getOrElse(0.0), t)
         println(f"""{"q":"$q","mult":$m,"sec":$t%.3f}""")
       }
-      val t = math.min(timeOne("ann_ivf_fixedq", annFixedQ(spark, dir)),
-        timeOne("ann_ivf_fixedq", annFixedQ(spark, dir)))
-      results("ann_ivf_fixedq") =
-        if (m == 1) (t, results.get("ann_ivf_fixedq").map(_._2).getOrElse(0.0))
-        else (results.get("ann_ivf_fixedq").map(_._1).getOrElse(0.0), t)
-      println(f"""{"q":"ann_ivf_fixedq","mult":$m,"sec":$t%.3f}""")
+      for ((name, probe) <- Seq(
+          ("ann_ivf_fixedq", annFixedQ _),
+          ("hardneg_fixedq", hardNegFixedQ _))
+          if only.forall(_.contains(name))) {
+        val t = math.min(timeOne(name, probe(spark, dir)),
+          timeOne(name, probe(spark, dir)))
+        results(name) =
+          if (m == 1) (t, results.get(name).map(_._2).getOrElse(0.0))
+          else (results.get(name).map(_._1).getOrElse(0.0), t)
+        println(f"""{"q":"$name","mult":$m,"sec":$t%.3f}""")
+      }
     }
     val rows = results.map { case (q, (t1, tm)) =>
       f""""$q":{"t1":$t1%.3f,"t$mult":$tm%.3f,"ratio":${tm / t1}%.2f}"""
