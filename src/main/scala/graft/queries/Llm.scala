@@ -411,6 +411,67 @@ jac AS (
           .as("margin"))
   }
 
+  // ------------------------------------------------------------ q193
+
+  /** Cross-split near-dup leakage audit: does the content-hash split
+    * (q56's train/val assignment) leak near-duplicate pairs across the
+    * boundary? A val doc with a train-side near-dup is contaminated —
+    * its eval score measures memorization, not generalization. q92
+    * PREVENTS this by splitting on dedup clusters; this query AUDITS an
+    * arbitrary split against the verified near-dup pair graph and
+    * reports the leak rate plus the contaminated-val-doc count (the set
+    * to quarantine). Rides [[minhashPairsShared]] — the audit itself is
+    * two id-joins and one aggregate over the pair frame; the split
+    * column is a projection, never a shuffle of text. */
+  val q193 = Query(
+    "q193_split_leakage_audit",
+    s"""${minhashJacCtes("AND a.doc_id < b.doc_id")},
+       |pairs AS (SELECT doc_a, doc_b FROM jac WHERE j >= $MhThreshold),
+       |sp AS (
+       |  SELECT doc_id, CASE WHEN ${dHash64("text")} % 100 < 90
+       |    THEN 'train' ELSE 'val' END AS split
+       |  FROM documents),
+       |x AS (
+       |  SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+       |  FROM pairs p
+       |  JOIN sp sa ON sa.doc_id = p.doc_a
+       |  JOIN sp sb ON sb.doc_id = p.doc_b)
+       |SELECT
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN split_a != split_b THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_leaking,
+       |  ROUND(CAST(SUM(CASE WHEN split_a != split_b THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / COUNT(*), 6) AS leak_rate,
+       |  CAST((SELECT COUNT(*) FROM sp WHERE split = 'val') AS BIGINT)
+       |    AS n_val_docs,
+       |  CAST(COUNT(DISTINCT CASE WHEN split_a != split_b THEN
+       |    CASE WHEN split_a = 'val' THEN doc_a ELSE doc_b END END)
+       |    AS BIGINT) AS n_contaminated_val_docs
+       |FROM x""".stripMargin) { (s, dir) =>
+    val sp = Tables.documents(s, dir).select(col("doc_id"),
+      when(md5Long(col("text")) % 100 < 90, "train").otherwise("val")
+        .as("split"))
+    val x = minhashPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
+      .join(sp.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+    val leaks = col("split_a") =!= col("split_b")
+    val valSide = when(leaks,
+      when(col("split_a") === "val", col("doc_a")).otherwise(col("doc_b")))
+    val nVal = sp.filter(col("split") === "val")
+      .agg(count(lit(1)).as("n_val_docs"))
+    x.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(leaks, 1L).otherwise(0L)).cast("long").as("n_leaking"),
+        round(sum(when(leaks, 1.0).otherwise(0.0)) / count(lit(1)), 6)
+          .as("leak_rate"),
+        countDistinct(valSide).as("n_contaminated_val_docs"))
+      .crossJoin(broadcast(nVal))
+      .select(col("n_pairs"), col("n_leaking"), col("leak_rate"),
+        col("n_val_docs"), col("n_contaminated_val_docs"))
+  }
+
   // ------------------------------------------------------------ q25
 
   private val ShMaxHamming = 3
@@ -1782,5 +1843,5 @@ FROM h GROUP BY bucket""") { (s, dir) =>
 
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88,
-    q96, q97, q98, q128, q134, q164, q190, q192)
+    q96, q97, q98, q128, q134, q164, q190, q192, q193)
 }
