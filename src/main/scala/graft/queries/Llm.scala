@@ -411,6 +411,53 @@ jac AS (
           .as("margin"))
   }
 
+  // ------------------------------------------------------------ q194
+
+  private val DeadNorm2Q = 1000L // norm² < 0.001 ⇒ dead/collapsed
+
+  /** Embedding norm QA — the pre-training vector-space health panel:
+    * per label, vector count, dead-vector count (quantized squared
+    * norm below [[DeadNorm2Q]] ⇒ an all-zeros/collapsed embedding that
+    * poisons cosine math downstream), and the min/max/mean squared
+    * norm. Row-local strict left fold (`functions.aggregate`, the same
+    * fold DuckDB's `list_reduce` replays bit for bit), quantized to
+    * integer micros so the per-label sums are exact — the q99 inertia
+    * determinism contract applied to QA. One scan, map-side-combinable
+    * aggregates, no joins. */
+  val q194 = Query(
+    "q194_embedding_norm_qa",
+    s"""WITH v AS (
+       |  SELECT label,
+       |    CAST(floor(list_reduce(
+       |      [x::DOUBLE * x::DOUBLE for x in embedding],
+       |      (a, b) -> a + b) * 1000000) AS BIGINT) AS n2q
+       |  FROM embeddings)
+       |SELECT CAST(label AS BIGINT) AS label,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(CASE WHEN n2q < $DeadNorm2Q THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dead,
+       |  CAST(MIN(n2q) AS BIGINT) AS min_norm2q,
+       |  CAST(MAX(n2q) AS BIGINT) AS max_norm2q,
+       |  ROUND(CAST(SUM(n2q) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+       |    AS mean_norm2
+       |FROM v GROUP BY 1""".stripMargin) { (s, dir) =>
+    val n2 = aggregate(
+      transform(col("embedding"),
+        x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    Tables.embeddings(s, dir)
+      .select(col("label"), floor(n2 * lit(1000000.0d)).cast("long")
+        .as("n2q"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("n2q") < DeadNorm2Q, 1L).otherwise(0L)).cast("long")
+          .as("n_dead"),
+        min(col("n2q")).as("min_norm2q"),
+        max(col("n2q")).as("max_norm2q"),
+        round(sum(col("n2q")).cast("double")
+          / (count(lit(1)) * lit(1000000.0d)), 6).as("mean_norm2"))
+  }
+
   // ------------------------------------------------------------ q193
 
   /** Cross-split near-dup leakage audit: does the content-hash split
@@ -1843,5 +1890,5 @@ FROM h GROUP BY bucket""") { (s, dir) =>
 
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88,
-    q96, q97, q98, q128, q134, q164, q190, q192, q193)
+    q96, q97, q98, q128, q134, q164, q190, q192, q193, q194)
 }
