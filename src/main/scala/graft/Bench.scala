@@ -35,10 +35,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: two representative queries absorb the one-off
+    // untimed warmup: representative queries absorb the one-off
     // whole-stage-codegen/JIT infra startup (~5-10 s) that would
-    // otherwise land on whichever timed query happens to run first
-    Seq("q1_pricing_summary", "q12_daily_anomalies").foreach { q =>
+    // otherwise land on whichever timed query happens to run first.
+    // q111 joins the list because the iterative-join codegen of the
+    // graph family showed residual first-run outliers (r6: 92.7 s vs
+    // 21 s median; r7 run B: 31 s vs 8 s) — its shared/internal caches
+    // are released below, so the timed run still rebuilds all data
+    // from cold and only the JIT warmth carries over
+    Seq("q1_pricing_summary", "q12_daily_anomalies",
+        "q111_pagerank").foreach { q =>
       try { SparkEntry.queries(q)(spark, sfDir).count(); () }
       catch { case _: Throwable => () }
     }
