@@ -32,6 +32,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the engine contract (SURVEY §1.2) and the NTZ→Timestamp coercion
+      // in Tables both assume UTC wall-clock ≡ instant; an unpinned
+      // session on a non-UTC machine would time a shifted workload
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -70,11 +74,16 @@ object Bench {
       for (name <- names) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: " +
-            Option(e.getMessage).getOrElse("")
-              .replaceAll("""[\\"\n\r\t]""", " ").take(200)
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+            // strip EVERY control char plus the JSON specials — any raw
+            // char below U+0020 in the message would break json.load of the
+            // evidence file (the same contract Verify's escaper upholds)
+            errors(name) = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("")
+                .replaceAll("""[\\"\p{Cntrl}]""", " ").take(200)
+            false
+          }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // operator-internal frames die with the query; shared frames
         // (built inside whichever query first asked) live to sweep end —
@@ -85,7 +94,11 @@ object Bench {
         // debris; collecting between queries keeps late queries from
         // paying the GC bill of earlier ones (observed up to 2.5x)
         System.gc()
-        times(name) = elapsed :: times(name)
+        // error-exit elapsed must NOT become a timing: only successful
+        // runs enter the medians, so an all-reps-failed query appears in
+        // `errors` ONLY (absent from `queries` and the total) instead of
+        // contributing a bogus ~0.1 s median
+        if (ok) times(name) = elapsed :: times(name)
       }
       graft.operators.SharedFrames.release()
       spark.catalog.clearCache()
@@ -97,7 +110,9 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     def r3(v: Double): String = f"$v%.3f"
-    val medians = names.map(n => n -> median(times(n)))
+    // queries with zero successful runs live in `errors` only
+    val medians = names.filter(times(_).nonEmpty)
+      .map(n => n -> median(times(n)))
     val total = medians.map(_._2).sum
     val sfShort = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse(sfDir)

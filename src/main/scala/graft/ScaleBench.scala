@@ -126,6 +126,9 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same UTC pin as Verify/Bench — the NTZ→Timestamp coercion and
+      // every date-bucketing query assume wall-clock ≡ instant
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -326,6 +326,21 @@ jac AS (
     * q24 baseline; the oracle is q24's with the label-mismatch
     * predicate added pre-rank (filtering after rank would be wrong —
     * a same-label neighbor must not consume a rank slot). */
+  /** The hard-negative top-[[HnK]] frame — SHARED: q190 reports it,
+    * q192's negative leg is its rank-1 prefix (the same (score desc,
+    * id) order makes the prefix exact, the q24/q53 sharing argument). */
+  private def hardNegativesShared(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, dir, "hard_negatives",
+        s"$HnK:$TopkEvery")) {
+      val v = Tables.embeddings(s, dir)
+      val q = v.filter(col("vec_id") % TopkEvery === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qvec"), col("label").as("qlabel"))
+      Similarity.hardNegativesTopK(v, "vec_id", "embedding", "label",
+        q, "query_id", "qvec", "qlabel", HnK)
+    }
+
   val q190 = Query(
     "q190_hard_negatives",
     s"""WITH v AS (
@@ -346,12 +361,7 @@ jac AS (
        |SELECT query_id, CAST(rk AS BIGINT) AS rank, id AS neighbor_id,
        |  ROUND(score, 6) AS cosine
        |FROM r WHERE rk <= $HnK""".stripMargin) { (s, dir) =>
-    val v = Tables.embeddings(s, dir)
-    val q = v.filter(col("vec_id") % TopkEvery === 0)
-      .select(col("vec_id").as("query_id"),
-        col("embedding").as("qvec"), col("label").as("qlabel"))
-    Similarity.hardNegativesTopK(v, "vec_id", "embedding", "label",
-      q, "query_id", "qvec", "qlabel", HnK)
+    hardNegativesShared(s, dir)
   }
 
   // ------------------------------------------------------------ q192
@@ -399,8 +409,9 @@ jac AS (
         "label", q, "query_id", "qvec", "qlabel", 1)
       .select(col("query_id"), col("neighbor_id").as("positive_id"),
         col("cosine").as("positive_cosine"))
-    val neg = Similarity.hardNegativesTopK(v, "vec_id", "embedding",
-        "label", q, "query_id", "qvec", "qlabel", 1)
+    // the hardest negative is the shared q190 frame's rank-1 prefix —
+    // no second brute scan
+    val neg = hardNegativesShared(s, dir).filter(col("rank") === 1)
       .select(col("query_id"), col("neighbor_id").as("negative_id"),
         col("cosine").as("negative_cosine"))
     pos.join(neg, "query_id")
@@ -495,9 +506,12 @@ jac AS (
        |    CASE WHEN split_a = 'val' THEN doc_a ELSE doc_b END END)
        |    AS BIGINT) AS n_contaminated_val_docs
        |FROM x""".stripMargin) { (s, dir) =>
-    val sp = Tables.documents(s, dir).select(col("doc_id"),
-      when(md5Long(col("text")) % 100 < 90, "train").otherwise("val")
-        .as("split"))
+    // one text-hash scan: the (doc_id, split) projection is consumed
+    // three times (two pair joins + the val-count aggregate)
+    val sp = graft.operators.InternalCache.persist(
+      Tables.documents(s, dir).select(col("doc_id"),
+        when(md5Long(col("text")) % 100 < 90, "train").otherwise("val")
+          .as("split")))
     val x = minhashPairsShared(s, dir).select(col("doc_a"), col("doc_b"))
       .join(sp.select(col("doc_id").as("doc_a"),
         col("split").as("split_a")), "doc_a")

@@ -47,10 +47,17 @@ object Tables {
     *  - TIMESTAMP(MICROS, adjusted): already TimestampType; pass through. */
   private def loadNanosAware(spark: SparkSession, dir: String,
       name: String, tsCol: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(load(spark, dir, name), tsCol)
+  }
+
+  /** THE single coercion policy for timestamp-column fixture drift —
+    * batch reads go through [[loadNanosAware]], streaming staging reads
+    * (`graft.streaming.Streaming`) call this directly on their frames.
+    * One place to extend when the generator ships a new encoding. */
+  private[graft] def normalizeTs(df: DataFrame, tsCol: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, name)
     df.schema(tsCol).dataType match {
       case LongType =>
         df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.LongType
 
 import graft.functions.Functions._
 
@@ -21,20 +20,12 @@ import graft.functions.Functions._
 object Streaming {
 
   /** Normalize an events frame's `ts` to session-zoned TimestampType —
-    * the same fixture-drift coercions as the batch reader
-    * (`Tables.events`): INT64 nanos → truncate to micros (integer
-    * `div`; ns epochs exceed double's exact range); TIMESTAMP_NTZ →
-    * cast (session TZ is pinned UTC, so wall-clock ≡ instant and
-    * watermarks/`unix_micros` work again). Works on batch and
-    * streaming frames alike — it is a pure projection. */
+    * delegates to the ONE coercion policy (`Tables.normalizeTs`), so a
+    * future fixture-encoding drift is handled in a single place for
+    * batch and streaming alike (it is a pure projection, valid on
+    * streaming frames). */
   private def normalizeTs(df: DataFrame): DataFrame =
-    df.schema("ts").dataType match {
-      case LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
-    }
+    graft.sources.Tables.normalizeTs(df, "ts")
 
   /** Streaming daily rollup over a parquet events source, executed to
     * completion with `Trigger.AvailableNow` and returned as a plain

@@ -198,9 +198,21 @@ class PlanContractSpec extends SparkSpec {
       p176.take(2000))
   }
 
-  test("q190: the query set broadcasts; the corpus aggregates map-side " +
-      "(one exchange, for the per-query TopK merge)") {
-    val p = plan("q190_hard_negatives")
+  test("hard-negative mining: the query set broadcasts; the corpus " +
+      "aggregates map-side (one exchange, for the per-query TopK merge)") {
+    // the operator plan directly (q190 itself serves the SharedFrames-
+    // persisted result, whose InMemoryTableScan wrapper would obscure
+    // the build plan under test)
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val v = Tables.embeddings(spark, dir)
+    val q = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qvec"), col("label").as("qlabel"))
+    val p = Similarity.hardNegativesTopK(v, "vec_id", "embedding",
+      "label", q, "query_id", "qvec", "qlabel", 3)
+      .queryExecution.executedPlan.toString
     // brute scan is DELIBERATELY a broadcast nested-loop (every corpus
     // row scores every query), but the corpus itself must never
     // shuffle before the partial TopK: one hash exchange only
