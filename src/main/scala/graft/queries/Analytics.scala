@@ -2412,9 +2412,83 @@ object Analytics {
       .unionByName(unreached)
   }
 
+  // ------------------------------------------------------------ q195
+
+  private val LpaIters = 3
+
+  /** Community detection over the part↔supplier sourcing graph (the
+    * q111/q179 shared edge frame) by SYNCHRONOUS label propagation:
+    * every node starts as its own label, and each of [[LpaIters]]
+    * rounds every node adopts the most frequent label among its
+    * neighbors (ties broken by smallest label) — the classic
+    * near-linear community detector (Raghavan et al. 2007), made fully
+    * deterministic by the synchronous schedule and the total
+    * (count desc, label asc) tie-break, so a SQL engine replays it
+    * round for round (the oracle unrolls the same [[LpaIters]] CTEs).
+    *
+    * Scale posture: each round is ONE equi-join of the cached edge
+    * frame with the (node, label) frame plus one map-side-combinable
+    * count and one PER-NODE window — the O(iters·m) Pregel schedule,
+    * no driver-side state, no global window. A fixed round count
+    * (not convergence-polled) keeps the plan static; on the bipartite
+    * sourcing graph 3 rounds is past the oscillation horizon the
+    * sync schedule can exhibit. */
+  val q195 = Query(
+    "q195_label_propagation", {
+      val iterCtes = (1 to LpaIters).map { i =>
+        s"""n$i AS (
+           |  SELECT e.src, l.label, COUNT(*) AS cnt
+           |  FROM e JOIN l${i - 1} l ON l.node = e.dst
+           |  GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT src AS node, label FROM (
+           |    SELECT src, label,
+           |      row_number() OVER (PARTITION BY src
+           |        ORDER BY cnt DESC, label) AS rk
+           |    FROM n$i) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pe AS (
+         |  SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM lineitem),
+         |e AS (SELECT a AS src, b AS dst FROM pe
+         |  UNION ALL SELECT b AS src, a AS dst FROM pe),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |$iterCtes
+         |SELECT label AS community,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(CASE WHEN node LIKE 'p:%' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_parts,
+         |  CAST(SUM(CASE WHEN node LIKE 's:%' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_suppliers,
+         |  MIN(node) AS first_member
+         |FROM l$LpaIters GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+    val e = partSupplierEdges(s, dir)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to LpaIters) {
+      val neigh = e
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      labels = neigh.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("src").as("node"), col("label"))
+    }
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("node").startsWith("p:"), 1).otherwise(0))
+          .cast("long").as("n_parts"),
+        sum(when(col("node").startsWith("s:"), 1).otherwise(0))
+          .cast("long").as("n_suppliers"),
+        min(col("node")).as("first_member"))
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
     q127, q129, q130, q131, q132, q133, q140, q142, q151, q152, q153,
     q154, q156, q157, q159, q161, q162, q163, q167, q169, q170, q171,
-    q179, q181, q183, q184)
+    q179, q181, q183, q184, q195)
 }
