@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, InternalCache, NaiveBayes, Ranking, Sampling, TfIdf}
+import graft.operators.{Graph, InternalCache, NaiveBayes, Ranking, Sampling, SharedFrames, TfIdf}
 import graft.sources.Tables
 
 /** Text/data-mining operators beyond the dedup + ANN families:
@@ -229,71 +229,87 @@ object Mining {
     * exact integer sums; ranking is per-query partitioned (never a
     * global window). Only probe-term postings are scored — the corpus
     * is scanned once and never joined to itself. */
+  /** The BM25 oracle CTE chain up to `sc` (query_id, doc_id,
+    * integer-quantized score) — shared verbatim by q141 and the q200
+    * fusion oracle so both replay the identical scorer. */
+  private val bmOracleCtes: String = {
+    val probeRows = BmProbes
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""probes(query_id, term) AS (VALUES $probeRows),
+       |t AS (
+       |  SELECT doc_id, unnest($DTokens) AS word FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+       |g AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+       |tf AS (
+       |  SELECT p.query_id, t.doc_id, t.word, COUNT(*) AS tf
+       |  FROM t JOIN probes p ON p.term = t.word
+       |  GROUP BY 1, 2, 3),
+       |df AS (
+       |  SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT tf.query_id, tf.doc_id,
+       |    CAST(SUM(CAST(round(
+       |      ln(1.0 + (g.n::DOUBLE - df.df::DOUBLE + 0.5)
+       |        / (df.df::DOUBLE + 0.5))
+       |      * ((tf.tf::DOUBLE * 2.2) / (tf.tf::DOUBLE
+       |        + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE
+       |          / (g.tot::DOUBLE / g.n::DOUBLE)))))
+       |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score
+       |  FROM tf
+       |  JOIN df USING (word)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN g
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The BM25 scored frame (query_id, doc_id, score): probe-matched
+    * docs only, per-(doc, term) contributions quantized to a 1e-6
+    * integer grid so per-doc scores are exact integer sums. SHARED
+    * (materialized once per run) between q141's ranking and q200's
+    * lexical fusion leg. */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, "bm25sc", dir)) {
+      import s.implicits._
+      val probes = broadcast(BmProbes.toDF("query_id", "term"))
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.Functions.tokens(col("text"))).as("word"))
+      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val g = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+      val tf = t.join(probes, probes("term") === t("word"))
+        .groupBy(col("query_id"), col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val dD = col("df").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n").cast("double") - dD + lit(0.5)) / (dD + lit(0.5)))
+      val tfD = col("tf").cast("double")
+      val tfc = (tfD * lit(2.2)) / (tfD +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") /
+          (col("tot").cast("double") / col("n").cast("double")))))
+      tf.join(broadcast(df), Seq("word"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(g))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(round(idf * tfc * lit(1000000.0)).cast("long"))
+          .as("score"))
+    }
+
   val q141 = Query(
-    "q141_bm25_search", {
-      val probeRows = BmProbes
-        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-      s"""WITH probes(query_id, term) AS (VALUES $probeRows),
-         |t AS (
-         |  SELECT doc_id, unnest($DTokens) AS word FROM documents),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
-         |g AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
-         |tf AS (
-         |  SELECT p.query_id, t.doc_id, t.word, COUNT(*) AS tf
-         |  FROM t JOIN probes p ON p.term = t.word
-         |  GROUP BY 1, 2, 3),
-         |df AS (
-         |  SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-         |sc AS (
-         |  SELECT tf.query_id, tf.doc_id,
-         |    CAST(SUM(CAST(round(
-         |      ln(1.0 + (g.n::DOUBLE - df.df::DOUBLE + 0.5)
-         |        / (df.df::DOUBLE + 0.5))
-         |      * ((tf.tf::DOUBLE * 2.2) / (tf.tf::DOUBLE
-         |        + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE
-         |          / (g.tot::DOUBLE / g.n::DOUBLE)))))
-         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score
-         |  FROM tf
-         |  JOIN df USING (word)
-         |  JOIN dl ON dl.doc_id = tf.doc_id
-         |  CROSS JOIN g
-         |  GROUP BY 1, 2)
-         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score
-         |FROM (
-         |  SELECT query_id, doc_id, score, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-         |  FROM sc)
-         |WHERE rnk <= $BmK""".stripMargin
-    }) { (s, dir) =>
-    import s.implicits._
-    val probes = broadcast(BmProbes.toDF("query_id", "term"))
-    val t = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.Functions.tokens(col("text"))).as("word"))
-    val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val g = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
-    val tf = t.join(probes, probes("term") === t("word"))
-      .groupBy(col("query_id"), col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("word"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val dD = col("df").cast("double")
-    val idf = log(lit(1.0) +
-      (col("n").cast("double") - dD + lit(0.5)) / (dD + lit(0.5)))
-    val tfD = col("tf").cast("double")
-    val tfc = (tfD * lit(2.2)) / (tfD +
-      lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") /
-        (col("tot").cast("double") / col("n").cast("double")))))
-    val sc = tf
-      .join(broadcast(df), Seq("word"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(g))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(round(idf * tfc * lit(1000000.0)).cast("long")).as("score"))
-    sc.withColumn("rnk",
-        row_number().over(org.apache.spark.sql.expressions.Window
+    "q141_bm25_search",
+    s"""WITH $bmOracleCtes
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score
+       |FROM (
+       |  SELECT query_id, doc_id, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $BmK""".stripMargin) { (s, dir) =>
+    bm25Scored(s, dir).withColumn("rnk",
+        row_number().over(Window
           .partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rnk") <= BmK)
@@ -652,6 +668,122 @@ object Mining {
           .otherwise(lit(null).cast("double")).as("oof_mean_price"))
   }
 
+  // ------------------------------------------------------------ q200
+
+  private val FusK = 20 // per-retriever candidate depth
+  private val FusOut = 10 // fused results per query
+  private val RrfC = 60 // the standard RRF constant (Cormack 2009)
+  private val RrfScale = 1000000000L // integer RRF grid: 1e9 div (c+r)
+
+  /** Hybrid retrieval via RECIPROCAL RANK FUSION: each probe query's
+    * BM25 top-[[FusK]] (the q141 lexical retriever, shared scored
+    * frame — not recomputed) is fused with a dense top-[[FusK]] from
+    * the embedding space, by summing `1e9 div (60 + rank)` points per
+    * list — the standard fuse for lexical×dense rankings with
+    * incomparable scores (and the production answer when only SOME
+    * docs are embedded: RRF never compares raw scores, so partial
+    * dense coverage degrades gracefully instead of skewing).
+    *
+    * The dense query vector is pseudo-relevance feedback: the centroid
+    * of the embeddings of the query's term-matched docs — per-dim sums
+    * quantized to an integer grid (exact, order-independent), one
+    * dim-level shuffle of the (small) matched set. The corpus is then
+    * scanned ONCE against the broadcast centroids (the q24 shape) and
+    * everything downstream of the two rank windows is pure integer
+    * arithmetic — fusion points, ties, and final ranking replay
+    * exactly in the oracle. */
+  val q200 = Query(
+    "q200_hybrid_rank_fusion",
+    s"""WITH $bmOracleCtes,
+       |lexr AS (
+       |  SELECT query_id, doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+       |  FROM sc),
+       |lex AS (
+       |  SELECT query_id, doc_id,
+       |    $RrfScale // ($RrfC + rnk) AS lex_pts
+       |  FROM lexr WHERE rnk <= $FusK),
+       |v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e
+       |  FROM embeddings),
+       |md AS (SELECT DISTINCT query_id, doc_id FROM sc),
+       |me AS (SELECT md.query_id, v.e FROM md
+       |  JOIN v ON v.vec_id = md.doc_id),
+       |ex AS (SELECT query_id,
+       |    unnest(range(1, len(e) + 1)) AS pos,
+       |    unnest([CAST(floor(x * 1000000.0) AS BIGINT) for x in e])
+       |      AS qx
+       |  FROM me),
+       |cs AS (SELECT query_id, pos, SUM(qx) AS sq, COUNT(*) AS nq
+       |  FROM ex GROUP BY 1, 2),
+       |cent AS (SELECT query_id,
+       |    list(sq::DOUBLE / (nq * 1000000) ORDER BY pos) AS c
+       |  FROM cs GROUP BY 1),
+       |ds AS (SELECT cent.query_id, v.vec_id AS doc_id,
+       |    ${Llm.dCosine("cent.c", "v.e")} AS cos
+       |  FROM v CROSS JOIN cent),
+       |dnr AS (SELECT query_id, doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk
+       |  FROM ds),
+       |den AS (
+       |  SELECT query_id, doc_id,
+       |    $RrfScale // ($RrfC + rnk) AS den_pts
+       |  FROM dnr WHERE rnk <= $FusK),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    COALESCE(lex_pts, 0) + COALESCE(den_pts, 0) AS rrf,
+       |    lex_pts IS NOT NULL AS in_lexical,
+       |    den_pts IS NOT NULL AS in_dense
+       |  FROM lex FULL JOIN den USING (query_id, doc_id)),
+       |r AS (SELECT query_id, doc_id, rrf, in_lexical, in_dense,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS rk
+       |  FROM fused)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rnk, doc_id,
+       |  CAST(rrf AS BIGINT) AS rrf_pts, in_lexical, in_dense
+       |FROM r WHERE rk <= $FusOut""".stripMargin) { (s, dir) =>
+    val sc = bm25Scored(s, dir)
+    val wq = Window.partitionBy(col("query_id"))
+    val lexr = sc.withColumn("rnk", row_number().over(
+        wq.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rnk") <= FusK)
+      .select(col("query_id"), col("doc_id"),
+        expr(s"${RrfScale}L div ($RrfC + rnk)").as("lex_pts"))
+    val v = Tables.embeddings(s, dir).select(col("vec_id"),
+      graft.functions.Functions.toDoubleArray(col("embedding")).as("e"))
+    val md = sc.select(col("query_id"), col("doc_id")).distinct()
+    val me = md.join(v, md("doc_id") === v("vec_id"))
+      .select(col("query_id"), col("e"))
+    val ex = me.select(col("query_id"), posexplode(col("e")))
+      .select(col("query_id"), col("pos"),
+        floor(col("col") * lit(1000000.0d)).cast("long").as("qx"))
+    val cs = ex.groupBy(col("query_id"), col("pos"))
+      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("nq"))
+    val cent = cs.groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        (col("sq").cast("double") / (col("nq") * lit(1000000L)))
+          .as("cx")))), x => x.getField("cx")).as("c"))
+    val ds = v.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        graft.functions.Functions.cosine(col("c"), col("e")).as("cos"))
+    val denr = ds.withColumn("rnk", row_number().over(
+        wq.orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("rnk") <= FusK)
+      .select(col("query_id"), col("doc_id"),
+        expr(s"${RrfScale}L div ($RrfC + rnk)").as("den_pts"))
+    val fused = lexr.join(denr, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("lex_pts"), lit(0L)) +
+          coalesce(col("den_pts"), lit(0L))).as("rrf"),
+        col("lex_pts").isNotNull.as("in_lexical"),
+        col("den_pts").isNotNull.as("in_dense"))
+    fused.withColumn("rk", row_number().over(
+        wq.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rk") <= FusOut)
+      .select(col("query_id"), col("rk").cast("long").as("rnk"),
+        col("doc_id"), col("rrf").cast("long").as("rrf_pts"),
+        col("in_lexical"), col("in_dense"))
+  }
+
   val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144,
-    q146, q158, q166, q186)
+    q146, q158, q166, q186, q200)
 }
