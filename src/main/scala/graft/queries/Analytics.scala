@@ -2426,19 +2426,25 @@ object Analytics {
     * (count desc, label asc) tie-break, so a SQL engine replays it
     * round for round (the oracle unrolls the same [[LpaIters]] CTEs).
     *
+    * Each node's OWN current label joins the vote (a self-loop of
+    * weight 1): plain synchronous LPA 2-cycles on bipartite graphs
+    * (each side adopts the other's labels forever — and this graph IS
+    * bipartite), while the self-vote anchors converged nodes and is
+    * the standard convergence fix for the synchronous schedule.
+    *
     * Scale posture: each round is ONE equi-join of the cached edge
     * frame with the (node, label) frame plus one map-side-combinable
     * count and one PER-NODE window — the O(iters·m) Pregel schedule,
     * no driver-side state, no global window. A fixed round count
-    * (not convergence-polled) keeps the plan static; on the bipartite
-    * sourcing graph 3 rounds is past the oscillation horizon the
-    * sync schedule can exhibit. */
+    * (not convergence-polled) keeps the plan static. */
   val q195 = Query(
     "q195_label_propagation", {
       val iterCtes = (1 to LpaIters).map { i =>
         s"""n$i AS (
-           |  SELECT e.src, l.label, COUNT(*) AS cnt
-           |  FROM e JOIN l${i - 1} l ON l.node = e.dst
+           |  SELECT src, label, COUNT(*) AS cnt FROM (
+           |    SELECT e.src, l.label
+           |    FROM e JOIN l${i - 1} l ON l.node = e.dst
+           |    UNION ALL SELECT node AS src, label FROM l${i - 1})
            |  GROUP BY 1, 2),
            |l$i AS (
            |  SELECT src AS node, label FROM (
@@ -2468,8 +2474,11 @@ object Analytics {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to LpaIters) {
-      val neigh = e
+      val votes = e
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src"), col("label"))
+        .unionByName(labels.select(col("node").as("src"), col("label")))
+      val neigh = votes
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy(col("src"))
         .orderBy(col("cnt").desc, col("label").asc)

@@ -108,10 +108,11 @@ object Modeling {
       |  FROM x),
       |g AS (
       |  SELECT n_rows, nd, s1d, s2d, syd, c1d, c2d, syycd, detd,
-      |    b1nd / detd AS beta1, b2nd / detd AS beta2
+      |    CASE WHEN detd != 0.0 THEN b1nd / detd END AS beta1,
+      |    CASE WHEN detd != 0.0 THEN b2nd / detd END AS beta2
       |  FROM f)
       |SELECT n_rows,
-      |  ROUND(syd / nd, 6) AS mean_price,
+      |  CASE WHEN nd != 0.0 THEN ROUND(syd / nd, 6) END AS mean_price,
       |  CASE WHEN detd != 0.0 THEN
       |    ROUND(((syd - (beta1 * s1d)) - (beta2 * s2d)) / nd, 6)
       |  END AS beta_intercept,
@@ -159,12 +160,16 @@ object Modeling {
       dd(col("c1")).as("c1d"), dd(col("c2")).as("c2d"),
       dd(col("syyc")).as("syycd"), dd(col("det")).as("detd"),
       dd(col("b1n")).as("b1nd"), dd(col("b2n")).as("b2nd"))
+    // ANSI mode: division by zero throws, so the degenerate-design
+    // (det = 0) and empty-input (n = 0) divisions must be gated BEFORE
+    // they evaluate, identically in the oracle's CASE WHEN
     val g = f.select(col("*"),
-      (col("b1nd") / col("detd")).as("beta1"),
-      (col("b2nd") / col("detd")).as("beta2"))
+      when(col("detd") =!= 0.0d, col("b1nd") / col("detd")).as("beta1"),
+      when(col("detd") =!= 0.0d, col("b2nd") / col("detd")).as("beta2"))
     val fit = col("detd") =!= 0.0d
     g.select(col("n_rows"),
-      round(col("syd") / col("nd"), 6).as("mean_price"),
+      when(col("nd") =!= 0.0d, round(col("syd") / col("nd"), 6))
+        .as("mean_price"),
       when(fit, round(
         ((col("syd") - (col("beta1") * col("s1d"))) -
           (col("beta2") * col("s2d"))) / col("nd"), 6))
@@ -190,10 +195,13 @@ object Modeling {
     * map-side-combinable counts; the document-frequency and per-class
     * frames are vocabulary- and class-bounded (Heaps' law), so both
     * broadcast at any corpus size while the corpus itself is scanned
-    * once and shuffled only by word. The χ² value is a fixed
-    * parenthesized IEEE sequence over exact long counts (all < 2⁵³);
-    * ranking uses the raw double (identical in both engines), word
-    * tie-break. */
+    * once and shuffled only by word. Only terms PRESENT in a class are
+    * that class's candidates (the a=0 complement of another class's
+    * marker surfaces on that class's own list — χ² is symmetric —
+    * so nothing indicative is lost and the candidate set stays
+    * presence-bounded). The χ² value is a fixed parenthesized IEEE
+    * sequence over exact long counts (all < 2⁵³); ranking uses the
+    * raw double (identical in both engines), word tie-break. */
   val q197 = Query(
     "q197_chi2_terms",
     s"""WITH t0 AS (

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.{Analytics, Mining, Modeling}
+
+/** Semantics of the modeling/fusion/community queries on CONSTRUCTED
+  * fixtures with known closed-form answers (the oracle compare proves
+  * engine parity on real data; these prove the math is the math). Each
+  * test writes a tiny parquet fixture dir holding only the tables the
+  * query reads. */
+class ModelingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureDir(): String =
+    java.nio.file.Files.createTempDirectory("modeling_fix").toString
+
+  private def one(df: DataFrame) = rows(df).head
+
+  // ------------------------------------------------------------- q196
+
+  test("ols: exact linear data recovers the coefficients and r2 = 1") {
+    val dir = fixtureDir()
+    // y = 10 + 2*x1 + 3*x2 exactly, non-collinear xs
+    val pts = Seq((1, 1), (2, 3), (3, 2), (4, 5), (5, 4), (6, 6))
+    pts.map { case (x1, x2) =>
+      (x1.toDouble, x2 / 100.0, (10 + 2 * x1 + 3 * x2).toDouble)
+    }.toDF("l_quantity", "l_discount", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = one(Modeling.q196.fn(spark, dir))
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Double]("beta_intercept") == 10.0)
+    assert(r.getAs[Double]("beta_quantity") == 2.0)
+    assert(r.getAs[Double]("beta_discount") == 3.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("ols: degenerate (constant regressors) yields null fit, not junk") {
+    val dir = fixtureDir()
+    Seq.fill(4)((5.0, 0.05, 123.0))
+      .toDF("l_quantity", "l_discount", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = one(Modeling.q196.fn(spark, dir))
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.isNullAt(r.fieldIndex("beta_quantity")))
+    assert(r.isNullAt(r.fieldIndex("r2")))
+    assert(r.getAs[Double]("mean_price") == 123.0)
+  }
+
+  // ------------------------------------------------------------- q197
+
+  private def writeDocs(dir: String,
+      docs: Seq[(Long, String, String, String, Long)]): Unit =
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+  test("chi2: the perfectly class-associated token ranks first") {
+    val dir = fixtureDir()
+    // "zebra" ⇔ en, "chien" ⇔ fr, "the" in every doc (df = n → dropped)
+    val docs =
+      (0L until 6L).map(i => (i, "zebra the", "en", "s", 9L)) ++
+        (6L until 12L).map(i => (i, "chien the", "fr", "s", 9L))
+    writeDocs(dir, docs)
+    val out = rows(Modeling.q197.fn(spark, dir))
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rk"),
+        r.getAs[String]("word"), r.getAs[Double]("chi2")))
+    // candidates are presence-bounded: each lang lists only its own
+    // marker (the other marker's a=0 association shows up on the other
+    // lang's list), and "the" (df = n) is filtered entirely
+    assert(out.toSet == Set(("en", 1L, "zebra", 12.0),
+      ("fr", 1L, "chien", 12.0))) // n=12 ⇒ χ² = n for perfect markers
+  }
+
+  // ------------------------------------------------------------- q198
+
+  test("auc: perfect separation is 1, all-tied is 0.5, inverted is 0") {
+    val dir = fixtureDir()
+    val docs = Seq(
+      // s1: every en doc longer than every fr doc → AUC 1
+      (0L, "x", "en", "s1", 100L), (1L, "x", "en", "s1", 200L),
+      (2L, "x", "fr", "s1", 10L), (3L, "x", "fr", "s1", 20L),
+      // s2: identical scores → mid-rank AUC exactly 0.5
+      (4L, "x", "en", "s2", 50L), (5L, "x", "fr", "s2", 50L),
+      // s3: every en doc shorter → AUC 0
+      (6L, "x", "en", "s3", 5L), (7L, "x", "fr", "s3", 500L))
+    writeDocs(dir, docs)
+    val out = rows(Modeling.q198.fn(spark, dir))
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("auc"))
+      .toMap
+    assert(out == Map("s1" -> 1.0, "s2" -> 0.5, "s3" -> 0.0))
+  }
+
+  // ------------------------------------------------------------- q199
+
+  test("psi: a shifted source scores far above an on-distribution one") {
+    val dir = fixtureDir()
+    val docs =
+      // s1/s2: identical length distributions (buckets 0 and 1)
+      (0L until 8L).map(i => (i, "x", "en",
+        if (i < 4) "s1" else "s2", if (i % 2 == 0) 50L else 150L)) ++
+        // s3: all mass in the top bucket — drifted
+        (8L until 12L).map(i => (i, "x", "en", "s3", 750L))
+    writeDocs(dir, docs)
+    val out = rows(Modeling.q199.fn(spark, dir))
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("psi"))
+      .toMap
+    assert(out("s1") == out("s2")) // same distribution ⇒ same PSI
+    assert(out("s3") > 0.4) // full-bucket shift is far past alarm (0.2)
+    assert(out("s1") < 0.4) // only smoothing + s3's pull on the ref
+    assert(out("s3") > out("s1"))
+  }
+
+  // ------------------------------------------------------------- q195
+
+  test("label propagation: disjoint components converge to one " +
+      "community each and never merge") {
+    val dir = fixtureDir()
+    // two disjoint complete-bipartite components
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (10L, 10L), (10L, 11L), (11L, 10L), (11L, 11L))
+    edges.toDF("l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = rows(Analytics.q195.fn(spark, dir))
+      .map(r => (r.getAs[String]("community"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_parts"), r.getAs[Long]("n_suppliers")))
+      .sortBy(_._1)
+    // self-vote LPA: each K2,2 collapses to its min part label;
+    // without the self-vote the bipartite sides would 2-cycle forever
+    assert(out == Seq(("p:1", 4L, 2L, 2L), ("p:10", 4L, 2L, 2L)))
+  }
+
+  // ------------------------------------------------------------- q200
+
+  test("rank fusion: fused points are the sum of the member lists' " +
+      "points and ranking is total") {
+    val dir = "/root/testdata/sf0.001"
+    val out = rows(Mining.q200.fn(spark, dir))
+    val byQ = out.groupBy(_.getAs[Int]("query_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rnk")).sorted
+      assert(ranks == (1L to ranks.length).toList) // dense, no gaps
+      assert(rs.map(_.getAs[Long]("doc_id")).distinct.size == rs.size)
+      rs.foreach { r =>
+        val pts = r.getAs[Long]("rrf_pts")
+        val inL = r.getAs[Boolean]("in_lexical")
+        val inD = r.getAs[Boolean]("in_dense")
+        assert(inL || inD) // a fused row came from somewhere
+        // points are sums of 1e9/(60+r) for r in 1..20 per membership
+        val unit = (1 to 20).map(r => 1000000000L / (60 + r))
+        val feasible =
+          (if (inL) unit else Seq(0L)).flatMap(a =>
+            (if (inD) unit else Seq(0L)).map(b => a + b)).toSet
+        assert(feasible.contains(pts))
+      }
+    }
+  }
+}
