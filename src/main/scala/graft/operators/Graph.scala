@@ -76,6 +76,47 @@ object Graph {
     pr
   }
 
+  /** `iters` rounds of SYNCHRONOUS label propagation (Raghavan et al.
+    * 2007) over directed `edges` (columns `src`, `dst`; every node must
+    * appear as a source, which holds for any bidirectional edge set).
+    * Returns `(node, label)`. Deterministic: the most frequent label
+    * among the node's neighbors PLUS its own current label (a self-loop
+    * of weight 1 — plain sync LPA 2-cycles on bipartite graphs, and the
+    * self-vote anchors converged nodes), ties broken by smallest label.
+    *
+    * Scale posture: the edge frame is cached PRE-PARTITIONED on `dst`
+    * (the join key), so each round is one exchange-free join of the
+    * small (node, label) frame against the edges, one
+    * map-side-combinable vote count, and one PER-NODE window — the
+    * O(iters·m) Pregel schedule, no driver-side state, no global
+    * window. Every round's label frame is persisted: the next round
+    * references it twice (neighbor votes + self votes), and without
+    * the cache the lineage doubles per round — 2^iters recomputation
+    * inside one action. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = InternalCache.persist(
+      edges.select(col("src"), col("dst")).repartition(col("dst")))
+    var labels = InternalCache.persist(
+      e.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src"), col("label"))
+        .unionByName(labels.select(col("node").as("src"), col("label")))
+      val neigh = votes.groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      labels = InternalCache.persist(
+        neigh.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("src").as("node"), col("label")))
+    }
+    labels
+  }
+
   /** Breadth-first hop distance from a seed set: `maxHops` rounds of
     * frontier expansion over directed `edges` (columns `src`, `dst`).
     * Returns `(node, hop)` for every node reached within `maxHops`

@@ -2470,22 +2470,8 @@ object Analytics {
          |  MIN(node) AS first_member
          |FROM l$LpaIters GROUP BY 1""".stripMargin
     }) { (s, dir) =>
-    val e = partSupplierEdges(s, dir)
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    for (_ <- 1 to LpaIters) {
-      val votes = e
-        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-        .select(col("src"), col("label"))
-        .unionByName(labels.select(col("node").as("src"), col("label")))
-      val neigh = votes
-        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("cnt").desc, col("label").asc)
-      labels = neigh.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("src").as("node"), col("label"))
-    }
+    val labels = Graph.labelPropagation(partSupplierEdges(s, dir),
+      LpaIters)
     labels.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"),
         sum(when(col("node").startsWith("p:"), 1).otherwise(0))
