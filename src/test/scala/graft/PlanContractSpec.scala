@@ -198,6 +198,50 @@ class PlanContractSpec extends SparkSpec {
       p176.take(2000))
   }
 
+  private def assertNoGlobalWindow(p: String): Unit = {
+    val bad = p.linesIterator.map(_.replaceFirst("^[-+:*(0-9)\\s]*", ""))
+      .filter(_.startsWith("Window "))
+      .filterNot(_.matches(".*\\], \\[.*\\], \\[.*"))
+      .toList
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("q196: the OLS fit is one map-side-combinable aggregate — " +
+      "no joins, no windows") {
+    val p = plan("q196_ols_price_model")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("q197: df/class-marginal tables broadcast — the presence " +
+      "stream never sort-merge-joins") {
+    val p = plan("q197_chi2_terms")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q198: the AUC cumulative window is partitioned (never global)") {
+    val p = plan("q198_quality_auc")
+    assertNoGlobalWindow(p)
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("q195: LPA windows are per-node partitioned; no cartesians") {
+    val p = plan("q195_label_propagation")
+    assertNoGlobalWindow(p)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    graft.operators.InternalCache.release()
+  }
+
+  test("q200: fusion centroids broadcast; rank windows partitioned; " +
+      "no cartesian product") {
+    val p = plan("q200_hybrid_rank_fusion")
+    assertNoGlobalWindow(p)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+
   test("hard-negative mining: the query set broadcasts; the corpus " +
       "aggregates map-side (one exchange, for the per-query TopK merge)") {
     // the operator plan directly (q190 itself serves the SharedFrames-
