@@ -87,7 +87,12 @@ object ScaleBench {
     "q148_bpe_encode", "q164_pmi_collocations", "q166_doc_keywords",
     "q173_survivorship_dedup", "q174_canary_decontamination",
     "q175_segment_dedup", "q176_dp_release", "q177_source_cap",
-    "q180_rendezvous_resharding", "q182_snapshot_diff")
+    "q180_rendezvous_resharding", "q182_snapshot_diff",
+    // round-7 continuation: feature-selection/eval/drift/fusion
+    // (q200's probe terms are FIXED, so the corpus side alone grows —
+    // the honest retrieval scaling shape)
+    "q197_chi2_terms", "q198_quality_auc", "q199_psi_drift",
+    "q200_hybrid_rank_fusion", "q202_calibration_bins")
 
   /** ANN with a FIXED query workload (replica 0 queries only): a corpus
     * scale-up grows the indexed side, not the query side — without the

@@ -2481,9 +2481,84 @@ object Analytics {
         min(col("node")).as("first_member"))
   }
 
+  // ------------------------------------------------------------ q201
+
+  private val SpWidth = 50 // value-bucket width
+  private val SpB = 10 // fixed bucket count
+
+  /** STREAMING drift monitor: micro-batches maintain a
+    * day-partitioned (day, bucket, count) histogram state table
+    * ([[graft.streaming.Streaming.streamIntoBucketCounts]] — additive
+    * merge into touched partitions only, replay-guarded), and the
+    * readout computes each day's PSI of the event-value distribution
+    * against the whole-period reference — q199's alarm pointed at a
+    * stream, with the reference derived from the SAME state table (one
+    * rollup, no second fact scan). Fixed data-independent bucket edges
+    * mean every micro-batch/replay buckets identically, which is what
+    * makes histogram state mergeable at all. Oracle replays the batch
+    * equivalent — the streamed state table must equal the batch
+    * aggregate exactly (the q127/q171 exactly-once contract). */
+  val q201 = Query(
+    "q201_stream_psi_drift",
+    s"""WITH d AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    LEAST(CAST(floor(value / $SpWidth) AS BIGINT), ${SpB - 1})
+       |      AS b
+       |  FROM events),
+       |db AS (SELECT day, b, COUNT(*) AS c FROM d GROUP BY 1, 2),
+       |dt AS (SELECT day, SUM(c) AS tot FROM db GROUP BY 1),
+       |rb AS (SELECT b, SUM(c) AS rc FROM db GROUP BY 1),
+       |rt AS (SELECT SUM(c) AS rtot FROM db),
+       |grid AS (
+       |  SELECT dd.day, g.b
+       |  FROM (SELECT DISTINCT day FROM d) dd
+       |  CROSS JOIN (SELECT UNNEST(range($SpB)) AS b) g),
+       |terms AS (
+       |  SELECT grid.day, dt.tot,
+       |    (COALESCE(db.c, 0) + 1.0) / (dt.tot + $SpB.0) AS p,
+       |    (COALESCE(rb.rc, 0) + 1.0) / (rt.rtot + $SpB.0) AS q
+       |  FROM grid
+       |  LEFT JOIN db ON db.day = grid.day AND db.b = grid.b
+       |  JOIN dt ON dt.day = grid.day
+       |  LEFT JOIN rb ON rb.b = grid.b
+       |  CROSS JOIN rt)
+       |SELECT CAST(day AS TIMESTAMP) AS day,
+       |  CAST(MAX(tot) AS BIGINT) AS n_events,
+       |  round(SUM((p - q) * ln(p / q)), 6) AS psi
+       |FROM terms GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.sources.Ingest
+    val name = s"graft_strpsi_${math.abs(dir.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    Ingest.deletePath(s,
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+        s"/$name")
+    val db = graft.streaming.Streaming.streamIntoBucketCounts(
+      s, s"$dir/events.parquet", name, "2024-01-15 12:00:00",
+      SpWidth, SpB)
+    val dt = db.groupBy(col("day")).agg(sum(col("c")).as("tot"))
+    val rb = db.groupBy(col("b")).agg(sum(col("c")).as("rc"))
+    val rt = db.agg(sum(col("c")).as("rtot"))
+    val grid = db.select(col("day")).distinct()
+      .withColumn("b", explode(sequence(lit(0L), lit((SpB - 1).toLong))))
+    val terms = grid
+      .join(db, Seq("day", "b"), "left")
+      .join(dt, Seq("day"))
+      .join(broadcast(rb), Seq("b"), "left")
+      .crossJoin(broadcast(rt))
+      .select(col("day"), col("tot"),
+        ((coalesce(col("c"), lit(0L)) + 1.0d) /
+          (col("tot") + lit(SpB.toDouble))).as("p"),
+        ((coalesce(col("rc"), lit(0L)) + 1.0d) /
+          (col("rtot") + lit(SpB.toDouble))).as("q"))
+    terms.groupBy(col("day").cast("timestamp_ntz").as("day"))
+      .agg(max(col("tot")).cast("long").as("n_events"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+          .as("psi"))
+  }
+
   val all: Seq[Query] = Seq(q106, q107, q108, q109, q110, q111, q112,
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
     q127, q129, q130, q131, q132, q133, q140, q142, q151, q152, q153,
     q154, q156, q157, q159, q161, q162, q163, q167, q169, q170, q171,
-    q179, q181, q183, q184, q195)
+    q179, q181, q183, q184, q195, q201)
 }

@@ -675,6 +675,36 @@ object Mining {
   private val RrfC = 60 // the standard RRF constant (Cormack 2009)
   private val RrfScale = 1000000000L // integer RRF grid: 1e9 div (c+r)
 
+  /** The dense retrieval scored frame (query_id, doc_id, cos): every
+    * embedded doc's cosine to each probe query's pseudo-relevance-
+    * feedback centroid (the integer-grid exact mean embedding of the
+    * query's term-matched docs). SHARED between q200's dense fusion
+    * leg and q203's MMR candidate pool — one centroid build + one
+    * corpus scan per run. */
+  private def denseScored(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    SharedFrames.getOrBuild(SharedFrames.key(s, "fusion_dense", dir)) {
+      val sc = bm25Scored(s, dir)
+      val v = Tables.embeddings(s, dir).select(col("vec_id"),
+        graft.functions.Functions.toDoubleArray(col("embedding"))
+          .as("e"))
+      val md = sc.select(col("query_id"), col("doc_id")).distinct()
+      val me = md.join(v, md("doc_id") === v("vec_id"))
+        .select(col("query_id"), col("e"))
+      val ex = me.select(col("query_id"), posexplode(col("e")))
+        .select(col("query_id"), col("pos"),
+          floor(col("col") * lit(1000000.0d)).cast("long").as("qx"))
+      val cs = ex.groupBy(col("query_id"), col("pos"))
+        .agg(sum(col("qx")).as("sq"), count(lit(1)).as("nq"))
+      val cent = cs.groupBy(col("query_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          (col("sq").cast("double") / (col("nq") * lit(1000000L)))
+            .as("cx")))), x => x.getField("cx")).as("c"))
+      v.crossJoin(broadcast(cent))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          graft.functions.Functions.cosine(col("c"), col("e")).as("cos"))
+    }
+
   /** Hybrid retrieval via RECIPROCAL RANK FUSION: each probe query's
     * BM25 top-[[FusK]] (the q141 lexical retriever, shared scored
     * frame — not recomputed) is fused with a dense top-[[FusK]] from
@@ -692,17 +722,10 @@ object Mining {
     * everything downstream of the two rank windows is pure integer
     * arithmetic — fusion points, ties, and final ranking replay
     * exactly in the oracle. */
-  val q200 = Query(
-    "q200_hybrid_rank_fusion",
-    s"""WITH $bmOracleCtes,
-       |lexr AS (
-       |  SELECT query_id, doc_id, row_number() OVER (
-       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-       |  FROM sc),
-       |lex AS (
-       |  SELECT query_id, doc_id,
-       |    $RrfScale // ($RrfC + rnk) AS lex_pts
-       |  FROM lexr WHERE rnk <= $FusK),
+  /** Oracle CTEs through `ds` (the dense scored frame) — the SQL twin
+    * of [[denseScored]], shared by the q200 and q203 oracles. */
+  private val denseOracleCtes: String =
+    s"""$bmOracleCtes,
        |v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e
        |  FROM embeddings),
        |md AS (SELECT DISTINCT query_id, doc_id FROM sc),
@@ -720,7 +743,19 @@ object Mining {
        |  FROM cs GROUP BY 1),
        |ds AS (SELECT cent.query_id, v.vec_id AS doc_id,
        |    ${Llm.dCosine("cent.c", "v.e")} AS cos
-       |  FROM v CROSS JOIN cent),
+       |  FROM v CROSS JOIN cent)""".stripMargin
+
+  val q200 = Query(
+    "q200_hybrid_rank_fusion",
+    s"""WITH $denseOracleCtes,
+       |lexr AS (
+       |  SELECT query_id, doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+       |  FROM sc),
+       |lex AS (
+       |  SELECT query_id, doc_id,
+       |    $RrfScale // ($RrfC + rnk) AS lex_pts
+       |  FROM lexr WHERE rnk <= $FusK),
        |dnr AS (SELECT query_id, doc_id, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk
        |  FROM ds),
@@ -748,23 +783,7 @@ object Mining {
       .filter(col("rnk") <= FusK)
       .select(col("query_id"), col("doc_id"),
         expr(s"${RrfScale}L div ($RrfC + rnk)").as("lex_pts"))
-    val v = Tables.embeddings(s, dir).select(col("vec_id"),
-      graft.functions.Functions.toDoubleArray(col("embedding")).as("e"))
-    val md = sc.select(col("query_id"), col("doc_id")).distinct()
-    val me = md.join(v, md("doc_id") === v("vec_id"))
-      .select(col("query_id"), col("e"))
-    val ex = me.select(col("query_id"), posexplode(col("e")))
-      .select(col("query_id"), col("pos"),
-        floor(col("col") * lit(1000000.0d)).cast("long").as("qx"))
-    val cs = ex.groupBy(col("query_id"), col("pos"))
-      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("nq"))
-    val cent = cs.groupBy(col("query_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"),
-        (col("sq").cast("double") / (col("nq") * lit(1000000L)))
-          .as("cx")))), x => x.getField("cx")).as("c"))
-    val ds = v.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        graft.functions.Functions.cosine(col("c"), col("e")).as("cos"))
+    val ds = denseScored(s, dir)
     val denr = ds.withColumn("rnk", row_number().over(
         wq.orderBy(col("cos").desc, col("doc_id"))))
       .filter(col("rnk") <= FusK)
@@ -784,6 +803,131 @@ object Mining {
         col("in_lexical"), col("in_dense"))
   }
 
+  // ------------------------------------------------------------ q203
+
+  private val MmrCand = 12 // candidate pool per query (dense top-12)
+  private val MmrPicks = 4 // diversified picks per query
+  private val MmrLw = 7 // λ = 0.7, scaled by 10: 7·rel − 3·maxSim
+  private val MmrDw = 3
+
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified re-rank of the dense retrieval candidates: per probe
+    * query, pick [[MmrPicks]] docs greedily — the first by relevance,
+    * each next maximizing `λ·rel − (1−λ)·max-sim-to-already-picked` —
+    * the diversity pass a retrieval/few-shot-selection pipeline runs
+    * so near-duplicate hits don't crowd the result list.
+    *
+    * Determinism: relevance and pairwise cosines are quantized to a
+    * 1e-6 integer grid up front, so every subsequent comparison is
+    * integer arithmetic (`7·relq − 3·simq`) with doc-id tie-breaks —
+    * the greedy rounds replay exactly as [[MmrPicks]] unrolled oracle
+    * CTEs. Scale shape: the candidate pool is [[MmrCand]] rows per
+    * query (window over the SHARED dense scored frame), the pairwise
+    * frame ≤ [[MmrCand]]² per query, and each greedy round is one
+    * join + per-query window over those bounded frames — nothing
+    * rescans the corpus after the candidate cut. */
+  val q203 = Query(
+    "q203_mmr_rerank", {
+      val rounds = (2 to MmrPicks).map { p =>
+        s"""m$p AS (
+           |  SELECT pr.query_id, pr.d AS doc_id, MAX(pr.simq) AS msim
+           |  FROM pr JOIN sel${p - 1} sl
+           |    ON sl.query_id = pr.query_id AND sl.doc_id = pr.s
+           |  GROUP BY 1, 2),
+           |c$p AS (
+           |  SELECT c.query_id, c.doc_id, c.relq, m$p.msim,
+           |    $MmrLw * c.relq - $MmrDw * m$p.msim AS mmr
+           |  FROM cand c JOIN m$p
+           |    ON m$p.query_id = c.query_id AND m$p.doc_id = c.doc_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${p - 1} s
+           |    WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id)),
+           |s$p AS (
+           |  SELECT query_id, doc_id, $p AS pick, relq,
+           |    msim AS max_sim_q, mmr AS mmr_q
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY mmr DESC, doc_id) AS rk FROM c$p)
+           |  WHERE rk = 1),
+           |sel$p AS (SELECT * FROM sel${p - 1}
+           |  UNION ALL SELECT * FROM s$p)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $denseOracleCtes,
+         |cand AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(round(cos * 1000000.0) AS BIGINT) AS relq
+         |  FROM (SELECT query_id, doc_id, cos, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk
+         |    FROM ds)
+         |  WHERE rnk <= $MmrCand),
+         |ce AS (SELECT c.query_id, c.doc_id, v.e
+         |  FROM cand c JOIN v ON v.vec_id = c.doc_id),
+         |pr AS (
+         |  SELECT a.query_id, a.doc_id AS d, b.doc_id AS s,
+         |    CAST(round(${Llm.dCosine("a.e", "b.e")} * 1000000.0)
+         |      AS BIGINT) AS simq
+         |  FROM ce a JOIN ce b ON a.query_id = b.query_id
+         |    AND a.doc_id != b.doc_id),
+         |sel1 AS (
+         |  SELECT query_id, doc_id, 1 AS pick, relq,
+         |    CAST(NULL AS BIGINT) AS max_sim_q,
+         |    CAST(NULL AS BIGINT) AS mmr_q
+         |  FROM (SELECT query_id, doc_id, relq, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY relq DESC, doc_id) AS rk
+         |    FROM cand)
+         |  WHERE rk = 1),
+         |$rounds
+         |SELECT query_id, CAST(pick AS BIGINT) AS pick, doc_id,
+         |  relq AS relevance_q, max_sim_q, mmr_q
+         |FROM sel$MmrPicks""".stripMargin
+    }) { (s, dir) =>
+    val wq = Window.partitionBy(col("query_id"))
+    val cand = InternalCache.persist(denseScored(s, dir)
+      .withColumn("rnk", row_number().over(
+        wq.orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("rnk") <= MmrCand)
+      .select(col("query_id"), col("doc_id"),
+        round(col("cos") * 1000000.0).cast("long").as("relq")))
+    val v = Tables.embeddings(s, dir).select(col("vec_id"),
+      graft.functions.Functions.toDoubleArray(col("embedding")).as("e"))
+    val ce = cand.join(v, cand("doc_id") === v("vec_id"))
+      .select(col("query_id"), col("doc_id"), col("e"))
+    val pr = InternalCache.persist(ce.as("a")
+      .join(ce.as("b"), col("a.query_id") === col("b.query_id") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.doc_id").as("d"), col("b.doc_id").as("s"),
+        round(graft.functions.Functions.cosine(col("a.e"), col("b.e"))
+          * 1000000.0).cast("long").as("simq")))
+    var selected = InternalCache.persist(cand
+      .withColumn("rk", row_number().over(
+        wq.orderBy(col("relq").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("pick"),
+        col("relq"), lit(null).cast("long").as("max_sim_q"),
+        lit(null).cast("long").as("mmr_q")))
+    for (p <- 2 to MmrPicks) {
+      val msim = pr
+        .join(selected.select(col("query_id"), col("doc_id").as("s")),
+          Seq("query_id", "s"))
+        .groupBy(col("query_id"), col("d").as("doc_id"))
+        .agg(max(col("simq")).as("msim"))
+      val scored = cand
+        .join(selected.select(col("query_id"), col("doc_id")),
+          Seq("query_id", "doc_id"), "left_anti")
+        .join(msim, Seq("query_id", "doc_id"))
+        .withColumn("mmr_q",
+          lit(MmrLw.toLong) * col("relq") -
+            lit(MmrDw.toLong) * col("msim"))
+      val pickRow = scored.withColumn("rk", row_number().over(
+          wq.orderBy(col("mmr_q").desc, col("doc_id"))))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("doc_id"), lit(p.toLong).as("pick"),
+          col("relq"), col("msim").as("max_sim_q"), col("mmr_q"))
+      selected = InternalCache.persist(selected.unionByName(pickRow))
+    }
+    selected.select(col("query_id"), col("pick"), col("doc_id"),
+      col("relq").as("relevance_q"), col("max_sim_q"), col("mmr_q"))
+  }
+
   val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144,
-    q146, q158, q166, q186, q200)
+    q146, q158, q166, q186, q200, q203)
 }

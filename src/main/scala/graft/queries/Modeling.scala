@@ -387,5 +387,58 @@ object Modeling {
           .as("psi"))
   }
 
-  val all: Seq[Query] = Seq(q196, q197, q198, q199)
+  // ------------------------------------------------------------ q202
+
+  private val CalCap = 500L // score saturation: pred = min(len,500)/500
+  private val CalBins = 10
+
+  /** Calibration / reliability table: q198 asks whether a score
+    * DISCRIMINATES (AUC); this asks whether it is CALIBRATED — treat
+    * the saturating length heuristic `min(n_chars,500)/500` as a
+    * pseudo-probability of lang='en' and report, per confidence
+    * decile, the mean predicted confidence vs the empirical positive
+    * rate and the gap between them (the reliability diagram a model
+    * monitor plots; |gap| is the per-bin ECE contribution). All three
+    * figures are single divisions of exact integer sums — predicted
+    * confidence sums as `min(n_chars,500)` longs, so nothing double
+    * accumulates across rows — and per-bin rows avoid any cross-bin
+    * double sum entirely. One map-side-combinable aggregate, no
+    * joins. */
+  val q202 = Query(
+    "q202_calibration_bins",
+    s"""WITH d AS (
+       |  SELECT LEAST(n_chars, $CalCap) AS s,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM documents),
+       |b AS (
+       |  SELECT LEAST(CAST(floor((s * $CalBins) / $CalCap) AS BIGINT),
+       |      ${CalBins - 1}) AS bin,
+       |    COUNT(*) AS n, SUM(s) AS ssum, SUM(pos) AS npos
+       |  FROM d GROUP BY 1)
+       |SELECT bin, CAST(n AS BIGINT) AS n_docs,
+       |  ROUND(CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * $CalCap.0),
+       |    6) AS mean_confidence,
+       |  ROUND(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       |    AS positive_rate,
+       |  ROUND(CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * $CalCap.0)
+       |    - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gap
+       |FROM b""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(
+      least(col("n_chars"), lit(CalCap)).as("s"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val b = d.groupBy(
+        least(floor((col("s") * CalBins) / CalCap).cast("long"),
+          lit((CalBins - 1).toLong)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("ssum"),
+        sum(col("pos")).as("npos"))
+    val conf = col("ssum").cast("double") /
+      (col("n").cast("double") * lit(CalCap.toDouble))
+    val rate = col("npos").cast("double") / col("n").cast("double")
+    b.select(col("bin"), col("n").cast("long").as("n_docs"),
+      round(conf, 6).as("mean_confidence"),
+      round(rate, 6).as("positive_rate"),
+      round(conf - rate, 6).as("gap"))
+  }
+
+  val all: Seq[Query] = Seq(q196, q197, q198, q199, q202)
 }

@@ -303,14 +303,21 @@ object Streaming {
       .option("maxFilesPerTrigger", "1").parquet(dir.toString))
   }
 
-  def streamIntoAggIncremental(spark: SparkSession, eventsParquet: String,
-      name: String, cutTs: String): DataFrame = {
+  /** Shared runner for "stream micro-batches into an additively
+    * merged day-partitioned state table": stage the fixture as two
+    * files split at `cutTs`, and per batch apply `partialOf` and
+    * [[graft.sources.Materialize.aggIncremental]] (touched partitions
+    * only), replay-guarded by [[oncePerBatch]]. */
+  private def streamIntoMergedTable(spark: SparkSession,
+      eventsParquet: String, name: String, cutTs: String, tag: String,
+      keys: Seq[String], partitionCol: String)(
+      partialOf: DataFrame => DataFrame): DataFrame = {
     val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prevNanos = spark.conf.getOption(NanosKey)
     spark.conf.set(NanosKey, "true")
     try {
       val (srcDir, stream) =
-        stageTwoHalves(spark, eventsParquet, cutTs, "agg")
+        stageTwoHalves(spark, eventsParquet, cutTs, tag)
       val ckpt = s"$srcDir/ckpt_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = stream.writeStream
@@ -320,13 +327,8 @@ object Streaming {
         .foreachBatch { (b: DataFrame, batchId: Long) =>
           // additive merge → guard against at-least-once replay
           if (!b.isEmpty) oncePerBatch(b.sparkSession, ckpt, batchId) {
-            val partial = b.groupBy(col("ts").cast("date").as("day"),
-                col("event_type"))
-              .agg(count(lit(1)).as("n_events"),
-                sum(money(col("value"))).as("value_sum"))
             graft.sources.Materialize.aggIncremental(
-              b.sparkSession, name, partial,
-              Seq("day", "event_type"), "day")
+              b.sparkSession, name, partialOf(b), keys, partitionCol)
             ()
           }
         }
@@ -340,6 +342,34 @@ object Streaming {
       }
     }
   }
+
+  def streamIntoAggIncremental(spark: SparkSession, eventsParquet: String,
+      name: String, cutTs: String): DataFrame =
+    streamIntoMergedTable(spark, eventsParquet, name, cutTs, "agg",
+      Seq("day", "event_type"), "day") { b =>
+      b.groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(money(col("value"))).as("value_sum"))
+    }
+
+  /** Streaming HISTOGRAM state maintenance: micro-batches fold into a
+    * day-partitioned (day, bucket, count) table — the state a
+    * streaming drift monitor (q201) keeps. Fixed data-independent
+    * bucket edges (`width`, capped at `nBuckets`), so batches from
+    * any worker/replay bucket identically; counts merge additively
+    * into only the touched day-partitions. At 100 TB the state is
+    * `nBuckets` rows per day — the PSI readout never rescans the
+    * fact stream. */
+  def streamIntoBucketCounts(spark: SparkSession, eventsParquet: String,
+      name: String, cutTs: String, width: Int,
+      nBuckets: Int): DataFrame =
+    streamIntoMergedTable(spark, eventsParquet, name, cutTs, "psi",
+      Seq("day", "b"), "day") { b =>
+      b.groupBy(col("ts").cast("date").as("day"),
+          least(floor(col("value") / width).cast("long"),
+            lit((nBuckets - 1).toLong)).as("b"))
+        .agg(count(lit(1)).as("c"))
+    }
 
   /** Streaming MERGEABLE-SKETCH state maintenance: micro-batches fold
     * into a day-partitioned theta-sketch table — per batch, one local

@@ -110,6 +110,26 @@ class ModelingSpec extends SparkSpec {
     assert(out("s3") > out("s1"))
   }
 
+  // ------------------------------------------------------------- q202
+
+  test("calibration: a perfectly calibrated bin gaps 0, an " +
+      "overconfident bin gaps its full confidence") {
+    val dir = fixtureDir()
+    val docs = Seq(
+      // pred 0.5 (250/500), half positive → calibrated
+      (0L, "x", "en", "s", 250L), (1L, "x", "en", "s", 250L),
+      (2L, "x", "fr", "s", 250L), (3L, "x", "fr", "s", 250L),
+      // pred 1.0 (saturated at 500+), zero positive → gap 1.0
+      (4L, "x", "fr", "s", 500L), (5L, "x", "fr", "s", 700L))
+    writeDocs(dir, docs)
+    val out = rows(Modeling.q202.fn(spark, dir))
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("mean_confidence"),
+        r.getAs[Double]("positive_rate"), r.getAs[Double]("gap")))
+      .sortBy(_._1)
+    assert(out == Seq((5L, 4L, 0.5, 0.5, 0.0), (9L, 2L, 1.0, 0.0, 1.0)))
+  }
+
   // ------------------------------------------------------------- q195
 
   test("label propagation: disjoint components converge to one " +
@@ -127,6 +147,30 @@ class ModelingSpec extends SparkSpec {
     // self-vote LPA: each K2,2 collapses to its min part label;
     // without the self-vote the bipartite sides would 2-cycle forever
     assert(out == Seq(("p:1", 4L, 2L, 2L), ("p:10", 4L, 2L, 2L)))
+  }
+
+  // ------------------------------------------------------------- q203
+
+  test("mmr: greedy picks are distinct, first is pure relevance, and " +
+      "every later pick's score satisfies the 7rel-3sim identity") {
+    val dir = "/root/testdata/sf0.001"
+    val out = rows(Mining.q203.fn(spark, dir))
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Int]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("pick")).sorted ==
+        (1L to rs.length).toList)
+      assert(rs.map(_.getAs[Long]("doc_id")).distinct.size == rs.size)
+      rs.foreach { r =>
+        if (r.getAs[Long]("pick") == 1L) {
+          assert(r.isNullAt(r.fieldIndex("max_sim_q")))
+          assert(r.isNullAt(r.fieldIndex("mmr_q")))
+        } else {
+          assert(r.getAs[Long]("mmr_q") ==
+            7L * r.getAs[Long]("relevance_q") -
+              3L * r.getAs[Long]("max_sim_q"))
+        }
+      }
+    }
   }
 
   // ------------------------------------------------------------- q200
