@@ -244,6 +244,105 @@ object Marts {
         max(col(tsCol)).as("session_end"))
   }
 
+  /** Markov-chain removal-effect attribution (Anderl et al. 2014) —
+    * the model-based complement of the heuristic credits
+    * ([[attribution]] first/last, [[multiTouchAttribution]]
+    * linear/decay): user journeys become a first-order Markov chain
+    * (start → channels → conversion|null), and a channel's credit is
+    * its REMOVAL EFFECT — how much the chain's conversion rate drops
+    * when every transition into the channel is redirected to null.
+    *
+    * Determinism contract: conversion probability is computed by
+    * `iters` rounds of fixed-point power iteration in PURE INTEGER
+    * arithmetic — state mass is 1e12-scaled, each flow is
+    * `mass * count div rowsum` (long division) — so the result is
+    * independent of iteration order and a SQL engine replays it bit
+    * for bit (the [[Graph]] fixed-point discipline).
+    *
+    * Scale posture: the distributed part is one window + one
+    * aggregation producing the (src, dst, count) transition table,
+    * which is CHANNELS²-bounded regardless of event volume — at 100 TB
+    * it is still ~dozens of rows. That bounded table is the ONE driver
+    * collect (the k-means-centroid precedent); the power iteration
+    * runs on ≤ (channels+3)² longs.
+    *
+    * Returns one row per channel:
+    * (channel, base_cvr_q, removal_cvr_q, removal_drop_q, n_conversions)
+    * with `*_q` 1e12-scaled longs — the caller presents ratios. */
+  def markovRemovalEffects(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: Column,
+      conversionType: String, channels: Seq[String],
+      iters: Int): (Seq[(String, Long, Long, Long)], Long) = {
+    val Scale = 1000000000000L
+    val w = Window.partitionBy(col("u")).orderBy(col("__ts"), col("__tie"))
+    val r = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+        col(tsCol).as("__ts"), tieCol.as("__tie"))
+      .withColumn("rn", row_number().over(w))
+    val fp = r.filter(col("t") === conversionType)
+      .groupBy(col("u")).agg(min(col("rn")).as("prn"))
+    val j = InternalCache.persist(r.join(fp, Seq("u"), "left")
+      .filter(col("prn").isNull || col("rn") < col("prn"))
+      .select(col("u"), col("t"), col("rn")))
+    val absorber = r.select(col("u")).distinct()
+      .join(fp.select(col("u"), lit(true).as("__c")), Seq("u"), "left")
+      .select(col("u"), when(col("__c"), lit("conversion"))
+        .otherwise(lit("null")).as("ab"))
+    val wj = Window.partitionBy(col("u")).orderBy(col("rn"))
+    val seq0 = j.withColumn("nxt", lead(col("t"), 1).over(wj))
+    val internal = seq0.filter(col("nxt").isNotNull)
+      .select(col("t").as("src"), col("nxt").as("dst"))
+    val lastToAb = seq0.filter(col("nxt").isNull).join(absorber, Seq("u"))
+      .select(col("t").as("src"), col("ab").as("dst"))
+    val firstCh = j.groupBy(col("u")).agg(min(col("rn")).as("mrn"))
+    val startEdge = j.join(firstCh, Seq("u"))
+      .filter(col("rn") === col("mrn"))
+      .select(lit("start").as("src"), col("t").as("dst"))
+    val emptyJourney = absorber
+      .join(j.select(col("u")).distinct(), Seq("u"), "left_anti")
+      .select(lit("start").as("src"), col("ab").as("dst"))
+    val trans = internal.unionByName(lastToAb).unionByName(startEdge)
+      .unionByName(emptyJourney)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+    // the ONE bounded driver collect: ≤ (channels+3)² rows
+    val cnt: Map[(String, String), Long] = trans.collect()
+      .map(row => (row.getString(0), row.getString(1)) -> row.getLong(2))
+      .toMap
+    val nConv = fp.count()
+    InternalCache.release()
+
+    def cvr(removed: Option[String]): Long = {
+      val edges = cnt.toSeq.collect {
+        case ((s0, d0), c0) if !removed.contains(s0) =>
+          (s0, if (removed.contains(d0)) "null" else d0, c0)
+      }
+      val merged = edges.groupBy(e => (e._1, e._2)).toSeq
+        .map { case ((s0, d0), es) => (s0, d0, es.map(_._3).sum) }
+      val rowsum = merged.groupBy(_._1)
+        .map { case (k, es) => k -> es.map(_._3).sum }
+      val out = merged.groupBy(_._1)
+        .map { case (k, es) => k -> es.map(e => (e._2, e._3)) }
+      var p = Map("start" -> Scale)
+      for (_ <- 1 to iters) {
+        val next = scala.collection.mutable.Map[String, Long]()
+          .withDefaultValue(0L)
+        for ((st, mass) <- p) {
+          if (st == "conversion" || st == "null") next(st) += mass
+          else for ((d0, c0) <- out.getOrElse(st, Nil))
+            next(d0) += mass * c0 / rowsum(st)
+        }
+        p = next.toMap
+      }
+      p.getOrElse("conversion", 0L)
+    }
+
+    val base = cvr(None)
+    val rows = channels.map { ch =>
+      val cc = cvr(Some(ch))
+      (ch, base, cc, math.max(base - cc, 0L))
+    }
+    (rows, nConv)
+  }
+
   /** Late-arrival rate (SURVEY A4; reference `README.md:57`, lateness =
     * received - event, `generate_and_load_script.py:162`). */
   def lateArrivalRate(df: DataFrame, eventTs: Column, receivedTs: Column,

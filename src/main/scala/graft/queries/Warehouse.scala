@@ -294,6 +294,128 @@ object Warehouse {
       "event_type", "ts", "purchase")
   }
 
+  private val MkIters = 8
+  private val MkChannels = Seq("click", "error", "signup", "view")
+
+  /** Markov-chain removal-effect attribution
+    * ([[graft.operators.Marts.markovRemovalEffects]]): the model-based
+    * third member of the attribution family (q10 first/last heuristics,
+    * q75 linear/decay credits) — each channel's credit is how much the
+    * journey chain's conversion rate drops when the channel is removed
+    * (transitions into it redirected to null). The chain solve is
+    * [[MkIters]] fixed-point rounds of PURE INTEGER power iteration on
+    * the channels²-bounded transition table (the one driver collect,
+    * k-means-precedent), and the oracle replays the identical rounds
+    * per variant as unrolled CTEs — no float tolerance anywhere. */
+  val q204 = Query(
+    "q204_markov_attribution", {
+      val S = "1000000000000"
+      def variantCtes(tag: String, removed: Option[String]): String = {
+        val eSel = removed match {
+          case None =>
+            "SELECT src, dst, SUM(c) AS c FROM tc GROUP BY 1, 2"
+          case Some(ch) =>
+            s"""SELECT src,
+               |    CASE WHEN dst = '$ch' THEN 'null' ELSE dst END AS dst,
+               |    SUM(c) AS c FROM tc WHERE src != '$ch'
+               |  GROUP BY 1, 2""".stripMargin
+        }
+        val iters = (1 to MkIters).map { k =>
+          s"""p_${tag}_$k AS MATERIALIZED (
+             |  SELECT state, CAST(SUM(m) AS BIGINT) AS p FROM (
+             |    SELECT e.dst AS state, (p.p * e.c) // rs.rowsum AS m
+             |    FROM p_${tag}_${k - 1} p
+             |    JOIN e_$tag e ON e.src = p.state
+             |    JOIN rs_$tag rs ON rs.src = p.state
+             |    WHERE p.state NOT IN ('conversion', 'null')
+             |    UNION ALL
+             |    SELECT state, p FROM p_${tag}_${k - 1}
+             |    WHERE state IN ('conversion', 'null'))
+             |  GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""e_$tag AS MATERIALIZED ($eSel),
+           |rs_$tag AS MATERIALIZED (
+           |  SELECT src, SUM(c) AS rowsum FROM e_$tag GROUP BY 1),
+           |p_${tag}_0 AS MATERIALIZED (
+           |  SELECT 'start' AS state, CAST($S AS BIGINT) AS p),
+           |$iters,
+           |cvr_$tag AS MATERIALIZED (
+           |  SELECT COALESCE(MAX(CASE WHEN state = 'conversion'
+           |    THEN p END), 0) AS cvr FROM p_${tag}_$MkIters)""".stripMargin
+      }
+      val variants = (("base", None) +:
+        MkChannels.map(ch => (ch, Some(ch))))
+        .map { case (t, rm) => variantCtes(t, rm) }.mkString(",\n")
+      val effRows = MkChannels.map(ch =>
+        s"SELECT '$ch' AS channel, (SELECT cvr FROM cvr_$ch) AS cc")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH r AS MATERIALIZED (
+         |  SELECT user_id AS u, event_type AS t, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |fp AS MATERIALIZED (SELECT u, MIN(rn) AS prn FROM r
+         |  WHERE t = 'purchase' GROUP BY 1),
+         |j AS MATERIALIZED (SELECT r.u, r.t, r.rn FROM r LEFT JOIN fp USING (u)
+         |  WHERE fp.prn IS NULL OR r.rn < fp.prn),
+         |ab AS MATERIALIZED (
+         |  SELECT uu.u, CASE WHEN fp.prn IS NOT NULL THEN 'conversion'
+         |    ELSE 'null' END AS ab
+         |  FROM (SELECT DISTINCT u FROM r) uu LEFT JOIN fp USING (u)),
+         |sq AS MATERIALIZED (SELECT u, t, rn,
+         |    lead(t) OVER (PARTITION BY u ORDER BY rn) AS nxt
+         |  FROM j),
+         |tr AS MATERIALIZED (
+         |  SELECT t AS src, nxt AS dst FROM sq WHERE nxt IS NOT NULL
+         |  UNION ALL
+         |  SELECT sq.t AS src, ab.ab AS dst FROM sq JOIN ab USING (u)
+         |  WHERE sq.nxt IS NULL
+         |  UNION ALL
+         |  SELECT 'start' AS src, j.t AS dst FROM j
+         |  JOIN (SELECT u, MIN(rn) AS mrn FROM j GROUP BY 1) f
+         |    ON f.u = j.u AND j.rn = f.mrn
+         |  UNION ALL
+         |  SELECT 'start' AS src, ab.ab AS dst FROM ab
+         |  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.u = ab.u)),
+         |tc AS MATERIALIZED (SELECT src, dst, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+         |nc AS MATERIALIZED (SELECT COUNT(*) AS nconv FROM fp),
+         |$variants,
+         |eff AS (
+         |  $effRows),
+         |res AS MATERIALIZED (
+         |  SELECT eff.channel, b.cvr AS cb, eff.cc,
+         |    GREATEST(b.cvr - eff.cc, 0) AS d
+         |  FROM eff CROSS JOIN cvr_base b),
+         |sd AS MATERIALIZED (SELECT SUM(d) AS sd FROM res)
+         |SELECT channel,
+         |  ROUND(CAST(cb AS DOUBLE) / $S.0, 6) AS base_cvr,
+         |  ROUND(CAST(cc AS DOUBLE) / $S.0, 6) AS removal_cvr,
+         |  CASE WHEN cb > 0 THEN
+         |    ROUND(CAST(d AS DOUBLE) / CAST(cb AS DOUBLE), 6)
+         |  END AS removal_effect,
+         |  CASE WHEN sd.sd > 0 THEN
+         |    ROUND((CAST(nc.nconv AS DOUBLE) * CAST(d AS DOUBLE))
+         |      / CAST(sd.sd AS DOUBLE), 6)
+         |  END AS attributed_conversions
+         |FROM res CROSS JOIN sd CROSS JOIN nc""".stripMargin
+    }) { (s, dir) =>
+    val (rows, nConv) = Marts.markovRemovalEffects(Tables.events(s, dir),
+      "user_id", "event_type", "ts", col("event_id"), "purchase",
+      MkChannels, MkIters)
+    import s.implicits._
+    val sd = rows.map(_._4).sum
+    rows.toDF("channel", "cb", "cc", "d").select(col("channel"),
+      round(col("cb").cast("double") / 1000000000000.0d, 6)
+        .as("base_cvr"),
+      round(col("cc").cast("double") / 1000000000000.0d, 6)
+        .as("removal_cvr"),
+      when(col("cb") > 0, round(
+        col("d").cast("double") / col("cb").cast("double"), 6))
+        .as("removal_effect"),
+      when(lit(sd) > 0, round(
+        (lit(nConv.toDouble) * col("d").cast("double"))
+          / lit(sd.toDouble), 6)).as("attributed_conversions"))
+  }
+
   /** W5/A6 top-share concentration (reference org-skew rule
     * `pseudo_code_rules.txt:2-10`). */
   val q11 = Query(
@@ -900,5 +1022,5 @@ object Warehouse {
 
   val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q63, q64, q65, q66, q67, q68, q70,
-    q73, q75, q103, q104, q137, q150)
+    q73, q75, q103, q104, q137, q150, q204)
 }

@@ -100,6 +100,31 @@ class MartsSpec extends SparkSpec {
     assert(em == gm)
   }
 
+  test("markov attribution: removal effects on a hand-solvable chain " +
+      "are exact fixed-point values") {
+    // u1: view -> purchase; u2: view -> click (no conversion);
+    // u3: purchase immediately (empty journey, start -> conversion)
+    val ev = Seq(
+      (1L, "view", "2024-01-01 01:00:00", 1L),
+      (1L, "purchase", "2024-01-01 02:00:00", 2L),
+      (2L, "view", "2024-01-01 01:00:00", 3L),
+      (2L, "click", "2024-01-01 02:00:00", 4L),
+      (3L, "purchase", "2024-01-01 01:00:00", 5L))
+      .map { case (u, t, tss, id) => (u, t, ts(tss), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val (res, nConv) = Marts.markovRemovalEffects(ev, "user_id",
+      "event_type", "ts", col("event_id"), "purchase",
+      Seq("view", "click"), 8)
+    assert(nConv == 2L)
+    // chain: start ->(2/3) view ->(1/2) conversion, start ->(1/3) conv
+    // base cvr = 1/3 + (2/3)(1/2) = 2/3; removing view leaves 1/3;
+    // removing click changes nothing (its path never converts)
+    val S = 1000000000000L
+    assert(res == Seq(
+      ("view", 2 * (S / 3), S / 3, S / 3),
+      ("click", 2 * (S / 3), 2 * (S / 3), 0L)))
+  }
+
   test("topShare: exact percent-rank cut on distinct values") {
     // values 999 down to 900 -> top 5% of 100 keys = ranks 1..5
     val df = (1 to 100).map(i => (i.toLong, (1000 - i).toDouble))
