@@ -1902,7 +1902,79 @@ FROM h GROUP BY bucket""") { (s, dir) =>
       .select(col("rnk"), col("bigram"), col("c_ab"), col("pmi"))
   }
 
+  // ------------------------------------------------------------ q205
+
+  /** Rank-discount constants for nDCG@[[IvfK]]: `round(1e9 / log2(i+1))`
+    * computed ONCE in Scala and embedded as integer literals in both
+    * engines — no cross-engine libm at runtime (log2 of a small
+    * constant is the only transcendental, and it is frozen here). */
+  private val NdcgD: Seq[Long] = (1 to IvfK).map(i =>
+    math.round(1.0e9 / (math.log(i + 1.0) / math.log(2.0))))
+  private val NdcgP: Seq[Long] = NdcgD.scanLeft(0L)(_ + _).tail
+
+  /** nDCG@[[IvfK]] of the IVF ANN ranking (the q49/q53 shared result)
+    * against same-label-as-query graded relevance — the ORDER-aware
+    * retrieval-quality metric beside q53's set-based recall: recall
+    * asks "did the right things come back", nDCG asks "were they
+    * ranked first". Per-query DCG is an exact integer sum (relevance ×
+    * the frozen integer discounts), ideal DCG is a prefix-sum lookup
+    * on the relevant-count, and the single double division closes at
+    * 6 dp. Queries whose probed cell returned nothing are absent in
+    * both engines; zero-relevance queries report NULL nDCG (0/0 is
+    * pinned, the q138 gcc discipline). */
+  val q205 = Query(
+    "q205_ndcg_eval", {
+      val dCase = (1 to IvfK).map(i =>
+        s"WHEN rank = $i THEN ${NdcgD(i - 1)}").mkString(" ")
+      val pCase = (IvfK to 1 by -1).map(i =>
+        s"WHEN nrel >= $i THEN ${NdcgP(i - 1)}").mkString(" ")
+      s"""WITH r AS (
+         |  SELECT * FROM (
+         |$ivfOracle) t),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |x AS (
+         |  SELECT r.query_id, r.rank,
+         |    CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END AS rel
+         |  FROM r
+         |  JOIN lab lq ON lq.vec_id = r.query_id
+         |  JOIN lab ln ON ln.vec_id = r.neighbor_id),
+         |g AS (
+         |  SELECT query_id,
+         |    CAST(SUM(rel * CASE $dCase ELSE 0 END) AS BIGINT) AS dcg_p,
+         |    CAST(SUM(rel) AS BIGINT) AS nrel
+         |  FROM x GROUP BY 1),
+         |f AS (
+         |  SELECT query_id, nrel, dcg_p,
+         |    CAST(CASE $pCase ELSE 0 END AS BIGINT) AS idcg_p
+         |  FROM g)
+         |SELECT query_id, nrel AS n_rel, dcg_p,
+         |  CASE WHEN idcg_p > 0 THEN
+         |    ROUND(CAST(dcg_p AS DOUBLE) / CAST(idcg_p AS DOUBLE), 6)
+         |  END AS ndcg
+         |FROM f""".stripMargin
+    }) { (s, dir) =>
+    val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val x = ivfShared(s, dir)
+      .join(broadcast(lab.select(col("vec_id").as("query_id"),
+        col("label").as("ql"))), Seq("query_id"))
+      .join(broadcast(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl"))), Seq("neighbor_id"))
+      .select(col("query_id"), col("rank"),
+        when(col("ql") === col("nl"), 1L).otherwise(0L).as("rel"))
+    var dCol: org.apache.spark.sql.Column = lit(0L)
+    for (i <- 1 to IvfK)
+      dCol = when(col("rank") === i, lit(NdcgD(i - 1))).otherwise(dCol)
+    val g = x.groupBy(col("query_id"))
+      .agg(sum(col("rel") * dCol).as("dcg_p"), sum(col("rel")).as("nrel"))
+    var pCol: org.apache.spark.sql.Column = lit(0L)
+    for (i <- 1 to IvfK)
+      pCol = when(col("nrel") >= i, lit(NdcgP(i - 1))).otherwise(pCol)
+    g.select(col("query_id"), col("nrel").as("n_rel"), col("dcg_p"),
+      when(pCol > 0, round(col("dcg_p").cast("double") /
+        pCol.cast("double"), 6)).as("ndcg"))
+  }
+
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88,
-    q96, q97, q98, q128, q134, q164, q190, q192, q193, q194)
+    q96, q97, q98, q128, q134, q164, q190, q192, q193, q194, q205)
 }
