@@ -821,11 +821,16 @@ object Mining {
     * 1e-6 integer grid up front, so every subsequent comparison is
     * integer arithmetic (`7·relq − 3·simq`) with doc-id tie-breaks —
     * the greedy rounds replay exactly as [[MmrPicks]] unrolled oracle
-    * CTEs. Scale shape: the candidate pool is [[MmrCand]] rows per
-    * query (window over the SHARED dense scored frame), the pairwise
-    * frame ≤ [[MmrCand]]² per query, and each greedy round is one
-    * join + per-query window over those bounded frames — nothing
-    * rescans the corpus after the candidate cut. */
+    * CTEs. Scale shape: the candidate cut (window over the SHARED
+    * dense scored frame) and the ≤[[MmrCand]]² pairwise cosines run
+    * distributed; the greedy selection itself runs on the DRIVER over
+    * those two frames — both bounded by the fixed probe workload
+    * (k·|probes| and k²·|probes| rows), the q204/k-means
+    * bounded-collect precedent. Distributing the greedy rounds as
+    * Spark jobs costs ~10 s of pure scheduling for microseconds of
+    * arithmetic; at a larger query fleet the per-query selection is
+    * embarrassingly parallel and would move into a row-local fold
+    * over per-query candidate arrays. */
   val q203 = Query(
     "q203_mmr_rerank", {
       val rounds = (2 to MmrPicks).map { p =>
@@ -890,42 +895,43 @@ object Mining {
       graft.functions.Functions.toDoubleArray(col("embedding")).as("e"))
     val ce = cand.join(v, cand("doc_id") === v("vec_id"))
       .select(col("query_id"), col("doc_id"), col("e"))
-    val pr = InternalCache.persist(ce.as("a")
+    val pr = ce.as("a")
       .join(ce.as("b"), col("a.query_id") === col("b.query_id") &&
         col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.query_id").as("query_id"),
         col("a.doc_id").as("d"), col("b.doc_id").as("s"),
         round(graft.functions.Functions.cosine(col("a.e"), col("b.e"))
-          * 1000000.0).cast("long").as("simq")))
-    var selected = InternalCache.persist(cand
-      .withColumn("rk", row_number().over(
-        wq.orderBy(col("relq").desc, col("doc_id"))))
-      .filter(col("rk") === 1)
-      .select(col("query_id"), col("doc_id"), lit(1L).as("pick"),
-        col("relq"), lit(null).cast("long").as("max_sim_q"),
-        lit(null).cast("long").as("mmr_q")))
-    for (p <- 2 to MmrPicks) {
-      val msim = pr
-        .join(selected.select(col("query_id"), col("doc_id").as("s")),
-          Seq("query_id", "s"))
-        .groupBy(col("query_id"), col("d").as("doc_id"))
-        .agg(max(col("simq")).as("msim"))
-      val scored = cand
-        .join(selected.select(col("query_id"), col("doc_id")),
-          Seq("query_id", "doc_id"), "left_anti")
-        .join(msim, Seq("query_id", "doc_id"))
-        .withColumn("mmr_q",
-          lit(MmrLw.toLong) * col("relq") -
-            lit(MmrDw.toLong) * col("msim"))
-      val pickRow = scored.withColumn("rk", row_number().over(
-          wq.orderBy(col("mmr_q").desc, col("doc_id"))))
-        .filter(col("rk") === 1)
-        .select(col("query_id"), col("doc_id"), lit(p.toLong).as("pick"),
-          col("relq"), col("msim").as("max_sim_q"), col("mmr_q"))
-      selected = InternalCache.persist(selected.unionByName(pickRow))
+          * 1000000.0).cast("long").as("simq"))
+    // the bounded driver collects: k·|probes| candidates, k²·|probes|
+    // pair sims (the cosines themselves were computed by the SAME
+    // Spark fold the oracle replays)
+    val candRows = cand.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val sim: Map[(Int, Long, Long), Long] = pr.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    InternalCache.release()
+    val out = candRows.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      val pool = cs.map(c => (c._2, c._3)) // (doc_id, relq)
+      val first = pool.minBy { case (d0, r0) => (-r0, d0) }
+      var picked = Vector((q, 1L, first._1, first._2,
+        Option.empty[Long], Option.empty[Long]))
+      var rest = pool.filterNot(_._1 == first._1)
+      for (p <- 2 to MmrPicks if rest.nonEmpty) {
+        val scored = rest.map { case (d0, r0) =>
+          val ms = picked.map(pk => sim((q, d0, pk._3))).max
+          (d0, r0, ms, MmrLw.toLong * r0 - MmrDw.toLong * ms)
+        }
+        val best = scored.minBy { case (d0, _, _, m) => (-m, d0) }
+        picked :+= ((q, p.toLong, best._1, best._2,
+          Some(best._3), Some(best._4)))
+        rest = rest.filterNot(_._1 == best._1)
+      }
+      picked
     }
-    selected.select(col("query_id"), col("pick"), col("doc_id"),
-      col("relq").as("relevance_q"), col("max_sim_q"), col("mmr_q"))
+    import s.implicits._
+    out.toDF("query_id", "pick", "doc_id", "relevance_q",
+      "max_sim_q", "mmr_q")
   }
 
   val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144,
