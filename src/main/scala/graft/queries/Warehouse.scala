@@ -416,6 +416,86 @@ object Warehouse {
           / lit(sd.toDouble), 6)).as("attributed_conversions"))
   }
 
+  /** Time-to-convert survival analysis with right-censoring: the
+    * Nelson–Aalen cumulative-hazard estimator over days from a user's
+    * first touch to their first purchase; users who never convert are
+    * censored at the observation end instead of silently dropped (the
+    * error every naive "average days to convert" mart makes). The
+    * Nelson–Aalen form `H(t) = Σ d_i/n_i` is chosen over Kaplan–Meier
+    * deliberately: it needs NO logarithm or cumulative product — each
+    * increment is an exact integer division on a 1e9 grid and the
+    * cumulative sum stays integer, so both engines agree bit for bit.
+    * The per-day frame is observation-window-bounded (≤ days rows), so
+    * its global cumulative windows are the q84 bounded-bucket pattern,
+    * not a row-scale window; the per-user reduction is one
+    * map-side-combinable aggregate. */
+  val q206 = Query(
+    "q206_conversion_hazard",
+    """WITH u AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS t0
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cd
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |g AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+      |d AS (
+      |  SELECT CASE WHEN p.cd IS NOT NULL THEN (p.cd - u.t0)
+      |      ELSE (g.maxd - u.t0) END AS day,
+      |    CASE WHEN p.cd IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM u LEFT JOIN p USING (user_id) CROSS JOIN g),
+      |byday AS (
+      |  SELECT day, SUM(ev) AS d_i, SUM(1 - ev) AS c_i
+      |  FROM d GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n FROM u),
+      |w AS (
+      |  SELECT day, d_i, c_i,
+      |    (SELECT n FROM tot) - COALESCE(SUM(d_i + c_i) OVER (
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS n_risk
+      |  FROM byday),
+      |h AS (
+      |  SELECT day, d_i, c_i, n_risk,
+      |    SUM(CASE WHEN n_risk > 0 THEN (d_i * 1000000000) // n_risk
+      |      ELSE 0 END) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS hq
+      |  FROM w)
+      |SELECT CAST(day AS BIGINT) AS day,
+      |  CAST(n_risk AS BIGINT) AS n_risk,
+      |  CAST(d_i AS BIGINT) AS n_conv,
+      |  CAST(c_i AS BIGINT) AS n_censored,
+      |  ROUND(CAST(hq AS DOUBLE) / 1000000000.0, 6) AS cum_hazard
+      |FROM h""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val u = ev.groupBy(col("user_id"))
+      .agg(min(col("ts").cast("date")).as("t0"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts").cast("date")).as("cd"))
+    val g = ev.agg(max(col("ts").cast("date")).as("maxd"))
+    val d = u.join(p, Seq("user_id"), "left").crossJoin(broadcast(g))
+      .select(
+        when(col("cd").isNotNull, datediff(col("cd"), col("t0")))
+          .otherwise(datediff(col("maxd"), col("t0"))).as("day"),
+        when(col("cd").isNotNull, 1L).otherwise(0L).as("ev"))
+    val byday = d.groupBy(col("day"))
+      .agg(sum(col("ev")).as("d_i"), sum(lit(1L) - col("ev")).as("c_i"))
+    val tot = u.count() // ONE bounded driver scalar (node-count precedent)
+    val wPrev = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCur = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byday
+      .withColumn("n_risk", lit(tot) -
+        coalesce(sum(col("d_i") + col("c_i")).over(wPrev), lit(0L)))
+      .withColumn("hq", sum(when(col("n_risk") > 0,
+        expr("(d_i * 1000000000) div n_risk")).otherwise(0L)).over(wCur))
+      .select(col("day").cast("long").as("day"),
+        col("n_risk").cast("long").as("n_risk"),
+        col("d_i").cast("long").as("n_conv"),
+        col("c_i").cast("long").as("n_censored"),
+        round(col("hq").cast("double") / 1000000000.0d, 6)
+          .as("cum_hazard"))
+  }
+
   /** W5/A6 top-share concentration (reference org-skew rule
     * `pseudo_code_rules.txt:2-10`). */
   val q11 = Query(
@@ -1022,5 +1102,5 @@ object Warehouse {
 
   val all: Seq[Query] = Seq(q5, q6, q7, q8, q9, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q63, q64, q65, q66, q67, q68, q70,
-    q73, q75, q103, q104, q137, q150, q204)
+    q73, q75, q103, q104, q137, q150, q204, q206)
 }

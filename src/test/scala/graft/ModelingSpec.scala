@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.queries.{Analytics, Mining, Modeling}
+import graft.queries.{Analytics, Mining, Modeling, Warehouse}
 
 /** Semantics of the modeling/fusion/community queries on CONSTRUCTED
   * fixtures with known closed-form answers (the oracle compare proves
@@ -147,6 +147,37 @@ class ModelingSpec extends SparkSpec {
     // self-vote LPA: each K2,2 collapses to its min part label;
     // without the self-vote the bipartite sides would 2-cycle forever
     assert(out == Seq(("p:1", 4L, 2L, 2L), ("p:10", 4L, 2L, 2L)))
+  }
+
+  // ------------------------------------------------------------- q206
+
+  test("hazard: censoring shrinks the risk set but adds no hazard, " +
+      "and increments are exact integer divisions") {
+    val dir = fixtureDir()
+    // u1,u2: convert day 1; u3: never (censored at day 5, the
+    // observation end); u4: converts day 0
+    val ev = Seq(
+      (1L, "view", "2024-01-01 08:00:00", 1L),
+      (1L, "purchase", "2024-01-02 08:00:00", 2L),
+      (2L, "view", "2024-01-01 09:00:00", 3L),
+      (2L, "purchase", "2024-01-02 09:00:00", 4L),
+      (3L, "view", "2024-01-01 10:00:00", 5L),
+      (4L, "purchase", "2024-01-06 10:00:00", 6L))
+    spark.createDataFrame(ev.map { case (u, t, tss, id) =>
+        (id, ts(tss), u, t, 1.0, "{}")
+      })
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = rows(Warehouse.q206.fn(spark, dir))
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_conv"), r.getAs[Long]("n_censored"),
+        r.getAs[Double]("cum_hazard")))
+      .sortBy(_._1)
+    // H: day0 1/4 = 0.25; day1 +2/3 -> 916666666/1e9; day5 censor only
+    assert(out == Seq(
+      (0L, 4L, 1L, 0L, 0.25),
+      (1L, 3L, 2L, 0L, 0.916667),
+      (5L, 1L, 0L, 1L, 0.916667)))
   }
 
   // ------------------------------------------------------------- q203
