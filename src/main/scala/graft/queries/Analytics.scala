@@ -2481,6 +2481,64 @@ object Analytics {
         min(col("node")).as("first_member"))
   }
 
+  // ------------------------------------------------------------ q207
+
+  /** Experiment readout with INFERENCE: per variant (the q181 id-parity
+    * split), the user-level conversion rate with its Wilson 95%
+    * interval — the binomial CI that stays inside [0,1] and behaves at
+    * small n, i.e. what an experimentation platform actually prints
+    * next to a rate. Counts are one map-side-combinable aggregate; the
+    * interval is a fixed parenthesized chain of IEEE ops on those
+    * exact counts whose only transcendental is `sqrt` — correctly
+    * rounded per IEEE-754 in every engine, unlike ln/exp — so both
+    * engines agree bit for bit before the 6-dp close. */
+  val q207 = Query(
+    "q207_wilson_readout",
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS conv
+      |  FROM events GROUP BY 1, 2),
+      |v AS (
+      |  SELECT variant, COUNT(*) AS n, SUM(conv) AS k
+      |  FROM u GROUP BY 1),
+      |w AS (
+      |  SELECT variant, n, k,
+      |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    CAST(n AS DOUBLE) AS nd
+      |  FROM v)
+      |SELECT CAST(variant AS BIGINT) AS variant,
+      |  CAST(n AS BIGINT) AS n_users, CAST(k AS BIGINT) AS n_conv,
+      |  ROUND(p, 6) AS rate,
+      |  ROUND(((p + (3.8416 / (2.0 * nd)))
+      |    - (1.96 * sqrt(((p * (1.0 - p)) / nd)
+      |      + (3.8416 / ((4.0 * nd) * nd)))))
+      |    / (1.0 + (3.8416 / nd)), 6) AS wilson_lo,
+      |  ROUND(((p + (3.8416 / (2.0 * nd)))
+      |    + (1.96 * sqrt(((p * (1.0 - p)) / nd)
+      |      + (3.8416 / ((4.0 * nd) * nd)))))
+      |    / (1.0 + (3.8416 / nd)), 6) AS wilson_hi
+      |FROM w""".stripMargin) { (s, dir) =>
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("conv"))
+    val v = u.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    val nd = col("n").cast("double")
+    val p = col("k").cast("double") / nd
+    val center = p + (lit(3.8416d) / (lit(2.0d) * nd))
+    val margin = lit(1.96d) * sqrt(((p * (lit(1.0d) - p)) / nd) +
+      (lit(3.8416d) / ((lit(4.0d) * nd) * nd)))
+    val denomw = lit(1.0d) + (lit(3.8416d) / nd)
+    v.select(col("variant").cast("long").as("variant"),
+      col("n").cast("long").as("n_users"),
+      col("k").cast("long").as("n_conv"),
+      round(p, 6).as("rate"),
+      round((center - margin) / denomw, 6).as("wilson_lo"),
+      round((center + margin) / denomw, 6).as("wilson_hi"))
+  }
+
   // ------------------------------------------------------------ q201
 
   private val SpWidth = 50 // value-bucket width
@@ -2560,5 +2618,5 @@ object Analytics {
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
     q127, q129, q130, q131, q132, q133, q140, q142, q151, q152, q153,
     q154, q156, q157, q159, q161, q162, q163, q167, q169, q170, q171,
-    q179, q181, q183, q184, q195, q201)
+    q179, q181, q183, q184, q195, q201, q207)
 }
