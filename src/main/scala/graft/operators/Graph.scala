@@ -214,4 +214,39 @@ object Graph {
           round(lit(3) * col("n_triangles").cast("double") /
             col("n_wedges").cast("double"), 6)).as("gcc"))
   }
+
+  /** Adamic–Adar link-prediction scores over an undirected edge frame
+    * (columns `a`, `b`, distinct, `a < b`): for every NON-adjacent
+    * pair with ≥1 common neighbor z of degree ≤ `maxDeg`, returns
+    * `pa, pb, n_common, aa` where `aa = Σ_z round(scale / ln(deg z))`
+    * — the 1/ln(deg) weights quantized onto an integer grid so the
+    * score is an exact, partitioning-invariant integer sum (deg is a
+    * small int, so ln lands on identical doubles in any engine).
+    *
+    * Scale design: pairs are generated ONLY by per-common-neighbor
+    * fan-out, and the degree cap bounds each z's contribution at
+    * O(maxDeg²) wedges — a 10⁶-degree hub yields zero wedges instead
+    * of 10¹² (and carries ~zero AA signal anyway: the score's own
+    * 1/ln(deg) discount). Adjacent pairs drop via a left-anti join on
+    * the edge list. */
+  def adamicAdar(edges: DataFrame, maxDeg: Int, scale: Long): DataFrame = {
+    val e = InternalCache.persist(edges.select(col("a"), col("b")))
+    val adj = InternalCache.persist(
+      e.select(col("a").as("z"), col("b").as("nb")).unionAll(
+        e.select(col("b").as("z"), col("a").as("nb"))))
+    val w = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= maxDeg)
+      .select(col("z"),
+        round(lit(scale.toDouble) / log(col("deg").cast("double")))
+          .cast("long").as("w"))
+    val xa = adj.select(col("z"), col("nb").as("pa"))
+    val ya = adj.select(col("z").as("z2"), col("nb").as("pb"))
+    val sc = xa
+      .join(ya, col("z2") === col("z") && col("pb") > col("pa"))
+      .join(w, Seq("z"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w")).as("aa"))
+    sc.join(e, col("a") === col("pa") && col("b") === col("pb"),
+      "left_anti")
+  }
 }

@@ -1002,6 +1002,66 @@ object Curation {
         sum(col("delta")).cast("long").as("token_delta"))
   }
 
+  // ------------------------------------------------------------ q212
+
+  private val LDivL = 3 // required distinct sensitive values per group
+  private val LDivBucket = 1000.0d // acctbal sensitivity granularity
+
+  /** l-diversity audit — the attribute-disclosure complement to q155's
+    * k-anonymity: a QI group of 1000 rows is still unsafe if every row
+    * shares the SAME sensitive value (here the $1000 account-balance
+    * band), because group membership then reveals the attribute.
+    * Audited at q155's two generalization levels, (segment, nation)
+    * and (segment, region). Shape: rows → QI groups (count +
+    * count-distinct, both map-side partial) → per-level summary;
+    * broadcast dimension joins; the only double op is the IEEE floor
+    * that banks the balance (identical in both engines — the fixture
+    * double is shared bit-for-bit). */
+  val q212 = Query(
+    "q212_l_diversity",
+    s"""WITH c AS (
+       |  SELECT c_mktsegment, n_name, r_name,
+       |    CAST(floor(c_acctbal / $LDivBucket) AS BIGINT) AS sens
+       |  FROM customer
+       |  JOIN nation ON n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey),
+       |lv AS (
+       |  SELECT 'nation' AS level, c_mktsegment AS qi1, n_name AS qi2,
+       |    COUNT(*) AS n, COUNT(DISTINCT sens) AS l
+       |  FROM c GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT 'region' AS level, c_mktsegment AS qi1, r_name AS qi2,
+       |    COUNT(*) AS n, COUNT(DISTINCT sens) AS l
+       |  FROM c GROUP BY 1, 2, 3)
+       |SELECT level,
+       |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(MIN(l) AS BIGINT) AS min_diversity,
+       |  CAST(SUM(CASE WHEN l < $LDivL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_groups_failing,
+       |  CAST(SUM(CASE WHEN l < $LDivL THEN n ELSE 0 END) AS BIGINT)
+       |    AS n_rows_at_risk
+       |FROM lv GROUP BY 1""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("r_regionkey") === col("n_regionkey"))
+      .select(col("c_mktsegment"), col("n_name"), col("r_name"),
+        floor(col("c_acctbal") / LDivBucket).cast("long").as("sens"))
+    def level(name: String, qi2: String) = c
+      .groupBy(col("c_mktsegment").as("qi1"), col(qi2).as("qi2"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("l"))
+      .select(lit(name).as("level"), col("n"), col("l"))
+    level("nation", "n_name").unionAll(level("region", "r_name"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("l")).cast("long").as("min_diversity"),
+        sum(when(col("l") < LDivL, 1L).otherwise(0L))
+          .as("n_groups_failing"),
+        sum(when(col("l") < LDivL, col("n")).otherwise(0L))
+          .as("n_rows_at_risk"))
+  }
+
   val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85, q89, q102,
-    q155, q173, q174, q175, q176, q177, q180, q182)
+    q155, q173, q174, q175, q176, q177, q180, q182, q212)
 }

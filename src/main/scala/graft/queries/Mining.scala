@@ -934,6 +934,87 @@ object Mining {
       "max_sim_q", "mmr_q")
   }
 
+  // ------------------------------------------------------------ q211
+
+  private val AaMaxDeg = 64 // hub cap: z with deg > cap yields no wedges
+  private val AaScale = 1000000L // 1/ln(deg) quantization grid (1e-6)
+  private val AaK = 20
+
+  /** Adamic–Adar link prediction over the part co-occurrence graph
+    * (q132's support-≥2 edges): for each NON-adjacent part pair, the
+    * sum of 1/ln(deg(z)) over common neighbors z — the classic
+    * "which products will be bought together next" score, completing
+    * the graph family (PageRank q111, components q48, triangles q138,
+    * communities q195, BFS q179) with its prediction member. Wedge
+    * generation is the triangle-count shape: pairs come only from a
+    * per-common-neighbor fan-out, and a degree cap [[AaMaxDeg]]
+    * bounds it at O(cap²) per node — a 10⁶-degree hub contributes
+    * zero wedges instead of 10¹² (and ~zero AA signal anyway:
+    * 1/ln(10⁶) ≈ 0.07, the score's own discount says hubs are
+    * uninformative). Per-z weights quantize 1/ln(deg) onto a 1e-6
+    * integer grid (deg is a SMALL INT, so ln hits identical doubles
+    * in both engines — the q135/q136 precedent), making every score
+    * an exact integer sum; ranking is the distributed global rank. */
+  val q211 = Query(
+    "q211_adamic_adar",
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT a, b FROM p WHERE n >= $TriMinSupport),
+       |adj AS (
+       |  SELECT a AS z, b AS nb FROM e
+       |  UNION ALL SELECT b AS z, a AS nb FROM e),
+       |d AS (SELECT z, COUNT(*) AS deg FROM adj GROUP BY 1),
+       |w AS (
+       |  SELECT z, CAST(round($AaScale.0 / ln(CAST(deg AS DOUBLE)))
+       |    AS BIGINT) AS w
+       |  FROM d WHERE deg >= 2 AND deg <= $AaMaxDeg),
+       |wedge AS (
+       |  SELECT x.nb AS pa, y.nb AS pb, w.w
+       |  FROM adj x JOIN adj y ON y.z = x.z AND y.nb > x.nb
+       |  JOIN w ON w.z = x.z),
+       |sc AS (
+       |  SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n_common,
+       |    SUM(w) AS aa
+       |  FROM wedge GROUP BY 1, 2),
+       |nonadj AS (
+       |  SELECT sc.* FROM sc
+       |  LEFT JOIN e ON e.a = sc.pa AND e.b = sc.pb
+       |  WHERE e.a IS NULL),
+       |r AS (
+       |  SELECT pa, pb, n_common, aa, row_number() OVER (
+       |    ORDER BY aa DESC, pa, pb) AS rnk
+       |  FROM nonadj)
+       |SELECT pa AS part_a, pb AS part_b, n_common,
+       |  ROUND(CAST(aa AS DOUBLE) / $AaScale.0, 6) AS aa_score,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= $AaK""".stripMargin) { (s, dir) =>
+    val li = InternalCache.persist(Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct())
+    val x = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val y = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val edges = x.join(y, Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= TriMinSupport)
+      .select(col("a"), col("b"))
+    val nonadj = Graph.adamicAdar(edges, AaMaxDeg, AaScale)
+    Ranking.withGlobalRank(nonadj,
+        struct((col("aa") * -1).as("s"), col("pa").as("x"),
+          col("pb").as("y")).asc, "rnk")
+      .filter(col("rnk") <= AaK)
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n_common"),
+        round(col("aa").cast("double") / AaScale.toDouble, 6)
+          .as("aa_score"),
+        col("rnk"))
+  }
+
   val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144,
-    q146, q158, q166, q186, q200, q203)
+    q146, q158, q166, q186, q200, q203, q211)
 }

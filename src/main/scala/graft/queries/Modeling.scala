@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.Functions.tokens
+import graft.functions.Functions.{money, tokens}
+import graft.operators.Ranking
 import graft.sources.Tables
 
 /** Model-adjacent analytics: the feature-engineering, evaluation, and
@@ -440,5 +441,261 @@ object Modeling {
       round(conf - rate, 6).as("gap"))
   }
 
-  val all: Seq[Query] = Seq(q196, q197, q198, q199, q202)
+  // ------------------------------------------------------------ q208
+
+  /** Per-region Gini coefficient of customer revenue — the standard
+    * concentration/inequality readout over any value distribution
+    * (revenue, token counts, shard sizes), complementing q11's
+    * top-share and q133's deciles with the single scalar an
+    * executive dashboard tracks. Uses the rank formula
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over ascending per-region
+    * ranks. The rank comes from ONE distributed global rank
+    * (`Ranking.withGlobalRank` on (region, rev, custkey) — range
+    * shuffle + per-partition window, never a single-partition window);
+    * per-region positions are recovered by subtracting the broadcast
+    * per-region minimum, so a 10⁹-customer region never sorts in one
+    * task. The (rev, custkey) order is total, so rank ≡ row_number
+    * and equals the oracle's per-region window; equal revenues may
+    * permute among themselves but i·x is invariant within a tie run.
+    * All sums are exact DECIMAL(38) (i·x stays integral); the exact
+    * integers cross to double via the [[dd]] string route and the
+    * Gini is one IEEE division, rounded 6 dp. */
+  val q208 = Query(
+    "q208_gini_concentration",
+    """WITH cr AS (
+      |  SELECT r_name, c_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS rev
+      |  FROM orders
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON n_nationkey = c_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT r_name, rev, row_number() OVER (
+      |    PARTITION BY r_name ORDER BY rev, c_custkey) AS i
+      |  FROM cr),
+      |a AS (
+      |  SELECT r_name, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(CAST(rev AS HUGEINT)) AS HUGEINT) AS s,
+      |    CAST(SUM(CAST(i AS HUGEINT) * rev) AS HUGEINT) AS t
+      |  FROM r GROUP BY 1)
+      |SELECT r_name, CAST(n AS BIGINT) AS n_customers,
+      |  ROUND(CAST(s AS DOUBLE) / 100.0, 2) AS revenue,
+      |  CASE WHEN n * s != 0 THEN
+      |    ROUND(CAST(CAST(2 * t - (n + 1) * s AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(n * s AS VARCHAR) AS DOUBLE), 6)
+      |  END AS gini
+      |FROM a""".stripMargin) { (s, dir) =>
+    val cr = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("r_name"), col("c_custkey"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rev"))
+    val ranked = Ranking.withGlobalRank(cr,
+      struct(col("r_name").as("r"), col("rev").as("x"),
+        col("c_custkey").as("k")).asc, "grank")
+    // per-region rank = global rank − broadcast per-region minimum + 1
+    val off = ranked.groupBy(col("r_name"))
+      .agg(min(col("grank")).as("off"))
+    val a = ranked.join(broadcast(off), Seq("r_name"))
+      .select(col("r_name"), col("rev"),
+        (col("grank") - col("off") + 1L).as("i"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("rev").cast(d38)).as("s"),
+        sum(col("i").cast(d38) * col("rev")).as("t"))
+    a.select(col("r_name"), col("n").cast("long").as("n_customers"),
+      round(col("s").cast("double") / 100.0d, 2).as("revenue"),
+      when(col("n") * col("s") =!= 0,
+        round(dd(lit(2).cast(d38) * col("t")
+            - (col("n") + 1) * col("s")) /
+          dd(col("n") * col("s")), 6)).as("gini"))
+  }
+
+  // ------------------------------------------------------------ q209
+
+  private val AcfMaxLag = 7
+
+  /** Autocorrelation function of the daily revenue series at lags
+    * 1..7 — the seasonality diagnostic run before choosing any
+    * forecast model (q153's smoothing span, q163's Holt trend, q169's
+    * seasonal-naive lag all presuppose knowing which lags carry
+    * signal; a strong lag-7 says weekly cycle). The series is the
+    * per-DAY revenue rollup, so the frame is CALENDAR-BOUNDED
+    * (~2.4k rows at any corpus size — at 100 TB the only big-data
+    * stage is still the one map-side-combinable daily aggregate) and
+    * the lag joins are broadcast self-equi-joins on day±k (the q169
+    * shape — no windows, no order dependence). Exactness: with S=Σx
+    * over n days, n·(xₜ−x̄) = n·xₜ−S is an exact DECIMAL(38) integer,
+    * so numerator and denominator are exact n²-scaled sums whose
+    * ratio IS r_k — the scale factor cancels; headroom holds past
+    * 10⁵× the test scale (n·x ≈ 2e16 cents → squared-sum ≈ 1e36).
+    * One string-route double cast per side and one IEEE division. */
+  val q209 = Query(
+    "q209_revenue_acf",
+    s"""WITH m AS (
+       |  SELECT date_trunc('day', o_orderdate) AS day,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |      AS rev
+       |  FROM orders GROUP BY 1),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+       |    CAST(SUM(CAST(rev AS HUGEINT)) AS HUGEINT) AS s
+       |  FROM m),
+       |den AS (
+       |  SELECT SUM((n * rev - s) * (n * rev - s)) AS den
+       |  FROM m CROSS JOIN st),
+       |lags AS (SELECT UNNEST(range(1, ${AcfMaxLag + 1})) AS lag),
+       |num AS (
+       |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    SUM((st.n * a.rev - st.s) * (st.n * b.rev - st.s)) AS num
+       |  FROM lags l
+       |  JOIN m a ON TRUE
+       |  JOIN m b ON b.day = a.day - to_days(CAST(l.lag AS INTEGER))
+       |  CROSS JOIN st
+       |  GROUP BY 1)
+       |SELECT l.lag, (SELECT CAST(n AS BIGINT) FROM st) AS n_days,
+       |  COALESCE(num.n_pairs, 0) AS n_pairs,
+       |  CASE WHEN den.den != 0 AND num.num IS NOT NULL THEN
+       |    ROUND(CAST(CAST(num.num AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(den.den AS VARCHAR) AS DOUBLE), 6)
+       |  END AS acf
+       |FROM lags l LEFT JOIN num ON num.lag = l.lag
+       |CROSS JOIN den""".stripMargin) { (s, dir) =>
+    val m = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rev"))
+    val st = m.agg(count(lit(1)).cast(d38).as("n"),
+      sum(col("rev").cast(d38)).as("s"))
+    val cm = m.crossJoin(broadcast(st))
+    val den = cm.agg(sum((col("n") * col("rev") - col("s")) *
+      (col("n") * col("rev") - col("s"))).as("den"))
+    val aSide = cm.select(col("day"), col("rev").as("xa"),
+      col("n"), col("s"))
+    val bSide = m.select(col("day").as("day_b"), col("rev").as("xb"))
+    val lags = s.range(1, AcfMaxLag + 1).toDF("lag")
+    val num = broadcast(lags)
+      .join(aSide, expr("true"))
+      .join(broadcast(bSide),
+        col("day_b") === col("day") - make_dt_interval(col("lag")))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("n") * col("xa") - col("s")) *
+          (col("n") * col("xb") - col("s"))).as("num"))
+    val nDays = st.select(col("n").cast("long").as("n_days"))
+    // broadcast the RIGHT side: build-left is unsupported for left-outer
+    lags.join(broadcast(num), Seq("lag"), "left")
+      .crossJoin(broadcast(nDays))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("den") =!= 0 && col("num").isNotNull,
+          round(dd(col("num")) / dd(col("den")), 6)).as("acf"))
+  }
+
+  // ------------------------------------------------------------ q210
+
+  /** Kendall τ-b rank correlation between quantity and discount —
+    * the tie-robust ordinal complement to q167's Pearson matrix
+    * (both variables here are heavily tied small grids, where
+    * Pearson's linearity assumption and Spearman's mid-ranks both
+    * distort). Computed WITHOUT any pairwise row join: both variables
+    * have bounded cardinality (≤50 × ≤11 values), so the
+    * (quantity, discount) CONTINGENCY GRID is aggregated once
+    * (map-side combinable) and concordant/discordant weights come
+    * from the ≤550² broadcast cell-pair join — O(rows) + O(grid²)
+    * at any corpus size, vs the textbook O(rows²). Counts and the
+    * n0/n1/n2 tie terms are exact DECIMAL(38); τ-b is a fixed IEEE
+    * tree (one division, two sqrts) over string-route double casts,
+    * rounded 6 dp. */
+  val q210 = Query(
+    "q210_kendall_tau",
+    """WITH b AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS d
+      |  FROM lineitem),
+      |cells AS (
+      |  SELECT q, d, CAST(COUNT(*) AS HUGEINT) AS c FROM b GROUP BY 1, 2),
+      |cd AS (
+      |  SELECT
+      |    SUM(CASE WHEN y.d > x.d THEN x.c * y.c ELSE 0 END) AS conc,
+      |    SUM(CASE WHEN y.d < x.d THEN x.c * y.c ELSE 0 END) AS disc
+      |  FROM cells x JOIN cells y ON y.q > x.q),
+      |tq AS (
+      |  SELECT SUM(cq * (cq - 1)) AS t1_2 FROM (
+      |    SELECT SUM(c) AS cq FROM cells GROUP BY q)),
+      |td AS (
+      |  SELECT SUM(cd_ * (cd_ - 1)) AS t2_2 FROM (
+      |    SELECT SUM(c) AS cd_ FROM cells GROUP BY d)),
+      |n AS (SELECT SUM(c) AS n FROM cells),
+      |f AS (
+      |  SELECT n.n, conc, disc,
+      |    n.n * (n.n - 1) - tq.t1_2 AS u1_2,
+      |    n.n * (n.n - 1) - td.t2_2 AS u2_2
+      |  FROM n CROSS JOIN cd CROSS JOIN tq CROSS JOIN td)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |  CASE WHEN u1_2 > 0 AND u2_2 > 0 THEN
+      |    ROUND((2.0 * (CAST(CAST(conc AS VARCHAR) AS DOUBLE)
+      |        - CAST(CAST(disc AS VARCHAR) AS DOUBLE)))
+      |      / (sqrt(CAST(CAST(u1_2 AS VARCHAR) AS DOUBLE))
+      |        * sqrt(CAST(CAST(u2_2 AS VARCHAR) AS DOUBLE))), 6)
+      |  END AS tau_b,
+      |  CASE WHEN n > 1 THEN
+      |    ROUND((2.0 * CAST(CAST(conc AS VARCHAR) AS DOUBLE))
+      |      / (CAST(CAST(n AS VARCHAR) AS DOUBLE)
+      |        * CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE)), 6)
+      |  END AS concordant_share,
+      |  CASE WHEN n > 1 THEN
+      |    ROUND((2.0 * CAST(CAST(disc AS VARCHAR) AS DOUBLE))
+      |      / (CAST(CAST(n AS VARCHAR) AS DOUBLE)
+      |        * CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE)), 6)
+      |  END AS discordant_share
+      |FROM f""".stripMargin) { (s, dir) =>
+    // same fixture-double handling as q196: quantity is integral,
+    // discount×100 needs the pre-cast round
+    val b = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("q"),
+      round(col("l_discount") * 100).cast("long").as("d"))
+    val cells = b.groupBy(col("q"), col("d"))
+      .agg(count(lit(1)).cast(d38).as("c"))
+    val x = cells.select(col("q").as("xq"), col("d").as("xd"),
+      col("c").as("xc"))
+    val y = cells.select(col("q").as("yq"), col("d").as("yd"),
+      col("c").as("yc"))
+    val cdf = x.join(broadcast(y), col("yq") > col("xq"))
+      .agg(
+        sum(when(col("yd") > col("xd"), col("xc") * col("yc"))
+          .otherwise(lit(0).cast(d38))).as("conc"),
+        sum(when(col("yd") < col("xd"), col("xc") * col("yc"))
+          .otherwise(lit(0).cast(d38))).as("disc"))
+    val tq = cells.groupBy(col("q")).agg(sum(col("c")).as("cq"))
+      .agg(sum(col("cq") * (col("cq") - 1)).as("t1_2"))
+    val td = cells.groupBy(col("d")).agg(sum(col("c")).as("cd_"))
+      .agg(sum(col("cd_") * (col("cd_") - 1)).as("t2_2"))
+    val n = cells.agg(sum(col("c")).as("n"))
+    val f = n.crossJoin(broadcast(cdf)).crossJoin(broadcast(tq))
+      .crossJoin(broadcast(td))
+      .select(col("n"), col("conc"), col("disc"),
+        (col("n") * (col("n") - 1) - col("t1_2")).as("u1_2"),
+        (col("n") * (col("n") - 1) - col("t2_2")).as("u2_2"))
+    f.select(col("n").cast("long").as("n_rows"),
+      when(col("u1_2") > 0 && col("u2_2") > 0,
+        round((lit(2.0d) * (dd(col("conc")) - dd(col("disc")))) /
+          (sqrt(dd(col("u1_2"))) * sqrt(dd(col("u2_2")))), 6))
+        .as("tau_b"),
+      when(col("n") > 1,
+        round((lit(2.0d) * dd(col("conc"))) /
+          (dd(col("n")) * dd(col("n") - 1)), 6)).as("concordant_share"),
+      when(col("n") > 1,
+        round((lit(2.0d) * dd(col("disc"))) /
+          (dd(col("n")) * dd(col("n") - 1)), 6)).as("discordant_share"))
+  }
+
+  val all: Seq[Query] =
+    Seq(q196, q197, q198, q199, q202, q208, q209, q210)
 }

@@ -102,6 +102,37 @@ class MiningSpec extends SparkSpec {
     graft.operators.InternalCache.release()
   }
 
+  test("adamic-adar: square graph scores both diagonals, skips edges") {
+    // C4: 1-3, 1-4, 2-3, 2-4 — every node degree 2. Non-adjacent
+    // diagonals (1,2) and (3,4) each have two common neighbors of
+    // degree 2, so aa = 2·round(1e6/ln 2) exactly.
+    val sq = edges((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    val out = rows(Graph.adamicAdar(sq, maxDeg = 64, scale = 1000000L))
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("aa")))
+      .toSet
+    val w2 = math.round(1000000.0 / math.log(2.0)) // 1442695
+    assert(out == Set((1L, 2L, 2L, 2 * w2), (3L, 4L, 2L, 2 * w2)))
+    graft.operators.InternalCache.release()
+  }
+
+  test("adamic-adar: hub over the cap contributes no wedges") {
+    // star center 9 has degree 3 > cap 2 → no predicted pairs at all
+    val star = edges((1L, 9L), (2L, 9L), (3L, 9L))
+    assert(rows(Graph.adamicAdar(star, maxDeg = 2, scale = 1000000L))
+      .isEmpty)
+    graft.operators.InternalCache.release()
+    // same graph, cap 3: all three leaf pairs predicted via the center
+    val w3 = math.round(1000000.0 / math.log(3.0))
+    val out = rows(Graph.adamicAdar(star, maxDeg = 3, scale = 1000000L))
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("aa")))
+      .toSet
+    assert(out == Set((1L, 2L, 1L, w3), (1L, 3L, 1L, w3),
+      (2L, 3L, 1L, w3)))
+    graft.operators.InternalCache.release()
+  }
+
   test("triangles: one triangle with a pendant edge") {
     val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
     val r = rows(Graph.triangleStats(g)).head

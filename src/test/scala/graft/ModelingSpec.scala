@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.queries.{Analytics, Mining, Modeling, Warehouse}
 
@@ -229,5 +230,108 @@ class ModelingSpec extends SparkSpec {
         assert(feasible.contains(pts))
       }
     }
+  }
+
+  // ------------------------------------------------------------- q208
+
+  private def writeDims(dir: String): Unit = {
+    Seq((1, "NA", 1), (2, "NB", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((1, "RA"), (2, "RB"))
+      .toDF("r_regionkey", "r_name")
+      .write.parquet(s"$dir/region.parquet")
+  }
+
+  test("gini: equal revenues score 0; concentration scores the rank " +
+      "formula's closed form") {
+    val dir = fixtureDir()
+    writeDims(dir)
+    (Seq(1L, 2L, 3L).map(k => (k, 1)) ++
+      Seq(11L, 12L, 13L, 14L).map(k => (k, 2)))
+      .toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    // RA: three equal customers → gini 0. RB: [1, 1, 1, 97] →
+    // G = (2·39400 − 5·10000) / (4·10000) = 0.72 in cents
+    (Seq(1L -> 100.0, 2L -> 100.0, 3L -> 100.0) ++
+      Seq(11L -> 1.0, 12L -> 1.0, 13L -> 1.0, 14L -> 97.0))
+      .toDF("o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = rows(Modeling.q208.fn(spark, dir))
+      .map(r => r.getAs[String]("r_name") ->
+        (r.getAs[Long]("n_customers"), r.getAs[Double]("gini")))
+      .toMap
+    assert(out("RA") == ((3L, 0.0)))
+    assert(out("RB") == ((4L, 0.72)))
+    graft.operators.InternalCache.release()
+  }
+
+  // ------------------------------------------------------------- q209
+
+  test("acf: the 1,2,3 series has r1 = 0, r2 = -0.5, empty lags null") {
+    val dir = fixtureDir()
+    Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-03", 3.0))
+      .toDF("d", "o_totalprice")
+      .select(col("d").cast("timestamp").as("o_orderdate"),
+        col("o_totalprice"))
+      .write.parquet(s"$dir/orders.parquet")
+    // centered (×n): [-300, 0, 300]; den = 180000; lag1 num = 0;
+    // lag2 num = 300·(−300) = −90000 → −0.5; lags 3+ have no pairs
+    val out = rows(Modeling.q209.fn(spark, dir))
+    assert(out.size == 7)
+    val byLag = out.map(r => r.getAs[Long]("lag") ->
+      (r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+        Option(r.getAs[java.lang.Double]("acf")))).toMap
+    assert(byLag(1L) == ((3L, 2L, Some(0.0))))
+    assert(byLag(2L) == ((3L, 1L, Some(-0.5))))
+    (3L to 7L).foreach(k => assert(byLag(k) == ((3L, 0L, None))))
+  }
+
+  // ------------------------------------------------------------- q210
+
+  private def writeQd(dir: String, qd: Seq[(Double, Double)]): Unit =
+    qd.toDF("l_quantity", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+
+  test("kendall: monotone grids hit ±1; a tied-out variable is null") {
+    val dir = fixtureDir()
+    writeQd(dir, Seq((1.0, 0.01), (2.0, 0.02), (3.0, 0.03)))
+    val r = one(Modeling.q210.fn(spark, dir))
+    assert(r.getAs[Long]("n_rows") == 3L)
+    assert(r.getAs[Double]("tau_b") == 1.0)
+    assert(r.getAs[Double]("concordant_share") == 1.0)
+    assert(r.getAs[Double]("discordant_share") == 0.0)
+
+    val dir2 = fixtureDir()
+    writeQd(dir2, Seq((1.0, 0.03), (2.0, 0.02), (3.0, 0.01)))
+    assert(one(Modeling.q210.fn(spark, dir2))
+      .getAs[Double]("tau_b") == -1.0)
+
+    val dir3 = fixtureDir()
+    writeQd(dir3, Seq((5.0, 0.01), (5.0, 0.02), (5.0, 0.03)))
+    val r3 = one(Modeling.q210.fn(spark, dir3))
+    assert(r3.isNullAt(r3.fieldIndex("tau_b"))) // u1 = 0: no signal
+  }
+
+  // ------------------------------------------------------------- q212
+
+  test("l-diversity: a uniform-balance group fails, a spread one " +
+      "passes") {
+    val dir = fixtureDir()
+    writeDims(dir)
+    // seg A / nation 1: bands {0, 1, 2} → l = 3 (passes L = 3)
+    // seg B / nation 1: both in band 0 → l = 1 (fails, 2 rows at risk)
+    Seq((1L, 1, 100.0, "A"), (2L, 1, 1100.0, "A"), (3L, 1, 2100.0, "A"),
+      (4L, 1, 500.0, "B"), (5L, 1, 500.0, "B"))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val out = rows(graft.queries.Curation.q212.fn(spark, dir))
+      .map(r => r.getAs[String]("level") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("min_diversity"),
+          r.getAs[Long]("n_groups_failing"),
+          r.getAs[Long]("n_rows_at_risk")))
+      .toMap
+    assert(out("nation") == ((2L, 1L, 1L, 2L)))
+    assert(out("region") == ((2L, 1L, 1L, 2L)))
   }
 }
