@@ -86,6 +86,30 @@ object KMeans {
       .drop((0 until k).map(m => s"__kd$m"): _*)
   }
 
+  /** [[withCellDist]] plus `__kdist2`: the distance to the BEST OTHER
+    * cell (the runner-up of the same first-wins argmin — on a tie at
+    * the minimum the runner-up carries the tied distance, exactly like
+    * the rk=2 row of the oracle's `ORDER BY dist, cell` window). The
+    * silhouette's b-term. */
+  def withCellDist2(df: DataFrame, vqCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val k = cents.length
+    require(k >= 2, "runner-up distance needs k >= 2")
+    val withD = cents.zipWithIndex.foldLeft(df) { case (d, (c, m)) =>
+      d.withColumn(s"__kd$m", distTo(col(vqCol), c))
+    }
+    val cell = Similarity.argminCell(k, m => col(s"__kd$m"))
+    withD
+      .withColumn("__cell", cell)
+      .withColumn("__kdist",
+        least((0 until k).map(m => col(s"__kd$m")): _*))
+      .withColumn("__kdist2",
+        least((0 until k).map(m =>
+          when(col("__cell") === m, lit(Double.MaxValue))
+            .otherwise(col(s"__kd$m"))): _*))
+      .drop((0 until k).map(m => s"__kd$m"): _*)
+  }
+
   /** `iters` Lloyd's iterations from the deterministic init; returns
     * the final k×dims centroid table. Each iteration: one distributed
     * scan (assign + per-cluster integer sums), one bounded ≤ k-row

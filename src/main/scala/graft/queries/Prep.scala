@@ -925,6 +925,78 @@ object Prep {
           sum(size(col("enc"))).cast("double"), 6).as("compression"))
   }
 
+  // ------------------------------------------------------------ q213
+
+  /** Per-cluster silhouette of the trained k-means cells (q99's shared
+    * centroids) — the geometric cluster-quality diagnostic beside
+    * q191's label purity: purity asks "do clusters respect the
+    * taxonomy", silhouette asks "are they SEPARATED at all", and
+    * together they gate any downstream use of the clustering (q92
+    * splits, q79 semantic dedup, q100 IVF cells). Centroid-based
+    * (simplified) silhouette: per point, a = distance to its own
+    * centroid, b = distance to the best OTHER centroid —
+    * s = (b−a)/max(a,b) ∈ [−1,1]; a negative s is a point literally
+    * closer to another cell's centroid (reported as `n_misfit`).
+    *
+    * Scale: one assignment scan (centroids are broadcast literals,
+    * the runner-up distance is the same per-row argmin machinery —
+    * O(k) per row, no pairwise anything), then a map-side-combinable
+    * per-cell aggregate. Determinism: a and b are IEEE sqrt of the
+    * exact strict-fold L2² distances, s is one fixed division, and
+    * per-point s quantizes to a 1e-6 integer grid before summing —
+    * so per-cell sums are exact and the oracle (same Lloyd's chain,
+    * rk ≤ 2 of the same argmin window) replays bit for bit. */
+  val q213 = Query(
+    "q213_silhouette",
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings),
+       |$dKmChain,
+       |nn2 AS (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN rk = 1 THEN cell END) AS cell,
+       |    MAX(CASE WHEN rk = 1 THEN dist END) AS d1,
+       |    MAX(CASE WHEN rk = 2 THEN dist END) AS d2
+       |  FROM (
+       |    SELECT vec_id, cell, dist,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT v.vec_id, c.cell, $dKmDist AS dist
+       |          FROM v, c$KmIters c))
+       |  WHERE rk <= 2 GROUP BY vec_id),
+       |sil AS (
+       |  SELECT cell,
+       |    CASE WHEN greatest(sqrt(d1), sqrt(d2)) > 0 THEN
+       |      CAST(floor(((sqrt(d2) - sqrt(d1))
+       |        / greatest(sqrt(d1), sqrt(d2))) * $KmQL) AS BIGINT)
+       |    ELSE 0 END AS sq
+       |  FROM nn2)
+       |SELECT CAST(cell AS BIGINT) AS cell,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_misfit,
+       |  ROUND(CAST(SUM(sq) AS DOUBLE) / (COUNT(*) * $KmQL), 6)
+       |    AS mean_silhouette
+       |FROM sil GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.operators.KMeans
+    val cents = kmCentsShared(s, dir)
+    val a2 = KMeans.withCellDist2(kmVqShared(s, dir), "vq", cents)
+    val aD = sqrt(col("__kdist"))
+    val bD = sqrt(col("__kdist2"))
+    val sil = a2.select(col("__cell").cast("long").as("cell"),
+      when(greatest(aD, bD) > 0,
+        floor(((bD - aD) / greatest(aD, bD)) * lit(KMeans.Q))
+          .cast("long"))
+        .otherwise(0L).as("sq"))
+    sil.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("sq") < 0, 1L).otherwise(0L)).as("n_misfit"),
+        round(sum(col("sq")).cast("double") /
+          (count(lit(1)) * lit(KMeans.Q)), 6).as("mean_silhouette"))
+  }
+
   val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99, q100,
-    q120, q148, q191)
+    q120, q148, q191, q213)
 }

@@ -53,6 +53,24 @@ class KMeansSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("withCellDist2 yields the runner-up distance; ties carry the " +
+      "tied distance") {
+    val cents = Array(Array(0.0, 0.0, 0.0, 0.0),
+      Array(10.0, 0.0, 0.0, 0.0))
+    // point at x=1: own cell 0 (d²=1), runner-up cell 1 (d²=81)
+    val r = rows(KMeans.withCellDist2(
+      vecs(Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)))), "vq", cents)).head
+    assert(r.getAs[Int]("__cell") == 0)
+    assert(r.getAs[Double]("__kdist") == 1.0)
+    assert(r.getAs[Double]("__kdist2") == 81.0)
+    // equidistant point at x=5: first-wins cell 0, runner-up ties at 25
+    val t = rows(KMeans.withCellDist2(
+      vecs(Seq((2L, Seq(5.0, 0.0, 0.0, 0.0)))), "vq", cents)).head
+    assert(t.getAs[Int]("__cell") == 0)
+    assert(t.getAs[Double]("__kdist") == 25.0)
+    assert(t.getAs[Double]("__kdist2") == 25.0)
+  }
+
   test("empty clusters keep their init centroid") {
     // all points identical → they all land in ONE cell; the other
     // centroids must remain exactly the hash init
