@@ -997,6 +997,186 @@ object Prep {
           (count(lit(1)) * lit(KMeans.Q)), 6).as("mean_silhouette"))
   }
 
+  // ------------------------------------------------------------ q214
+
+  private val PcaIters = 6
+
+  /** DuckDB fragment: the pca init component for dim `d` (1-based
+    * CTE dim), quantized — mirrors `hash60("pca:" + (d-1))`. */
+  private def dPcaInit: String =
+    s"""CAST(floor((((('0x' || substr(md5('pca:' ||
+       |  CAST(d - 1 AS VARCHAR)), 1, 15))::BIGINT % 1001) - 500)
+       |  / 500.0) * $KmQL + 0.5) AS BIGINT)""".stripMargin
+
+  /** Top principal component of the embedding corpus (loadings +
+    * explained-variance share) — the embedding-space diagnostic run
+    * before whitening, ANN indexing, or dimensionality reduction: a
+    * dominant component with a high share means the space is
+    * anisotropic and cosine scores are inflated along it (the
+    * "all-but-the-top" observation for text embeddings).
+    *
+    * Distributed part: ONE scan builds the exact sufficient
+    * statistics — per-dim sums and the 2 080 upper-triangle
+    * cross-sums of the 1e-6-quantized components (a per-row Generate
+    * of pair products, partial-aggregated map-side; DECIMAL(38) sums).
+    * Driver part: the 64×64 n²-scaled integer covariance
+    * `Cq = n·Σqq − Σq·Σq` (BigInt, exact) and [[PcaIters]] power
+    * iterations — bounded 64²-scalar state, the same bounded-collect
+    * contract as [[graft.operators.KMeans.fit]].
+    *
+    * Determinism: each iteration's matvec is an EXACT integer sum
+    * (order-free); the normalization crosses to double via the
+    * string route (correctly-rounded parse on both engines), squares
+    * and sums in a STRICT ascending-dim fold, and re-quantizes to the
+    * 1e-6 grid — so the whole trajectory, and the final
+    * Rayleigh-quotient share `vᵀCv / (tr(C)·vᵀv)` (exact integers,
+    * one double division chain), replays bit for bit in the oracle's
+    * MATERIALIZED CTE chain. Integer headroom: the matvec product
+    * peaks ≈ Cq·Q·64 ≈ 10²⁶ at the test scales (int128-safe to
+    * ~10⁶ more vectors; beyond that the n²-scaling must move to the
+    * mean-centered form — recorded, not hidden). */
+  val q214 = Query(
+    "q214_pca_top_component",
+    {
+      val iters = (1 to PcaIters).map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT cov.d, SUM(cov.c * p${t - 1}.vq) AS w
+           |  FROM cov JOIN p${t - 1} ON p${t - 1}.d = cov.e
+           |  GROUP BY 1),
+           |wd$t AS MATERIALIZED (
+           |  SELECT d, CAST(CAST(w AS VARCHAR) AS DOUBLE) AS wd
+           |  FROM w$t),
+           |nn$t AS (
+           |  SELECT list_reduce([x * x for x in l], (a, b) -> a + b)
+           |    AS nn
+           |  FROM (SELECT list(wd ORDER BY d) AS l FROM wd$t)),
+           |p$t AS MATERIALIZED (
+           |  SELECT wd$t.d,
+           |    CASE WHEN nn.nn > 0 THEN
+           |      CAST(floor(wd / sqrt(nn.nn) * $KmQL + 0.5) AS BIGINT)
+           |    ELSE pp.vq END AS vq
+           |  FROM wd$t CROSS JOIN nn$t nn
+           |  JOIN p${t - 1} pp ON pp.d = wd$t.d)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (
+         |  SELECT [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+         |    for x in embedding] AS vq
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(range(1, ${KmDims + 1})) AS d),
+         |n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM v),
+         |s1 AS (
+         |  SELECT d, SUM(CAST(vq[d] AS HUGEINT)) AS sd
+         |  FROM v CROSS JOIN dims GROUP BY 1),
+         |pr AS (
+         |  SELECT a.d AS di, b.d AS de
+         |  FROM dims a JOIN dims b ON b.d >= a.d),
+         |s2 AS (
+         |  SELECT di, de, SUM(CAST(vq[di] AS HUGEINT) * vq[de]) AS sde
+         |  FROM v CROSS JOIN pr GROUP BY 1, 2),
+         |cov AS MATERIALIZED (
+         |  SELECT di AS d, de AS e,
+         |    n.n * sde - x.sd * y.sd AS c
+         |  FROM s2 JOIN s1 x ON x.d = s2.di
+         |  JOIN s1 y ON y.d = s2.de CROSS JOIN n
+         |  UNION ALL
+         |  SELECT de AS d, di AS e,
+         |    n.n * sde - x.sd * y.sd AS c
+         |  FROM s2 JOIN s1 x ON x.d = s2.di
+         |  JOIN s1 y ON y.d = s2.de CROSS JOIN n
+         |  WHERE di != de),
+         |p0 AS MATERIALIZED (SELECT d, $dPcaInit AS vq FROM dims),
+         |$iters,
+         |wf AS (
+         |  SELECT cov.d, SUM(cov.c * p$PcaIters.vq) AS w
+         |  FROM cov JOIN p$PcaIters ON p$PcaIters.d = cov.e
+         |  GROUP BY 1),
+         |ray AS (
+         |  SELECT SUM(p.vq * wf.w) AS r
+         |  FROM p$PcaIters p JOIN wf ON wf.d = p.d),
+         |tr AS (SELECT SUM(c) AS t FROM cov WHERE d = e),
+         |v2 AS (
+         |  SELECT SUM(CAST(vq AS HUGEINT) * vq) AS q2 FROM p$PcaIters)
+         |SELECT CAST(p.d AS BIGINT) AS dim,
+         |  ROUND(CAST(p.vq AS DOUBLE) / $KmQL, 6) AS loading,
+         |  CASE WHEN tr.t > 0 AND v2.q2 > 0 THEN
+         |    ROUND((CAST(CAST(ray.r AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(tr.t AS VARCHAR) AS DOUBLE))
+         |      / CAST(CAST(v2.q2 AS VARCHAR) AS DOUBLE), 6)
+         |  END AS explained_share
+         |FROM p$PcaIters p CROSS JOIN ray CROSS JOIN tr
+         |CROSS JOIN v2""".stripMargin
+    }) { (s, dir) =>
+    import graft.operators.KMeans
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vq = kmVqShared(s, dir)
+    // one Generate of the 2080 upper-triangle pair products per row,
+    // partial-aggregated map-side — the only pass over the corpus
+    // (the per-dim sums ride the same scan via posexplode)
+    val pairStructs = flatten(transform(
+      sequence(lit(1), lit(KmDims)), i =>
+        transform(sequence(i, lit(KmDims)), j =>
+          struct(i.as("di"), j.as("de"),
+            (element_at(col("vq"), i) * element_at(col("vq"), j))
+              .as("p")))))
+    val s2 = vq.select(explode(pairStructs).as("pe"))
+      .select(col("pe.di").as("di"), col("pe.de").as("de"),
+        col("pe.p").as("p"))
+      .groupBy(col("di"), col("de"))
+      .agg(sum(col("p").cast(d38)).as("sde"))
+      .collect() // bounded: 2080 rows of scalars
+    val s1 = vq.select(posexplode(col("vq")).as(Seq("pos", "q")))
+      .groupBy(col("pos")).agg(sum(col("q").cast(d38)).as("sd"))
+      .collect() // bounded: 64 rows
+    val nRows = vq.count()
+    // ---- driver: exact BigInt covariance + power iteration --------
+    val Q = KMeans.Q
+    val n = BigInt(nRows)
+    val sd = Array.fill(KmDims)(BigInt(0))
+    s1.foreach(r => sd(r.getAs[Int]("pos")) =
+      BigInt(r.getAs[java.math.BigDecimal]("sd").toBigInteger))
+    val cov = Array.fill(KmDims, KmDims)(BigInt(0))
+    s2.foreach { r =>
+      val di = r.getAs[Int]("di") - 1
+      val de = r.getAs[Int]("de") - 1
+      val sde = BigInt(r.getAs[java.math.BigDecimal]("sde").toBigInteger)
+      val c = n * sde - sd(di) * sd(de)
+      cov(di)(de) = c
+      cov(de)(di) = c
+    }
+    def dd(x: BigInt): Double = java.lang.Double.parseDouble(x.toString)
+    def matvec(p: Array[Long]): Array[BigInt] =
+      Array.tabulate(KmDims)(d =>
+        (0 until KmDims).foldLeft(BigInt(0))((a, e) =>
+          a + cov(d)(e) * p(e)))
+    var p = Array.tabulate(KmDims)(d => math.floor(
+      ((KMeans.hash60(s"pca:$d") % 1001) - 500) / 500.0 * Q + 0.5)
+      .toLong)
+    for (_ <- 1 to PcaIters) {
+      val w = matvec(p)
+      val wd = w.map(dd)
+      val nn = wd.map(x => x * x).reduceLeft(_ + _)
+      if (nn > 0)
+        p = wd.map(x => math.floor(x / math.sqrt(nn) * Q + 0.5).toLong)
+    }
+    val wf = matvec(p)
+    val ray = (0 until KmDims).foldLeft(BigInt(0))((a, d) =>
+      a + BigInt(p(d)) * wf(d))
+    val tr = (0 until KmDims).foldLeft(BigInt(0))((a, d) =>
+      a + cov(d)(d))
+    val v2 = p.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * BigInt(x))
+    val share: java.lang.Double =
+      if (tr > 0 && v2 > 0)
+        BigDecimal((dd(ray) / dd(tr)) / dd(v2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else null.asInstanceOf[java.lang.Double]
+    import s.implicits._
+    p.zipWithIndex.toIndexedSeq
+      .map { case (q, d) => ((d + 1).toLong, q / Q, share) }
+      .toDF("dim", "__raw", "explained_share")
+      .select(col("dim"), round(col("__raw"), 6).as("loading"),
+        col("explained_share"))
+  }
+
   val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99, q100,
-    q120, q148, q191, q213)
+    q120, q148, q191, q213, q214)
 }

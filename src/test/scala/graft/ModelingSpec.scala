@@ -313,6 +313,27 @@ class ModelingSpec extends SparkSpec {
     assert(r3.isNullAt(r3.fieldIndex("tau_b"))) // u1 = 0: no signal
   }
 
+  // ------------------------------------------------------------- q214
+
+  test("pca: a rank-1 covariance puts the whole component on its " +
+      "axis with share 1") {
+    val dir = fixtureDir()
+    // all variance on dim 1, zero-mean; other dims identically 0
+    Seq(0.5f, -0.5f, 0.25f, -0.25f).zipWithIndex.map { case (x, i) =>
+      (i.toLong, x +: Seq.fill(63)(0.0f), i)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = rows(graft.queries.Prep.q214.fn(spark, dir))
+    assert(out.size == 64)
+    out.foreach { r =>
+      val load = r.getAs[Double]("loading")
+      if (r.getAs[Long]("dim") == 1L) assert(math.abs(load) == 1.0)
+      else assert(load == 0.0)
+      assert(r.getAs[Double]("explained_share") == 1.0)
+    }
+    graft.operators.SharedFrames.release()
+  }
+
   // ------------------------------------------------------------- q212
 
   test("l-diversity: a uniform-balance group fails, a spread one " +
