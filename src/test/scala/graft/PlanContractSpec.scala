@@ -206,6 +206,50 @@ class PlanContractSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("q208: the gini rank is distributed — every window partitioned, " +
+      "dims broadcast") {
+    val p = plan("q208_gini_concentration")
+    assertNoGlobalWindow(p)
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    graft.operators.InternalCache.release()
+  }
+
+  test("q209: the daily series and its lag joins stay broadcast — " +
+      "no sort-merge join, no window at all") {
+    val p = plan("q209_revenue_acf")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q210: kendall runs on the contingency grid — no row-level " +
+      "pair join, no cartesian, no window") {
+    val p = plan("q210_kendall_tau")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(2000))
+  }
+
+  test("q211: adamic-adar wedges come from equi joins; rank windows " +
+      "partitioned") {
+    val p = plan("q211_adamic_adar")
+    // (the Ranking offsets triangular join over the ≤nPart-row counts
+    // frame is a deliberate BroadcastNestedLoopJoin — not forbidden)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assertNoGlobalWindow(p)
+    graft.operators.InternalCache.release()
+  }
+
+  test("q213: silhouette is one assignment scan — centroids are " +
+      "literals, no joins, no windows") {
+    val p = plan("q213_silhouette")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    graft.operators.SharedFrames.release()
+  }
+
   test("q196: the OLS fit is one map-side-combinable aggregate — " +
       "no joins, no windows") {
     val p = plan("q196_ols_price_model")
