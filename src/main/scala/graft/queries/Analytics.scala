@@ -1330,15 +1330,11 @@ object Analytics {
       |  FROM pairs QUALIFY rnk <= 20)
       |SELECT part_a, part_b, n_orders, CAST(rnk AS BIGINT) AS rnk
       |FROM ranked""".stripMargin) { (s, dir) =>
-    import graft.operators.{InternalCache, Ranking}
-    val li = InternalCache.persist(Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct())
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val pairs = a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+    import graft.operators.Ranking
+    // the SHARED counted pair frame (one build per run for q132/q138/q211)
+    val pairs = Mining.partPairs(s, dir)
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("n").as("n_orders"))
     Ranking.withGlobalRank(pairs,
         struct((col("n_orders") * -1).as("no"), col("part_a").as("a"),
           col("part_b").as("b")).asc, "rnk")

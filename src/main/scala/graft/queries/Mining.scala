@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -127,6 +128,25 @@ object Mining {
 
   private val TriMinSupport = 2 // co-occurrence support for an edge
 
+  /** The counted part co-occurrence pair frame (`a < b`, `n` = orders
+    * containing both) — SHARED: q132 ranks it, q138's triangles and
+    * q211's link prediction filter it at support ≥ [[TriMinSupport]].
+    * One lineitem scan + one within-order self-join per pipeline run;
+    * every consumer reads the persisted table (the same
+    * materialize-the-edge-table-once shape as the part↔supplier graph
+    * feeding q111/q179). */
+  private[queries] def partPairs(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.getOrBuild(SharedFrames.key(s, "partPairs", dir)) {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n"))
+    }
+
   /** Triangle count + global clustering coefficient of the part
     * co-occurrence graph (q132's edges at support ≥ 2) — the graph-
     * statistics companion to PageRank (q111) and connected components
@@ -166,17 +186,9 @@ object Mining {
        |    THEN round(3 * tri.t::DOUBLE / w.n_wedges::DOUBLE, 6)
        |  END AS gcc
        |FROM w CROSS JOIN tri""".stripMargin) { (s, dir) =>
-    val li = InternalCache.persist(Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct())
-    val x = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-    val y = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-    val edges = x.join(y, Seq("l_orderkey"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n"))
+    Graph.triangleStats(partPairs(s, dir)
       .filter(col("n") >= TriMinSupport)
-      .select(col("a"), col("b"))
-    Graph.triangleStats(edges)
+      .select(col("a"), col("b")))
   }
 
   // ------------------------------------------------------------ q139
@@ -993,14 +1005,7 @@ object Mining {
        |  ROUND(CAST(aa AS DOUBLE) / $AaScale.0, 6) AS aa_score,
        |  CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= $AaK""".stripMargin) { (s, dir) =>
-    val li = InternalCache.persist(Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct())
-    val x = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-    val y = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-    val edges = x.join(y, Seq("l_orderkey"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n"))
+    val edges = partPairs(s, dir)
       .filter(col("n") >= TriMinSupport)
       .select(col("a"), col("b"))
     val nonadj = Graph.adamicAdar(edges, AaMaxDeg, AaScale)
