@@ -1035,9 +1035,11 @@ object Prep {
     * peaks ≈ Cq·Q·64 ≈ 10²⁶ at the test scales (int128-safe to
     * ~10⁶ more vectors; beyond that the n²-scaling must move to the
     * mean-centered form — recorded, not hidden). */
-  val q214 = Query(
-    "q214_pca_top_component",
-    {
+  /** The full PCA oracle CTE chain: quantized vectors, exact
+    * sufficient statistics, the n²-scaled integer covariance, and the
+    * [[PcaIters]]-step power-iteration trajectory ending at CTE
+    * `p$PcaIters`. Shared by q214 and q215. */
+  private def dPcaChain: String = {
       val iters = (1 to PcaIters).map { t =>
         s"""w$t AS MATERIALIZED (
            |  SELECT cov.d, SUM(cov.c * p${t - 1}.vq) AS w
@@ -1058,7 +1060,7 @@ object Prep {
            |  FROM wd$t CROSS JOIN nn$t nn
            |  JOIN p${t - 1} pp ON pp.d = wd$t.d)""".stripMargin
       }.mkString(",\n")
-      s"""WITH v AS (
+      s"""v AS (
          |  SELECT [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
          |    for x in embedding] AS vq
          |  FROM embeddings),
@@ -1085,7 +1087,78 @@ object Prep {
          |  JOIN s1 y ON y.d = s2.de CROSS JOIN n
          |  WHERE di != de),
          |p0 AS MATERIALIZED (SELECT d, $dPcaInit AS vq FROM dims),
-         |$iters,
+         |$iters"""
+  }
+
+  /** The trained top component (1e-6-quantized loadings) and the
+    * exact n²-scaled integer covariance — SHARED driver-side values
+    * (q214 reports them, q215 projects the component out). One corpus
+    * scan builds the sufficient statistics: a per-row Generate of the
+    * 2080 upper-triangle pair products, partial-aggregated map-side,
+    * plus the per-dim sums via posexplode; the driver holds only the
+    * bounded 64x64 BigInt matrix and the power-iteration state. */
+  private[queries] def pcaTopShared(s: SparkSession,
+      dir: String): (Array[Long], Array[Array[BigInt]]) =
+    graft.operators.SharedFrames.getOrCompute(
+        graft.operators.SharedFrames.key(s, "pcaTop", dir)) {
+      import graft.operators.KMeans
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val vq = kmVqShared(s, dir)
+      val pairStructs = flatten(transform(
+        sequence(lit(1), lit(KmDims)), i =>
+          transform(sequence(i, lit(KmDims)), j =>
+            struct(i.as("di"), j.as("de"),
+              (element_at(col("vq"), i) * element_at(col("vq"), j))
+                .as("p")))))
+      val s2 = vq.select(explode(pairStructs).as("pe"))
+        .select(col("pe.di").as("di"), col("pe.de").as("de"),
+          col("pe.p").as("p"))
+        .groupBy(col("di"), col("de"))
+        .agg(sum(col("p").cast(d38)).as("sde"))
+        .collect() // bounded: 2080 rows of scalars
+      val s1 = vq.select(posexplode(col("vq")).as(Seq("pos", "q")))
+        .groupBy(col("pos")).agg(sum(col("q").cast(d38)).as("sd"))
+        .collect() // bounded: 64 rows
+      val nRows = vq.count()
+      // ---- driver: exact BigInt covariance + power iteration ------
+      val Q = KMeans.Q
+      val n = BigInt(nRows)
+      val sd = Array.fill(KmDims)(BigInt(0))
+      s1.foreach(r => sd(r.getAs[Int]("pos")) =
+        BigInt(r.getAs[java.math.BigDecimal]("sd").toBigInteger))
+      val cov = Array.fill(KmDims, KmDims)(BigInt(0))
+      s2.foreach { r =>
+        val di = r.getAs[Int]("di") - 1
+        val de = r.getAs[Int]("de") - 1
+        val sde =
+          BigInt(r.getAs[java.math.BigDecimal]("sde").toBigInteger)
+        val c = n * sde - sd(di) * sd(de)
+        cov(di)(de) = c
+        cov(de)(di) = c
+      }
+      def dd(x: BigInt): Double =
+        java.lang.Double.parseDouble(x.toString)
+      def matvec(pp: Array[Long]): Array[BigInt] =
+        Array.tabulate(KmDims)(d =>
+          (0 until KmDims).foldLeft(BigInt(0))((a, e) =>
+            a + cov(d)(e) * pp(e)))
+      var p = Array.tabulate(KmDims)(d => math.floor(
+        ((KMeans.hash60(s"pca:$d") % 1001) - 500) / 500.0 * Q + 0.5)
+        .toLong)
+      for (_ <- 1 to PcaIters) {
+        val w = matvec(p)
+        val wd = w.map(dd)
+        val nn = wd.map(x => x * x).reduceLeft(_ + _)
+        if (nn > 0)
+          p = wd.map(x =>
+            math.floor(x / math.sqrt(nn) * Q + 0.5).toLong)
+      }
+      (p, cov)
+    }
+
+  val q214 = Query(
+    "q214_pca_top_component",
+    s"""WITH $dPcaChain,
          |wf AS (
          |  SELECT cov.d, SUM(cov.c * p$PcaIters.vq) AS w
          |  FROM cov JOIN p$PcaIters ON p$PcaIters.d = cov.e
@@ -1104,60 +1177,13 @@ object Prep {
          |      / CAST(CAST(v2.q2 AS VARCHAR) AS DOUBLE), 6)
          |  END AS explained_share
          |FROM p$PcaIters p CROSS JOIN ray CROSS JOIN tr
-         |CROSS JOIN v2""".stripMargin
-    }) { (s, dir) =>
-    import graft.operators.KMeans
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val vq = kmVqShared(s, dir)
-    // one Generate of the 2080 upper-triangle pair products per row,
-    // partial-aggregated map-side — the only pass over the corpus
-    // (the per-dim sums ride the same scan via posexplode)
-    val pairStructs = flatten(transform(
-      sequence(lit(1), lit(KmDims)), i =>
-        transform(sequence(i, lit(KmDims)), j =>
-          struct(i.as("di"), j.as("de"),
-            (element_at(col("vq"), i) * element_at(col("vq"), j))
-              .as("p")))))
-    val s2 = vq.select(explode(pairStructs).as("pe"))
-      .select(col("pe.di").as("di"), col("pe.de").as("de"),
-        col("pe.p").as("p"))
-      .groupBy(col("di"), col("de"))
-      .agg(sum(col("p").cast(d38)).as("sde"))
-      .collect() // bounded: 2080 rows of scalars
-    val s1 = vq.select(posexplode(col("vq")).as(Seq("pos", "q")))
-      .groupBy(col("pos")).agg(sum(col("q").cast(d38)).as("sd"))
-      .collect() // bounded: 64 rows
-    val nRows = vq.count()
-    // ---- driver: exact BigInt covariance + power iteration --------
-    val Q = KMeans.Q
-    val n = BigInt(nRows)
-    val sd = Array.fill(KmDims)(BigInt(0))
-    s1.foreach(r => sd(r.getAs[Int]("pos")) =
-      BigInt(r.getAs[java.math.BigDecimal]("sd").toBigInteger))
-    val cov = Array.fill(KmDims, KmDims)(BigInt(0))
-    s2.foreach { r =>
-      val di = r.getAs[Int]("di") - 1
-      val de = r.getAs[Int]("de") - 1
-      val sde = BigInt(r.getAs[java.math.BigDecimal]("sde").toBigInteger)
-      val c = n * sde - sd(di) * sd(de)
-      cov(di)(de) = c
-      cov(de)(di) = c
-    }
+         |CROSS JOIN v2""".stripMargin) { (s, dir) =>
+    val (p, cov) = pcaTopShared(s, dir)
     def dd(x: BigInt): Double = java.lang.Double.parseDouble(x.toString)
-    def matvec(p: Array[Long]): Array[BigInt] =
+    def matvec(pp: Array[Long]): Array[BigInt] =
       Array.tabulate(KmDims)(d =>
         (0 until KmDims).foldLeft(BigInt(0))((a, e) =>
-          a + cov(d)(e) * p(e)))
-    var p = Array.tabulate(KmDims)(d => math.floor(
-      ((KMeans.hash60(s"pca:$d") % 1001) - 500) / 500.0 * Q + 0.5)
-      .toLong)
-    for (_ <- 1 to PcaIters) {
-      val w = matvec(p)
-      val wd = w.map(dd)
-      val nn = wd.map(x => x * x).reduceLeft(_ + _)
-      if (nn > 0)
-        p = wd.map(x => math.floor(x / math.sqrt(nn) * Q + 0.5).toLong)
-    }
+          a + cov(d)(e) * pp(e)))
     val wf = matvec(p)
     val ray = (0 until KmDims).foldLeft(BigInt(0))((a, d) =>
       a + BigInt(p(d)) * wf(d))
@@ -1171,12 +1197,150 @@ object Prep {
       else null.asInstanceOf[java.lang.Double]
     import s.implicits._
     p.zipWithIndex.toIndexedSeq
-      .map { case (q, d) => ((d + 1).toLong, q / Q, share) }
+      .map { case (q, d) =>
+        ((d + 1).toLong, q / graft.operators.KMeans.Q, share) }
       .toDF("dim", "__raw", "explained_share")
       .select(col("dim"), round(col("__raw"), 6).as("loading"),
         col("explained_share"))
   }
 
+  // ------------------------------------------------------------ q215
+
+  private val IsoStride = 29 // probe sample: vec_id % stride == 0
+
+  /** Embedding isotropy before/after removing the top principal
+    * component — the "all-but-the-top" (ABTT) post-processing check:
+    * text-embedding spaces concentrate mass on a few dominant
+    * directions, inflating every cosine; removing the top component
+    * is the standard one-line fix, and THIS query measures whether it
+    * actually helps on this corpus (mean |cos| over a deterministic
+    * probe sample, raw vs projected). Read with q214's
+    * explained_share: high share + large isotropy gain ⇒ apply ABTT
+    * before the ANN/semantic-dedup passes (q24-q53, q79).
+    *
+    * Scale: the component comes from the SHARED [[pcaTopShared]]
+    * training (one corpus scan per run); the probe set is
+    * stride-bounded, so the pair stage is O(probes²) on a broadcast
+    * frame, never corpus-pairwise. Determinism: projections and dot
+    * products are strict ascending-dim folds of IEEE doubles
+    * (identical trees in the oracle's list comprehensions), per-pair
+    * |cos| quantizes to the 1e-6 grid before summing, and the
+    * component/v·v cross from the driver bit-equals the oracle's CTE
+    * replay of the same power iteration. */
+  val q215 = Query(
+    "q215_embedding_isotropy",
+    s"""WITH $dPcaChain,
+       |pv AS MATERIALIZED (
+       |  SELECT list(CAST(vq AS DOUBLE) / $KmQL ORDER BY d) AS vl
+       |  FROM p$PcaIters),
+       |pvv AS MATERIALIZED (
+       |  SELECT vl,
+       |    list_reduce([x * x for x in vl], (a, b) -> a + b) AS vv
+       |  FROM pv),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS xd
+       |  FROM embeddings WHERE vec_id % $IsoStride = 0),
+       |pj AS MATERIALIZED (
+       |  SELECT vec_id, xd,
+       |    CASE WHEN vv > 0 THEN
+       |      list_reduce([xd[i] * vl[i]
+       |        for i in range(1, ${KmDims + 1})], (a, b) -> a + b) / vv
+       |    ELSE 0.0 END AS r
+       |  FROM probes CROSS JOIN pvv),
+       |yv AS MATERIALIZED (
+       |  SELECT vec_id, xd,
+       |    [xd[i] - r * vl[i] for i in range(1, ${KmDims + 1})] AS yd
+       |  FROM pj CROSS JOIN pvv),
+       |nrm AS MATERIALIZED (
+       |  SELECT vec_id, xd, yd,
+       |    list_reduce([x * x for x in xd], (a, b) -> a + b) AS nx,
+       |    list_reduce([x * x for x in yd], (a, b) -> a + b) AS ny
+       |  FROM yv),
+       |pp AS (
+       |  SELECT
+       |    list_reduce([x.xd[i] * y.xd[i]
+       |      for i in range(1, ${KmDims + 1})], (a, b) -> a + b)
+       |      AS dotx,
+       |    list_reduce([x.yd[i] * y.yd[i]
+       |      for i in range(1, ${KmDims + 1})], (a, b) -> a + b)
+       |      AS doty,
+       |    x.nx AS nxa, y.nx AS nxb, x.ny AS nya, y.ny AS nyb
+       |  FROM nrm x JOIN nrm y ON y.vec_id > x.vec_id),
+       |qc AS (
+       |  SELECT
+       |    CASE WHEN nxa > 0 AND nxb > 0 THEN
+       |      CAST(floor(abs(dotx / (sqrt(nxa) * sqrt(nxb))) * $KmQL)
+       |        AS BIGINT) END AS cb,
+       |    CASE WHEN nya > 0 AND nyb > 0 THEN
+       |      CAST(floor(abs(doty / (sqrt(nya) * sqrt(nyb))) * $KmQL)
+       |        AS BIGINT) END AS ca
+       |  FROM pp)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CASE WHEN COUNT(cb) > 0 THEN
+       |    ROUND(CAST(SUM(cb) AS DOUBLE)
+       |      / (CAST(COUNT(cb) AS DOUBLE) * $KmQL), 6)
+       |  END AS mean_abs_cos_raw,
+       |  CASE WHEN COUNT(ca) > 0 THEN
+       |    ROUND(CAST(SUM(ca) AS DOUBLE)
+       |      / (CAST(COUNT(ca) AS DOUBLE) * $KmQL), 6)
+       |  END AS mean_abs_cos_abtt
+       |FROM qc""".stripMargin) { (s, dir) =>
+    import graft.operators.KMeans
+    val (pTop, _) = pcaTopShared(s, dir)
+    val v = pTop.map(x => x.toDouble / KMeans.Q)
+    val vv = v.map(x => x * x).reduceLeft(_ + _)
+    val vlit = array(v.toIndexedSeq.map(lit): _*)
+    def foldSum(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val probes = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % IsoStride === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xd"))
+    val pj = probes.withColumn("r",
+      if (vv > 0)
+        foldSum(zip_with(col("xd"), vlit, (a, b) => a * b)) / lit(vv)
+      else lit(0.0))
+    val yv = pj.withColumn("yd",
+      zip_with(col("xd"), vlit, (x, vd) => x - col("r") * vd))
+    val nrm = yv.select(col("vec_id"), col("xd"), col("yd"),
+      foldSum(transform(col("xd"), x => x * x)).as("nx"),
+      foldSum(transform(col("yd"), x => x * x)).as("ny"))
+    val a = nrm.select(col("vec_id").as("ia"), col("xd").as("xa"),
+      col("yd").as("ya"), col("nx").as("nxa"), col("ny").as("nya"))
+    val b = nrm.select(col("vec_id").as("ib"), col("xd").as("xb"),
+      col("yd").as("yb"), col("nx").as("nxb"), col("ny").as("nyb"))
+    val pp = a.join(broadcast(b), col("ib") > col("ia"))
+      .select(
+        foldSum(zip_with(col("xa"), col("xb"), (p, q) => p * q))
+          .as("dotx"),
+        foldSum(zip_with(col("ya"), col("yb"), (p, q) => p * q))
+          .as("doty"),
+        col("nxa"), col("nxb"), col("nya"), col("nyb"))
+    val qc = pp.select(
+      when(col("nxa") > 0 && col("nxb") > 0,
+        floor(abs(col("dotx") / (sqrt(col("nxa")) * sqrt(col("nxb"))))
+          * lit(KMeans.Q)).cast("long")).as("cb"),
+      when(col("nya") > 0 && col("nyb") > 0,
+        floor(abs(col("doty") / (sqrt(col("nya")) * sqrt(col("nyb"))))
+          * lit(KMeans.Q)).cast("long")).as("ca"))
+    val nProbes = probes.agg(count(lit(1)).as("n_probes"))
+    qc.agg(count(lit(1)).as("n_pairs"),
+        count(col("cb")).as("__ncb"), sum(col("cb")).as("__scb"),
+        count(col("ca")).as("__nca"), sum(col("ca")).as("__sca"))
+      .crossJoin(broadcast(nProbes))
+      .select(col("n_probes"), col("n_pairs"),
+        when(col("__ncb") > 0,
+          round(col("__scb").cast("double") /
+            (col("__ncb").cast("double") * lit(KMeans.Q)), 6))
+          .as("mean_abs_cos_raw"),
+        when(col("__nca") > 0,
+          round(col("__sca").cast("double") /
+            (col("__nca").cast("double") * lit(KMeans.Q)), 6))
+          .as("mean_abs_cos_abtt"))
+  }
+
   val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99, q100,
-    q120, q148, q191, q213, q214)
+    q120, q148, q191, q213, q214, q215)
 }

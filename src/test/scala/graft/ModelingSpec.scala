@@ -334,6 +334,27 @@ class ModelingSpec extends SparkSpec {
     graft.operators.SharedFrames.release()
   }
 
+  // ------------------------------------------------------------- q215
+
+  test("abtt isotropy: rank-1 vectors are fully explained — raw " +
+      "|cos| is 1, post-removal cosines are degenerate-null") {
+    val dir = fixtureDir()
+    // all mass on the top component; vec_ids are stride multiples so
+    // every vector is a probe
+    Seq(0.5f, -0.5f, 0.25f, -0.25f).zipWithIndex.map { case (x, i) =>
+      (i * 29L, x +: Seq.fill(63)(0.0f), i)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = one(graft.queries.Prep.q215.fn(spark, dir))
+    assert(r.getAs[Long]("n_probes") == 4L)
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Double]("mean_abs_cos_raw") == 1.0)
+    // removing the only component zeroes every vector → no defined
+    // cosine survives, and the gate reports null rather than NaN
+    assert(r.isNullAt(r.fieldIndex("mean_abs_cos_abtt")))
+    graft.operators.SharedFrames.release()
+  }
+
   // ------------------------------------------------------------- q212
 
   test("l-diversity: a uniform-balance group fails, a spread one " +
