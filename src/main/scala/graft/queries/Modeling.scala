@@ -696,6 +696,123 @@ object Modeling {
           (dd(col("n")) * dd(col("n") - 1)), 6)).as("discordant_share"))
   }
 
+  // ------------------------------------------------------------ q216
+
+  private val BootB = 40 // bootstrap replicates
+  private val BootCap = 9 // Poisson(1) weight cap (tail mass ~1e-6)
+  private val BootLoRank = 1 // ⌈0.025·B⌉  of 40, 1-based ascending
+  private val BootHiRank = 39 // ⌊0.975·B⌋
+
+  /** Poisson(1) CDF thresholds on the 60-bit hash grid:
+    * `t(k) = floor(P(X ≤ k) · 2⁶⁰)`, k = 0..[[BootCap]]−1. Computed
+    * once at BUILD time and embedded as identical integer literals in
+    * both engines, so the replicate draw has no cross-engine float
+    * surface at all. */
+  private val BootThresholds: Seq[Long] = {
+    val pmf = Iterator.iterate((math.exp(-1.0), 0)) { case (p, k) =>
+      (p / (k + 1), k + 1)
+    }.map(_._1).take(BootCap).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * math.pow(2.0, 60)).toLong)
+  }
+
+  /** Distributed Poisson bootstrap CI of mean order value — the
+    * resampling member of the experimentation family (q181 CUPED,
+    * q207 Wilson): a percentile interval for a statistic with no
+    * closed-form CI, from [[BootB]] deterministic replicates in ONE
+    * ×B scan. Each (row, replicate) draws a multiplicity from
+    * Poisson(1) — the standard big-data bootstrap approximation to
+    * multinomial resampling — via the portable md5 uniform against
+    * build-time integer thresholds ([[BootThresholds]]), so every
+    * replicate is partitioning/retry-invariant and the oracle redraws
+    * identically. Per-replicate sums are exact integer cents
+    * (map-side combinable to B rows); each mean is ONE double
+    * division; the percentile ranks are fixed (ranks [[BootLoRank]]/
+    * [[BootHiRank]] of the B sorted means, b tie-break) over a
+    * B-row bounded frame. */
+  val q216 = Query(
+    "q216_bootstrap_ci",
+    s"""WITH base AS (
+       |  SELECT o_orderkey,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM orders),
+       |reps AS (SELECT UNNEST(range($BootB)) AS b),
+       |draw AS (
+       |  SELECT b, cents,
+       |    ${Llm.dHash64(
+              "'bs:' || CAST(b AS VARCHAR) || ':' || " +
+                "CAST(o_orderkey AS VARCHAR)")} AS u
+       |  FROM base CROSS JOIN reps),
+       |w AS (
+       |  SELECT b, cents,
+       |    CASE${BootThresholds.zipWithIndex
+              .map { case (t, k) => s" WHEN u < $t THEN $k" }
+              .mkString("\n       |     ", "\n       |     ", "")}
+       |      ELSE $BootCap END AS w
+       |  FROM draw),
+       |rep AS (
+       |  SELECT b, SUM(w) AS n_b, SUM(w * cents) AS s_b
+       |  FROM w GROUP BY 1),
+       |m AS (
+       |  SELECT b,
+       |    CASE WHEN n_b > 0 THEN
+       |      CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS mean_b
+       |  FROM rep),
+       |r AS (
+       |  SELECT mean_b, row_number() OVER (
+       |    ORDER BY mean_b, b) AS rk
+       |  FROM m WHERE mean_b IS NOT NULL),
+       |full_ AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+       |      / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS mean_full
+       |  FROM base)
+       |SELECT n_rows, CAST($BootB AS BIGINT) AS n_replicates,
+       |  ROUND(mean_full, 6) AS mean_value,
+       |  ROUND((SELECT mean_b FROM r WHERE rk = $BootLoRank) / 100.0,
+       |    6) AS ci_lo,
+       |  ROUND((SELECT mean_b FROM r WHERE rk = $BootHiRank) / 100.0,
+       |    6) AS ci_hi
+       |FROM full_""".stripMargin) { (s, dir) =>
+    import graft.functions.Functions.md5Long
+    val base = Tables.orders(s, dir).select(col("o_orderkey"),
+      (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val reps = s.range(0, BootB).toDF("b")
+    val draw = base.crossJoin(broadcast(reps))
+      .select(col("b"), col("cents"),
+        md5Long(concat_ws(":", lit("bs"), col("b").cast("string"),
+          col("o_orderkey").cast("string"))).as("u"))
+    val w = BootThresholds.zipWithIndex
+      .foldRight(lit(BootCap): Column) { case ((t, k), acc) =>
+        when(col("u") < t, lit(k)).otherwise(acc)
+      }
+    val rep = draw.select(col("b"), col("cents"), w.as("w"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_b"),
+        sum(col("w") * col("cents")).as("s_b"))
+    val m = rep.select(col("b"),
+      when(col("n_b") > 0,
+        col("s_b").cast("double") / col("n_b").cast("double"))
+        .as("mean_b"))
+      .filter(col("mean_b").isNotNull)
+    // B-row bounded frame: the rank window is deliberate and tiny
+    val rw = Window.orderBy(col("mean_b").asc, col("b").asc)
+    val r = m.withColumn("rk", row_number().over(rw))
+    val lo = r.filter(col("rk") === BootLoRank)
+      .select(round(col("mean_b") / 100.0d, 6).as("ci_lo"))
+    val hi = r.filter(col("rk") === BootHiRank)
+      .select(round(col("mean_b") / 100.0d, 6).as("ci_hi"))
+    val full = base.agg(count(lit(1)).as("n_rows"),
+      (sum(col("cents").cast(d38)).cast("double") /
+        (count(lit(1)).cast("double") * lit(100.0d))).as("mean_full"))
+    full.select(col("n_rows"),
+        lit(BootB.toLong).as("n_replicates"),
+        round(col("mean_full"), 6).as("mean_value"))
+      .crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+  }
+
   val all: Seq[Query] =
-    Seq(q196, q197, q198, q199, q202, q208, q209, q210)
+    Seq(q196, q197, q198, q199, q202, q208, q209, q210, q216)
 }

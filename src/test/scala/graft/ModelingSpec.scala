@@ -355,6 +355,31 @@ class ModelingSpec extends SparkSpec {
     graft.operators.SharedFrames.release()
   }
 
+  // ------------------------------------------------------------- q216
+
+  test("bootstrap: a constant metric collapses the interval onto the " +
+      "point estimate") {
+    val dir = fixtureDir()
+    // every resample of a constant column has the same mean, whatever
+    // the Poisson weights drawn — CI must equal the point estimate
+    (1L to 50L).map(k => (k, 123.45))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = one(Modeling.q216.fn(spark, dir))
+    assert(r.getAs[Long]("n_rows") == 50L)
+    assert(r.getAs[Long]("n_replicates") == 40L)
+    assert(r.getAs[Double]("mean_value") == 123.45)
+    assert(r.getAs[Double]("ci_lo") == 123.45)
+    assert(r.getAs[Double]("ci_hi") == 123.45)
+  }
+
+  test("bootstrap: interval brackets the point estimate on real data") {
+    val r = one(Modeling.q216.fn(spark, "/root/testdata/sf0.001"))
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("mean_value"))
+    assert(r.getAs[Double]("mean_value") <= r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ci_hi"))
+  }
+
   // ------------------------------------------------------------- q212
 
   test("l-diversity: a uniform-balance group fails, a spread one " +
