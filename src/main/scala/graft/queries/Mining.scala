@@ -64,15 +64,11 @@ object Mining {
   private val NbVocabK = 5000
   private val NbScale = 1000000L // ln quantization grid (1e-6)
 
-  /** Distributed multinomial Naive Bayes language classifier
-    * (train + score in one pipeline — the fastText-style corpus
-    * classifier shape), surfaced as the confusion matrix of predicted
-    * vs labeled language. Integer-grid log probabilities make every
-    * score an exact integer sum; the oracle replays the full train +
-    * apply pipeline. */
-  val q136 = Query(
-    "q136_naive_bayes_langid",
-    s"""WITH t AS (
+  /** The full NB train+apply oracle chain ending at CTE
+    * `pr(doc_id, pred)` — shared by q136 (confusion matrix) and q217
+    * (per-class precision/recall/F1). */
+  private def dNbChain: String =
+    s"""t AS (
        |  SELECT doc_id, lang, unnest($DTokens) AS word FROM documents),
        |f AS (SELECT word, COUNT(*) AS cnt FROM t GROUP BY 1),
        |v AS (
@@ -113,13 +109,30 @@ object Mining {
        |    SELECT doc_id, cls, row_number() OVER (
        |      PARTITION BY doc_id ORDER BY score DESC, cls DESC) AS rk
        |    FROM sc)
-       |  WHERE rk = 1)
+       |  WHERE rk = 1)""".stripMargin
+
+  /** The scored NB prediction frame `(doc_id, label, pred)` — SHARED:
+    * trained and applied once per run for q136 and q217. */
+  private def nbPredShared(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.getOrBuild(SharedFrames.key(s, "nbPred", dir)) {
+      NaiveBayes.trainPredict(Tables.documents(s, dir), "doc_id",
+        "text", "lang", NbVocabK, NbScale)
+    }
+
+  /** Distributed multinomial Naive Bayes language classifier
+    * (train + score in one pipeline — the fastText-style corpus
+    * classifier shape), surfaced as the confusion matrix of predicted
+    * vs labeled language. Integer-grid log probabilities make every
+    * score an exact integer sum; the oracle replays the full train +
+    * apply pipeline via [[dNbChain]]; the prediction frame itself is
+    * shared with q217. */
+  val q136 = Query(
+    "q136_naive_bayes_langid",
+    s"""WITH $dNbChain
        |SELECT d.lang, pr.pred, CAST(COUNT(*) AS BIGINT) AS n_docs
        |FROM documents d JOIN pr USING (doc_id)
        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-    NaiveBayes
-      .trainPredict(Tables.documents(s, dir), "doc_id", "text", "lang",
-        NbVocabK, NbScale)
+    nbPredShared(s, dir)
       .groupBy(col("label").as("lang"), col("pred"))
       .agg(count(lit(1)).as("n_docs"))
   }
@@ -1020,6 +1033,68 @@ object Mining {
         col("rnk"))
   }
 
+  // ------------------------------------------------------------ q217
+
+  /** Per-class precision / recall / F1 of the NB language classifier —
+    * the metric panel a model card reports, derived from the SAME
+    * shared prediction frame as q136's confusion matrix (the model
+    * trains and scores once per run; this query only re-aggregates).
+    * tp / n_true / n_pred are exact integer counts from two bounded
+    * class-keyed aggregates joined on the label set (classes-bounded,
+    * broadcast); P, R are single divisions and F1 the fixed
+    * `(2·p·r)/(p+r)` tree, each gated against empty denominators. */
+  val q217 = Query(
+    "q217_classifier_prf",
+    s"""WITH $dNbChain,
+       |jj AS (
+       |  SELECT d.lang AS label, pr.pred,
+       |    CASE WHEN d.lang = pr.pred THEN 1 ELSE 0 END AS hit
+       |  FROM documents d JOIN pr USING (doc_id)),
+       |tcls AS (
+       |  SELECT label, COUNT(*) AS n_true, SUM(hit) AS tp
+       |  FROM jj GROUP BY 1),
+       |pcls AS (SELECT pred, COUNT(*) AS n_pred FROM jj GROUP BY 1),
+       |fm AS (
+       |  SELECT tcls.label, tcls.n_true,
+       |    COALESCE(pcls.n_pred, 0) AS n_pred, tcls.tp,
+       |    CASE WHEN COALESCE(pcls.n_pred, 0) > 0 THEN
+       |      CAST(tcls.tp AS DOUBLE) / CAST(pcls.n_pred AS DOUBLE)
+       |    END AS pr_,
+       |    CASE WHEN tcls.n_true > 0 THEN
+       |      CAST(tcls.tp AS DOUBLE) / CAST(tcls.n_true AS DOUBLE)
+       |    END AS rc
+       |  FROM tcls LEFT JOIN pcls ON pcls.pred = tcls.label)
+       |SELECT label, CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+       |  ROUND(pr_, 6) AS precision_,
+       |  ROUND(rc, 6) AS recall_,
+       |  CASE WHEN pr_ IS NOT NULL AND rc IS NOT NULL
+       |      AND pr_ + rc > 0 THEN
+       |    ROUND(((2.0 * pr_) * rc) / (pr_ + rc), 6)
+       |  END AS f1
+       |FROM fm""".stripMargin) { (s, dir) =>
+    val j = nbPredShared(s, dir).select(col("label"), col("pred"),
+      when(col("label") === col("pred"), 1L).otherwise(0L).as("hit"))
+    val t = j.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("tp"))
+    val p = j.groupBy(col("pred")).agg(count(lit(1)).as("n_pred"))
+    val prc = when(col("n_pred") > 0,
+      col("tp").cast("double") / col("n_pred").cast("double"))
+    val rc = when(col("n_true") > 0,
+      col("tp").cast("double") / col("n_true").cast("double"))
+    t.join(broadcast(p), col("pred") === col("label"), "left")
+      .select(col("label"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("tp"),
+        prc.as("pr_"), rc.as("rc"))
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        round(col("pr_"), 6).as("precision_"),
+        round(col("rc"), 6).as("recall_"),
+        when(col("pr_").isNotNull && col("rc").isNotNull &&
+            col("pr_") + col("rc") > 0,
+          round(((lit(2.0d) * col("pr_")) * col("rc")) /
+            (col("pr_") + col("rc")), 6)).as("f1"))
+  }
+
   val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144,
-    q146, q158, q166, q186, q200, q203, q211)
+    q146, q158, q166, q186, q200, q203, q211, q217)
 }

@@ -188,6 +188,26 @@ class MiningSpec extends SparkSpec {
     assert(rows(out.filter(col("label") =!= col("pred"))).isEmpty)
   }
 
+  test("classifier prf: a separable corpus scores 1.0 across the " +
+      "board") {
+    val dir =
+      java.nio.file.Files.createTempDirectory("mining_fix").toString
+    (1 to 30).map { i =>
+      if (i % 2 == 0) (i.toLong, "aaa bbb aaa ccc", "en")
+      else (i.toLong, "xxx yyy zzz yyy", "fr")
+    }.toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = rows(graft.queries.Mining.q217.fn(spark, dir))
+      .map(r => r.getAs[String]("label") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_pred"),
+          r.getAs[Long]("tp"), r.getAs[Double]("precision_"),
+          r.getAs[Double]("recall_"), r.getAs[Double]("f1")))
+      .toMap
+    assert(out("en") == ((15L, 15L, 15L, 1.0, 1.0, 1.0)))
+    assert(out("fr") == ((15L, 15L, 15L, 1.0, 1.0, 1.0)))
+    graft.operators.SharedFrames.release()
+  }
+
   // ------------------------------------------------------------ tfidf
 
   test("tfidf: identical docs hit cosine 1.0, disjoint docs absent") {
