@@ -1,9 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Functions.tokens
 import graft.operators.{Graph, InternalCache, NaiveBayes, Ranking, Sampling, SharedFrames, TfIdf}
 import graft.sources.Tables
 
@@ -1095,6 +1096,284 @@ object Mining {
             (col("pr_") + col("rc")), 6)).as("f1"))
   }
 
+  // ------------------------------------------------------------ q218
+
+  private val ZipfK = 100 // terms in the fit, per language
+  private val ZipfMinCnt = 2 // candidate floor (cannot affect top-K)
+  private val ZipfScale = 1000000L // ln quantization grid (1e-6)
+
+  /** Exact decimal → correctly-rounded double through a decimal
+    * string — the q196 route; both engines then do the same IEEE
+    * string→double parse. Needed wherever an exact cross-product can
+    * exceed 2⁵³. */
+  private def dd(c: Column): Column = c.cast("string").cast("double")
+
+  private val mD38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Zipf's-law fit per language: OLS slope of ln(frequency) against
+    * ln(rank) over the top-[[ZipfK]] terms — the standard corpus
+    * health probe (natural text sits near −1; templated or spammy
+    * corpora bend the curve, so slope + R² is a generation-quality
+    * alarm beside q28's heuristics). Term counts are one map-side
+    * combinable aggregate; the per-language rank is a vocab-bounded
+    * window AFTER a count floor (the floor cannot change top-K
+    * membership, it only keeps the hapax tail out of the sort). Both
+    * lns are of exact small integers, quantized to the 1e-6 grid (the
+    * q211 precedent), so the OLS sufficient statistics are exact
+    * decimal sums and slope/R² are fixed IEEE trees over
+    * string-parsed doubles. */
+  val q218 = Query(
+    "q218_zipf_fit",
+    s"""WITH t AS (
+       |  SELECT lang, unnest($DTokens) AS word FROM documents),
+       |c AS (
+       |  SELECT lang, word, COUNT(*) AS c FROM t GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $ZipfMinCnt),
+       |r AS (
+       |  SELECT lang, c, row_number() OVER (
+       |    PARTITION BY lang ORDER BY c DESC, word) AS rk
+       |  FROM c),
+       |q AS (
+       |  SELECT lang,
+       |    CAST(round(ln(CAST(rk AS DOUBLE)) * $ZipfScale) AS BIGINT)
+       |      AS lx,
+       |    CAST(round(ln(CAST(c AS DOUBLE)) * $ZipfScale) AS BIGINT)
+       |      AS ly
+       |  FROM r WHERE rk <= $ZipfK),
+       |st AS (
+       |  SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+       |    CAST(SUM(lx) AS HUGEINT) AS sx,
+       |    CAST(SUM(ly) AS HUGEINT) AS sy,
+       |    CAST(SUM(lx * lx) AS HUGEINT) AS sxx,
+       |    CAST(SUM(lx * ly) AS HUGEINT) AS sxy,
+       |    CAST(SUM(ly * ly) AS HUGEINT) AS syy
+       |  FROM q GROUP BY 1),
+       |f AS (
+       |  SELECT lang, CAST(n AS BIGINT) AS n_terms,
+       |    CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS cov,
+       |    CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS vx,
+       |    CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS vy
+       |  FROM st)
+       |SELECT lang, n_terms,
+       |  CASE WHEN vx != 0.0 THEN ROUND(cov / vx, 6) END AS zipf_slope,
+       |  CASE WHEN vx != 0.0 AND vy != 0.0 THEN
+       |    ROUND((cov * cov) / (vx * vy), 6)
+       |  END AS r2
+       |FROM f""".stripMargin) { (s, dir) =>
+    val c = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= ZipfMinCnt)
+    val r = c.withColumn("rk", row_number().over(Window
+        .partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("word"))))
+      .filter(col("rk") <= ZipfK)
+    val q = r.select(col("lang"),
+      round(log(col("rk").cast("double")) * ZipfScale).cast("long")
+        .as("lx"),
+      round(log(col("c").cast("double")) * ZipfScale).cast("long")
+        .as("ly"))
+    val st = q.groupBy(col("lang")).agg(
+      count(lit(1)).cast(mD38).as("n"),
+      sum(col("lx").cast(mD38)).as("sx"),
+      sum(col("ly").cast(mD38)).as("sy"),
+      sum((col("lx") * col("lx")).cast(mD38)).as("sxx"),
+      sum((col("lx") * col("ly")).cast(mD38)).as("sxy"),
+      sum((col("ly") * col("ly")).cast(mD38)).as("syy"))
+    val f = st.select(col("lang"), col("n").cast("long").as("n_terms"),
+      dd(col("n") * col("sxy") - col("sx") * col("sy")).as("cov"),
+      dd(col("n") * col("sxx") - col("sx") * col("sx")).as("vx"),
+      dd(col("n") * col("syy") - col("sy") * col("sy")).as("vy"))
+    f.select(col("lang"), col("n_terms"),
+      when(col("vx") =!= 0.0d, round(col("cov") / col("vx"), 6))
+        .as("zipf_slope"),
+      when(col("vx") =!= 0.0d && col("vy") =!= 0.0d,
+        round((col("cov") * col("cov")) / (col("vx") * col("vy")), 6))
+        .as("r2"))
+  }
+
+  // ------------------------------------------------------------ q219
+
+  private val KapScale = 1000000L // per-class F1 quantization grid
+
+  /** Single-row classifier agreement panel over the SAME shared NB
+    * prediction frame as q136/q217: overall accuracy, Cohen's κ
+    * (chance-corrected agreement), multiclass MCC (the Rₖ statistic),
+    * and macro-F1. Everything reduces to the bounded class-keyed
+    * marginals: n, the diagonal, Σnₜ·nₚ, Σnₜ², Σnₚ², and the per-class
+    * F1s quantized to the 1e-6 grid so their mean is an exact integer
+    * sum divided by the class count (a raw double sum over classes
+    * would be engine-order-dependent). Cross-products go through
+    * DECIMAL(38) and the string→double route; sqrt is IEEE
+    * correctly-rounded in both engines. */
+  val q219 = Query(
+    "q219_kappa_panel",
+    s"""WITH $dNbChain,
+       |jj AS (
+       |  SELECT d.lang AS label, pr.pred,
+       |    CASE WHEN d.lang = pr.pred THEN 1 ELSE 0 END AS hit
+       |  FROM documents d JOIN pr USING (doc_id)),
+       |tcls AS (
+       |  SELECT label, COUNT(*) AS n_true, SUM(hit) AS tp
+       |  FROM jj GROUP BY 1),
+       |pcls AS (SELECT pred, COUNT(*) AS n_pred FROM jj GROUP BY 1),
+       |cmg AS (
+       |  SELECT COALESCE(tcls.label, pcls.pred) AS cls,
+       |    COALESCE(tcls.n_true, 0) AS n_true,
+       |    COALESCE(pcls.n_pred, 0) AS n_pred,
+       |    COALESCE(tcls.tp, 0) AS tp
+       |  FROM tcls FULL OUTER JOIN pcls ON pcls.pred = tcls.label),
+       |fq AS (
+       |  SELECT cls, n_true, n_pred, tp,
+       |    CASE WHEN tp > 0 THEN CAST(round(
+       |      (((2.0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)))
+       |        * (CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)))
+       |       / ((CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+       |        + (CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE))))
+       |      * $KapScale) AS BIGINT) ELSE 0 END AS f1q
+       |  FROM cmg),
+       |kst AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n_cls,
+       |    CAST(SUM(n_true) AS HUGEINT) AS n,
+       |    CAST(SUM(tp) AS HUGEINT) AS diag,
+       |    CAST(SUM(CAST(n_true AS HUGEINT)
+       |      * CAST(n_pred AS HUGEINT)) AS HUGEINT) AS stp,
+       |    CAST(SUM(CAST(n_true AS HUGEINT)
+       |      * CAST(n_true AS HUGEINT)) AS HUGEINT) AS stt,
+       |    CAST(SUM(CAST(n_pred AS HUGEINT)
+       |      * CAST(n_pred AS HUGEINT)) AS HUGEINT) AS spp,
+       |    CAST(SUM(f1q) AS HUGEINT) AS sf1
+       |  FROM fq),
+       |kf AS (
+       |  SELECT CAST(n AS BIGINT) AS n_docs,
+       |    CAST(n_cls AS BIGINT) AS n_classes,
+       |    CAST(CAST(n AS VARCHAR) AS DOUBLE) AS nd,
+       |    CAST(CAST(diag AS VARCHAR) AS DOUBLE) AS diagd,
+       |    CAST(CAST(n * diag - stp AS VARCHAR) AS DOUBLE) AS numd,
+       |    CAST(CAST(n * n - stp AS VARCHAR) AS DOUBLE) AS dkap,
+       |    CAST(CAST(n * n - stt AS VARCHAR) AS DOUBLE) AS dt,
+       |    CAST(CAST(n * n - spp AS VARCHAR) AS DOUBLE) AS dp,
+       |    CAST(CAST(sf1 AS VARCHAR) AS DOUBLE) AS sf1d,
+       |    CAST(CAST(n_cls AS VARCHAR) AS DOUBLE) AS ncd
+       |  FROM kst)
+       |SELECT n_docs, n_classes,
+       |  CASE WHEN nd != 0.0 THEN ROUND(diagd / nd, 6) END AS accuracy,
+       |  CASE WHEN dkap != 0.0 THEN ROUND(numd / dkap, 6) END AS kappa,
+       |  CASE WHEN dt > 0.0 AND dp > 0.0 THEN
+       |    ROUND(numd / (sqrt(dt) * sqrt(dp)), 6)
+       |  END AS mcc,
+       |  CASE WHEN ncd != 0.0 THEN
+       |    ROUND((sf1d / ncd) / $KapScale.0, 6)
+       |  END AS macro_f1
+       |FROM kf""".stripMargin) { (s, dir) =>
+    val j = nbPredShared(s, dir).select(col("label"), col("pred"),
+      when(col("label") === col("pred"), 1L).otherwise(0L).as("hit"))
+    val t = j.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("tp"))
+    val p = j.groupBy(col("pred")).agg(count(lit(1)).as("n_pred"))
+    val cls = t.join(p, col("pred") === col("label"), "full_outer")
+      .select(coalesce(col("label"), col("pred")).as("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val prd = col("tp").cast("double") / col("n_pred").cast("double")
+    val rcd = col("tp").cast("double") / col("n_true").cast("double")
+    val fq = cls.select(col("n_true"), col("n_pred"), col("tp"),
+      when(col("tp") > 0,
+        round((((lit(2.0d) * prd) * rcd) / (prd + rcd)) * KapScale)
+          .cast("long")).otherwise(0L).as("f1q"))
+    val st = fq.agg(
+      count(lit(1)).cast(mD38).as("n_cls"),
+      sum(col("n_true").cast(mD38)).as("n"),
+      sum(col("tp").cast(mD38)).as("diag"),
+      sum(col("n_true").cast(mD38) * col("n_pred").cast(mD38)).as("stp"),
+      sum(col("n_true").cast(mD38) * col("n_true").cast(mD38)).as("stt"),
+      sum(col("n_pred").cast(mD38) * col("n_pred").cast(mD38)).as("spp"),
+      sum(col("f1q").cast(mD38)).as("sf1"))
+    val f = st.select(
+      col("n").cast("long").as("n_docs"),
+      col("n_cls").cast("long").as("n_classes"),
+      dd(col("n")).as("nd"), dd(col("diag")).as("diagd"),
+      dd(col("n") * col("diag") - col("stp")).as("numd"),
+      dd(col("n") * col("n") - col("stp")).as("dkap"),
+      dd(col("n") * col("n") - col("stt")).as("dt"),
+      dd(col("n") * col("n") - col("spp")).as("dp"),
+      dd(col("sf1")).as("sf1d"), dd(col("n_cls")).as("ncd"))
+    f.select(col("n_docs"), col("n_classes"),
+      when(col("nd") =!= 0.0d, round(col("diagd") / col("nd"), 6))
+        .as("accuracy"),
+      when(col("dkap") =!= 0.0d, round(col("numd") / col("dkap"), 6))
+        .as("kappa"),
+      when(col("dt") > 0.0d && col("dp") > 0.0d,
+        round(col("numd") / (sqrt(col("dt")) * sqrt(col("dp"))), 6))
+        .as("mcc"),
+      when(col("ncd") =!= 0.0d,
+        round((col("sf1d") / col("ncd")) / KapScale.toDouble, 6))
+        .as("macro_f1"))
+  }
+
+  // ------------------------------------------------------------ q220
+
+  private val BurstK = 50 // terms reported
+
+  /** Term burstiness: for the top-[[BurstK]] corpus terms, the
+    * variance-to-mean ratio of the per-document count — the classic
+    * spam/template detector (a Poisson-scattered term has VMR ≈ 1;
+    * boilerplate repeated inside few docs is over-dispersed), feeding
+    * the same curation verdicts as q80's doc-frequency grams. Per-doc
+    * term counts aggregate once; per-term (df, Σc, Σc²) are exact
+    * sums over CONTAINING docs only (absent docs contribute 0 to
+    * every sum), so population VMR = (N·Σc² − (Σc)²)/(N·Σc) is a
+    * ratio of exact integers. Top-K selection is the distributed
+    * global rank, never a driver sort. */
+  val q220 = Query(
+    "q220_term_burstiness",
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest($DTokens) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS c FROM t GROUP BY 1, 2),
+       |st AS (
+       |  SELECT word, CAST(COUNT(*) AS HUGEINT) AS df,
+       |    CAST(SUM(c) AS HUGEINT) AS tot,
+       |    CAST(SUM(c * c) AS HUGEINT) AS s2
+       |  FROM tf GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nd FROM documents),
+       |r AS (
+       |  SELECT word, df, tot, s2, row_number() OVER (
+       |    ORDER BY tot DESC, word) AS rnk
+       |  FROM st)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, word,
+       |  CAST(df AS BIGINT) AS df, CAST(tot AS BIGINT) AS total_cnt,
+       |  CASE WHEN CAST(CAST(nd * tot AS VARCHAR) AS DOUBLE) != 0.0 THEN
+       |    ROUND(CAST(CAST(nd * s2 - tot * tot AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(nd * tot AS VARCHAR) AS DOUBLE), 6)
+       |  END AS vmr,
+       |  ROUND(CAST(CAST(tot AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(df AS VARCHAR) AS DOUBLE), 6) AS mean_in_docs
+       |FROM r CROSS JOIN nn WHERE rnk <= $BurstK""".stripMargin) {
+      (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val st = tf.groupBy(col("word")).agg(
+      count(lit(1)).cast(mD38).as("df"),
+      sum(col("c").cast(mD38)).as("tot"),
+      sum((col("c") * col("c")).cast(mD38)).as("s2"))
+    val nn = docs.agg(count(lit(1)).cast(mD38).as("nd"))
+    val r = Ranking.withGlobalRank(st,
+      struct((col("tot") * -1).as("nt"), col("word").as("w")).asc, "rnk")
+      .filter(col("rnk") <= BurstK)
+    r.crossJoin(broadcast(nn))
+      .select(col("rnk"), col("word"), col("df").cast("long").as("df"),
+        col("tot").cast("long").as("total_cnt"),
+        when(dd(col("nd") * col("tot")) =!= 0.0d,
+          round(dd(col("nd") * col("s2") - col("tot") * col("tot")) /
+            dd(col("nd") * col("tot")), 6)).as("vmr"),
+        round(dd(col("tot")) / dd(col("df")), 6).as("mean_in_docs"))
+  }
+
   val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144,
-    q146, q158, q166, q186, q200, q203, q211, q217)
+    q146, q158, q166, q186, q200, q203, q211, q217, q218, q219, q220)
 }

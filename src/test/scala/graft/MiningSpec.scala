@@ -208,6 +208,62 @@ class MiningSpec extends SparkSpec {
     graft.operators.SharedFrames.release()
   }
 
+  test("kappa panel: a perfect classifier scores 1.0 on every metric") {
+    val dir =
+      java.nio.file.Files.createTempDirectory("mining_fix").toString
+    (1 to 30).map { i =>
+      if (i % 2 == 0) (i.toLong, "aaa bbb aaa ccc", "en")
+      else (i.toLong, "xxx yyy zzz yyy", "fr")
+    }.toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = rows(graft.queries.Mining.q219.fn(spark, dir)).head
+    assert(r.getAs[Long]("n_docs") == 30L)
+    assert(r.getAs[Long]("n_classes") == 2L)
+    assert(r.getAs[Double]("accuracy") == 1.0)
+    assert(r.getAs[Double]("kappa") == 1.0)
+    assert(r.getAs[Double]("mcc") == 1.0)
+    assert(r.getAs[Double]("macro_f1") == 1.0)
+    graft.operators.SharedFrames.release()
+  }
+
+  test("zipf fit: an exact 1/rank corpus recovers slope -1, r2 1") {
+    val dir =
+      java.nio.file.Files.createTempDirectory("mining_fix").toString
+    // counts 12/r at ranks 1..4: ln c = ln 12 - ln r exactly
+    val text = (Seq.fill(12)("wa") ++ Seq.fill(6)("wb") ++
+      Seq.fill(4)("wc") ++ Seq.fill(3)("wd")).mkString(" ")
+    Seq((1L, text, "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = rows(graft.queries.Mining.q218.fn(spark, dir)).head
+    assert(r.getAs[String]("lang") == "en")
+    assert(r.getAs[Long]("n_terms") == 4L)
+    assert(math.abs(r.getAs[Double]("zipf_slope") + 1.0) < 1e-4)
+    assert(r.getAs[Double]("r2") > 0.9999)
+  }
+
+  test("burstiness: spread term hits VMR 0, concentrated term is " +
+      "over-dispersed") {
+    val dir =
+      java.nio.file.Files.createTempDirectory("mining_fix").toString
+    // 4 docs; 'aa' twice in every doc (VMR 0); 'bb' 8x in doc 1:
+    // VMR = (4*64 - 64)/(4*8) = 6
+    Seq(
+      (1L, ("aa aa " + Seq.fill(8)("bb").mkString(" ")), "en"),
+      (2L, "aa aa cc", "en"),
+      (3L, "aa aa", "en"),
+      (4L, "aa aa", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = rows(graft.queries.Mining.q220.fn(spark, dir))
+      .map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("rnk"), r.getAs[Long]("df"),
+          r.getAs[Long]("total_cnt"), r.getAs[Double]("vmr"),
+          r.getAs[Double]("mean_in_docs"))).toMap
+    assert(out("aa") == ((1L, 4L, 8L, 0.0, 2.0))) // tie: word asc
+    assert(out("bb") == ((2L, 1L, 8L, 6.0, 8.0)))
+    assert(out("cc") == ((3L, 1L, 1L, 0.75, 1.0)))
+  }
+
   // ------------------------------------------------------------ tfidf
 
   test("tfidf: identical docs hit cosine 1.0, disjoint docs absent") {
