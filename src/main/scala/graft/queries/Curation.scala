@@ -1062,6 +1062,54 @@ object Curation {
           .as("n_rows_at_risk"))
   }
 
+  // ------------------------------------------------------------ q221
+
+  /** Effective sample size of length-proportional sampling, per
+    * source: when a curation mix draws documents with probability ∝
+    * size (the token-budget draw q139/q144 perform with these
+    * weights), Kish's ESS = (Σw)²/Σw² says how many EFFECTIVE
+    * documents the weighted draw is worth — a low ess_ratio flags a
+    * source whose mass sits in a few giant documents (the mix then
+    * over-trains on them). One map-side-combinable scan; the sums are
+    * exact DECIMAL(38) and cross to double via the decimal-string
+    * route (the q196 parse-pinning), so the two divisions are fixed
+    * IEEE trees. */
+  val q221 = Query(
+    "q221_ess_weights",
+    """WITH st AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS HUGEINT) AS sw,
+      |    CAST(SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+      |      AS HUGEINT) AS sw2
+      |  FROM documents GROUP BY 1)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(sw AS BIGINT) AS total_chars,
+      |  CASE WHEN CAST(CAST(sw2 AS VARCHAR) AS DOUBLE) != 0.0 THEN
+      |    ROUND(CAST(CAST(sw * sw AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(sw2 AS VARCHAR) AS DOUBLE), 6)
+      |  END AS ess,
+      |  CASE WHEN CAST(CAST(sw2 AS VARCHAR) AS DOUBLE) != 0.0
+      |      AND n_docs > 0 THEN
+      |    ROUND((CAST(CAST(sw * sw AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(sw2 AS VARCHAR) AS DOUBLE))
+      |      / CAST(CAST(n_docs AS VARCHAR) AS DOUBLE), 6)
+      |  END AS ess_ratio
+      |FROM st""".stripMargin) { (s, dir) =>
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dd(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val st = Tables.documents(s, dir).groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars").cast(d38)).as("sw"),
+      sum((col("n_chars") * col("n_chars")).cast(d38)).as("sw2"))
+    val ess = dd(col("sw") * col("sw")) / dd(col("sw2"))
+    st.select(col("source"), col("n_docs").cast("long").as("n_docs"),
+      col("sw").cast("long").as("total_chars"),
+      when(dd(col("sw2")) =!= 0.0d, round(ess, 6)).as("ess"),
+      when(dd(col("sw2")) =!= 0.0d && col("n_docs") > 0,
+        round(ess / dd(col("n_docs")), 6)).as("ess_ratio"))
+  }
+
   val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85, q89, q102,
-    q155, q173, q174, q175, q176, q177, q180, q182, q212)
+    q155, q173, q174, q175, q176, q177, q180, q182, q212, q221)
 }

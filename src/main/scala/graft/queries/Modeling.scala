@@ -813,6 +813,141 @@ object Modeling {
       .crossJoin(broadcast(hi))
   }
 
+  // ------------------------------------------------------------ q222
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic per source: the
+    * sup-distance between the source's document-length CDF and the
+    * corpus CDF — the distribution-shape alarm beside q199's binned
+    * PSI (KS needs no bucket-edge choice and catches shifts PSI's 8
+    * coarse buckets smear out). Both CDFs are step functions jumping
+    * only at observed lengths, so the sup is attained on the
+    * VALUE-DISTINCT grid (bounded by the length domain, never by the
+    * corpus row count): per-(source,length) counts aggregate once,
+    * cumulate under per-source windows, and the max of
+    * |cum_s·tot − cum·tot_s| is an exact integer — the only double op
+    * is the final division, string-parse-pinned. */
+  val q222 = Query(
+    "q222_ks_drift",
+    """WITH d AS (SELECT source, n_chars AS v FROM documents),
+      |sl AS (SELECT source, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |cl AS (SELECT v, SUM(c) AS rc FROM sl GROUP BY 1),
+      |ct AS (SELECT v, SUM(rc) OVER (ORDER BY v) AS ccum FROM cl),
+      |tt AS (SELECT CAST(SUM(c) AS HUGEINT) AS tot FROM sl),
+      |stt AS (
+      |  SELECT source, CAST(SUM(c) AS HUGEINT) AS tot_s
+      |  FROM sl GROUP BY 1),
+      |grid AS (
+      |  SELECT s.source, cl.v
+      |  FROM (SELECT DISTINCT source FROM d) s CROSS JOIN cl),
+      |sc AS (
+      |  SELECT grid.source, grid.v,
+      |    SUM(COALESCE(sl.c, 0)) OVER (
+      |      PARTITION BY grid.source ORDER BY grid.v) AS scum
+      |  FROM grid
+      |  LEFT JOIN sl ON sl.source = grid.source AND sl.v = grid.v),
+      |dn AS (
+      |  SELECT sc.source, MAX(stt.tot_s) AS tot_s, MAX(tt.tot) AS tot,
+      |    MAX(ABS(CAST(scum AS HUGEINT) * tt.tot
+      |      - CAST(ccum AS HUGEINT) * stt.tot_s)) AS dnum
+      |  FROM sc
+      |  JOIN ct USING (v)
+      |  JOIN stt ON stt.source = sc.source
+      |  CROSS JOIN tt
+      |  GROUP BY 1)
+      |SELECT source, CAST(tot_s AS BIGINT) AS n_docs,
+      |  ROUND(CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
+      |    / (CAST(CAST(tot_s AS VARCHAR) AS DOUBLE)
+      |      * CAST(CAST(tot AS VARCHAR) AS DOUBLE)), 6) AS ks_d
+      |FROM dn""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").as("v"))
+    val sl = d.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val cl = sl.groupBy(col("v")).agg(sum(col("c")).as("rc"))
+    // value-domain-bounded frames: the one global window runs over
+    // DISTINCT lengths (the q199 histogram rationale), not rows
+    val ct = cl.withColumn("ccum",
+      sum(col("rc")).over(Window.orderBy(col("v"))))
+    val tt = sl.agg(sum(col("c")).cast(d38).as("tot"))
+    val stt = sl.groupBy(col("source"))
+      .agg(sum(col("c")).cast(d38).as("tot_s"))
+    val grid = d.select(col("source")).distinct()
+      .crossJoin(cl.select(col("v")))
+    val sc = grid.join(sl, Seq("source", "v"), "left")
+      .withColumn("scum", sum(coalesce(col("c"), lit(0L))).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))))
+    val dn = sc
+      .join(broadcast(ct.select(col("v"), col("ccum"))), Seq("v"))
+      .join(broadcast(stt), Seq("source"))
+      .crossJoin(broadcast(tt))
+      .groupBy(col("source"))
+      .agg(max(col("tot_s")).as("tot_s"), max(col("tot")).as("tot"),
+        max(abs(col("scum").cast(d38) * col("tot") -
+          col("ccum").cast(d38) * col("tot_s"))).as("dnum"))
+    dn.select(col("source"), col("tot_s").cast("long").as("n_docs"),
+      round(dd(col("dnum")) / (dd(col("tot_s")) * dd(col("tot"))), 6)
+        .as("ks_d"))
+  }
+
+  // ------------------------------------------------------------ q223
+
+  /** Day-of-week seasonality index of order revenue: per ISO weekday,
+    * the mean daily revenue relative to the overall mean daily
+    * revenue — the seasonal profile that turns q12's daily anomaly
+    * thresholds and q163's forecasts weekday-aware. Daily revenue is
+    * one exact cents rollup; the index is a ratio of exact integer
+    * cross-products ((Σrev_dow·total_days) / (days_dow·Σrev)), so the
+    * only double ops are the two final string-parse-pinned
+    * divisions. */
+  val q223 = Query(
+    "q223_seasonality_index",
+    """WITH b AS (
+      |  SELECT o_orderdate AS d,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |daily AS (
+      |  SELECT d, CAST(SUM(cents) AS HUGEINT) AS rev FROM b GROUP BY 1),
+      |dw AS (
+      |  SELECT isodow(d) AS dow, COUNT(*) AS n_days,
+      |    CAST(SUM(rev) AS HUGEINT) AS srev
+      |  FROM daily GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n_days) AS HUGEINT) AS td,
+      |    CAST(SUM(srev) AS HUGEINT) AS trev
+      |  FROM dw)
+      |SELECT CAST(dow AS BIGINT) AS dow, CAST(n_days AS BIGINT) AS n_days,
+      |  ROUND(CAST(CAST(srev AS VARCHAR) AS DOUBLE)
+      |    / (CAST(CAST(n_days AS VARCHAR) AS DOUBLE) * 100.0), 6)
+      |    AS avg_daily_rev,
+      |  CASE WHEN CAST(CAST(CAST(n_days AS HUGEINT) * trev AS VARCHAR)
+      |      AS DOUBLE) != 0.0 THEN
+      |    ROUND(CAST(CAST(srev * td AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(CAST(n_days AS HUGEINT) * trev AS VARCHAR)
+      |        AS DOUBLE), 6)
+      |  END AS seasonal_index
+      |FROM dw CROSS JOIN tot""".stripMargin) { (s, dir) =>
+    val b = Tables.orders(s, dir).select(col("o_orderdate").as("d"),
+      (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val daily = b.groupBy(col("d"))
+      .agg(sum(col("cents").cast(d38)).as("rev"))
+    val dw = daily
+      .groupBy((pmod(dayofweek(col("d")) + 5, lit(7)) + 1).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("rev")).as("srev"))
+    val tot = dw.agg(sum(col("n_days")).cast(d38).as("td"),
+      sum(col("srev")).as("trev"))
+    dw.crossJoin(broadcast(tot))
+      .select(col("dow").cast("long").as("dow"),
+        col("n_days").cast("long").as("n_days"),
+        round(dd(col("srev")) /
+          (dd(col("n_days")) * lit(100.0d)), 6).as("avg_daily_rev"),
+        when(dd(col("n_days").cast(d38) * col("trev")) =!= 0.0d,
+          round(dd(col("srev") * col("td")) /
+            dd(col("n_days").cast(d38) * col("trev")), 6))
+          .as("seasonal_index"))
+  }
+
   val all: Seq[Query] =
-    Seq(q196, q197, q198, q199, q202, q208, q209, q210, q216)
+    Seq(q196, q197, q198, q199, q202, q208, q209, q210, q216, q222,
+      q223)
 }

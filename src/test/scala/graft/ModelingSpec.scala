@@ -401,4 +401,62 @@ class ModelingSpec extends SparkSpec {
     assert(out("nation") == ((2L, 1L, 1L, 2L)))
     assert(out("region") == ((2L, 1L, 1L, 2L)))
   }
+
+  // ------------------------------------------------------------- q221
+
+  test("ess: uniform weights are fully effective, a dominant doc " +
+      "collapses the effective count") {
+    val dir = fixtureDir()
+    writeDocs(dir, Seq(
+      (1L, "x", "en", "A", 5L), (2L, "x", "en", "A", 5L),
+      (3L, "x", "en", "A", 5L), (4L, "x", "en", "A", 5L),
+      (5L, "x", "en", "B", 9L), (6L, "x", "en", "B", 1L),
+      (7L, "x", "en", "B", 1L), (8L, "x", "en", "B", 1L)))
+    val out = rows(graft.queries.Curation.q221.fn(spark, dir))
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"),
+          r.getAs[Double]("ess"), r.getAs[Double]("ess_ratio")))
+      .toMap
+    assert(out("A") == ((4L, 20L, 4.0, 1.0))) // equal weights: ESS = n
+    // B: (12²)/84 = 1.714286, ratio 0.428571 — one giant doc dominates
+    assert(out("B") == ((4L, 12L, 1.714286, 0.428571)))
+  }
+
+  // ------------------------------------------------------------- q222
+
+  test("ks: disjoint supports score the overlap deficit, an " +
+      "on-distribution source scores 0") {
+    val dir = fixtureDir()
+    writeDocs(dir, Seq(
+      (1L, "x", "en", "A", 1L), (2L, "x", "en", "A", 1L),
+      (3L, "x", "en", "B", 3L), (4L, "x", "en", "B", 3L),
+      (5L, "x", "en", "C", 1L), (6L, "x", "en", "C", 3L)))
+    val out = rows(graft.queries.Modeling.q222.fn(spark, dir))
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("ks_d"))).toMap
+    assert(out("A") == ((2L, 0.5))) // F_A(1)=1 vs F(1)=1/2
+    assert(out("B") == ((2L, 0.5))) // F_B(1)=0 vs F(1)=1/2
+    assert(out("C") == ((2L, 0.0))) // matches the corpus exactly
+  }
+
+  // ------------------------------------------------------------- q223
+
+  test("seasonality: the index is mean daily revenue relative to the " +
+      "overall mean") {
+    val dir = fixtureDir()
+    // 2024-01-01/08 are Mondays (isodow 1), 01-02 a Tuesday (2)
+    Seq(("2024-01-01", 100.0), ("2024-01-02", 300.0),
+      ("2024-01-08", 100.0), ("2024-01-08", 200.0))
+      .toDF("ds", "o_totalprice")
+      .select(col("ds").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+      .write.parquet(s"$dir/orders.parquet")
+    val out = rows(graft.queries.Modeling.q223.fn(spark, dir))
+      .map(r => r.getAs[Long]("dow") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("avg_daily_rev"),
+          r.getAs[Double]("seasonal_index"))).toMap
+    // Mon: 2 days totalling 400 → mean 200; overall mean 700/3
+    assert(out(1L) == ((2L, 200.0, 0.857143)))
+    assert(out(2L) == ((1L, 300.0, 1.285714)))
+  }
 }
