@@ -947,7 +947,142 @@ object Modeling {
           .as("seasonal_index"))
   }
 
+  // ------------------------------------------------------------ q224
+
+  private val HillK = 100 // tail order statistics in the estimate
+  private val HillScale = 1000000L // per-term ln quantization grid
+
+  /** Hill tail-index estimate of the order-value distribution:
+    * α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) over the top-k order statistics — the
+    * standard heavy-tail exponent (α ≤ 2 ⇒ infinite variance: means
+    * and CIs stop being trustworthy), completing the concentration
+    * family (q11 top-share, q133 deciles, q208 Gini) with the
+    * extreme-value view. The top-(k+1) rows come from the distributed
+    * global rank on a TOTAL order (value desc, key asc — rank ≡
+    * row_number, engine-exact); each ln of an O(1) ratio is quantized
+    * to the 1e-6 grid (q211 precedent) so the sum is an exact
+    * integer and α̂ is one string-parse-pinned division. */
+  val q224 = Query(
+    "q224_hill_tail_index",
+    s"""WITH b AS (
+       |  SELECT o_orderkey,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM orders),
+       |r AS (
+       |  SELECT cents, row_number() OVER (
+       |    ORDER BY cents DESC, o_orderkey) AS rnk
+       |  FROM b),
+       |thr AS (SELECT cents AS xk FROM r WHERE rnk = ${HillK + 1}),
+       |q AS (
+       |  SELECT CAST(round(ln(CAST(cents AS DOUBLE)
+       |    / CAST(xk AS DOUBLE)) * $HillScale) AS BIGINT) AS lq
+       |  FROM r CROSS JOIN thr WHERE rnk <= $HillK),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+       |    CAST(SUM(lq) AS HUGEINT) AS s
+       |  FROM q)
+       |SELECT CAST(k AS BIGINT) AS k_tail,
+       |  (SELECT CAST(xk AS BIGINT) FROM thr) AS threshold_cents,
+       |  ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE)
+       |    / (CAST(CAST(k AS VARCHAR) AS DOUBLE) * $HillScale.0), 6)
+       |    AS mean_ln_excess,
+       |  CASE WHEN CAST(CAST(s AS VARCHAR) AS DOUBLE) != 0.0 THEN
+       |    ROUND((CAST(CAST(k AS VARCHAR) AS DOUBLE) * $HillScale.0)
+       |      / CAST(CAST(s AS VARCHAR) AS DOUBLE), 6)
+       |  END AS hill_alpha
+       |FROM st""".stripMargin) { (s, dir) =>
+    val b = Tables.orders(s, dir).select(col("o_orderkey"),
+      (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val r = Ranking.withGlobalRank(b,
+        struct((col("cents") * -1).as("nc"),
+          col("o_orderkey").as("ok")).asc, "rnk")
+      .filter(col("rnk") <= HillK + 1)
+    val thr = r.filter(col("rnk") === HillK + 1)
+      .select(col("cents").as("xk"))
+    val st = r.filter(col("rnk") <= HillK)
+      .crossJoin(broadcast(thr))
+      .select(round(log(col("cents").cast("double") /
+        col("xk").cast("double")) * HillScale).cast("long").as("lq"))
+      .agg(count(lit(1)).cast(d38).as("k"),
+        sum(col("lq").cast(d38)).as("s"))
+    st.crossJoin(broadcast(thr))
+      .select(col("k").cast("long").as("k_tail"),
+        col("xk").cast("long").as("threshold_cents"),
+        round(dd(col("s")) /
+          (dd(col("k")) * HillScale.toDouble), 6).as("mean_ln_excess"),
+        when(dd(col("s")) =!= 0.0d,
+          round((dd(col("k")) * HillScale.toDouble) / dd(col("s")), 6))
+          .as("hill_alpha"))
+  }
+
+  // ------------------------------------------------------------ q225
+
+  /** CUSUM changepoint scan over daily revenue: the max absolute
+    * deviation of the cumulative sum from its grand-mean trend line,
+    * and the day attaining it — the classic single-changepoint
+    * estimator a revenue monitor runs beside the pointwise alarms
+    * (q12/q67 flag outlier DAYS; this flags a LEVEL SHIFT and dates
+    * it). The daily rollup is the only row-count-proportional pass;
+    * everything after runs on the calendar-bounded series, where the
+    * n-scaled deviation n·cumₜ − t·S is an exact integer, so argmax
+    * and ties (earliest day wins) are engine-exact, and the one
+    * double op converts the max deviation to mean-scale currency. */
+  val q225 = Query(
+    "q225_cusum_changepoint",
+    """WITH b AS (
+      |  SELECT o_orderdate AS d,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |daily AS (
+      |  SELECT d, CAST(SUM(cents) AS HUGEINT) AS x FROM b GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT)
+      |    AS s
+      |  FROM daily),
+      |c AS (
+      |  SELECT d, row_number() OVER (ORDER BY d) AS t,
+      |    SUM(x) OVER (ORDER BY d) AS cum
+      |  FROM daily),
+      |dev AS (
+      |  SELECT d, t, ABS(n * CAST(cum AS HUGEINT) - CAST(t AS HUGEINT)
+      |    * s) AS adev, n
+      |  FROM c CROSS JOIN tot),
+      |r AS (
+      |  SELECT d, t, adev, n, row_number() OVER (
+      |    ORDER BY adev DESC, d) AS rk
+      |  FROM dev)
+      |SELECT CAST(n AS BIGINT) AS n_days, d AS cp_date,
+      |  CAST(t AS BIGINT) AS cp_t,
+      |  ROUND(CAST(CAST(adev AS VARCHAR) AS DOUBLE)
+      |    / (CAST(CAST(n AS VARCHAR) AS DOUBLE) * 100.0), 6)
+      |    AS max_cusum
+      |FROM r WHERE rk = 1""".stripMargin) { (s, dir) =>
+    val b = Tables.orders(s, dir).select(col("o_orderdate").as("d"),
+      (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val daily = b.groupBy(col("d"))
+      .agg(sum(col("cents").cast(d38)).as("x"))
+    val tot = daily.agg(count(lit(1)).cast(d38).as("n"),
+      sum(col("x")).as("s"))
+    // calendar-bounded series: the global windows run over DAYS
+    val c = daily.select(col("d"), col("x"))
+      .withColumn("t", row_number().over(Window.orderBy(col("d"))))
+      .withColumn("cum", sum(col("x")).over(Window.orderBy(col("d"))))
+    val dev = c.crossJoin(broadcast(tot))
+      .select(col("d"), col("t"), col("n"),
+        abs(col("n") * col("cum") - col("t").cast(d38) * col("s"))
+          .as("adev"))
+    dev.withColumn("rk", row_number().over(
+        Window.orderBy(col("adev").desc, col("d"))))
+      .filter(col("rk") === 1)
+      .select(col("n").cast("long").as("n_days"), col("d").as("cp_date"),
+        col("t").cast("long").as("cp_t"),
+        round(dd(col("adev")) / (dd(col("n")) * lit(100.0d)), 6)
+          .as("max_cusum"))
+  }
+
   val all: Seq[Query] =
     Seq(q196, q197, q198, q199, q202, q208, q209, q210, q216, q222,
-      q223)
+      q223, q224, q225)
 }

@@ -459,4 +459,44 @@ class ModelingSpec extends SparkSpec {
     assert(out(1L) == ((2L, 200.0, 0.857143)))
     assert(out(2L) == ((1L, 300.0, 1.285714)))
   }
+
+  // ------------------------------------------------------------- q224
+
+  test("hill: a tail of constant ratio 2 recovers alpha = 1/ln 2") {
+    val dir = fixtureDir()
+    // 100 orders at $20, the 101st at $10, filler below: every tail
+    // term is ln 2, so alpha = 1/ln 2 = 1.442695
+    val rows0 = (1 to 100).map(i => (i.toLong, 20.0)) ++
+      Seq((101L, 10.0), (102L, 5.0), (103L, 4.0))
+    rows0.toDF("o_orderkey", "o_totalprice")
+      .withColumn("o_orderdate",
+        org.apache.spark.sql.functions.lit("2024-01-01").cast("date"))
+      .write.parquet(s"$dir/orders.parquet")
+    val r = one(Modeling.q224.fn(spark, dir))
+    assert(r.getAs[Long]("k_tail") == 100L)
+    assert(r.getAs[Long]("threshold_cents") == 1000L)
+    assert(r.getAs[Double]("mean_ln_excess") == 0.693147)
+    assert(r.getAs[Double]("hill_alpha") == 1.442695)
+  }
+
+  // ------------------------------------------------------------- q225
+
+  test("cusum: a level shift is dated at the last day of the old " +
+      "level") {
+    val dir = fixtureDir()
+    // days 1-3 at $100, days 4-6 at $200: max |cum_t - (t/n)S| = 150
+    // at t = 3
+    Seq(("2024-03-01", 100.0), ("2024-03-02", 100.0),
+      ("2024-03-03", 100.0), ("2024-03-04", 200.0),
+      ("2024-03-05", 200.0), ("2024-03-06", 200.0))
+      .toDF("ds", "o_totalprice")
+      .select(col("ds").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+      .write.parquet(s"$dir/orders.parquet")
+    val r = one(Modeling.q225.fn(spark, dir))
+    assert(r.getAs[Long]("n_days") == 6L)
+    assert(r.getAs[java.sql.Date]("cp_date").toString == "2024-03-03")
+    assert(r.getAs[Long]("cp_t") == 3L)
+    assert(r.getAs[Double]("max_cusum") == 150.0)
+  }
 }
