@@ -249,4 +249,52 @@ object Graph {
     sc.join(e, col("a") === col("pa") && col("b") === col("pb"),
       "left_anti")
   }
+
+  /** k-core of an undirected edge frame (columns `a`, `b`, distinct,
+    * `a < b`): up to `maxRounds` peels of "drop every node with
+    * degree < k, keep edges with both ends alive". Returns the
+    * surviving edge frame.
+    *
+    * Peeling is monotone and idempotent at its fixpoint, so stopping
+    * early once an entire round removes nothing yields EXACTLY the
+    * state an engine that always runs `maxRounds` rounds reaches —
+    * the property the oracle compare relies on (it unrolls all
+    * rounds; this side stops when stable). Each round is one
+    * map-side-combinable degree count plus two semi-joins of the
+    * shrinking edge frame against the (node-sized) survivor set, and
+    * pays one bounded driver scalar (the edge count, the
+    * [[bfsHops]] convergence precedent).
+    *
+    * Each round is `localCheckpoint`ed, not merely persisted: a peel
+    * round references its predecessor ~4 times (degree union + the
+    * two survivor joins), so the LOGICAL plan quadruples per round —
+    * a persist caches data but keeps the full lineage, and by round
+    * ~5 Catalyst OOMs just PRINTING the plan (measured). Truncating
+    * lineage per round is the standard iterative-graph checkpoint
+    * cadence; the eager checkpoint doubles as the count action, and
+    * the round blocks are reclaimed by the ContextCleaner once the
+    * frame goes out of scope. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    var prev = e.count()
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable) {
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      val e2 = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"))
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"))
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val c = e2.count()
+      stable = c == prev
+      prev = c
+      e = e2
+      round += 1
+    }
+    e
+  }
 }

@@ -1374,6 +1374,79 @@ object Mining {
         round(dd(col("tot")) / dd(col("df")), 6).as("mean_in_docs"))
   }
 
+  // ------------------------------------------------------------ q226
+
+  private val KcK = 3 // the core order
+  private val KcRounds = 8 // peel rounds the oracle unrolls
+
+  /** 3-core of the part co-occurrence graph: iteratively peel nodes
+    * of degree < k until stable — the standard dense-substructure
+    * extractor (spam/ring detection on co-occurrence graphs; the
+    * complement of q138's triangle density and q195's communities).
+    * Runs through [[Graph.kCore]]: per round one map-side degree
+    * count + two semi-joins, early-stopped on a bounded driver
+    * scalar. Peeling is monotone-idempotent, so early stop ≡ the
+    * oracle's fixed [[KcRounds]]-round unroll (MATERIALIZED CTEs —
+    * the q204 inline-CTE lesson; each round references the previous
+    * one three times). */
+  val q226 = Query(
+    "q226_kcore", {
+      val rounds = (1 to KcRounds).map { r =>
+        s"""d$r AS MATERIALIZED (
+           |  SELECT z, COUNT(*) AS deg FROM (
+           |    SELECT a AS z FROM e${r - 1}
+           |    UNION ALL SELECT b FROM e${r - 1})
+           |  GROUP BY 1),
+           |e$r AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e${r - 1} e
+           |  JOIN d$r x ON x.z = e.a AND x.deg >= $KcK
+           |  JOIN d$r y ON y.z = e.b AND y.deg >= $KcK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS (
+         |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n
+         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+         |    AND x.l_partkey < y.l_partkey
+         |  GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (
+         |  SELECT a, b FROM p WHERE n >= $TriMinSupport),
+         |$rounds,
+         |fin AS (
+         |  SELECT
+         |    (SELECT COUNT(*) FROM (
+         |      SELECT a AS z FROM e$KcRounds
+         |      UNION SELECT b FROM e$KcRounds)) AS n_core_nodes,
+         |    (SELECT COUNT(*) FROM e$KcRounds) AS n_core_edges,
+         |    (SELECT COUNT(*) FROM e0) AS ne0)
+         |SELECT CAST($KcK AS BIGINT) AS k_value,
+         |  CAST(n_core_nodes AS BIGINT) AS n_core_nodes,
+         |  CAST(n_core_edges AS BIGINT) AS n_core_edges,
+         |  CAST(ne0 AS BIGINT) AS n_edges_input,
+         |  CASE WHEN ne0 > 0 THEN
+         |    ROUND(CAST(n_core_edges AS DOUBLE) / CAST(ne0 AS DOUBLE),
+         |      6)
+         |  END AS core_edge_share
+         |FROM fin""".stripMargin
+    }) { (s, dir) =>
+    val e0 = partPairs(s, dir)
+      .filter(col("n") >= TriMinSupport)
+      .select(col("a"), col("b"))
+    val core = Graph.kCore(e0, KcK, KcRounds)
+    val edges = core.agg(count(lit(1)).as("n_core_edges"))
+    val nodes = core.select(col("a").as("z"))
+      .unionByName(core.select(col("b").as("z"))).distinct()
+      .agg(count(lit(1)).as("n_core_nodes"))
+    val ne0 = e0.agg(count(lit(1)).as("ne0"))
+    nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(ne0))
+      .select(lit(KcK.toLong).as("k_value"), col("n_core_nodes"),
+        col("n_core_edges"), col("ne0").as("n_edges_input"),
+        when(col("ne0") > 0,
+          round(col("n_core_edges").cast("double") /
+            col("ne0").cast("double"), 6)).as("core_edge_share"))
+  }
+
   val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144,
-    q146, q158, q166, q186, q200, q203, q211, q217, q218, q219, q220)
+    q146, q158, q166, q186, q200, q203, q211, q217, q218, q219, q220,
+    q226)
 }

@@ -189,4 +189,33 @@ class SketchGraphSpec extends SparkSpec {
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r.map(x => x.getLong(0) -> x.getLong(1)).toMap == again)
   }
+
+  // ------------------------------------------------------------ kCore
+
+  test("kCore: a pendant tail peels off, the clique survives intact") {
+    // K4 on 1-4 plus the tail 4-5-6: 5 and 6 never reach degree 3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val core = rows(Graph.kCore(edges, 3, 8))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.operators.InternalCache.release()
+    assert(core == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+  }
+
+  test("kCore: cascading peel dissolves a path entirely, within the " +
+      "round budget") {
+    // path 1-2-3-4-5 under k = 2: ends peel first, then the middle —
+    // needs MULTIPLE rounds, converges to empty before round 8
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val core = rows(Graph.kCore(edges, 2, 8))
+    graft.operators.InternalCache.release()
+    assert(core.isEmpty)
+    // and a 4-cycle under k = 2 is its own core (every node at deg 2)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val kept = rows(Graph.kCore(cyc, 2, 8))
+    graft.operators.InternalCache.release()
+    assert(kept.size == 4)
+  }
 }
