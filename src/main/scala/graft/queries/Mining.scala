@@ -1446,7 +1446,124 @@ object Mining {
             col("ne0").cast("double"), 6)).as("core_edge_share"))
   }
 
+  // ------------------------------------------------------------ q227
+
+  private val NovScale = 1000000L // idf quantization grid (1e-6)
+
+  /** Source-level token rarity (novelty): the token-weighted mean IDF
+    * of each source's stream — a corpus that only repeats the global
+    * head vocabulary scores low; one contributing rare/specialist
+    * text scores high. The dual of q91's vocab coverage (how much of
+    * the corpus a vocab explains) and the aggregate form of TF-IDF
+    * keywording (q166). IDFs are quantized to the 1e-6 grid
+    * (vocab-sized broadcast, the q94/q95 model-table posture), so the
+    * per-source numerator is an exact integer sum and the mean is
+    * one string-parse-pinned division. */
+  val q227 = Query(
+    "q227_source_novelty",
+    s"""WITH t AS (
+       |  SELECT doc_id, source, unnest($DTokens) AS word
+       |  FROM documents),
+       |dw AS (SELECT DISTINCT doc_id, word FROM t),
+       |df AS (SELECT word, COUNT(*) AS df FROM dw GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |idf AS (
+       |  SELECT word, CAST(round(ln(CAST(n AS DOUBLE)
+       |    / CAST(df AS DOUBLE)) * $NovScale) AS BIGINT) AS idfq
+       |  FROM df CROSS JOIN n),
+       |s AS (
+       |  SELECT t.source, CAST(COUNT(*) AS HUGEINT) AS total_tokens,
+       |    CAST(SUM(idfq) AS HUGEINT) AS sidf
+       |  FROM t JOIN idf USING (word) GROUP BY 1),
+       |nd AS (
+       |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT s.source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(total_tokens AS BIGINT) AS total_tokens,
+       |  CASE WHEN CAST(CAST(total_tokens AS VARCHAR) AS DOUBLE)
+       |      != 0.0 THEN
+       |    ROUND(CAST(CAST(sidf AS VARCHAR) AS DOUBLE)
+       |      / (CAST(CAST(total_tokens AS VARCHAR) AS DOUBLE)
+       |        * $NovScale.0), 6)
+       |  END AS mean_token_idf
+       |FROM s JOIN nd ON nd.source = s.source""".stripMargin) {
+      (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val t = docs.select(col("doc_id"), col("source"),
+      explode(tokens(col("text"))).as("word"))
+    val df0 = t.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val idf = df0.crossJoin(broadcast(n))
+      .select(col("word"),
+        round(log(col("n").cast("double") / col("df").cast("double"))
+          * NovScale).cast("long").as("idfq"))
+    val sAgg = t.join(broadcast(idf), Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(mD38).as("total_tokens"),
+        sum(col("idfq").cast(mD38)).as("sidf"))
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    sAgg.join(broadcast(nd), Seq("source"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        when(dd(col("total_tokens")) =!= 0.0d,
+          round(dd(col("sidf")) /
+            (dd(col("total_tokens")) * NovScale.toDouble), 6))
+          .as("mean_token_idf"))
+  }
+
+  // ------------------------------------------------------------ q228
+
+  /** Degree distribution of the co-occurrence graph in power-of-two
+    * buckets: per bit-length bucket, the node count, exact degree
+    * range, and node share — the scale-free-ness check that pairs
+    * with q218's Zipf fit (a power-law degree tail is what makes the
+    * q211/q226 degree caps and peels effective). The bucket is the
+    * BIT LENGTH of the degree (`length(bin(deg))` — exact integer
+    * string ops in both engines, the q139 `bin()` precedent), so no
+    * libm is involved anywhere. */
+  val q228 = Query(
+    "q228_degree_histogram",
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT a, b FROM p WHERE n >= $TriMinSupport),
+       |adj AS (
+       |  SELECT a AS z FROM e UNION ALL SELECT b AS z FROM e),
+       |d AS (SELECT z, COUNT(*) AS deg FROM adj GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS nn FROM d),
+       |h AS (
+       |  SELECT length(bin(deg)) AS bucket_bits,
+       |    COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
+       |  FROM d GROUP BY 1)
+       |SELECT CAST(bucket_bits AS BIGINT) AS bucket_bits,
+       |  CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(min_deg AS BIGINT) AS min_deg,
+       |  CAST(max_deg AS BIGINT) AS max_deg,
+       |  ROUND(CAST(n_nodes AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+       |    AS node_share
+       |FROM h CROSS JOIN tot""".stripMargin) { (s, dir) =>
+    val e = partPairs(s, dir)
+      .filter(col("n") >= TriMinSupport)
+      .select(col("a"), col("b"))
+    val d = e.select(col("a").as("z"))
+      .unionByName(e.select(col("b").as("z")))
+      .groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val tot = d.agg(count(lit(1)).as("nn"))
+    d.groupBy(length(bin(col("deg"))).as("bucket_bits"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_bits").cast("long").as("bucket_bits"),
+        col("n_nodes"), col("min_deg"), col("max_deg"),
+        round(col("n_nodes").cast("double") / col("nn").cast("double"),
+          6).as("node_share"))
+  }
+
   val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144,
     q146, q158, q166, q186, q200, q203, q211, q217, q218, q219, q220,
-    q226)
+    q226, q227, q228)
 }

@@ -264,6 +264,41 @@ class MiningSpec extends SparkSpec {
     assert(out("cc") == ((3L, 1L, 1L, 0.75, 1.0)))
   }
 
+  test("novelty: a head-vocab-only source scores 0, a rare token " +
+      "raises the mean IDF") {
+    val dir =
+      java.nio.file.Files.createTempDirectory("mining_fix").toString
+    Seq((1L, "ww", "A"), (2L, "ww", "A"),
+      (3L, "ww rr", "B"), (4L, "ww", "B"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = rows(graft.queries.Mining.q227.fn(spark, dir))
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Double]("mean_token_idf"))).toMap
+    assert(out("A") == ((2L, 2L, 0.0))) // every token has idf ln(1)=0
+    // B: one ln(4) token over 3 tokens = 0.462098 on the 1e-6 grid
+    assert(out("B") == ((2L, 3L, 0.462098)))
+  }
+
+  test("degree histogram: bit-length buckets split the known graph") {
+    val dir =
+      java.nio.file.Files.createTempDirectory("mining_fix").toString
+    // edges (1,2) and (1,3), both support 2: deg(1)=2, deg(2)=deg(3)=1
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 1L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = rows(graft.queries.Mining.q228.fn(spark, dir))
+      .map(r => r.getAs[Long]("bucket_bits") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("min_deg"),
+          r.getAs[Long]("max_deg"), r.getAs[Double]("node_share")))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 1L, 0.666667)))
+    assert(out(2L) == ((1L, 2L, 2L, 0.333333)))
+    graft.operators.SharedFrames.release()
+  }
+
   // ------------------------------------------------------------ tfidf
 
   test("tfidf: identical docs hit cosine 1.0, disjoint docs absent") {
