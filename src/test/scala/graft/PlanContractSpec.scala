@@ -278,6 +278,23 @@ class PlanContractSpec extends SparkSpec {
     graft.operators.InternalCache.release()
   }
 
+  test("q218/q220/q224: every statistics-fit rank window is " +
+      "partitioned — never a global sort of the corpus/vocab") {
+    for (q <- Seq("q218_zipf_fit", "q220_term_burstiness",
+        "q224_hill_tail_index")) {
+      val p = plan(q)
+      assertNoGlobalWindow(p)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
+  test("q227: the idf table broadcasts — the token stream never " +
+      "shuffles for scoring") {
+    val p = plan("q227_source_novelty")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q200: fusion centroids broadcast; rank windows partitioned; " +
       "no cartesian product") {
     val p = plan("q200_hybrid_rank_fusion")
