@@ -92,7 +92,10 @@ object ScaleBench {
     // (q200's probe terms are FIXED, so the corpus side alone grows —
     // the honest retrieval scaling shape)
     "q197_chi2_terms", "q198_quality_auc", "q199_psi_drift",
-    "q200_hybrid_rank_fusion", "q202_calibration_bins")
+    "q200_hybrid_rank_fusion", "q202_calibration_bins",
+    // session-4 statistics family (documents-only readers)
+    "q218_zipf_fit", "q219_kappa_panel", "q220_term_burstiness",
+    "q221_ess_weights", "q222_ks_drift", "q227_source_novelty")
 
   /** ANN with a FIXED query workload (replica 0 queries only): a corpus
     * scale-up grows the indexed side, not the query side — without the

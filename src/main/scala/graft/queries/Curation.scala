@@ -1110,6 +1110,66 @@ object Curation {
         round(ess / dd(col("n_docs")), 6)).as("ess_ratio"))
   }
 
+  // ------------------------------------------------------------ q230
+
+  /** Warner randomized response (local differential privacy): each row
+    * reports its sensitive bit (lang = 'en') truthfully with
+    * probability 3/4, flipped otherwise — the per-record privacy
+    * mechanism beside q176's central-DP release — and the debiased
+    * estimator n̂ = (4·obs − n)/2 recovers the population count. The
+    * coin is the portable md5 draw `%4 < 3` (EXACT 3/4 — an integer
+    * comparison, no float threshold), so the mechanism replays
+    * engine-for-engine and the audit can report the estimator's
+    * actual error. One map-side-combinable scan; the only double ops
+    * are the two final halvings. */
+  val q230 = Query(
+    "q230_randomized_response",
+    s"""WITH b AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+       |    CASE WHEN ${dHash64(
+             "'rr:' || CAST(doc_id AS VARCHAR)")} % 4 < 3
+       |      THEN 1 ELSE 0 END AS coin
+       |  FROM documents),
+       |r AS (
+       |  SELECT t, CASE WHEN coin = 1 THEN t ELSE 1 - t END AS rep
+       |  FROM b),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+       |    CAST(SUM(rep) AS HUGEINT) AS obs,
+       |    CAST(SUM(t) AS HUGEINT) AS act
+       |  FROM r)
+       |SELECT CAST(n AS BIGINT) AS n_docs,
+       |  CAST(obs AS BIGINT) AS n_reported_true,
+       |  CAST(act AS BIGINT) AS n_actual_true,
+       |  ROUND(CAST(CAST(4 * obs - n AS VARCHAR) AS DOUBLE) / 2.0, 6)
+       |    AS est_true,
+       |  ROUND(CAST(CAST((4 * obs - n) - 2 * act AS VARCHAR) AS DOUBLE)
+       |    / 2.0, 6) AS est_error
+       |FROM st""".stripMargin) { (s, dir) =>
+    import graft.functions.Functions.md5Long
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dd(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val b = Tables.documents(s, dir).select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("t"),
+      when(pmod(md5Long(concat(lit("rr:"),
+        col("doc_id").cast("string"))), lit(4L)) < 3, 1L)
+        .otherwise(0L).as("coin"))
+    val r = b.select(col("t"),
+      when(col("coin") === 1, col("t")).otherwise(lit(1L) - col("t"))
+        .as("rep"))
+    val st = r.agg(count(lit(1)).cast(d38).as("n"),
+      sum(col("rep").cast(d38)).as("obs"),
+      sum(col("t").cast(d38)).as("act"))
+    st.select(col("n").cast("long").as("n_docs"),
+      col("obs").cast("long").as("n_reported_true"),
+      col("act").cast("long").as("n_actual_true"),
+      round(dd(lit(4) * col("obs") - col("n")) / 2.0d, 6)
+        .as("est_true"),
+      round(dd((lit(4) * col("obs") - col("n")) -
+        lit(2) * col("act")) / 2.0d, 6).as("est_error"))
+  }
+
   val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85, q89, q102,
-    q155, q173, q174, q175, q176, q177, q180, q182, q212, q221)
+    q155, q173, q174, q175, q176, q177, q180, q182, q212, q221, q230)
 }

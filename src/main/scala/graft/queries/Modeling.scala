@@ -1082,7 +1082,170 @@ object Modeling {
           .as("max_cusum"))
   }
 
+  // ------------------------------------------------------------ q229
+
+  /** Two-proportion z-test of the experiment readout: split orders
+    * into the deterministic A/B halves (the q186 fold hash), define
+    * conversion as urgent/high priority, and report per-variant rates
+    * plus the pooled-SE z statistic — the frequentist significance
+    * companion to q207's Wilson intervals (q207 bounds each variant;
+    * this scores the DIFFERENCE). Counts are exact integers from one
+    * map-side-combinable aggregate; the z tree is a fixed IEEE
+    * sequence over string-parse-pinned doubles (sqrt is
+    * correctly-rounded in both engines). */
+  val q229 = Query(
+    "q229_ab_proportion_test",
+    """WITH b AS (
+      |  SELECT o_orderkey % 2 AS variant,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END AS conv
+      |  FROM orders),
+      |v AS (
+      |  SELECT variant, COUNT(*) AS n, SUM(conv) AS c
+      |  FROM b GROUP BY 1),
+      |w AS (
+      |  SELECT
+      |    MAX(CASE WHEN variant = 0 THEN n END) AS na,
+      |    MAX(CASE WHEN variant = 0 THEN c END) AS ca,
+      |    MAX(CASE WHEN variant = 1 THEN n END) AS nb,
+      |    MAX(CASE WHEN variant = 1 THEN c END) AS cb
+      |  FROM v),
+      |f AS (
+      |  SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+      |    CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+      |    CAST(CAST(na AS VARCHAR) AS DOUBLE) AS nad,
+      |    CAST(CAST(ca AS VARCHAR) AS DOUBLE) AS cad,
+      |    CAST(CAST(nb AS VARCHAR) AS DOUBLE) AS nbd,
+      |    CAST(CAST(cb AS VARCHAR) AS DOUBLE) AS cbd
+      |  FROM w),
+      |g AS (
+      |  SELECT n_a, conv_a, n_b, conv_b,
+      |    cad / nad AS pa, cbd / nbd AS pb,
+      |    (cad + cbd) / (nad + nbd) AS pp,
+      |    (1.0 / nad) + (1.0 / nbd) AS hh
+      |  FROM f WHERE n_a > 0 AND n_b > 0)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  ROUND(pa, 6) AS rate_a, ROUND(pb, 6) AS rate_b,
+      |  CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+      |    ROUND((pa - pb) / sqrt((pp * (1.0 - pp)) * hh), 6)
+      |  END AS z_score
+      |FROM g""".stripMargin) { (s, dir) =>
+    val b = Tables.orders(s, dir).select(
+      (col("o_orderkey") % 2).as("variant"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+        .otherwise(0L).as("conv"))
+    val v = b.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val w = v.agg(
+      max(when(col("variant") === 0, col("n"))).as("na"),
+      max(when(col("variant") === 0, col("c"))).as("ca"),
+      max(when(col("variant") === 1, col("n"))).as("nb"),
+      max(when(col("variant") === 1, col("c"))).as("cb"))
+    val f = w.select(
+      col("na").cast("long").as("n_a"), col("ca").cast("long")
+        .as("conv_a"),
+      col("nb").cast("long").as("n_b"), col("cb").cast("long")
+        .as("conv_b"),
+      dd(col("na")).as("nad"), dd(col("ca")).as("cad"),
+      dd(col("nb")).as("nbd"), dd(col("cb")).as("cbd"))
+    val g = f.filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        (col("cad") / col("nad")).as("pa"),
+        (col("cbd") / col("nbd")).as("pb"),
+        ((col("cad") + col("cbd")) / (col("nad") + col("nbd")))
+          .as("pp"),
+        ((lit(1.0d) / col("nad")) + (lit(1.0d) / col("nbd"))).as("hh"))
+    g.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(col("pa"), 6).as("rate_a"), round(col("pb"), 6).as("rate_b"),
+      when(col("pp") > 0.0d && col("pp") < 1.0d,
+        round((col("pa") - col("pb")) /
+          sqrt((col("pp") * (lit(1.0d) - col("pp"))) * col("hh")), 6))
+        .as("z_score"))
+  }
+
+  // ------------------------------------------------------------ q231
+
+  private val TrimDenom = 20 // trim floor(n/20) = 5% from each tail
+
+  /** Trimmed and winsorized means of order value — the robust location
+    * estimates a metrics platform reports beside the raw mean when
+    * q224 says the tail is heavy (trimming DROPS the extreme 5% per
+    * side; winsorizing CLAMPS them to the cut values, keeping n).
+    * One distributed global rank on a total order gives the cut
+    * boundaries and the interior sum — all exact integer cents — and
+    * each mean is one string-parse-pinned division. */
+  val q231 = Query(
+    "q231_trimmed_mean",
+    s"""WITH b AS (
+       |  SELECT o_orderkey,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM orders),
+       |n AS (SELECT COUNT(*) AS n,
+       |  CAST(floor(COUNT(*) / $TrimDenom.0) AS BIGINT) AS k FROM b),
+       |r AS (
+       |  SELECT cents, row_number() OVER (
+       |    ORDER BY cents, o_orderkey) AS rnk
+       |  FROM b),
+       |mid AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS nm,
+       |    CAST(SUM(cents) AS HUGEINT) AS sm
+       |  FROM r CROSS JOIN n WHERE rnk > k AND rnk <= n - k),
+       |lo AS (SELECT cents AS xlo FROM r CROSS JOIN n
+       |  WHERE rnk = k + 1),
+       |hi AS (SELECT cents AS xhi FROM r CROSS JOIN n
+       |  WHERE rnk = n - k),
+       |f AS (
+       |  SELECT n.n, n.k, mid.nm, mid.sm, lo.xlo, hi.xhi,
+       |    mid.sm + CAST(n.k AS HUGEINT)
+       |      * (CAST(lo.xlo AS HUGEINT) + CAST(hi.xhi AS HUGEINT))
+       |      AS sw
+       |  FROM n CROSS JOIN mid CROSS JOIN lo CROSS JOIN hi)
+       |SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS k_trim,
+       |  ROUND(CAST(xlo AS DOUBLE) / 100.0, 6) AS cut_lo,
+       |  ROUND(CAST(xhi AS DOUBLE) / 100.0, 6) AS cut_hi,
+       |  CASE WHEN CAST(CAST(nm AS VARCHAR) AS DOUBLE) != 0.0 THEN
+       |    ROUND(CAST(CAST(sm AS VARCHAR) AS DOUBLE)
+       |      / (CAST(CAST(nm AS VARCHAR) AS DOUBLE) * 100.0), 6)
+       |  END AS trimmed_mean,
+       |  CASE WHEN n > 0 THEN
+       |    ROUND(CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+       |      / (CAST(CAST(n AS VARCHAR) AS DOUBLE) * 100.0), 6)
+       |  END AS winsorized_mean
+       |FROM f""".stripMargin) { (s, dir) =>
+    val b = Tables.orders(s, dir).select(col("o_orderkey"),
+      (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val n = b.agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        floor(col("n") / lit(TrimDenom.toDouble)).cast("long").as("k"))
+    val r = Ranking.withGlobalRank(b,
+      struct(col("cents").as("c"), col("o_orderkey").as("ok")).asc,
+      "rnk")
+    val rn = r.crossJoin(broadcast(n))
+    val mid = rn.filter(col("rnk") > col("k") &&
+        col("rnk") <= col("n") - col("k"))
+      .agg(count(lit(1)).cast(d38).as("nm"),
+        sum(col("cents").cast(d38)).as("sm"))
+    val lo = rn.filter(col("rnk") === col("k") + 1)
+      .select(col("cents").as("xlo"))
+    val hi = rn.filter(col("rnk") === col("n") - col("k"))
+      .select(col("cents").as("xhi"))
+    n.crossJoin(broadcast(mid)).crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+      .select(col("n").cast("long").as("n_rows"),
+        col("k").cast("long").as("k_trim"),
+        round(col("xlo").cast("double") / 100.0d, 6).as("cut_lo"),
+        round(col("xhi").cast("double") / 100.0d, 6).as("cut_hi"),
+        when(dd(col("nm")) =!= 0.0d,
+          round(dd(col("sm")) / (dd(col("nm")) * lit(100.0d)), 6))
+          .as("trimmed_mean"),
+        when(col("n") > 0,
+          round(dd(col("sm") + col("k").cast(d38) *
+            (col("xlo").cast(d38) + col("xhi").cast(d38))) /
+            (dd(col("n")) * lit(100.0d)), 6)).as("winsorized_mean"))
+  }
+
   val all: Seq[Query] =
     Seq(q196, q197, q198, q199, q202, q208, q209, q210, q216, q222,
-      q223, q224, q225)
+      q223, q224, q225, q229, q231)
 }

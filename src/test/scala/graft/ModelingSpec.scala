@@ -499,4 +499,62 @@ class ModelingSpec extends SparkSpec {
     assert(r.getAs[Long]("cp_t") == 3L)
     assert(r.getAs[Double]("max_cusum") == 150.0)
   }
+
+  // ------------------------------------------------------------- q229
+
+  test("ab test: known 0.5-vs-0.25 split recovers the closed-form z") {
+    val dir = fixtureDir()
+    // even keys (variant 0): 2 of 4 convert; odd keys: 1 of 4
+    Seq((2L, "1-URGENT"), (4L, "2-HIGH"), (6L, "5-LOW"), (8L, "5-LOW"),
+      (1L, "1-URGENT"), (3L, "5-LOW"), (5L, "5-LOW"), (7L, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = one(Modeling.q229.fn(spark, dir))
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("conv_a") == 2L)
+    assert(r.getAs[Long]("n_b") == 4L && r.getAs[Long]("conv_b") == 1L)
+    assert(r.getAs[Double]("rate_a") == 0.5)
+    assert(r.getAs[Double]("rate_b") == 0.25)
+    // z = 0.25 / sqrt(0.375·0.625·0.5) = 0.730297
+    assert(r.getAs[Double]("z_score") == 0.730297)
+  }
+
+  // ------------------------------------------------------------- q231
+
+  test("trimmed/winsorized: one outlier is dropped by the trim and " +
+      "clamped by the winsorization") {
+    val dir = fixtureDir()
+    val vals = (1 to 18).map(_.toDouble) ++ Seq(50.0, 1000.0)
+    vals.zipWithIndex.map { case (v, i) => (i.toLong + 1, v) }
+      .toDF("o_orderkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = one(Modeling.q231.fn(spark, dir))
+    assert(r.getAs[Long]("n_rows") == 20L)
+    assert(r.getAs[Long]("k_trim") == 1L)
+    assert(r.getAs[Double]("cut_lo") == 2.0)
+    assert(r.getAs[Double]("cut_hi") == 50.0)
+    // interior = {2..18, 50}: sum 220 over 18 rows
+    assert(r.getAs[Double]("trimmed_mean") == 12.222222)
+    // winsorized: 220 + 2 + 50 over all 20 rows
+    assert(r.getAs[Double]("winsorized_mean") == 13.6)
+  }
+
+  // ------------------------------------------------------------- q230
+
+  test("randomized response: the debiased estimate recovers an " +
+      "all-true population within noise, and the identities hold") {
+    val dir = fixtureDir()
+    writeDocs(dir, (1 to 400).map(i =>
+      (i.toLong, "x", "en", "A", 1L)))
+    val r = one(graft.queries.Curation.q230.fn(spark, dir))
+    val n = r.getAs[Long]("n_docs")
+    val obs = r.getAs[Long]("n_reported_true")
+    val est = r.getAs[Double]("est_true")
+    assert(n == 400L)
+    assert(r.getAs[Long]("n_actual_true") == 400L)
+    // exact estimator identity, then the 7-sigma sanity band
+    assert(est == (4.0 * obs - n) / 2.0)
+    assert(r.getAs[Double]("est_error") == est - 400.0)
+    assert(obs >= 240L && obs <= 360L, s"obs $obs")
+    assert(est >= 320.0 && est <= 480.0, s"est $est")
+  }
 }
