@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Functions._
@@ -1085,11 +1086,14 @@ FROM r WHERE rk <= $IvfK"""
          |         ELSE ${PqK - 1} END AS BIGINT) AS code$s""".stripMargin
     }.mkString(",\n  ")
 
-  private def pqOracle: String = {
+  /** The PQ quantizer oracle chain ending at CTE
+    * `pqc(vec_id, code0..code{m-1}, err)` — shared by q87 (the code
+    * dump) and q232 (the codebook-utilization audit). */
+  private def dPqCodesChain: String = {
     val errSum = (0 until PqM).map(s =>
       s"least(${(0 until PqK).map(j => s"d${s}_$j").mkString(", ")})")
       .mkString(" + ")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS e
        |  FROM embeddings),
        |sv AS (
@@ -1103,12 +1107,17 @@ FROM r WHERE rk <= $IvfK"""
        |dd AS (
        |  SELECT vec_id,
        |    ${dPqDCols("s", "vv", "d")}
-       |  FROM vv)
-       |SELECT vec_id,
-       |  ${dPqCodeCols("d")},
-       |  ROUND($errSum, 6) AS err
-       |FROM dd""".stripMargin
+       |  FROM vv),
+       |pqc AS (
+       |  SELECT vec_id,
+       |    ${dPqCodeCols("d")},
+       |    ROUND($errSum, 6) AS err
+       |  FROM dd)""".stripMargin
   }
+
+  private def pqOracle: String =
+    s"""WITH $dPqCodesChain
+       |SELECT * FROM pqc""".stripMargin
 
   /** Product quantization codes + reconstruction error
     * (`Similarity.pqCodes`): 64-dim float embeddings compressed to 4
@@ -1117,9 +1126,91 @@ FROM r WHERE rk <= $IvfK"""
     * whole quantizer (codes AND per-vector L2² error) is replayed by
     * the oracle, because every distance is a strict-left-fold double
     * expression. */
+  /** The PQ code frame — SHARED: quantized once per run for q87 (the
+    * dump) and q232 (the utilization audit). */
+  private def pqCodesShared(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SharedFrames.getOrBuild(
+        graft.operators.SharedFrames.key(s, "pqCodes", dir)) {
+      Similarity.pqCodes(Tables.embeddings(s, dir), "vec_id",
+        "embedding", PqM, PqK, AnnDims)
+    }
+
   val q87 = Query("q87_pq_codes", pqOracle) { (s, dir) =>
-    Similarity.pqCodes(Tables.embeddings(s, dir), "vec_id", "embedding",
-      PqM, PqK, AnnDims)
+    pqCodesShared(s, dir)
+  }
+
+  // ------------------------------------------------------------ q232
+
+  /** ln(PqK) as an exact shared double literal (both engines parse
+    * the same decimal string to the nearest IEEE double). */
+  private val PqLnK: String = math.log(PqK.toDouble).toString
+
+  /** PQ codebook-utilization audit over the SAME shared code frame as
+    * q87: per subspace, how many of the k codebook entries are used,
+    * the heaviest code's share, and the normalized assignment entropy
+    * — a collapsed subquantizer (entropy → 0, one hot code) quantizes
+    * everything onto one centroid and silently destroys q88's
+    * asymmetric distances, so this is the health gate a vector
+    * platform runs after (re)training codebooks. Per-code entropy
+    * terms are cnt·round(ln(n/cnt)·1e6) — exact integer products on
+    * the 1e-6 grid — and the two divisions (by n·1e6·ln k, by n) are
+    * string-parse-pinned fixed trees. */
+  val q232 = Query(
+    "q232_codebook_balance", {
+      val unions = (0 until PqM).map(s =>
+        s"  SELECT $s AS subspace, code$s AS code FROM pqc")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH $dPqCodesChain,
+         |u AS (
+         |$unions),
+         |c AS (
+         |  SELECT subspace, code, COUNT(*) AS cnt
+         |  FROM u GROUP BY 1, 2),
+         |n AS (SELECT subspace, SUM(cnt) AS n FROM c GROUP BY 1),
+         |t AS (
+         |  SELECT c.subspace, cnt, n.n,
+         |    CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(cnt AS DOUBLE))
+         |      * 1000000) AS BIGINT) AS lq
+         |  FROM c JOIN n USING (subspace)),
+         |a AS (
+         |  SELECT subspace, MAX(n) AS n, COUNT(*) AS used,
+         |    MAX(cnt) AS topc,
+         |    CAST(SUM(CAST(cnt AS HUGEINT) * lq) AS HUGEINT) AS se
+         |  FROM t GROUP BY 1)
+         |SELECT CAST(subspace AS BIGINT) AS subspace,
+         |  CAST(used AS BIGINT) AS n_codes_used,
+         |  ROUND(CAST(CAST(topc AS VARCHAR) AS DOUBLE)
+         |    / CAST(CAST(n AS VARCHAR) AS DOUBLE), 6) AS top_code_share,
+         |  ROUND(CAST(CAST(se AS VARCHAR) AS DOUBLE)
+         |    / ((CAST(CAST(n AS VARCHAR) AS DOUBLE) * 1000000.0)
+         |      * $PqLnK), 6) AS norm_entropy
+         |FROM a""".stripMargin
+    }) { (s, dir) =>
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dd(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val pqc = pqCodesShared(s, dir)
+    val u = (0 until PqM).map(m =>
+        pqc.select(lit(m.toLong).as("subspace"),
+          col(s"code$m").as("code")))
+      .reduce(_ unionByName _)
+    val c = u.groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = c.groupBy(col("subspace")).agg(sum(col("cnt")).as("n"))
+    val t = c.join(broadcast(n), Seq("subspace"))
+      .select(col("subspace"), col("cnt"), col("n"),
+        round(log(col("n").cast("double") / col("cnt").cast("double"))
+          * 1000000L).cast("long").as("lq"))
+    val a = t.groupBy(col("subspace"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("used"),
+        max(col("cnt")).as("topc"),
+        sum(col("cnt").cast(d38) * col("lq").cast(d38)).as("se"))
+    a.select(col("subspace").cast("long").as("subspace"),
+      col("used").cast("long").as("n_codes_used"),
+      round(dd(col("topc")) / dd(col("n")), 6).as("top_code_share"),
+      round(dd(col("se")) /
+        ((dd(col("n")) * lit(1000000.0d)) * lit(PqLnK.toDouble)), 6)
+        .as("norm_entropy"))
   }
 
   // ------------------------------------------------------------ q88
@@ -1976,5 +2067,5 @@ FROM h GROUP BY bucket""") { (s, dir) =>
 
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88,
-    q96, q97, q98, q128, q134, q164, q190, q192, q193, q194, q205)
+    q96, q97, q98, q128, q134, q164, q190, q192, q193, q194, q205, q232)
 }

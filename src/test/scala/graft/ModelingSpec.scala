@@ -557,4 +557,25 @@ class ModelingSpec extends SparkSpec {
     assert(obs >= 240L && obs <= 360L, s"obs $obs")
     assert(est >= 320.0 && est <= 480.0, s"est $est")
   }
+
+  // ------------------------------------------------------------- q232
+
+  test("codebook balance: every subspace reports bounded utilization " +
+      "and a normalized entropy") {
+    val out = rows(graft.queries.Llm.q232.fn(spark,
+      "/root/testdata/sf0.001"))
+    assert(out.map(_.getAs[Long]("subspace")).sorted == Seq(0L, 1L,
+      2L, 3L))
+    out.foreach { r =>
+      val used = r.getAs[Long]("n_codes_used")
+      val top = r.getAs[Double]("top_code_share")
+      val h = r.getAs[Double]("norm_entropy")
+      assert(used >= 1L && used <= 8L, s"used $used")
+      assert(top >= 1.0 / 8 - 1e-9 && top <= 1.0, s"top $top")
+      assert(h >= 0.0 && h <= 1.0 + 1e-9, s"entropy $h")
+      // a usable subquantizer is neither one-hot nor missing codes
+      assert(!(used == 1L && h > 0.0))
+    }
+    graft.operators.SharedFrames.release()
+  }
 }
