@@ -1352,8 +1352,186 @@ object Pipeline {
           .as("n_late_resolved"))
   }
 
+  // ------------------------------------------------------------ q233
+
+  /** Cohort lifetime-value curve: customers grouped by first-order
+    * month, cumulative revenue per customer tracked by months since
+    * acquisition — the LTV mart a SaaS finance team reads next to
+    * q62's retention triangle (retention counts heads; this counts
+    * dollars). Ages are exact integer month arithmetic
+    * ((Δyear)·12 + Δmonth — no epoch division), revenue cumulates as
+    * exact cents under a per-cohort window over the calendar-bounded
+    * (cohort, age) grid, and the per-customer division is the one
+    * string-parse-pinned double op. */
+  val q233 = Query(
+    "q233_cohort_ltv",
+    """WITH b AS (
+      |  SELECT o_custkey,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |fc AS (SELECT o_custkey, MIN(m) AS cohort FROM b GROUP BY 1),
+      |cs AS (SELECT cohort, COUNT(*) AS n_customers FROM fc GROUP BY 1),
+      |rev AS (
+      |  SELECT fc.cohort,
+      |    (year(b.m) - year(fc.cohort)) * 12
+      |      + (month(b.m) - month(fc.cohort)) AS age_months,
+      |    SUM(b.cents) AS rev
+      |  FROM b JOIN fc ON fc.o_custkey = b.o_custkey
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort, age_months,
+      |    CAST(SUM(rev) OVER (
+      |      PARTITION BY cohort ORDER BY age_months) AS HUGEINT) AS crev
+      |  FROM rev)
+      |SELECT CAST(cohort AS TIMESTAMP) AS cohort_month,
+      |  CAST(age_months AS BIGINT) AS age_months,
+      |  CAST(n_customers AS BIGINT) AS n_customers,
+      |  ROUND(CAST(CAST(crev AS VARCHAR) AS DOUBLE)
+      |    / (CAST(CAST(n_customers AS VARCHAR) AS DOUBLE) * 100.0), 6)
+      |    AS cum_ltv
+      |FROM cum JOIN cs USING (cohort)""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    def dd(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val b = Tables.orders(s, dir).select(col("o_custkey"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+      (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val fc = b.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort"))
+    val cs = fc.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_customers"))
+    val rev = b.join(fc, Seq("o_custkey"))
+      .groupBy(col("cohort"),
+        ((year(col("m")) - year(col("cohort"))) * 12 +
+          (month(col("m")) - month(col("cohort")))).cast("long")
+          .as("age_months"))
+      .agg(sum(col("cents").cast(d38)).as("rev"))
+    val cum = rev.withColumn("crev", sum(col("rev")).over(
+      Window.partitionBy(col("cohort")).orderBy(col("age_months"))))
+    cum.join(broadcast(cs), Seq("cohort"))
+      .select(col("cohort").cast("timestamp_ntz").as("cohort_month"),
+        col("age_months"),
+        col("n_customers").cast("long").as("n_customers"),
+        round(dd(col("crev")) /
+          (dd(col("n_customers")) * lit(100.0d)), 6).as("cum_ltv"))
+  }
+
+  // ------------------------------------------------------------ q234
+
+  /** Monthly-revenue movement waterfall (the MRR bridge): per month,
+    * how much revenue came from NEW customers, EXPANSION (spend up
+    * vs last month), CONTRACTION (spend down), and CHURN (spent last
+    * month, nothing now) — the reference's revenue marts
+    * (`README.md:38`) decomposed into the growth-accounting view a
+    * SaaS board reads, plus the quick ratio (new+expansion over
+    * churn+contraction). Months join on an exact integer month index
+    * (y·12+m — no interval arithmetic to disagree on), the
+    * classification is one full-outer self-join of the per-customer
+    * month rollup against itself shifted one month, and every
+    * movement is an exact cents sum. The phantom month after the
+    * data's end (where everyone "churns") is excluded in both
+    * engines. */
+  val q234 = Query(
+    "q234_mrr_movement",
+    """WITH b AS (
+      |  SELECT o_custkey,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |mm AS (
+      |  SELECT o_custkey, year(m) * 12 + month(m) AS mi,
+      |    SUM(cents) AS rev
+      |  FROM b GROUP BY 1, 2),
+      |j AS (
+      |  SELECT COALESCE(c.mi, p.mi + 1) AS mi,
+      |    COALESCE(c.rev, 0) AS cur, COALESCE(p.rev, 0) AS prev
+      |  FROM mm c FULL OUTER JOIN mm p
+      |    ON c.o_custkey = p.o_custkey AND c.mi = p.mi + 1),
+      |agg AS (
+      |  SELECT mi,
+      |    SUM(CASE WHEN cur > 0 THEN 1 ELSE 0 END) AS n_active,
+      |    CAST(SUM(CASE WHEN prev = 0 THEN cur ELSE 0 END) AS HUGEINT)
+      |      AS newc,
+      |    CAST(SUM(CASE WHEN prev > 0 AND cur > prev THEN cur - prev
+      |      ELSE 0 END) AS HUGEINT) AS expc,
+      |    CAST(SUM(CASE WHEN cur > 0 AND prev > cur THEN prev - cur
+      |      ELSE 0 END) AS HUGEINT) AS conc,
+      |    CAST(SUM(CASE WHEN cur = 0 THEN prev ELSE 0 END) AS HUGEINT)
+      |      AS chuc
+      |  FROM j
+      |  WHERE mi <= (SELECT MAX(mi) FROM mm)
+      |  GROUP BY 1)
+      |SELECT CAST(make_date(CAST(floor((mi - 1) / 12.0) AS INTEGER),
+      |    CAST((mi - 1) % 12 + 1 AS INTEGER), 1) AS TIMESTAMP) AS month,
+      |  CAST(n_active AS BIGINT) AS n_active,
+      |  ROUND(CAST(CAST(newc AS VARCHAR) AS DOUBLE) / 100.0, 6)
+      |    AS new_mrr,
+      |  ROUND(CAST(CAST(expc AS VARCHAR) AS DOUBLE) / 100.0, 6)
+      |    AS expansion_mrr,
+      |  ROUND(CAST(CAST(conc AS VARCHAR) AS DOUBLE) / 100.0, 6)
+      |    AS contraction_mrr,
+      |  ROUND(CAST(CAST(chuc AS VARCHAR) AS DOUBLE) / 100.0, 6)
+      |    AS churned_mrr,
+      |  ROUND(CAST(CAST((newc + expc) - (conc + chuc) AS VARCHAR)
+      |    AS DOUBLE) / 100.0, 6) AS net_change,
+      |  CASE WHEN conc + chuc > 0 THEN
+      |    ROUND(CAST(CAST(newc + expc AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(conc + chuc AS VARCHAR) AS DOUBLE), 6)
+      |  END AS quick_ratio
+      |FROM agg""".stripMargin) { (s, dir) =>
+    val d38 = DecimalType(38, 0)
+    def dd(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val b = Tables.orders(s, dir).select(col("o_custkey"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+      (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val mm = b.groupBy(col("o_custkey"),
+        (year(col("m")) * 12 + month(col("m"))).as("mi"))
+      .agg(sum(col("cents")).as("rev"))
+    val c = mm.select(col("o_custkey"), col("mi"), col("rev"))
+    val p = mm.select(col("o_custkey").as("p_cust"),
+      col("mi").as("p_mi"), col("rev").as("p_rev"))
+    val j = c.join(p,
+        col("o_custkey") === col("p_cust") &&
+          col("mi") === col("p_mi") + 1, "full_outer")
+      .select(coalesce(col("mi"), col("p_mi") + 1).as("mi"),
+        coalesce(col("rev"), lit(0L)).as("cur"),
+        coalesce(col("p_rev"), lit(0L)).as("prev"))
+    val maxMi = mm.agg(max(col("mi")).as("max_mi"))
+    val agg = j.crossJoin(broadcast(maxMi))
+      .filter(col("mi") <= col("max_mi"))
+      .groupBy(col("mi"))
+      .agg(
+        sum(when(col("cur") > 0, 1L).otherwise(0L)).as("n_active"),
+        sum(when(col("prev") === 0, col("cur")).otherwise(0L)
+          .cast(d38)).as("newc"),
+        sum(when(col("prev") > 0 && col("cur") > col("prev"),
+          col("cur") - col("prev")).otherwise(0L).cast(d38)).as("expc"),
+        sum(when(col("cur") > 0 && col("prev") > col("cur"),
+          col("prev") - col("cur")).otherwise(0L).cast(d38)).as("conc"),
+        sum(when(col("cur") === 0, col("prev")).otherwise(0L)
+          .cast(d38)).as("chuc"))
+    agg.select(
+      make_date(floor((col("mi") - 1) / lit(12.0)).cast("int"),
+        (pmod(col("mi") - 1, lit(12)) + 1).cast("int"), lit(1))
+        .cast("timestamp_ntz").as("month"),
+      col("n_active").cast("long").as("n_active"),
+      round(dd(col("newc")) / 100.0d, 6).as("new_mrr"),
+      round(dd(col("expc")) / 100.0d, 6).as("expansion_mrr"),
+      round(dd(col("conc")) / 100.0d, 6).as("contraction_mrr"),
+      round(dd(col("chuc")) / 100.0d, 6).as("churned_mrr"),
+      round(dd((col("newc") + col("expc")) -
+        (col("conc") + col("chuc"))) / 100.0d, 6).as("net_change"),
+      when(col("conc") + col("chuc") > 0,
+        round(dd(col("newc") + col("expc")) /
+          dd(col("conc") + col("chuc")), 6)).as("quick_ratio"))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
     q74, q76, q77, q101, q105, q145, q147, q149, q160, q165, q168, q172,
-    q178)
+    q178, q233, q234)
 }

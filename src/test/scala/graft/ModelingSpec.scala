@@ -558,6 +558,56 @@ class ModelingSpec extends SparkSpec {
     assert(est >= 320.0 && est <= 480.0, s"est $est")
   }
 
+  // ------------------------------------------------------------- q233
+
+  test("cohort ltv: cumulative per-customer revenue tracks months " +
+      "since first order") {
+    val dir = fixtureDir()
+    Seq((1L, "2024-01-15", 10.0), (1L, "2024-03-20", 5.0),
+      (2L, "2024-01-05", 20.0))
+      .toDF("o_custkey", "ds", "o_totalprice")
+      .select(col("o_custkey"), col("ds").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+      .write.parquet(s"$dir/orders.parquet")
+    val out = rows(graft.queries.Pipeline.q233.fn(spark, dir))
+      .map(r => r.getAs[Long]("age_months") ->
+        (r.getAs[Long]("n_customers"), r.getAs[Double]("cum_ltv")))
+      .toMap
+    assert(out(0L) == ((2L, 15.0))) // (10+20)/2 at age 0
+    assert(out(2L) == ((2L, 17.5))) // +5 two months later
+  }
+
+  // ------------------------------------------------------------- q234
+
+  test("mrr movement: new/expansion/contraction/churn decompose the " +
+      "month-over-month bridge") {
+    val dir = fixtureDir()
+    Seq((1L, "2024-01-10", 10.0), (1L, "2024-02-10", 15.0),
+      (2L, "2024-01-11", 10.0),
+      (3L, "2024-02-12", 8.0),
+      (4L, "2024-01-13", 10.0), (4L, "2024-02-13", 6.0))
+      .toDF("o_custkey", "ds", "o_totalprice")
+      .select(col("o_custkey"), col("ds").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+      .write.parquet(s"$dir/orders.parquet")
+    val out = rows(graft.queries.Pipeline.q234.fn(spark, dir))
+      .map(r => r.getAs[java.time.LocalDateTime]("month").toLocalDate.toString ->
+        (r.getAs[Long]("n_active"), r.getAs[Double]("new_mrr"),
+          r.getAs[Double]("expansion_mrr"),
+          r.getAs[Double]("contraction_mrr"),
+          r.getAs[Double]("churned_mrr"), r.getAs[Double]("net_change")))
+      .toMap
+    assert(out("2024-01-01") == ((3L, 30.0, 0.0, 0.0, 0.0, 30.0)))
+    assert(out("2024-02-01") == ((3L, 8.0, 5.0, 4.0, 10.0, -1.0)))
+    // quick ratio only exists where churn+contraction > 0
+    val feb = rows(graft.queries.Pipeline.q234.fn(spark, dir))
+      .find(_.getAs[java.time.LocalDateTime]("month").toLocalDate.toString == "2024-02-01").get
+    assert(feb.getAs[Double]("quick_ratio") == 0.928571) // 13/14
+    val jan = rows(graft.queries.Pipeline.q234.fn(spark, dir))
+      .find(_.getAs[java.time.LocalDateTime]("month").toLocalDate.toString == "2024-01-01").get
+    assert(jan.isNullAt(jan.fieldIndex("quick_ratio")))
+  }
+
   // ------------------------------------------------------------- q232
 
   test("codebook balance: every subspace reports bounded utilization " +
