@@ -493,6 +493,126 @@ object Relational {
       .agg(sum(col("rv")).cast("double").as("volume"))
   }
 
+  // ------------------------------------------------------------ q235
+
+  /** Pareto concentration: the smallest set of top customers covering
+    * 80% of revenue, plus the exact revenue share of the top decile —
+    * the "how concentrated is the book" readout q3/q11/q208 bracket.
+    * The running total is the DISTRIBUTED prefix-sum operator (range
+    * shuffle + per-partition sums, no single-partition window), and
+    * the 80% cut is integer cross-multiplication (5·prefix < 4·total),
+    * so membership is exact — no float threshold anywhere. */
+  val q235 = Query(
+    "q235_pareto_customers",
+    """WITH cr AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT rev,
+      |    COALESCE(CAST(SUM(rev) OVER (
+      |      ORDER BY rev DESC, o_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS HUGEINT), 0) AS prefix,
+      |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk
+      |  FROM cr),
+      |t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |  CAST(SUM(rev) AS HUGEINT) AS tot FROM cr),
+      |a AS (
+      |  SELECT
+      |    (SELECT COUNT(*) FROM r CROSS JOIN t
+      |     WHERE 5 * prefix < 4 * tot) AS k80,
+      |    (SELECT CAST(SUM(rev) AS HUGEINT) FROM r CROSS JOIN t
+      |     WHERE rnk <= CAST(floor(n / 10.0) AS BIGINT)) AS top10rev)
+      |SELECT CAST(t.n AS BIGINT) AS n_customers,
+      |  CAST(a.k80 AS BIGINT) AS customers_for_80pct,
+      |  ROUND(CAST(CAST(a.k80 AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(t.n AS VARCHAR) AS DOUBLE), 6)
+      |    AS share_of_customers,
+      |  ROUND(CAST(CAST(COALESCE(a.top10rev, 0) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(t.tot AS VARCHAR) AS DOUBLE), 6)
+      |    AS top_decile_revenue_share
+      |FROM a CROSS JOIN t""".stripMargin) { (s, dir) =>
+    import graft.operators.Ranking
+    val d38 = DecimalType(38, 0)
+    def dd(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val cr = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg((sum(money(col("o_totalprice")) * 100)).cast("long")
+        .as("rev"))
+    val ord = struct((col("rev") * -1).as("nr"),
+      col("o_custkey").as("ck")).asc
+    val withPrefix = Ranking.withRunningTotal(cr, ord, col("rev"),
+      "prefix")
+    val r = Ranking.withGlobalRank(withPrefix, ord, "rnk")
+    val t = cr.agg(count(lit(1)).cast(d38).as("n"),
+      sum(col("rev").cast(d38)).as("tot"))
+    val rt = r.crossJoin(broadcast(t))
+    val k80 = rt.filter(col("prefix").cast(d38) * 5 <
+        col("tot") * 4)
+      .agg(count(lit(1)).as("k80"))
+    val top10 = rt
+      .filter(col("rnk") <=
+        floor(col("n").cast("double") / 10.0d).cast("long"))
+      .agg(coalesce(sum(col("rev").cast(d38)),
+        lit(0).cast(d38)).as("top10rev"))
+    t.crossJoin(broadcast(k80)).crossJoin(broadcast(top10))
+      .select(col("n").cast("long").as("n_customers"),
+        col("k80").cast("long").as("customers_for_80pct"),
+        round(dd(col("k80")) / dd(col("n")), 6)
+          .as("share_of_customers"),
+        round(dd(col("top10rev")) / dd(col("tot")), 6)
+          .as("top_decile_revenue_share"))
+  }
+
+  // ------------------------------------------------------------ q236
+
+  private val GapMaxWeeks = 12L // histogram cap
+
+  /** Inter-purchase gap distribution: days between a customer's
+    * consecutive orders, bucketed into (capped) whole weeks — the
+    * repeat-purchase cadence behind q126's dormancy cut and q62's
+    * retention. The lag runs under a PER-CUSTOMER window on exact
+    * dates (total order: date, orderkey), gaps are exact integer day
+    * differences, and the one double op is the final share. */
+  val q236 = Query(
+    "q236_purchase_gaps",
+    s"""WITH o AS (
+       |  SELECT o_custkey, o_orderdate, o_orderkey FROM orders),
+       |g AS (
+       |  SELECT date_diff('day', lag(o_orderdate) OVER (
+       |    PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey), o_orderdate) AS gap_days
+       |  FROM o),
+       |b AS (
+       |  SELECT LEAST(CAST(floor(gap_days / 7.0) AS BIGINT),
+       |    $GapMaxWeeks) AS gap_weeks
+       |  FROM g WHERE gap_days IS NOT NULL),
+       |c AS (SELECT gap_weeks, COUNT(*) AS n_gaps FROM b GROUP BY 1),
+       |t AS (SELECT SUM(n_gaps) AS tot FROM c)
+       |SELECT gap_weeks, CAST(n_gaps AS BIGINT) AS n_gaps,
+       |  ROUND(CAST(n_gaps AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+       |    AS share
+       |FROM c CROSS JOIN t""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val g = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+      .filter(col("gap_days").isNotNull)
+    val c = g.select(least(floor(col("gap_days") / 7.0d).cast("long"),
+        lit(GapMaxWeeks)).as("gap_weeks"))
+      .groupBy(col("gap_weeks")).agg(count(lit(1)).as("n_gaps"))
+    val t = c.agg(sum(col("n_gaps")).as("tot"))
+    c.crossJoin(broadcast(t))
+      .select(col("gap_weeks"), col("n_gaps"),
+        round(col("n_gaps").cast("double") / col("tot").cast("double"),
+          6).as("share"))
+  }
+
   val all: Seq[Query] = Seq(q1, q2, q3, q4, q58, q71, q72, q125, q126,
-    q185, q187, q188, q189)
+    q185, q187, q188, q189, q235, q236)
 }

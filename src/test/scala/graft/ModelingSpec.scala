@@ -608,6 +608,43 @@ class ModelingSpec extends SparkSpec {
     assert(jan.isNullAt(jan.fieldIndex("quick_ratio")))
   }
 
+  // ------------------------------------------------------------- q235
+
+  test("pareto: the 80% cut counts exactly the prefix below the " +
+      "threshold, and the top decile share is exact") {
+    val dir = fixtureDir()
+    val revs = Seq(500.0, 300.0, 100.0, 50.0, 30.0, 10.0, 5.0, 3.0,
+      1.0, 1.0)
+    revs.zipWithIndex.map { case (v, i) => (i.toLong + 1, v) }
+      .toDF("o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = one(graft.queries.Relational.q235.fn(spark, dir))
+    assert(r.getAs[Long]("n_customers") == 10L)
+    // prefixes 0 and 500 are < 800; 800 is not → exactly 2 customers
+    assert(r.getAs[Long]("customers_for_80pct") == 2L)
+    assert(r.getAs[Double]("share_of_customers") == 0.2)
+    assert(r.getAs[Double]("top_decile_revenue_share") == 0.5)
+  }
+
+  // ------------------------------------------------------------- q236
+
+  test("purchase gaps: per-customer lags bucket into capped weeks") {
+    val dir = fixtureDir()
+    Seq((1L, 101L, "2024-01-01"), (1L, 102L, "2024-01-03"),
+      (1L, 103L, "2024-03-01"), // gaps: 2 d (wk 0), 58 d (wk 8)
+      (2L, 201L, "2024-06-01"), // single order: no gap
+      (3L, 301L, "2024-01-01"), (3L, 302L, "2024-12-31")) // 365 d → cap
+      .toDF("o_custkey", "o_orderkey", "ds")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("ds").cast("date").as("o_orderdate"))
+      .write.parquet(s"$dir/orders.parquet")
+    val out = rows(graft.queries.Relational.q236.fn(spark, dir))
+      .map(r => r.getAs[Long]("gap_weeks") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Double]("share"))).toMap
+    assert(out == Map(0L -> ((1L, 0.333333)), 8L -> ((1L, 0.333333)),
+      12L -> ((1L, 0.333333))))
+  }
+
   // ------------------------------------------------------------- q232
 
   test("codebook balance: every subspace reports bounded utilization " +
