@@ -613,6 +613,132 @@ object Relational {
           6).as("share"))
   }
 
+  // ------------------------------------------------------------ q237
+
+  /** ABC inventory classification: parts ranked by revenue, class A
+    * = the head covering 80% of revenue, B = the next 15 points, C =
+    * the tail — the q235 Pareto cut generalized to the three-way
+    * split a supply-chain mart publishes. Same distributed prefix-sum
+    * (range shuffle, no single-partition window); class membership is
+    * integer cross-multiplication against the exact total (20·prefix
+    * vs 16·T / 19·T), so boundaries are engine-exact. */
+  val q237 = Query(
+    "q237_abc_parts",
+    """WITH pr AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT l_partkey, rev,
+      |    COALESCE(CAST(SUM(rev) OVER (
+      |      ORDER BY rev DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS HUGEINT), 0) AS prefix
+      |  FROM pr),
+      |t AS (SELECT CAST(SUM(rev) AS HUGEINT) AS tot,
+      |  COUNT(*) AS np FROM pr),
+      |cls AS (
+      |  SELECT CASE WHEN 20 * prefix < 16 * tot THEN 'A'
+      |              WHEN 20 * prefix < 19 * tot THEN 'B'
+      |              ELSE 'C' END AS abc_class,
+      |    rev
+      |  FROM r CROSS JOIN t)
+      |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  ROUND(CAST(CAST(CAST(SUM(rev) AS HUGEINT) AS VARCHAR)
+      |    AS DOUBLE) / 100.0, 6) AS revenue,
+      |  ROUND(CAST(CAST(CAST(SUM(rev) AS HUGEINT) AS VARCHAR)
+      |    AS DOUBLE)
+      |    / CAST(CAST((SELECT tot FROM t) AS VARCHAR) AS DOUBLE), 6)
+      |    AS revenue_share
+      |FROM cls GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.operators.Ranking
+    val d38 = DecimalType(38, 0)
+    def dd(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val pr = Tables.lineitem(s, dir).groupBy(col("l_partkey"))
+      .agg(sum(money(col("l_extendedprice")) * 100).cast("long")
+        .as("rev"))
+    val ord = struct((col("rev") * -1).as("nr"),
+      col("l_partkey").as("pk")).asc
+    val r = Ranking.withRunningTotal(pr, ord, col("rev"), "prefix")
+    val t = pr.agg(sum(col("rev").cast(d38)).as("tot"))
+    val cls = r.crossJoin(broadcast(t))
+      .select(
+        when(col("prefix").cast(d38) * 20 < col("tot") * 16, "A")
+          .when(col("prefix").cast(d38) * 20 < col("tot") * 19, "B")
+          .otherwise("C").as("abc_class"),
+        col("rev"), col("tot"))
+    cls.groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev").cast(d38)).as("crev"), max(col("tot")).as("tot"))
+      .select(col("abc_class"), col("n_parts"),
+        round(dd(col("crev")) / 100.0d, 6).as("revenue"),
+        round(dd(col("crev")) / dd(col("tot")), 6).as("revenue_share"))
+  }
+
+  // ------------------------------------------------------------ q238
+
+  /** Fulfillment-latency SLA by order priority: days from order to
+    * line shipment — exact p50/p90 and the share shipped within 30
+    * days. The percentile needs NO sort of the fact table: ship lag
+    * lives on a BOUNDED integer day domain (TPC-H caps it at ~122;
+    * any real SLA domain is similarly capped), so per-(priority, lag)
+    * counts + a window over the tiny grid give exact order
+    * statistics — the value-domain-histogram percentile pattern
+    * (q162/q222), immune to 100× fact growth. */
+  val q238 = Query(
+    "q238_shipping_sla",
+    """WITH j AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |c AS (
+      |  SELECT priority, lag_days, COUNT(*) AS cnt
+      |  FROM j GROUP BY 1, 2),
+      |t AS (SELECT priority, SUM(cnt) AS n FROM c GROUP BY 1),
+      |cum AS (
+      |  SELECT priority, lag_days, cnt,
+      |    SUM(cnt) OVER (PARTITION BY priority ORDER BY lag_days)
+      |      AS ccum
+      |  FROM c)
+      |SELECT cum.priority, CAST(MAX(t.n) AS BIGINT) AS n_lines,
+      |  CAST(MIN(CASE WHEN 2 * ccum >= t.n THEN lag_days END)
+      |    AS BIGINT) AS p50_days,
+      |  CAST(MIN(CASE WHEN 10 * ccum >= 9 * t.n THEN lag_days END)
+      |    AS BIGINT) AS p90_days,
+      |  ROUND(CAST(SUM(CASE WHEN lag_days <= 30 THEN cnt ELSE 0 END)
+      |      AS DOUBLE)
+      |    / CAST(MAX(t.n) AS DOUBLE), 6) AS pct_within_30d
+      |FROM cum JOIN t ON t.priority = cum.priority
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val j = li.join(o, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+    val c = j.groupBy(col("priority"), col("lag_days"))
+      .agg(count(lit(1)).as("cnt"))
+    val t = c.groupBy(col("priority")).agg(sum(col("cnt")).as("n"))
+    // the window runs over the bounded (priority, lag) grid, not rows
+    val cum = c.withColumn("ccum", sum(col("cnt")).over(
+      Window.partitionBy(col("priority")).orderBy(col("lag_days"))))
+    cum.join(broadcast(t), Seq("priority"))
+      .groupBy(col("priority"))
+      .agg(max(col("n")).cast("long").as("n_lines"),
+        min(when(col("ccum") * 2 >= col("n"), col("lag_days")))
+          .cast("long").as("p50_days"),
+        min(when(col("ccum") * 10 >= col("n") * 9, col("lag_days")))
+          .cast("long").as("p90_days"),
+        round(sum(when(col("lag_days") <= 30, col("cnt"))
+            .otherwise(0L)).cast("double") /
+          max(col("n")).cast("double"), 6).as("pct_within_30d"))
+  }
+
   val all: Seq[Query] = Seq(q1, q2, q3, q4, q58, q71, q72, q125, q126,
-    q185, q187, q188, q189, q235, q236)
+    q185, q187, q188, q189, q235, q236, q237, q238)
 }

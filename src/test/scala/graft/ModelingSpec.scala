@@ -645,6 +645,45 @@ class ModelingSpec extends SparkSpec {
       12L -> ((1L, 0.333333))))
   }
 
+  // ------------------------------------------------------------- q237
+
+  test("abc: the 80/95 boundaries split head, middle, and tail " +
+      "exactly") {
+    val dir = fixtureDir()
+    Seq((1L, 800.0), (2L, 150.0), (3L, 50.0))
+      .toDF("l_partkey", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = rows(graft.queries.Relational.q237.fn(spark, dir))
+      .map(r => r.getAs[String]("abc_class") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Double]("revenue"),
+          r.getAs[Double]("revenue_share"))).toMap
+    assert(out("A") == ((1L, 800.0, 0.8)))
+    assert(out("B") == ((1L, 150.0, 0.15))) // prefix 800 = exactly 80%
+    assert(out("C") == ((1L, 50.0, 0.05))) // prefix 950 = exactly 95%
+  }
+
+  // ------------------------------------------------------------- q238
+
+  test("sla: exact p50/p90 from the bounded lag histogram") {
+    val dir = fixtureDir()
+    Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-01"))
+      .toDF("o_orderkey", "ds")
+      .select(col("o_orderkey"), col("ds").cast("date").as("o_orderdate"),
+        org.apache.spark.sql.functions.lit("1-URGENT")
+          .as("o_orderpriority"))
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, "2024-01-01"), (2L, "2024-01-11"), (3L, "2024-02-10"))
+      .toDF("l_orderkey", "ds")
+      .select(col("l_orderkey"), col("ds").cast("date").as("l_shipdate"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = one(graft.queries.Relational.q238.fn(spark, dir))
+    assert(r.getAs[String]("priority") == "1-URGENT")
+    assert(r.getAs[Long]("n_lines") == 3L)
+    assert(r.getAs[Long]("p50_days") == 10L) // lags 0, 10, 40
+    assert(r.getAs[Long]("p90_days") == 40L)
+    assert(r.getAs[Double]("pct_within_30d") == 0.666667)
+  }
+
   // ------------------------------------------------------------- q232
 
   test("codebook balance: every subspace reports bounded utilization " +
