@@ -295,6 +295,22 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q235/q237: the revenue prefix-sums are distributed — every " +
+      "window partitioned, no cartesian beyond single-row broadcasts") {
+    for (q <- Seq("q235_pareto_customers", "q237_abc_parts")) {
+      val p = plan(q)
+      assertNoGlobalWindow(p)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
+  test("q238: the SLA percentile never sorts the fact table — the " +
+      "only window runs per-priority on the lag grid") {
+    val p = plan("q238_shipping_sla")
+    assertNoGlobalWindow(p)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q200: fusion centroids broadcast; rank windows partitioned; " +
       "no cartesian product") {
     val p = plan("q200_hybrid_rank_fusion")
