@@ -1563,7 +1563,132 @@ object Mining {
           6).as("node_share"))
   }
 
+  // ------------------------------------------------------------ q240
+
+  /** Heaps'-law fit: vocabulary growth V(n) ≈ K·nᵝ across ten corpus
+    * checkpoints — q218's Zipf companion (the two exponents are the
+    * standard corpus-statistics pair; β far from ~0.5 flags templated
+    * or synthetic text). NO cumulative re-scan per checkpoint: each
+    * word's vocabulary contribution is pinned to the decile of its
+    * FIRST document (per-word min + one rank join), each document's
+    * tokens to its own decile — two integer-exact decile assignments
+    * ((10·rank + n − 1) div n), two 10-row cumsums, then the same
+    * quantized-ln OLS machinery as q218 over ≤10 points. */
+  val q240 = Query(
+    "q240_heaps_fit",
+    s"""WITH dt AS (
+       |  SELECT doc_id, len($DTokens) AS nt FROM documents),
+       |rk AS (
+       |  SELECT doc_id, nt, row_number() OVER (ORDER BY doc_id) AS rnk
+       |  FROM dt),
+       |nn AS (SELECT COUNT(*) AS n FROM dt),
+       |docd AS (
+       |  SELECT doc_id, nt, (10 * rnk + n - 1) // n AS d
+       |  FROM rk CROSS JOIN nn),
+       |tokd AS (
+       |  SELECT d, SUM(SUM(nt)) OVER (ORDER BY d) AS tok
+       |  FROM docd GROUP BY d),
+       |fw AS (
+       |  SELECT MIN(doc_id) AS first_doc
+       |  FROM (SELECT unnest($DTokens) AS word, doc_id FROM documents)
+       |  GROUP BY word),
+       |wd AS (
+       |  SELECT docd.d AS d FROM fw
+       |  JOIN docd ON docd.doc_id = fw.first_doc),
+       |vocd AS (
+       |  SELECT d, SUM(COUNT(*)) OVER (ORDER BY d) AS voc
+       |  FROM wd GROUP BY d),
+       |pts AS (
+       |  SELECT CAST(round(ln(CAST(tok AS DOUBLE)) * 1000000)
+       |      AS BIGINT) AS lx,
+       |    CAST(round(ln(CAST(voc AS DOUBLE)) * 1000000) AS BIGINT)
+       |      AS ly,
+       |    tok, voc
+       |  FROM tokd JOIN vocd USING (d)
+       |  WHERE tok > 0 AND voc > 0),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS np,
+       |    CAST(SUM(lx) AS HUGEINT) AS sx,
+       |    CAST(SUM(ly) AS HUGEINT) AS sy,
+       |    CAST(SUM(lx * lx) AS HUGEINT) AS sxx,
+       |    CAST(SUM(lx * ly) AS HUGEINT) AS sxy,
+       |    CAST(SUM(ly * ly) AS HUGEINT) AS syy,
+       |    CAST(MAX(tok) AS BIGINT) AS total_tokens,
+       |    CAST(MAX(voc) AS BIGINT) AS total_vocab
+       |  FROM pts),
+       |f AS (
+       |  SELECT total_tokens, total_vocab,
+       |    CAST(CAST(np AS VARCHAR) AS DOUBLE) AS npd,
+       |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+       |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+       |    CAST(CAST(np * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS cov,
+       |    CAST(CAST(np * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS vx,
+       |    CAST(CAST(np * syy - sy * sy AS VARCHAR) AS DOUBLE) AS vy
+       |  FROM st)
+       |SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_docs,
+       |  total_tokens, total_vocab,
+       |  CASE WHEN vx != 0.0 THEN ROUND(cov / vx, 6) END AS heaps_beta,
+       |  CASE WHEN vx != 0.0 THEN
+       |    ROUND(((syd - ((cov / vx) * sxd)) / npd) / 1000000.0, 6)
+       |  END AS heaps_lnk,
+       |  CASE WHEN vx != 0.0 AND vy != 0.0 THEN
+       |    ROUND((cov * cov) / (vx * vy), 6)
+       |  END AS r2
+       |FROM f""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val dt = docs.select(col("doc_id"), size(tokens(col("text")))
+      .as("nt"))
+    val rk = Ranking.withGlobalRank(dt,
+      struct(col("doc_id").as("d")).asc, "rnk")
+    val nn = dt.agg(count(lit(1)).as("n"))
+    val docd = rk.crossJoin(broadcast(nn))
+      .withColumn("d", expr("(10 * rnk + n - 1) div n"))
+    val tokd = docd.groupBy(col("d"))
+      .agg(sum(col("nt").cast(mD38)).as("tk"))
+      .withColumn("tok", sum(col("tk")).over(Window.orderBy(col("d"))))
+    val fw = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
+    val wd = fw.join(docd.select(col("doc_id").as("first_doc"),
+      col("d")), Seq("first_doc"))
+    val vocd = wd.groupBy(col("d")).agg(count(lit(1)).as("vc"))
+      .withColumn("voc", sum(col("vc")).over(Window.orderBy(col("d"))))
+    val pts = tokd.join(vocd, Seq("d"))
+      .filter(col("tok") > 0 && col("voc") > 0)
+      .select(
+        round(log(col("tok").cast("double")) * 1000000L).cast("long")
+          .as("lx"),
+        round(log(col("voc").cast("double")) * 1000000L).cast("long")
+          .as("ly"),
+        col("tok"), col("voc"))
+    val st = pts.agg(count(lit(1)).cast(mD38).as("np"),
+      sum(col("lx").cast(mD38)).as("sx"),
+      sum(col("ly").cast(mD38)).as("sy"),
+      sum((col("lx") * col("lx")).cast(mD38)).as("sxx"),
+      sum((col("lx") * col("ly")).cast(mD38)).as("sxy"),
+      sum((col("ly") * col("ly")).cast(mD38)).as("syy"),
+      max(col("tok")).cast("long").as("total_tokens"),
+      max(col("voc")).cast("long").as("total_vocab"))
+    val f = st.select(col("total_tokens"), col("total_vocab"),
+      dd(col("np")).as("npd"), dd(col("sx")).as("sxd"),
+      dd(col("sy")).as("syd"),
+      dd(col("np") * col("sxy") - col("sx") * col("sy")).as("cov"),
+      dd(col("np") * col("sxx") - col("sx") * col("sx")).as("vx"),
+      dd(col("np") * col("syy") - col("sy") * col("sy")).as("vy"))
+    f.crossJoin(broadcast(nn))
+      .select(col("n").cast("long").as("n_docs"),
+        col("total_tokens"), col("total_vocab"),
+        when(col("vx") =!= 0.0d, round(col("cov") / col("vx"), 6))
+          .as("heaps_beta"),
+        when(col("vx") =!= 0.0d,
+          round(((col("syd") - ((col("cov") / col("vx")) * col("sxd")))
+            / col("npd")) / 1000000.0d, 6)).as("heaps_lnk"),
+        when(col("vx") =!= 0.0d && col("vy") =!= 0.0d,
+          round((col("cov") * col("cov")) / (col("vx") * col("vy")), 6))
+          .as("r2"))
+  }
+
   val all: Seq[Query] = Seq(q135, q136, q138, q139, q141, q143, q144,
     q146, q158, q166, q186, q200, q203, q211, q217, q218, q219, q220,
-    q226, q227, q228)
+    q226, q227, q228, q240)
 }

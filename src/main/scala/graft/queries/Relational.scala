@@ -739,6 +739,65 @@ object Relational {
           max(col("n")).cast("double"), 6).as("pct_within_30d"))
   }
 
+  // ------------------------------------------------------------ q239
+
+  /** Lorenz curve of customer revenue at the ten population deciles —
+    * the plottable curve under q208's Gini scalar and q235's single
+    * cut: cumulative revenue share of the poorest 10%, 20%, … 100%.
+    * Ascending distributed prefix-sum + global rank; each decile
+    * picks the row at the EXACT integer cut floor(n·d/10) (integer
+    * products, no float boundary), so the ten points are
+    * engine-exact; the share is the one pinned division. */
+  val q239 = Query(
+    "q239_lorenz_points",
+    """WITH cr AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT rev,
+      |    COALESCE(CAST(SUM(rev) OVER (
+      |      ORDER BY rev, o_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS HUGEINT), 0) AS prefix,
+      |    row_number() OVER (ORDER BY rev, o_custkey) AS rnk
+      |  FROM cr),
+      |t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |  CAST(SUM(rev) AS HUGEINT) AS tot FROM cr),
+      |d AS (SELECT UNNEST(range(1, 11)) AS decile)
+      |SELECT CAST(d.decile AS BIGINT) AS decile,
+      |  CAST(r.rnk AS BIGINT) AS n_cum,
+      |  ROUND(CAST(CAST(r.prefix + r.rev AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(t.tot AS VARCHAR) AS DOUBLE), 6) AS rev_share
+      |FROM d CROSS JOIN t
+      |JOIN r ON r.rnk = (t.n * d.decile) // 10
+      |WHERE (t.n * d.decile) // 10 >= 1""".stripMargin) { (s, dir) =>
+    import graft.operators.Ranking
+    val d38 = DecimalType(38, 0)
+    def dd(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val cr = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg((sum(money(col("o_totalprice")) * 100)).cast("long")
+        .as("rev"))
+    val ord = struct(col("rev").as("r"), col("o_custkey").as("ck")).asc
+    val r = Ranking.withGlobalRank(
+      Ranking.withRunningTotal(cr, ord, col("rev"), "prefix"), ord,
+      "rnk")
+    val t = cr.agg(count(lit(1)).cast(d38).as("n"),
+      sum(col("rev").cast(d38)).as("tot"))
+    val d = s.range(1, 11).select(col("id").cast("int").as("decile"))
+    d.crossJoin(broadcast(t))
+      .withColumn("cut",
+        expr("CAST(n AS BIGINT) * decile div 10"))
+      .filter(col("cut") >= 1)
+      .join(r, col("rnk") === col("cut"))
+      .select(col("decile").cast("long").as("decile"),
+        col("rnk").cast("long").as("n_cum"),
+        round(dd(col("prefix").cast(d38) + col("rev").cast(d38)) /
+          dd(col("tot")), 6).as("rev_share"))
+  }
+
   val all: Seq[Query] = Seq(q1, q2, q3, q4, q58, q71, q72, q125, q126,
-    q185, q187, q188, q189, q235, q236, q237, q238)
+    q185, q187, q188, q189, q235, q236, q237, q238, q239)
 }

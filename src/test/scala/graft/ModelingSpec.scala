@@ -684,6 +684,39 @@ class ModelingSpec extends SparkSpec {
     assert(r.getAs[Double]("pct_within_30d") == 0.666667)
   }
 
+  // ------------------------------------------------------------- q239
+
+  test("lorenz: uniform 1..10 revenues trace the exact triangular " +
+      "curve") {
+    val dir = fixtureDir()
+    (1 to 10).map(i => (i.toLong, i.toDouble))
+      .toDF("o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = rows(graft.queries.Relational.q239.fn(spark, dir))
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_cum"), r.getAs[Double]("rev_share"))).toMap
+    assert(out.size == 10)
+    assert(out(1L) == ((1L, 0.018182))) // 1/55
+    assert(out(5L) == ((5L, 0.272727))) // 15/55
+    assert(out(10L) == ((10L, 1.0)))
+  }
+
+  // ------------------------------------------------------------- q240
+
+  test("heaps: one new word per two-token doc fits beta 1, " +
+      "lnK = -ln 2, r2 = 1") {
+    val dir = fixtureDir()
+    writeDocs(dir, (1 to 10).map(i =>
+      (i.toLong, s"w$i w$i", "en", "A", 5L)))
+    val r = one(graft.queries.Mining.q240.fn(spark, dir))
+    assert(r.getAs[Long]("n_docs") == 10L)
+    assert(r.getAs[Long]("total_tokens") == 20L)
+    assert(r.getAs[Long]("total_vocab") == 10L)
+    assert(math.abs(r.getAs[Double]("heaps_beta") - 1.0) < 1e-4)
+    assert(math.abs(r.getAs[Double]("heaps_lnk") + 0.693147) < 1e-4)
+    assert(r.getAs[Double]("r2") > 0.9999)
+  }
+
   // ------------------------------------------------------------- q232
 
   test("codebook balance: every subspace reports bounded utilization " +
