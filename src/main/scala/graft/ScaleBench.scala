@@ -95,7 +95,8 @@ object ScaleBench {
     "q200_hybrid_rank_fusion", "q202_calibration_bins",
     // session-4 statistics family (documents-only readers)
     "q218_zipf_fit", "q219_kappa_panel", "q220_term_burstiness",
-    "q221_ess_weights", "q222_ks_drift", "q227_source_novelty")
+    "q221_ess_weights", "q222_ks_drift", "q227_source_novelty",
+    "q230_randomized_response", "q240_heaps_fit")
 
   /** ANN with a FIXED query workload (replica 0 queries only): a corpus
     * scale-up grows the indexed side, not the query side — without the
