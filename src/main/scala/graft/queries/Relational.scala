@@ -798,6 +798,128 @@ object Relational {
           dd(col("tot")), 6).as("rev_share"))
   }
 
+  // ------------------------------------------------------------ q241
+
+  /** Repeat-purchase KPI row: share of customers who ordered more
+    * than once, mean orders per customer, and the share of revenue
+    * carried by repeat customers — the loyalty headline over q236's
+    * cadence histogram and q126's dormancy cut. One per-customer
+    * rollup (map-side combinable) plus one bounded re-aggregate;
+    * every numerator/denominator is an exact integer and each share
+    * is one string-parse-pinned division. */
+  val q241 = Query(
+    "q241_repeat_rate",
+    """WITH cr AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n_cust,
+      |    CAST(SUM(n_orders) AS HUGEINT) AS n_orders,
+      |    CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS n_repeat,
+      |    CAST(SUM(rev) AS HUGEINT) AS rev,
+      |    CAST(SUM(CASE WHEN n_orders > 1 THEN rev ELSE 0 END)
+      |      AS HUGEINT) AS rev_repeat
+      |  FROM cr)
+      |SELECT CAST(n_cust AS BIGINT) AS n_customers,
+      |  CAST(n_orders AS BIGINT) AS n_orders,
+      |  CAST(n_repeat AS BIGINT) AS n_repeat_customers,
+      |  ROUND(CAST(CAST(n_repeat AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(n_cust AS VARCHAR) AS DOUBLE), 6)
+      |    AS repeat_rate,
+      |  ROUND(CAST(CAST(n_orders AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(n_cust AS VARCHAR) AS DOUBLE), 6)
+      |    AS orders_per_customer,
+      |  ROUND(CAST(CAST(rev_repeat AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(rev AS VARCHAR) AS DOUBLE), 6)
+      |    AS repeat_revenue_share
+      |FROM a""".stripMargin) { (s, dir) =>
+    val d38 = DecimalType(38, 0)
+    def dd(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val cr = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(money(col("o_totalprice")) * 100)).cast("long").as("rev"))
+    val a = cr.agg(count(lit(1)).cast(d38).as("n_cust"),
+      sum(col("n_orders").cast(d38)).as("n_orders"),
+      sum(when(col("n_orders") > 1, 1L).otherwise(0L).cast(d38))
+        .as("n_repeat"),
+      sum(col("rev").cast(d38)).as("rev"),
+      sum(when(col("n_orders") > 1, col("rev")).otherwise(0L)
+        .cast(d38)).as("rev_repeat"))
+    a.select(col("n_cust").cast("long").as("n_customers"),
+      col("n_orders").cast("long").as("n_orders"),
+      col("n_repeat").cast("long").as("n_repeat_customers"),
+      round(dd(col("n_repeat")) / dd(col("n_cust")), 6)
+        .as("repeat_rate"),
+      round(dd(col("n_orders")) / dd(col("n_cust")), 6)
+        .as("orders_per_customer"),
+      round(dd(col("rev_repeat")) / dd(col("rev")), 6)
+        .as("repeat_revenue_share"))
+  }
+
+  // ------------------------------------------------------------ q242
+
+  /** Basket profile: the distribution of lines per order (bounded
+    * histogram — TPC-H caps at 7; any order schema caps similarly)
+    * with per-size distinct-part and revenue profiles — the
+    * order-shape mart behind packing and picking economics. The
+    * per-order rollup is the only fact-scale pass; the histogram
+    * re-aggregate runs on order-count rows, shares are single pinned
+    * divisions. */
+  val q242 = Query(
+    "q242_basket_profile",
+    """WITH ob AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_lines,
+      |    COUNT(DISTINCT l_partkey) AS n_parts,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_ord FROM ob),
+      |h AS (
+      |  SELECT n_lines, COUNT(*) AS n_orders,
+      |    CAST(SUM(n_parts) AS HUGEINT) AS parts,
+      |    CAST(SUM(rev) AS HUGEINT) AS rev
+      |  FROM ob GROUP BY 1)
+      |SELECT CAST(n_lines AS BIGINT) AS n_lines,
+      |  CAST(n_orders AS BIGINT) AS n_orders,
+      |  ROUND(CAST(CAST(n_orders AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(t.n_ord AS VARCHAR) AS DOUBLE), 6)
+      |    AS order_share,
+      |  ROUND(CAST(CAST(parts AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(CAST(n_orders AS HUGEINT) AS VARCHAR) AS DOUBLE),
+      |    6) AS avg_distinct_parts,
+      |  ROUND(CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+      |    / (CAST(CAST(CAST(n_orders AS HUGEINT) AS VARCHAR) AS DOUBLE)
+      |      * 100.0), 6) AS avg_order_value
+      |FROM h CROSS JOIN t""".stripMargin) { (s, dir) =>
+    val d38 = DecimalType(38, 0)
+    def dd(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val ob = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        (sum(money(col("l_extendedprice")) * 100)).cast("long")
+          .as("rev"))
+    val t = ob.agg(count(lit(1)).cast(d38).as("n_ord"))
+    val h = ob.groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_parts").cast(d38)).as("parts"),
+        sum(col("rev").cast(d38)).as("rev"))
+    h.crossJoin(broadcast(t))
+      .select(col("n_lines").cast("long").as("n_lines"),
+        col("n_orders").cast("long").as("n_orders"),
+        round(dd(col("n_orders").cast(d38)) / dd(col("n_ord")), 6)
+          .as("order_share"),
+        round(dd(col("parts")) / dd(col("n_orders").cast(d38)), 6)
+          .as("avg_distinct_parts"),
+        round(dd(col("rev")) /
+          (dd(col("n_orders").cast(d38)) * lit(100.0d)), 6)
+          .as("avg_order_value"))
+  }
+
   val all: Seq[Query] = Seq(q1, q2, q3, q4, q58, q71, q72, q125, q126,
-    q185, q187, q188, q189, q235, q236, q237, q238, q239)
+    q185, q187, q188, q189, q235, q236, q237, q238, q239, q241, q242)
 }

@@ -717,6 +717,40 @@ class ModelingSpec extends SparkSpec {
     assert(r.getAs[Double]("r2") > 0.9999)
   }
 
+  // ------------------------------------------------------------- q241
+
+  test("repeat rate: one loyal and one single-order customer split " +
+      "the KPIs exactly") {
+    val dir = fixtureDir()
+    Seq((1L, 10.0), (1L, 20.0), (2L, 5.0))
+      .toDF("o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = one(graft.queries.Relational.q241.fn(spark, dir))
+    assert(r.getAs[Long]("n_customers") == 2L)
+    assert(r.getAs[Long]("n_orders") == 3L)
+    assert(r.getAs[Long]("n_repeat_customers") == 1L)
+    assert(r.getAs[Double]("repeat_rate") == 0.5)
+    assert(r.getAs[Double]("orders_per_customer") == 1.5)
+    assert(r.getAs[Double]("repeat_revenue_share") == 0.857143) // 30/35
+  }
+
+  // ------------------------------------------------------------- q242
+
+  test("basket profile: line-count buckets carry exact share and " +
+      "averages") {
+    val dir = fixtureDir()
+    Seq((1L, 1L, 10.0), (1L, 1L, 10.0), (2L, 2L, 5.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = rows(graft.queries.Relational.q242.fn(spark, dir))
+      .map(r => r.getAs[Long]("n_lines") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("order_share"),
+          r.getAs[Double]("avg_distinct_parts"),
+          r.getAs[Double]("avg_order_value"))).toMap
+    assert(out(2L) == ((1L, 0.5, 1.0, 20.0))) // same part twice
+    assert(out(1L) == ((1L, 0.5, 1.0, 5.0)))
+  }
+
   // ------------------------------------------------------------- q232
 
   test("codebook balance: every subspace reports bounded utilization " +
