@@ -18,17 +18,27 @@ import graft.functions.Functions.md5Long
   * top-k goes through [[Ranking.withGlobalRank]] — range-partitioned
   * distributed rank, no single-partition window, no driver collect.
   *
-  * Cross-engine determinism: the key is ranked on raw doubles, so it
-  * must be BIT-IDENTICAL between Spark and the DuckDB oracle — but
-  * libm `ln` is not (Java StrictMath.log and DuckDB's std::log may
-  * disagree in the last ulp, and a rank amplifies one ulp into a
-  * different sample — the r5 q139 failure). [[portableLnU]] therefore
-  * computes ln(u) from IEEE-correctly-rounded primitives only
-  * (+ − × ÷ are exactly specified by IEEE 754; both engines implement
-  * them identically): the binary exponent comes from the bin()-string
-  * length of the integer hash, the mantissa log from a fixed-order
-  * atanh Horner series. Same expression tree in both engines ⇒ same
-  * doubles ⇒ same ranks, no quantization grid needed.
+  * Cross-engine determinism, two layers deep. (1) The key avoids libm:
+  * Java StrictMath.log and DuckDB's std::log may disagree in the last
+  * ulp, and a rank amplifies one ulp into a different sample (the r5
+  * q139 failure) — so ln(u) is computed from IEEE-correctly-rounded
+  * primitives only (+ − × ÷ are exactly specified by IEEE 754): the
+  * binary exponent comes from the bin()-string length of the integer
+  * hash, the mantissa log from a fixed-order atanh Horner series.
+  * (2) The ranked key is then QUANTIZED to a 1e-12 integer grid —
+  * `ws_key = floor(raw·1e12 + 0.5)` as BIGINT — so cross-engine
+  * parity is structural: even if some environment's double pipeline
+  * (build flags, x87 vs SSE, a different constant-folding path)
+  * perturbs the raw key by an ulp, both engines compare the SAME
+  * integers, and grid ties break deterministically on `idCol`. An ulp
+  * can still straddle a grid boundary in principle, but a one-cell
+  * move only reorders rows whose keys are within 1e-12 of each other —
+  * versus raw-double ranking, where EVERY adjacent pair is one ulp
+  * from swapping (the r7 driver-environment failure mode).
+  *
+  * Contract: `weight ≥ 0.005` keeps |raw|·1e12 below 2^53 (|ln u| ≤
+  * 60·ln2 ≈ 41.6 for the 60-bit hash), so the grid value is an exact
+  * double before the BIGINT cast in both engines.
   */
 object Sampling {
 
@@ -37,10 +47,11 @@ object Sampling {
   private val Ln2 = 0.6931471805599453
 
   /** Weighted sample without replacement of size `k`. Adds `ws_key`
-    * (the A-ES key `ln(u)/w`, larger = selected first) and `rnk`
-    * (1-based selection order). `weight` must be strictly positive;
-    * `idCol` seeds the per-row uniform and breaks key ties, so it must
-    * be unique. */
+    * (the A-ES key `ln(u)/w` on the 1e-12 integer grid, BIGINT,
+    * larger = selected first) and `rnk` (1-based selection order).
+    * `weight` must be ≥ 0.005 (see the grid contract above); `idCol`
+    * seeds the per-row uniform and breaks grid ties, so it must be
+    * unique. */
   def weightedSample(df: DataFrame, idCol: Column, weight: Column, k: Int,
       seed: String): DataFrame = {
     val keyed = withAesKey(df, idCol, weight, seed)
@@ -81,11 +92,14 @@ object Sampling {
       .drop("__hn", "__bl", "__m", "__z")
   }
 
-  /** `(2z·poly(z²) + (bl−60)·ln2) / w` — the Horner atanh series for
-    * ln(m), m ∈ [0.5, 1], plus the exponent term. Truncation after the
-    * z¹⁵ term: ≤ ~5e-10 relative — irrelevant for sampling, and shared
-    * exactly by the oracle ([[aesKeySql]] mirrors this tree node for
-    * node). */
+  /** `floor(1e12·(2z·poly(z²) + (bl−60)·ln2)/w + 0.5)` as BIGINT —
+    * the Horner atanh series for ln(m), m ∈ [0.5, 1], plus the
+    * exponent term, quantized to the 1e-12 integer grid. Series
+    * truncation after the z¹⁵ term: ≤ ~5e-10 relative — irrelevant
+    * for sampling, and shared exactly by the oracle
+    * ([[aesKeySqlCtes]] mirrors this tree node for node; Spark's
+    * `floor(double)` already yields LongType, the SQL twin adds an
+    * explicit BIGINT cast). */
   private def aesKeyFromParts(weight: Column): Column = {
     def inv(k: Int): Column = lit(1.0) / lit(k.toDouble)
     val z = col("__z")
@@ -94,7 +108,7 @@ object Sampling {
       z2 * (inv(9) + z2 * (inv(11) + z2 * (inv(13) + z2 * inv(15)))))))
     val lnm = (lit(2.0) * z) * poly
     val lnu = lnm + (col("__bl").cast("double") - lit(60.0)) * lit(Ln2)
-    lnu / weight
+    floor(lnu / weight * lit(1.0e12) + lit(0.5))
   }
 
   /** The DuckDB twin of the portable A-ES key: chained CTE SELECTs
@@ -119,8 +133,10 @@ object Sampling {
        |  (__m - 1::DOUBLE) / (__m + 1::DOUBLE) AS __z FROM __s2),
        |__s4 AS (SELECT *, __z * __z AS __z2 FROM __s3),
        |$out AS (SELECT * EXCLUDE (__hn, __bl, __m, __z, __z2),
-       |  (((2::DOUBLE * __z) * $poly)
-       |    + (__bl::DOUBLE - 60::DOUBLE) * 0.6931471805599453::DOUBLE)
-       |  / $weightExpr AS ws_key FROM __s4)""".stripMargin
+       |  CAST(floor(
+       |    ((((2::DOUBLE * __z) * $poly)
+       |      + (__bl::DOUBLE - 60::DOUBLE) * 0.6931471805599453::DOUBLE)
+       |     / $weightExpr) * 1000000000000.0::DOUBLE + 0.5::DOUBLE)
+       |  AS BIGINT) AS ws_key FROM __s4)""".stripMargin
   }
 }

@@ -226,7 +226,7 @@ object Mining {
        |  SELECT o_orderkey, weight, ws_key, row_number() OVER (
        |    ORDER BY ws_key DESC, o_orderkey) AS rnk
        |  FROM k)
-       |SELECT o_orderkey, weight, round(ws_key, 6) AS ws_key,
+       |SELECT o_orderkey, weight, ws_key,
        |  CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= $WsK""".stripMargin) { (s, dir) =>
     Sampling
@@ -234,8 +234,8 @@ object Mining {
         Tables.orders(s, dir).select(col("o_orderkey"),
           col("o_totalprice").as("weight")),
         col("o_orderkey"), col("weight"), WsK, "ws")
-      .select(col("o_orderkey"), col("weight"),
-        round(col("ws_key"), 6).as("ws_key"), col("rnk"))
+      .select(col("o_orderkey"), col("weight"), col("ws_key"),
+        col("rnk"))
   }
 
   // ------------------------------------------------------------ q141
@@ -434,7 +434,7 @@ object Mining {
        |  SELECT lang, doc_id, n_chars, ws_key, row_number() OVER (
        |    PARTITION BY lang ORDER BY ws_key DESC, doc_id) AS rnk
        |  FROM k)
-       |SELECT lang, doc_id, n_chars, round(ws_key, 6) AS ws_key,
+       |SELECT lang, doc_id, n_chars, ws_key,
        |  CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= $WsgK""".stripMargin) { (s, dir) =>
     Sampling
@@ -444,8 +444,7 @@ object Mining {
         Seq("lang"), col("doc_id"), col("n_chars").cast("double"),
         WsgK, "wsg")
       .select(col("lang"), col("doc_id"), col("n_chars"),
-        round(col("ws_key"), 6).as("ws_key"), col("rnk").cast("long")
-          .as("rnk"))
+        col("ws_key"), col("rnk").cast("long").as("rnk"))
   }
 
   // ------------------------------------------------------------ q146

@@ -147,6 +147,11 @@ class MiningSpec extends SparkSpec {
 
   test("weighted sample: deterministic under repartitioning, k rows") {
     val df = (1L to 500L).map(i => (i, i.toDouble)).toDF("id", "w")
+    // cross-engine contract: the ranked key is an integer (the 1e-12
+    // grid), never a raw double — r7's driver-environment failure mode
+    assert(Sampling.weightedSample(df, col("id"), col("w"), 50, "t")
+      .schema("ws_key").dataType ==
+      org.apache.spark.sql.types.LongType)
     val s1 = rows(Sampling.weightedSample(df, col("id"), col("w"), 50,
       "t").select("id", "rnk").orderBy("rnk"))
       .map(r => (r.getLong(0), r.getLong(1)))
