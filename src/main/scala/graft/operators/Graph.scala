@@ -273,9 +273,20 @@ object Graph {
     * lineage per round is the standard iterative-graph checkpoint
     * cadence; the eager checkpoint doubles as the count action, and
     * the round blocks are reclaimed by the ContextCleaner once the
-    * frame goes out of scope. */
+    * frame goes out of scope.
+    *
+    * Availability tradeoff on a real cluster: `localCheckpoint`
+    * stores blocks on executors WITHOUT lineage, so losing an
+    * executor mid-iteration fails the job unrecoverably (persist
+    * would recompute; reliable `checkpoint` rereads from the
+    * checkpoint dir). That is the right trade single-node and for
+    * short peels; when the session HAS a checkpoint dir configured
+    * (`sparkContext.setCheckpointDir` — the 1000-executor posture),
+    * [[truncateLineage]] upgrades each round to reliable
+    * `checkpoint(true)` automatically — same lineage truncation, one
+    * extra DFS write per round, executor-loss-safe. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
-    var e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    var e = truncateLineage(edges.select(col("a"), col("b")))
     var prev = e.count()
     var round = 0
     var stable = false
@@ -284,11 +295,10 @@ object Graph {
         .unionByName(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("node"))
-      val e2 = e
+      val e2 = truncateLineage(e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"))
         .join(keep.withColumnRenamed("node", "b"), Seq("b"))
-        .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .select(col("a"), col("b")))
       val c = e2.count()
       stable = c == prev
       prev = c
@@ -297,4 +307,14 @@ object Graph {
     }
     e
   }
+
+  /** Eager lineage cut for iterative peels: reliable `checkpoint`
+    * when the session has a checkpoint dir (survives executor loss),
+    * `localCheckpoint` otherwise (no DFS round-trip — single-node /
+    * dev posture). Both truncate the logical plan, which is the point
+    * (see [[kCore]]'s scaladoc). */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
 }

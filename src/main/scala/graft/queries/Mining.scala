@@ -1098,7 +1098,7 @@ object Mining {
   // ------------------------------------------------------------ q218
 
   private val ZipfK = 100 // terms in the fit, per language
-  private val ZipfMinCnt = 2 // candidate floor (cannot affect top-K)
+  private val ZipfMinCnt = 2 // candidate floor (engine-consistent)
   private val ZipfScale = 1000000L // ln quantization grid (1e-6)
 
   /** Exact decimal → correctly-rounded double through a decimal
@@ -1115,8 +1115,12 @@ object Mining {
     * corpora bend the curve, so slope + R² is a generation-quality
     * alarm beside q28's heuristics). Term counts are one map-side
     * combinable aggregate; the per-language rank is a vocab-bounded
-    * window AFTER a count floor (the floor cannot change top-K
-    * membership, it only keeps the hapax tail out of the sort). Both
+    * window AFTER a count floor. Both engines apply the same floor, so
+    * oracle equality holds regardless; for a language with fewer than
+    * [[ZipfK]] terms of count ≥ [[ZipfMinCnt]] the floor shrinks
+    * n_terms (hapax terms would otherwise fill the top-K) — for
+    * typical languages it only keeps the hapax tail out of the sort.
+    * Both
     * lns are of exact small integers, quantized to the 1e-6 grid (the
     * q211 precedent), so the OLS sufficient statistics are exact
     * decimal sums and slope/R² are fixed IEEE trees over

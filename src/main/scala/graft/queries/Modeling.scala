@@ -806,11 +806,15 @@ object Modeling {
     val full = base.agg(count(lit(1)).as("n_rows"),
       (sum(col("cents").cast(d38)).cast("double") /
         (count(lit(1)).cast("double") * lit(100.0d))).as("mean_full"))
+    // left joins on TRUE, not crossJoins: the oracle reads ci_lo/ci_hi
+    // via scalar subqueries, which yield NULL when fewer than
+    // BootHiRank replicates have a defined mean (degenerate input) —
+    // a crossJoin would drop the summary row instead
     full.select(col("n_rows"),
         lit(BootB.toLong).as("n_replicates"),
         round(col("mean_full"), 6).as("mean_value"))
-      .crossJoin(broadcast(lo))
-      .crossJoin(broadcast(hi))
+      .join(broadcast(lo), lit(true), "left")
+      .join(broadcast(hi), lit(true), "left")
   }
 
   // ------------------------------------------------------------ q222
@@ -1006,7 +1010,10 @@ object Modeling {
         col("xk").cast("double")) * HillScale).cast("long").as("lq"))
       .agg(count(lit(1)).cast(d38).as("k"),
         sum(col("lq").cast(d38)).as("s"))
-    st.crossJoin(broadcast(thr))
+    // left join on TRUE, not crossJoin: the oracle reads the threshold
+    // via a scalar subquery, which yields NULL when `thr` is empty
+    // (input ≤ HillK rows) — a crossJoin would drop the row instead
+    st.join(broadcast(thr), lit(true), "left")
       .select(col("k").cast("long").as("k_tail"),
         col("xk").cast("long").as("threshold_cents"),
         round(dd(col("s")) /

@@ -54,7 +54,16 @@ object Tables {
   /** THE single coercion policy for timestamp-column fixture drift —
     * batch reads go through [[loadNanosAware]], streaming staging reads
     * (`graft.streaming.Streaming`) call this directly on their frames.
-    * One place to extend when the generator ships a new encoding. */
+    * One place to extend when the generator ships a new encoding.
+    *
+    * The three encodings seen so far (INT64 nanos in r2, NTZ micros in
+    * r6, adjusted micros) are handled; INT96 legacy timestamps need no
+    * branch because Spark's vectorized reader surfaces them as
+    * TimestampType directly (`spark.sql.parquet.int96RebaseModeInRead`
+    * governs only pre-1582 rebasing, which the fixtures never hit).
+    * Anything ELSE — a fourth drift — fails HERE with the column, the
+    * observed type, and the handled set, instead of six analysis
+    * errors downstream (the r6 failure mode). */
   private[graft] def normalizeTs(df: DataFrame, tsCol: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -63,7 +72,14 @@ object Tables {
         df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
       case TimestampNTZType =>
         df.withColumn(tsCol, col(tsCol).cast(TimestampType))
-      case _ => df
+      case TimestampType => df
+      case other =>
+        throw new IllegalArgumentException(
+          s"normalizeTs: column '$tsCol' has unhandled type $other — " +
+            "the fixture encoding drifted again. Handled: INT64 nanos " +
+            "(LongType via nanosAsLong), TIMESTAMP_NTZ micros, " +
+            "TimestampType (adjusted micros / legacy INT96). Extend " +
+            "Tables.normalizeTs with the new coercion.")
     }
   }
 

@@ -28,6 +28,20 @@ class QueriesSmokeSpec extends SparkSpec {
       TimestampType)
   }
 
+  test("normalizeTs fails loudly, naming the type, on an unknown " +
+      "encoding") {
+    // drift #3 insurance: a fourth fixture encoding must produce a
+    // one-line diagnosis at the reader, not six analysis errors
+    import spark.implicits._
+    val weird = Seq("2024-01-01").toDF("ts") // StringType: not handled
+    val e = intercept[IllegalArgumentException] {
+      sources.Tables.normalizeTs(weird, "ts")
+    }
+    assert(e.getMessage.contains("'ts'"))
+    assert(e.getMessage.contains("StringType"))
+    assert(e.getMessage.contains("normalizeTs"))
+  }
+
   test("every query has an oracle (or is consciously rows-only)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty,

@@ -71,6 +71,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sessionize family: q17 window-arithmetic, q50 streaming state " +
+      "and q70 session_window agree frame-for-frame") {
+    // the three paths compute the same 30-minute-gap sessions three
+    // ways; each is oracle-green separately, but a drift in ONE path
+    // must fail against its siblings here, not just against DuckDB
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select("user_id", "n_events", "session_start",
+        "session_end").orderBy("user_id", "session_start"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getTimestamp(3)))
+    val batch = canon(graft.queries.Warehouse.q17.fn(spark, dir))
+    val builtin = canon(graft.queries.Warehouse.q70.fn(spark, dir))
+    val streamed = canon(graft.queries.Pipeline.q50.fn(spark, dir))
+    assert(batch.nonEmpty)
+    assert(batch == builtin,
+      "q17 (window arithmetic) vs q70 (session_window) drifted")
+    assert(batch == streamed,
+      "q17 (batch) vs q50 (flatMapGroupsWithState) drifted")
+  }
+
   test("foreachBatch upserts micro-batches into the incremental table") {
     val base = "/tmp/graft_test_stream_inc_src"
     val ckpt = "/tmp/graft_test_stream_inc_ckpt"
