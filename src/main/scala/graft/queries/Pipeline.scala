@@ -1530,8 +1530,96 @@ object Pipeline {
           dd(col("conc") + col("chuc")), 6)).as("quick_ratio"))
   }
 
+  // ------------------------------------------------------------ q243
+
+  /** The composed `dbt build` product (SURVEY §3 E2 as a PIPELINE, not
+    * per-operator entries): [[graft.sources.WarehouseBuild.run]]
+    * chains ingest → staging (observe-instrumented) → SCD2 dim →
+    * marts → quality audit → WAP publish in one run and returns one
+    * audit report. The oracle recomputes EVERY metric independently
+    * from the raw tables — including the counters that Spark-side
+    * came out of `Dataset.observe` and the `published`/
+    * `audit_violations` gate outcomes — so the whole lifecycle (the
+    * observe plumbing, the staged-table feed-forward through the
+    * catalog, the WAP swap) is hash-checked end to end. q69 checks
+    * the layer row-counts; this checks the full build. */
+  val q243 = Query(
+    "q243_build_e2e",
+    """WITH so AS (
+      |  SELECT * FROM orders
+      |  WHERE o_totalprice > 0 AND o_custkey IS NOT NULL),
+      |sc AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
+      |scd AS (
+      |  SELECT user_id, ts AS valid_from,
+      |    LEAD(ts) OVER w AS valid_to,
+      |    (LEAD(ts) OVER w IS NULL) AS is_current,
+      |    ROW_NUMBER() OVER w AS version
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |ov AS (
+      |  SELECT COUNT(*) AS n FROM (
+      |    SELECT valid_to, LEAD(valid_from) OVER (
+      |      PARTITION BY user_id ORDER BY valid_from, version) AS nf
+      |    FROM scd)
+      |  WHERE nf IS NOT NULL
+      |    AND (valid_to IS NULL OR valid_to > nf)),
+      |cv AS (
+      |  SELECT COUNT(*) AS n FROM (
+      |    SELECT user_id,
+      |      SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS nc
+      |    FROM scd GROUP BY 1)
+      |  WHERE nc <> 1),
+      |seg AS (
+      |  SELECT c.c_mktsegment, o.o_totalprice
+      |  FROM so o JOIN sc c ON o.o_custkey = c.c_custkey)
+      |SELECT 'staging' AS step, 'stg_orders' AS relation,
+      |  'rows_in' AS metric,
+      |  (SELECT COUNT(*) FROM orders)::BIGINT AS value
+      |UNION ALL SELECT 'staging', 'stg_orders', 'rows_kept',
+      |  (SELECT COUNT(*) FROM so)
+      |UNION ALL SELECT 'staging', 'stg_orders', 'dropped_invalid',
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_totalprice <= 0 OR o_custkey IS NULL)
+      |UNION ALL SELECT 'staging', 'stg_orders', 'high_value',
+      |  (SELECT COUNT(*) FROM orders WHERE o_totalprice > 400000)
+      |UNION ALL SELECT 'staging', 'stg_customer', 'rows_in',
+      |  (SELECT COUNT(*) FROM customer)
+      |UNION ALL SELECT 'staging', 'stg_customer', 'rows_kept',
+      |  (SELECT COUNT(*) FROM sc)
+      |UNION ALL SELECT 'staging', 'stg_customer', 'soft_deleted',
+      |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 0)
+      |UNION ALL SELECT 'dim', 'dim_user_scd2', 'versions',
+      |  (SELECT COUNT(*) FROM scd)
+      |UNION ALL SELECT 'dim', 'dim_user_scd2', 'current_rows',
+      |  (SELECT COUNT(*) FROM scd WHERE is_current)
+      |UNION ALL SELECT 'dim', 'dim_user_scd2', 'overlap_violations',
+      |  (SELECT n FROM ov)
+      |UNION ALL SELECT 'dim', 'dim_user_scd2', 'current_violations',
+      |  (SELECT n FROM cv)
+      |UNION ALL SELECT 'mart', 'mart_monthly_revenue', 'rows',
+      |  (SELECT COUNT(DISTINCT date_trunc('month', o_orderdate))
+      |   FROM so)
+      |UNION ALL SELECT 'mart', 'mart_monthly_revenue', 'revenue_cents',
+      |  (SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |     AS BIGINT)) AS BIGINT) FROM so)
+      |UNION ALL SELECT 'mart', 'mart_monthly_revenue', 'published',
+      |  1::BIGINT
+      |UNION ALL SELECT 'mart', 'mart_monthly_revenue',
+      |  'audit_violations', 0::BIGINT
+      |UNION ALL SELECT 'mart', 'mart_segment_revenue', 'rows',
+      |  (SELECT COUNT(DISTINCT c_mktsegment) FROM seg)
+      |UNION ALL SELECT 'mart', 'mart_segment_revenue', 'revenue_cents',
+      |  (SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |     AS BIGINT)) AS BIGINT) FROM seg)
+      |UNION ALL SELECT 'mart', 'mart_segment_revenue', 'published',
+      |  1::BIGINT
+      |UNION ALL SELECT 'mart', 'mart_segment_revenue',
+      |  'audit_violations', 0::BIGINT""".stripMargin) { (s, dir) =>
+    graft.sources.WarehouseBuild.run(s, dir)
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
     q74, q76, q77, q101, q105, q145, q147, q149, q160, q165, q168, q172,
-    q178, q233, q234)
+    q178, q233, q234, q243)
 }

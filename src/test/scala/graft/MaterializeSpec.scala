@@ -85,6 +85,39 @@ class MaterializeSpec extends SparkSpec {
     spark.sql("DROP TABLE mz_wap")
   }
 
+  test("publish crash windows: a reader always sees a complete version") {
+    import graft.quality.NotNull
+    def ids(n: String) = rows(spark.table(n)).map(_.getInt(0)).sorted
+    Seq("mz_cw", "mz_cw__staging", "mz_cw__prev")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val v1 = Seq((1, "a")).toDF("id", "v")
+    val v2 = Seq((2, "b")).toDF("id", "v")
+    assert(Materialize.publishAudited(v1, "mz_cw", Seq(NotNull("v")))._1)
+    // crash window 1: staged, no rename yet — old version serves,
+    // recoverPrev is a no-op, and a retry completes cleanly
+    Materialize.table(v2, "mz_cw__staging")
+    assert(ids("mz_cw") == Seq(1))
+    assert(!Materialize.recoverPrev(spark, "mz_cw"))
+    assert(Materialize.publishAudited(v2, "mz_cw", Seq(NotNull("v")))._1)
+    assert(ids("mz_cw") == Seq(2))
+    // crash window 2: rename-aside done, rename-in not — the one gap
+    // state; recoverPrev restores the COMPLETE previous version
+    spark.sql("ALTER TABLE mz_cw RENAME TO mz_cw__prev")
+    assert(!spark.catalog.tableExists("mz_cw"))
+    assert(Materialize.recoverPrev(spark, "mz_cw"))
+    assert(ids("mz_cw") == Seq(2))
+    assert(!Materialize.recoverPrev(spark, "mz_cw")) // idempotent
+    // crash window 3: renamed in, prev not dropped — readers see the
+    // new version and the NEXT publish clears the leftover
+    Materialize.table(v1, "mz_cw__prev")
+    assert(ids("mz_cw") == Seq(2))
+    val v3 = Seq((3, "c")).toDF("id", "v")
+    assert(Materialize.publishAudited(v3, "mz_cw", Seq(NotNull("v")))._1)
+    assert(ids("mz_cw") == Seq(3))
+    assert(!spark.catalog.tableExists("mz_cw__prev"))
+    spark.sql("DROP TABLE mz_cw")
+  }
+
   test("tableIncremental merges only touched partitions, deduped at rest") {
     spark.sql("DROP TABLE IF EXISTS mz_inc")
     graft.sources.Ingest.deletePath(spark, "/tmp/graft_test_warehouse/mz_inc")
