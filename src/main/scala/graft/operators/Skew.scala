@@ -67,6 +67,36 @@ object Skew {
       .drop("__salt")
   }
 
+  /** Fused salted join+aggregate for AQE's blind spot: a skewed
+    * fact⋈dim equi-join FOLLOWED BY an algebraic aggregate on the
+    * same keys. AQE's skew-join split duplicates hot-partition rows
+    * across reducers, which is fine for a bare join but breaks the
+    * hash-partitioning contract a downstream same-key aggregate
+    * requires — so when the agg reuses the join's partitioning, AQE
+    * leaves the hot partition whole and one reducer carries the join
+    * AND the agg for the hot key. Salting does the split explicitly
+    * and folds the aggregate into the salted partitions: join on
+    * (keys, salt) → partial sum/count on (keys, salt) → final merge
+    * on keys. One data-derived salt, every exchange balanced; the
+    * partial agg output is `keys × saltBuckets` rows, so the final
+    * merge is trivial. `value` may reference columns from either
+    * side (evaluated post-join). */
+  def saltedJoinAgg(facts: DataFrame, dims: DataFrame, keys: Seq[String],
+      value: Column, sumName: String, countName: String,
+      saltBuckets: Int = 32): DataFrame = {
+    val saltedFacts = facts.withColumn("__salt",
+      pmod(hash(facts.columns.toIndexedSeq.map(col): _*),
+        lit(saltBuckets)))
+    val replicatedDims = dims.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    saltedFacts.join(replicatedDims, keys :+ "__salt")
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as(sumName),
+        sum(col("__pcnt")).cast("long").as(countName))
+  }
+
   /** Outer-join null-key guard: in a shuffled outer join, every
     * null-key row hashes to ONE reducer — with a high null rate (the
     * reference injects 5-15% missing values,

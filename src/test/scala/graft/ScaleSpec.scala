@@ -39,6 +39,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoinAgg equals the plain join-then-aggregate on skewed " +
+      "data") {
+    val facts = (1 to 4000).map { i =>
+      (if (i % 10 == 0) i % 7 else 999, i.toDouble)
+    }.toDF("k", "v")
+    val dims = Seq((999, 2.0), (0, 1.0), (1, 3.0), (42, 9.0))
+      .toDF("k", "m")
+    val salted = rows(Skew.saltedJoinAgg(facts, dims, Seq("k"),
+        col("v") * col("m"), "total", "n").orderBy("k"))
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val plain = rows(facts.join(dims, Seq("k"))
+        .groupBy("k")
+        .agg(sum(col("v") * col("m")).as("total"),
+          count(lit(1)).as("n")).orderBy("k"))
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    assert(salted == plain)
+  }
+
   test("nullSafeLeftJoin equals the plain left join with null keys") {
     val left = Seq((Some(1), "a"), (None, "b"), (Some(2), "c"),
       (None, "d")).toDF("k", "lv")
