@@ -65,6 +65,46 @@ object ScaleBench {
     fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_OK")).close()
   }
 
+  /** Write the relational replica for `mult` (idempotent): orders/
+    * lineitem/customer/supplier/part/events with every key offset by
+    * the replica stride — join-consistent within a replica, so each
+    * replica is a disjoint tenant with the base corpus's exact per-key
+    * volume and nation/region (fixed dims) copied verbatim. Ideal-
+    * linear scaling is exactly `mult`× with constant per-key group
+    * sizes; the lineitem co-occurrence graphs decompose into `mult`
+    * disjoint components, so iterative graph queries should stay
+    * linear too (same structure per component, same round count). */
+  def buildRelationalReplica(spark: SparkSession, baseDir: String,
+      mult: Int, outDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_OK_REL"))) return
+    def rep(table: String, keyCols: Seq[String]): Unit = {
+      val base = spark.read.parquet(s"$baseDir/$table.parquet")
+      (0 until mult).map { i =>
+        keyCols.foldLeft(base) { (df, k) =>
+          // keep the source dtype: a widened key column would make the
+          // replica exercise different casts than the base fixtures
+          df.withColumn(k, (col(k) + lit(i * ReplicaStride))
+            .cast(base.schema(k).dataType))
+        }
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    rep("orders", Seq("o_orderkey", "o_custkey"))
+    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    rep("customer", Seq("c_custkey"))
+    rep("supplier", Seq("s_suppkey"))
+    rep("part", Seq("p_partkey"))
+    rep("events", Seq("event_id", "user_id"))
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_OK_REL")).close()
+  }
+
   /** The corpus queries whose scaling is under test (all read only
     * documents/embeddings, so the replica dir satisfies them). */
   private val corpusQueries = Seq(
@@ -96,7 +136,21 @@ object ScaleBench {
     // session-4 statistics family (documents-only readers)
     "q218_zipf_fit", "q219_kappa_panel", "q220_term_burstiness",
     "q221_ess_weights", "q222_ks_drift", "q227_source_novelty",
-    "q230_randomized_response", "q240_heaps_fit")
+    "q230_randomized_response", "q240_heaps_fit",
+    // round-8 addition: PQ codebook-utilization audit (embeddings)
+    "q232_codebook_balance")
+
+  /** Relational + graph pipelines under scale test (round 8, VERDICT
+    * r7 #7: the q233-q242 family and the lineitem-graph operators were
+    * absent from the 10× panel because only documents/embeddings had a
+    * replica path — [[buildRelationalReplica]] closes that). */
+  private val relationalQueries = Seq(
+    "q111_pagerank", "q138_triangle_count", "q179_bfs_reach",
+    "q195_label_propagation", "q211_adamic_adar", "q226_kcore",
+    "q228_degree_histogram",
+    "q233_cohort_ltv", "q235_pareto_customers", "q236_purchase_gaps",
+    "q237_abc_parts", "q238_shipping_sla", "q239_lorenz_points",
+    "q241_repeat_rate", "q242_basket_profile")
 
   /** ANN with a FIXED query workload (replica 0 queries only): a corpus
     * scale-up grows the indexed side, not the query side — without the
@@ -169,7 +223,9 @@ object ScaleBench {
     for (m <- Seq(1, mult)) {
       val dir = s"/tmp/graft_scale_x$m"
       buildReplica(spark, baseDir, m, dir)
-      for (q <- corpusQueries.filter(q => only.forall(_.contains(q)))) {
+      buildRelationalReplica(spark, baseDir, m, dir)
+      for (q <- (corpusQueries ++ relationalQueries)
+          .filter(q => only.forall(_.contains(q)))) {
         // min of 2: the scaling exponent needs the intrinsic cost, not
         // a GC hiccup
         val t = math.min(

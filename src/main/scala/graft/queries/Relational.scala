@@ -920,6 +920,39 @@ object Relational {
           .as("avg_order_value"))
   }
 
+  // ------------------------------------------------------------ q244
+
+  /** Per-customer revenue for one market segment through the FUSED
+    * salted join+aggregate ([[graft.operators.Skew.saltedJoinAgg]],
+    * NOTES_r08: AQE's skew split never fires when the join is
+    * consumed downstream — measured 2.5× on the org-skew shape — so
+    * the salt is the scale path for skewed fact⋈dim→agg chains).
+    * The oracle is the PLAIN join-then-aggregate, so the salted
+    * rewrite's exactness is hash-checked end to end, not just
+    * spec-asserted: join on (key, salt) → partial decimal sum/count
+    * on (key, salt) → final merge on key must reproduce the unsalted
+    * result bit for bit (decimal sums are order-independent). */
+  val q244 = Query(
+    "q244_salted_join_agg",
+    """SELECT c_custkey AS custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val facts = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"),
+      money(col("o_totalprice")).as("price"))
+    val dims = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    graft.operators.Skew.saltedJoinAgg(facts, dims, Seq("custkey"),
+        col("price"), "revenue", "n_orders")
+      .withColumn("revenue", col("revenue").cast("double"))
+  }
+
   val all: Seq[Query] = Seq(q1, q2, q3, q4, q58, q71, q72, q125, q126,
-    q185, q187, q188, q189, q235, q236, q237, q238, q239, q241, q242)
+    q185, q187, q188, q189, q235, q236, q237, q238, q239, q241, q242,
+    q244)
 }

@@ -381,15 +381,26 @@ object Materialize {
     * staging table leaving the previous published version untouched.
     *
     * Returns (published?, audit results). `warnAsError` promotes
-    * warn-tier checks to blocking, dbt `--warn-error` parity. */
+    * warn-tier checks to blocking, dbt `--warn-error` parity.
+    *
+    * `crashAfterStep` is TEST-ONLY fault injection: ≥0 throws
+    * [[CrashInjected]] after the numbered step of the swap sequence
+    * completes (0 staging written, 1 audit run, 2 prev dropped,
+    * 3 rename-aside, 4 rename-in), so the crash-consistency spec
+    * exercises the REAL op order instead of hand-modeled states. */
   def publishAudited(df: DataFrame, name: String,
-      checks: Seq[graft.quality.Check], warnAsError: Boolean = false)
+      checks: Seq[graft.quality.Check], warnAsError: Boolean = false,
+      crashAfterStep: Int = -1)
       : (Boolean, Seq[graft.quality.Quality.Result]) = {
+    def crash(step: Int): Unit =
+      if (crashAfterStep == step) throw new CrashInjected(step)
     val spark = df.sparkSession
     val staging = name + "__staging"
     table(df, staging)
+    crash(0)
     val results =
       graft.quality.Quality.run(spark.table(staging), checks, warnAsError)
+    crash(1)
     val ok = results.forall(_.passed)
     if (ok) {
       // Swap via rename-aside, NOT drop-then-rename: the previous
@@ -402,19 +413,28 @@ object Materialize {
       val prev = name + "__prev"
       spark.sql(s"DROP TABLE IF EXISTS $prev")
       dropOrphanLocation(spark, prev)
+      crash(2)
       if (spark.catalog.tableExists(name))
         spark.sql(s"ALTER TABLE $name RENAME TO $prev")
+      crash(3)
       // a previous JVM's published table may survive as files with no
       // catalog entry (in-memory catalog died) — clear the orphan or
       // the rename refuses with LOCATION_ALREADY_EXISTS
       dropOrphanLocation(spark, name)
       spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+      crash(4)
       spark.sql(s"DROP TABLE IF EXISTS $prev")
     } else {
       spark.sql(s"DROP TABLE IF EXISTS $staging")
     }
     (ok, results)
   }
+
+  /** The injected failure [[publishAudited]]'s `crashAfterStep` throws
+    * — its own type so specs can intercept it without masking real
+    * errors from the same code path. */
+  final class CrashInjected(step: Int)
+    extends RuntimeException(s"injected crash after step $step")
 
   /** Crash repair for [[publishAudited]]: if a crash landed between
     * the rename-aside and the rename-in, the published name is gone

@@ -118,6 +118,40 @@ class MaterializeSpec extends SparkSpec {
     spark.sql("DROP TABLE mz_cw")
   }
 
+  test("publish crash injection: every mid-swap crash leaves a " +
+      "recoverable complete version") {
+    import graft.quality.NotNull
+    def ids(n: String) = rows(spark.table(n)).map(_.getInt(0)).sorted
+    val name = "mz_ci"
+    // Unlike the hand-built crash-window test above, this drives the
+    // REAL publish path and kills it after each step of its actual
+    // sequence — so a reordering of the swap ops is caught here even
+    // if every hand-modeled window still passes.
+    for (k <- 0 to 4) {
+      Seq(name, s"${name}__staging", s"${name}__prev")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val v1 = Seq((1, "a")).toDF("id", "v")
+      val v2 = Seq((2, "b")).toDF("id", "v")
+      assert(Materialize.publishAudited(v1, name, Seq(NotNull("v")))._1)
+      intercept[Materialize.CrashInjected] {
+        Materialize.publishAudited(v2, name, Seq(NotNull("v")),
+          crashAfterStep = k)
+      }
+      // repair, then the invariant: the published name resolves to a
+      // COMPLETE version — all of v1 or all of v2, never a mix/empty
+      Materialize.recoverPrev(spark, name)
+      assert(spark.catalog.tableExists(name), s"step $k: published name lost")
+      val got = ids(name)
+      assert(got == Seq(1) || got == Seq(2), s"step $k: partial state $got")
+      // and a clean retry always lands v2, leftovers notwithstanding
+      assert(Materialize.publishAudited(v2, name, Seq(NotNull("v")))._1,
+        s"step $k: retry failed")
+      assert(ids(name) == Seq(2), s"step $k: retry content")
+    }
+    Seq(name, s"${name}__staging", s"${name}__prev")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("tableIncremental merges only touched partitions, deduped at rest") {
     spark.sql("DROP TABLE IF EXISTS mz_inc")
     graft.sources.Ingest.deletePath(spark, "/tmp/graft_test_warehouse/mz_inc")
