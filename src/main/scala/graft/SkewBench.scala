@@ -116,6 +116,13 @@ object SkewBench {
           .agg(sum(col("amount")).as("total"), count(lit(1)).as("n"))),
       "joinagg_salted" -> probe("joinagg_salted",
         Skew.saltedJoinAgg(fact, dim, Seq("org_id"), col("amount"),
+          "total", "n")),
+      // hot-targeted: replicates only the hotKeyCount heaviest keys'
+      // dim rows instead of the whole dim — the big-dim scale path;
+      // pays one extra count pass, so on THIS small dim it should sit
+      // near joinagg_salted, not beat it
+      "joinagg_hot" -> probe("joinagg_hot",
+        Skew.saltedJoinAggHot(fact, dim, Seq("org_id"), col("amount"),
           "total", "n"))) ++ {
       // same two plain probes with AQE's skew split tuned AGGRESSIVE
       // (default 256 MB threshold leaves sub-256 MB stragglers whole):

@@ -29,10 +29,30 @@ object SharedFrames {
 
   /** Return the shared frame for `key`, building and persisting it on
     * first request. Keys must include the session identity (plans are
-    * session-bound) and every parameter the build depends on. */
-  def getOrBuild(key: String)(build: => DataFrame): DataFrame =
-    frames.computeIfAbsent(key,
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+    * session-bound) and every parameter the build depends on.
+    *
+    * REENTRANT by design: builders nest (q48's cluster frame builds on
+    * top of the shared pair frame, so its builder calls getOrBuild
+    * again) — running `build` inside `computeIfAbsent` would make the
+    * nested insert a recursive update of the same ConcurrentHashMap,
+    * which throws `IllegalStateException: Recursive update` whenever
+    * the two keys land in the same bin (bin-collision-dependent, so it
+    * surfaced as a FLAKY crash in the r8 scale panel, not a
+    * deterministic failure). The build therefore runs OUTSIDE the map,
+    * with `putIfAbsent` after; the benign race (two concurrent firsts
+    * both build, one persisted plan wins and the loser's unpersisted
+    * plan is garbage) is the correct trade — callers are single-
+    * threaded driver loops, and eviction/rebuild is always safe. */
+  def getOrBuild(key: String)(build: => DataFrame): DataFrame = {
+    val cached = frames.get(key)
+    if (cached != null) cached
+    else {
+      val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = frames.putIfAbsent(key, built)
+      if (prev != null) { built.unpersist(blocking = false); prev }
+      else built
+    }
+  }
 
   /** Session+input-scoped key helper. */
   def key(spark: org.apache.spark.sql.SparkSession, parts: String*): String =
@@ -42,9 +62,17 @@ object SharedFrames {
 
   /** Shared DRIVER-SIDE value (bounded, e.g. a trained k×dims centroid
     * table) with the same run lifecycle as the shared frames: computed
-    * once per (key), dropped at `release()`. */
-  def getOrCompute[T <: AnyRef](key: String)(f: => T): T =
-    values.computeIfAbsent(key, _ => f).asInstanceOf[T]
+    * once per (key), dropped at `release()`. Reentrant for the same
+    * reason as [[getOrBuild]] — computations may nest. */
+  def getOrCompute[T <: AnyRef](key: String)(f: => T): T = {
+    val cached = values.get(key)
+    if (cached != null) cached.asInstanceOf[T]
+    else {
+      val computed = f
+      val prev = values.putIfAbsent(key, computed)
+      (if (prev != null) prev else computed).asInstanceOf[T]
+    }
+  }
 
   /** Unpersist and forget every shared frame (end of a pipeline run). */
   def release(blocking: Boolean = false): Unit = {

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * rule: top 5% orgs ≈ 50% of order volume, reference
   * `data_gen/pseudo_code_rules.txt:2-10`).
   *
-  * AQE splits skewed JOIN partitions automatically, but a skewed
-  * AGGREGATION still funnels every hot-key row through one reducer
-  * before map-side combine saturates. Salting splits each key into
-  * `saltBuckets` sub-keys for a partial aggregate, then re-aggregates
-  * the tiny partials — two shuffles, both balanced.
+  * AQE's automatic skew-join split is far narrower than advertised —
+  * measured (graft.SkewBench, NOTES_r08): it only fires when the join
+  * is the TERMINAL stage of the query; any downstream consumer, even
+  * a distribution-agnostic global count, suppresses it, and a skewed
+  * AGGREGATION was never its territory at all. Salting splits each
+  * key into `saltBuckets` sub-keys for a partial aggregate/join, then
+  * re-aggregates the tiny partials — every exchange balanced, and the
+  * plan is deterministic instead of runtime-dependent.
   *
   * Only works for algebraic aggregates (sum/count/min/max — anything
   * with a merge step). The helpers here cover the common money cases;
@@ -93,6 +96,60 @@ object Skew {
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as(sumName),
+        sum(col("__pcnt")).cast("long").as(countName))
+  }
+
+  /** Hot-key-targeted [[saltedJoinAgg]]: full-dim replication
+    * multiplies the ENTIRE dim by `saltBuckets` — fine for a 10k-row
+    * dim, prohibitive for a 10M-row one. Skew is concentrated (the
+    * reference's rule: top 5% of orgs carry half the volume), so only
+    * the hot keys need the salt. One map-side-combinable count pass
+    * finds the `hotKeyCount` heaviest keys (deterministic: count desc,
+    * then keys — broadcast as a bounded set); the hot fact slice
+    * joins salted against ONLY the hot dim rows replicated, the cold
+    * slice joins plain (no skew by construction, dims broadcast or
+    * shuffle as Catalyst prefers), and both sides partial-aggregate
+    * BEFORE the final merge on bare keys — unioning raw join outputs
+    * and re-grouping would funnel the hot key through one reducer
+    * again, which is exactly the straggler being removed. Costs one
+    * extra count-shuffle of distinct keys; buys dim replication
+    * bounded by `hotKeyCount` rows instead of |dim|. */
+  def saltedJoinAggHot(facts: DataFrame, dims: DataFrame,
+      keys: Seq[String], value: Column, sumName: String,
+      countName: String, saltBuckets: Int = 32,
+      hotKeyCount: Int = 64): DataFrame = {
+    val keyC = keys.map(col)
+    // bounded collect: ≤ hotKeyCount rows by construction (TakeOrdered
+    // over the map-side-combined key counts) — collected once so the
+    // count pass runs once, not once per consumer below
+    val hotRows = facts.groupBy(keyC: _*).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc +: keyC: _*)
+      .limit(hotKeyCount)
+      .select(keyC: _*)
+      .collect()
+    val hot = facts.sparkSession
+      .createDataFrame(java.util.Arrays.asList(hotRows: _*),
+        facts.select(keyC: _*).schema)
+      .withColumn("__hot", lit(1))
+    val marked = facts.join(broadcast(hot), keys, "left")
+    val hotFacts = marked.filter(col("__hot") === 1).drop("__hot")
+    val coldFacts = marked.filter(col("__hot").isNull).drop("__hot")
+    val hotDims = dims.join(broadcast(hot), keys, "left_semi")
+      .withColumn("__salt",
+        explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    val saltedHot = hotFacts.withColumn("__salt",
+      pmod(hash(hotFacts.columns.toIndexedSeq.map(col): _*),
+        lit(saltBuckets)))
+    val hotPartial = saltedHot.join(hotDims, keys :+ "__salt")
+      .groupBy((keyC :+ col("__salt")): _*)
+      .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
+      .drop("__salt")
+    val coldPartial = coldFacts.join(dims, keys)
+      .groupBy(keyC: _*)
+      .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
+    hotPartial.unionByName(coldPartial)
+      .groupBy(keyC: _*)
       .agg(sum(col("__psum")).as(sumName),
         sum(col("__pcnt")).cast("long").as(countName))
   }

@@ -1180,7 +1180,14 @@ object Modeling {
     * side; winsorizing CLAMPS them to the cut values, keeping n).
     * One distributed global rank on a total order gives the cut
     * boundaries and the interior sum — all exact integer cents — and
-    * each mean is one string-parse-pinned division. */
+    * each mean is one string-parse-pinned division.
+    *
+    * Degenerate contract (the q224/q216 review item, checked here
+    * too): on EMPTY input both engines produce zero rows — the
+    * lo/hi cut frames are empty and both sides reach the final
+    * select through plain joins of them (Spark crossJoin of an empty
+    * broadcast ≡ the oracle's CROSS JOIN of an empty CTE), so the
+    * engines agree by construction and no guard is needed. */
   val q231 = Query(
     "q231_trimmed_mean",
     s"""WITH b AS (

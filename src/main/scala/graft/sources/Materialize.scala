@@ -180,7 +180,15 @@ object Materialize {
     *     decimal widening from the re-aggregation never drifts it.
     *
     * Post-condition: table ≡ the full aggregate over all increments
-    * ever merged (the q123 oracle checks exactly this). */
+    * ever merged (the q123 oracle checks exactly this).
+    *
+    * Crash/replay caveat — the OPPOSITE of [[tableIncremental]]'s
+    * contract: summing is not absorbing, so replaying the same partial
+    * after a mid-commit crash DOUBLE-COUNTS whatever partitions
+    * already landed. Callers owning exactly-once must either key the
+    * run (a batch-id column checked before merge, the
+    * `Streaming.oncePerBatch` pattern) or rebuild the touched
+    * partitions from upstream instead of replaying the partial. */
   def aggIncremental(spark: SparkSession, name: String,
       partial: DataFrame, keys: Seq[String],
       partitionCol: String): DataFrame = {
@@ -216,6 +224,16 @@ object Materialize {
     spark.table(name)
   }
 
+  /** Crash/replay contract (spec: "tableIncremental replay
+    * converges"): the dynamic-partition-overwrite commit replaces each
+    * touched partition near-atomically, but the SET of touched
+    * partitions is not one atomic unit — a crash mid-commit can land
+    * some partitions and not others. Recovery is REPLAY, not repair:
+    * the merge (keep-latest of existing ∪ increment) is deterministic
+    * and absorbing, so re-running the same increment from any partial
+    * state converges to the clean-apply state, and a duplicate apply
+    * is a content no-op. Publish-grade tables that need an atomic
+    * all-or-nothing promotion go through [[publishAudited]] instead. */
   def tableIncremental(spark: SparkSession, name: String,
       increment: DataFrame, keys: Seq[String], orderCol: String,
       partitionCol: String): DataFrame = {

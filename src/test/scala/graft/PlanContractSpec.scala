@@ -358,4 +358,20 @@ class PlanContractSpec extends SparkSpec {
     assert(executed.contains("isFinalPlan=true") &&
       executed.contains("*("), executed.take(3000))
   }
+
+  test("q244: the fused salted join+agg shuffles on (key, salt) — " +
+      "the hot key never lands whole on one reducer") {
+    val p = plan("q244_salted_join_agg")
+    // the join and the partial aggregate must both be distributed on
+    // (custkey, __salt); only the bounded final merge (keys ×
+    // saltBuckets input rows) repartitions on the bare key
+    val saltedEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("__salt"))
+    assert(saltedEx >= 1, p.take(3000))
+    // the dim replication must not have collapsed the salt: the first
+    // (salted) aggregate exists alongside the final merge
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"$aggs HashAggregate nodes:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }

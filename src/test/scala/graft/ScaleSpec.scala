@@ -57,6 +57,55 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoinAggHot equals the plain join-then-aggregate across " +
+      "hot and cold keys") {
+    // one dominant hot key, a mid-weight key, and a long cold tail —
+    // with hotKeyCount=2 both slices (salted hot path, plain cold
+    // path) are exercised and must merge to the exact plain result
+    val facts = (1 to 5000).map { i =>
+      val k = if (i % 2 == 0) 7 else if (i % 5 == 0) 13 else i % 500
+      (k, i.toDouble)
+    }.toDF("k", "v")
+    val dims = ((0 to 500) :+ 999).map(k => (k, (k % 9 + 1).toDouble))
+      .toDF("k", "m")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      rows(df.orderBy("k"))
+        .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val hot = shape(Skew.saltedJoinAggHot(facts, dims, Seq("k"),
+      col("v") * col("m"), "total", "n", saltBuckets = 8,
+      hotKeyCount = 2))
+    val plain = shape(facts.join(dims, Seq("k")).groupBy("k")
+      .agg(sum(col("v") * col("m")).as("total"),
+        count(lit(1)).as("n")))
+    assert(hot == plain)
+  }
+
+  test("SharedFrames.getOrBuild is reentrant: nested builds never " +
+      "throw Recursive update") {
+    import graft.operators.SharedFrames
+    // the r8 scale-panel crash: a builder that itself calls getOrBuild
+    // (q48's clusters build on the shared pair frame) recursed into
+    // computeIfAbsent and threw IllegalStateException whenever the two
+    // keys collided into one bin — flaky by bin layout. 100 nested
+    // pairs into a fresh map makes a collision near-certain under the
+    // old implementation; the reentrant form must never throw.
+    SharedFrames.release()
+    try {
+      val base = Seq((1, "a")).toDF("id", "v")
+      for (i <- 1 to 100) {
+        val outer = SharedFrames.getOrBuild(s"rt_outer_$i") {
+          SharedFrames.getOrBuild(s"rt_inner_$i")(base)
+            .select(col("id"))
+        }
+        assert(outer.count() == 1)
+      }
+      // second lookup returns the SAME cached frame, no rebuild
+      val again = SharedFrames.getOrBuild("rt_outer_1")(
+        sys.error("must not rebuild"))
+      assert(again.count() == 1)
+    } finally SharedFrames.release()
+  }
+
   test("nullSafeLeftJoin equals the plain left join with null keys") {
     val left = Seq((Some(1), "a"), (None, "b"), (Some(2), "c"),
       (None, "d")).toDF("k", "lv")
