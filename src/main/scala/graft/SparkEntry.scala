@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Curation, Llm, Mining, Modeling, Pipeline, Prep, Query, Relational, Warehouse}
+import graft.queries.{Analytics, CorpusBuild, Curation, Llm, Mining, Modeling, Pipeline, Prep, Query, Relational, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   def registry: Seq[Query] =
     Relational.all ++ Warehouse.all ++ Llm.all ++ Curation.all ++
       Prep.all ++ Pipeline.all ++ Analytics.all ++ Mining.all ++
-      Modeling.all
+      Modeling.all ++ CorpusBuild.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions.{normText, punctChars, tokenHits, tokens}
+import graft.operators.{Ranking, TextDedup}
+import graft.quality.{NotNull, Quality, Unique}
+import graft.sources.{Materialize, Tables}
+
+/** The composed LLM-corpus curation lifecycle as ONE product — the
+  * training-data counterpart of [[graft.sources.WarehouseBuild]]
+  * (reference basis: the corpus table + declared quality rules,
+  * `/root/reference/data_gen/generate_and_load_script.py:43-45`,
+  * `models/schema.yml:122-141`): quality gate → language filter →
+  * exact dedup → eval-set removal → decontamination → curated-corpus
+  * materialization → token-budget shard packing → audited manifest
+  * publish, chained as a single run that returns ONE audit report.
+  *
+  * Instrumentation design (same as the warehouse build): the three
+  * filter-stage counters ride the curated-corpus materialization via
+  * `Dataset.observe` — one scan computes quality score, predicted
+  * language, the dedup window, and every counter; nothing is counted
+  * twice. Decontamination runs AGAINST THE STORED COPY (reading the
+  * staged table back from the catalog), so the contamination subtree
+  * cannot re-fire the observe nodes, and the report describes what a
+  * reader of the published tables actually sees.
+  *
+  * Scale posture (100 TB): every stage is declarative — the quality
+  * and language features are codegen'd column expressions on the one
+  * corpus scan, dedup is a hash-partitioned window, the probe gram
+  * set is BROADCAST (the corpus never shuffles for candidates), shard
+  * packing is the distributed range-partitioned prefix sum — and the
+  * only driver-side values are the report's ~13 bounded Longs.
+  */
+object CorpusBuild {
+
+  /** Minimum quality score to enter the corpus (the q28 scoring
+    * formula — bit-identical across engines, so the threshold compare
+    * is portable). */
+  private val QualityMin = 0.5
+
+  /** Whitespace-token budget per training shard (the q82 contract). */
+  private val ShardBudget = 4096L
+
+  private type Metric = (String, String, String, Long)
+
+  /** Run the full curation build against the fixture at `dir`.
+    * Returns the audit report: (step, relation, metric, value BIGINT).
+    * Tables are suffixed per-`dir` so scale factors don't collide. */
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val h = math.abs(dir.hashCode).toString
+    val raw = Tables.documents(spark, dir)
+
+    // ---- one enriched scan: quality features + language hits as
+    // codegen'd columns; every gate below is a filter over these.
+    val w = tokens(col("text"))
+    val enriched = raw.select(
+      Seq(col("doc_id"), col("text"), size(w).as("tok"),
+        tokenHits(w, Llm.StopEn).as("stop_hits"),
+        length(col("text")).as("chars"),
+        punctChars(col("text")).as("punct")) ++
+        Llm.langHitCols(w): _*)
+      .withColumn("score", Llm.qualityScoreCol)
+      .withColumn("predicted", Llm.langPredCol)
+    val (observed, gateObs) = Quality.observed(enriched, Seq(
+      "rows_in" -> lit(true),
+      "dropped_low_quality" -> (col("score") < QualityMin),
+      "dropped_non_en" ->
+        (col("score") >= QualityMin && col("predicted") =!= "en")))
+
+    // ---- gates: quality + language, then exact dedup keep-first on
+    // the normalized content hash (hash-partitioned window, never a
+    // global sort), then eval-set removal (the benchmark docs
+    // themselves must never be trained on).
+    val gated = observed
+      .filter(col("score") >= QualityMin && col("predicted") === "en")
+    val deduped = gated
+      .withColumn("__h", md5(normText(col("text"))))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__h")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+    val (dedupObserved, dedupObs) = Quality.observed(deduped, Seq(
+      "rows_kept" -> lit(true),
+      "eval_docs" -> (pmod(col("doc_id"), lit(Llm.DcProbeEvery)) === 0)))
+
+    // ---- materialize the staged corpus: the ONE action that fires
+    // both observe nodes; everything downstream reads the stored copy.
+    val staged = Materialize.table(
+      dedupObserved.filter(pmod(col("doc_id"), lit(Llm.DcProbeEvery)) =!= 0)
+        .select(col("doc_id"), col("text"), col("tok").cast("long")),
+      s"e2e_corpus_stage_$h")
+
+    // ---- decontamination vs the raw probe set (broadcast grams; the
+    // stored corpus is scanned once and never shuffled for candidates)
+    val probes = raw.filter(pmod(col("doc_id"), lit(Llm.DcProbeEvery)) === 0)
+    val contaminated = TextDedup.contaminationPairs(staged, "doc_id",
+        "text", probes, "doc_id", "text", Llm.DcN, Llm.DcMinShared)
+      .select(col("doc_id")).distinct()
+    // bounded scalar: one Long
+    val contamRemoved = contaminated.count()
+    val curated = Materialize.table(
+      staged.join(contaminated, Seq("doc_id"), "left_anti"),
+      s"e2e_corpus_curated_$h")
+    val rowsFinal = curated.count()
+
+    // ---- shard packing over the curated table: distributed
+    // range-partitioned exclusive prefix sum (q82's contract — a doc
+    // starts in the shard its prefix lands in), published through the
+    // WAP audit gate.
+    val packed = Ranking.withRunningTotal(
+      curated.select(col("doc_id"), col("tok")),
+      col("doc_id").asc, col("tok"), "prev")
+    val manifest = packed
+      .groupBy(floor(col("prev") / lit(ShardBudget.toDouble)).cast("long")
+        .as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+    val (publishOk, audit) = Materialize.publishAudited(manifest,
+      s"e2e_corpus_manifest_$h",
+      Seq(NotNull("shard"), NotNull("shard_tokens"), Unique(Seq("shard"))))
+
+    // read back from the catalog: the report describes the PUBLISHED
+    // manifest (coalesce guards the degenerate empty-corpus case)
+    val m = spark.table(s"e2e_corpus_manifest_$h")
+      .agg(count(lit(1)).as("n_shards"),
+        coalesce(sum(col("shard_tokens")), lit(0L)).cast("long")
+          .as("total_tokens"),
+        coalesce(max(col("shard_tokens")), lit(0L)).cast("long")
+          .as("max_shard_tokens"))
+      .head()
+
+    def obsVal(o: org.apache.spark.sql.Observation, k: String): Long =
+      o.get(k).asInstanceOf[Number].longValue()
+    val rowsIn = obsVal(gateObs, "rows_in")
+    val dropQ = obsVal(gateObs, "dropped_low_quality")
+    val dropL = obsVal(gateObs, "dropped_non_en")
+    val keptDedup = obsVal(dedupObs, "rows_kept")
+    val report: Seq[Metric] = Seq[Metric](
+      ("quality", "corpus", "rows_in", rowsIn),
+      ("quality", "corpus", "dropped_low_quality", dropQ),
+      ("langid", "corpus", "dropped_non_en", dropL),
+      ("dedup", "corpus", "rows_kept", keptDedup),
+      ("dedup", "corpus", "dup_rows_removed",
+        (rowsIn - dropQ - dropL) - keptDedup),
+      ("decontam", "corpus", "eval_docs_removed",
+        obsVal(dedupObs, "eval_docs")),
+      ("decontam", "corpus", "contaminated_removed", contamRemoved),
+      ("corpus", "curated", "rows_final", rowsFinal),
+      ("shards", "manifest", "n_shards", m.getAs[Long]("n_shards")),
+      ("shards", "manifest", "total_tokens", m.getAs[Long]("total_tokens")),
+      ("shards", "manifest", "max_shard_tokens",
+        m.getAs[Long]("max_shard_tokens")),
+      ("shards", "manifest", "published", if (publishOk) 1L else 0L),
+      ("shards", "manifest", "audit_violations",
+        audit.map(_.violations).sum))
+    import spark.implicits._
+    report.toDF("step", "relation", "metric", "value")
+  }
+
+  // ------------------------------------------------------------ q245
+
+  /** The composed corpus-curation product (the LLM-side analogue of
+    * q243's warehouse build): [[run]] chains the full curation
+    * lifecycle in one pipeline; the oracle recomputes EVERY report
+    * metric independently from the raw `documents` table — including
+    * the observe-derived gate counters, the post-dedup survivor set,
+    * the contamination verdicts, and the shard manifest totals — so
+    * the whole chain (gates, dedup window, broadcast decontamination,
+    * prefix-sum packing, WAP publish) is hash-checked end to end. */
+  val q245 = Query(
+    "q245_corpus_build_e2e",
+    s"""WITH b AS (
+       |  SELECT doc_id, text, ${Llm.DTokens} AS w, length(text) AS chars,
+       |    length(text) -
+       |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, text, len(w) AS tok,
+       |    ${Llm.dHits(Llm.StopEn)} AS stop_hits, ${Llm.DLangHits},
+       |    chars, punct
+       |  FROM b),
+       |sc AS (
+       |  SELECT doc_id, text, tok,
+       |    ${Llm.DScore} AS score,
+       |    ${Llm.DLangPred} AS predicted
+       |  FROM f),
+       |keptq AS (
+       |  SELECT doc_id, text, tok FROM sc
+       |  WHERE score >= $QualityMin AND predicted = 'en'),
+       |dd AS (
+       |  SELECT doc_id, text, tok,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+       |  FROM keptq),
+       |dk AS (
+       |  SELECT doc_id, text, tok FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY h ORDER BY doc_id) AS rn FROM dd)
+       |  WHERE rn = 1),
+       |corpus AS (
+       |  SELECT * FROM dk WHERE doc_id % ${Llm.DcProbeEvery} <> 0),
+       |ptoks AS (
+       |  SELECT doc_id, ${Llm.DTokens} AS w FROM documents
+       |  WHERE doc_id % ${Llm.DcProbeEvery} = 0),
+       |psh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [array_to_string(list_slice(w, i, i + ${Llm.DcN - 1}), ' ')
+       |     for i in range(1, len(w) - ${Llm.DcN - 2})]) AS s
+       |  FROM ptoks WHERE len(w) >= ${Llm.DcN}),
+       |pg AS (SELECT doc_id AS probe_id, unnest(s) AS gram FROM psh),
+       |ctoks AS (
+       |  SELECT doc_id, ${Llm.DTokens} AS w FROM corpus),
+       |csh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [array_to_string(list_slice(w, i, i + ${Llm.DcN - 1}), ' ')
+       |     for i in range(1, len(w) - ${Llm.DcN - 2})]) AS s
+       |  FROM ctoks WHERE len(w) >= ${Llm.DcN}),
+       |cg AS (SELECT doc_id, unnest(s) AS gram FROM csh),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT cg.doc_id, pg.probe_id
+       |    FROM cg JOIN pg USING (gram) WHERE cg.doc_id != pg.probe_id
+       |    GROUP BY 1, 2 HAVING COUNT(*) >= ${Llm.DcMinShared})),
+       |fin AS (
+       |  SELECT * FROM corpus
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |pk AS (
+       |  SELECT doc_id, tok,
+       |    COALESCE(SUM(tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+       |  FROM fin),
+       |shd AS (
+       |  SELECT CAST(FLOOR(prev / $ShardBudget.0) AS BIGINT) AS shard,
+       |    SUM(tok) AS st
+       |  FROM pk GROUP BY shard),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+       |    CAST(COALESCE(SUM(st), 0) AS BIGINT) AS total_tokens,
+       |    CAST(COALESCE(MAX(st), 0) AS BIGINT) AS max_shard_tokens
+       |  FROM shd)
+       |SELECT 'quality' AS step, 'corpus' AS relation,
+       |  'rows_in' AS metric,
+       |  (SELECT COUNT(*) FROM documents)::BIGINT AS value
+       |UNION ALL SELECT 'quality', 'corpus', 'dropped_low_quality',
+       |  (SELECT COUNT(*) FROM sc WHERE score < $QualityMin)
+       |UNION ALL SELECT 'langid', 'corpus', 'dropped_non_en',
+       |  (SELECT COUNT(*) FROM sc
+       |   WHERE score >= $QualityMin AND predicted <> 'en')
+       |UNION ALL SELECT 'dedup', 'corpus', 'rows_kept',
+       |  (SELECT COUNT(*) FROM dk)
+       |UNION ALL SELECT 'dedup', 'corpus', 'dup_rows_removed',
+       |  (SELECT COUNT(*) FROM keptq) - (SELECT COUNT(*) FROM dk)
+       |UNION ALL SELECT 'decontam', 'corpus', 'eval_docs_removed',
+       |  (SELECT COUNT(*) FROM dk WHERE doc_id % ${Llm.DcProbeEvery} = 0)
+       |UNION ALL SELECT 'decontam', 'corpus', 'contaminated_removed',
+       |  (SELECT COUNT(*) FROM contam)
+       |UNION ALL SELECT 'corpus', 'curated', 'rows_final',
+       |  (SELECT COUNT(*) FROM fin)
+       |UNION ALL SELECT 'shards', 'manifest', 'n_shards',
+       |  (SELECT n_shards FROM m)
+       |UNION ALL SELECT 'shards', 'manifest', 'total_tokens',
+       |  (SELECT total_tokens FROM m)
+       |UNION ALL SELECT 'shards', 'manifest', 'max_shard_tokens',
+       |  (SELECT max_shard_tokens FROM m)
+       |UNION ALL SELECT 'shards', 'manifest', 'published', 1::BIGINT
+       |UNION ALL SELECT 'shards', 'manifest', 'audit_violations',
+       |  0::BIGINT""".stripMargin) { (s, dir) =>
+    run(s, dir)
+  }
+
+  val all: Seq[Query] = Seq(q245)
+}

@@ -636,14 +636,46 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxHamming"""
   // ------------------------------------------------------------ q27
 
   private[queries] val StopEn = Seq("the", "a", "and", "of", "to")
-  private val StopDe = Seq("der", "die", "und", "ist")
-  private val StopEs = Seq("el", "la", "que", "y")
-  private val StopFr = Seq("le", "les", "et", "une")
+  private[queries] val StopDe = Seq("der", "die", "und", "ist")
+  private[queries] val StopEs = Seq("el", "la", "que", "y")
+  private[queries] val StopFr = Seq("le", "les", "et", "une")
 
   private[queries] def dHits(set: Seq[String]) = {
     val in = set.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(w, x -> x IN ($in)))"
   }
+
+  /** DuckDB fragment: the four stopword-hit columns (he, hd, hs, hf)
+    * over a token-list column `w` — twin of [[langHitCols]]. */
+  private[queries] val DLangHits =
+    s"${dHits(StopEn)} AS he, ${dHits(StopDe)} AS hd,\n" +
+      s"    ${dHits(StopEs)} AS hs, ${dHits(StopFr)} AS hf"
+
+  /** Spark twin of [[DLangHits]]: the four hit columns from a token
+    * column. */
+  private[queries] def langHitCols(
+      w: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    Seq(tokenHits(w, StopEn).as("he"), tokenHits(w, StopDe).as("hd"),
+      tokenHits(w, StopEs).as("hs"), tokenHits(w, StopFr).as("hf"))
+
+  /** DuckDB fragment: predicted language over the (he, hd, hs, hf)
+    * hit columns — argmax with deterministic tie-break en>de>es>fr,
+    * 'und' when nothing hits. Twin of [[langPredCol]]. */
+  private[queries] val DLangPred =
+    """CASE WHEN greatest(he, hd, hs, hf) = 0 THEN 'und'
+      |         WHEN he >= greatest(hd, hs, hf) THEN 'en'
+      |         WHEN hd >= greatest(hs, hf) THEN 'de'
+      |         WHEN hs >= hf THEN 'es'
+      |         ELSE 'fr' END""".stripMargin
+
+  /** Spark twin of [[DLangPred]]. */
+  private[queries] def langPredCol: org.apache.spark.sql.Column =
+    when(greatest(col("he"), col("hd"), col("hs"), col("hf")) === 0,
+      "und")
+      .when(col("he") >= greatest(col("hd"), col("hs"), col("hf")), "en")
+      .when(col("hd") >= greatest(col("hs"), col("hf")), "de")
+      .when(col("hs") >= col("hf"), "es")
+      .otherwise("fr")
 
   /** Heuristic language ID (stopword-hit argmax with deterministic
     * tie-break order en>de>es>fr, 'und' when nothing hits), reported as
@@ -653,30 +685,18 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxHamming"""
     s"""WITH t AS (
        |  SELECT lang, $DTokens AS w FROM documents),
        |h AS (
-       |  SELECT lang, ${dHits(StopEn)} AS he, ${dHits(StopDe)} AS hd,
-       |    ${dHits(StopEs)} AS hs, ${dHits(StopFr)} AS hf
+       |  SELECT lang, $DLangHits
        |  FROM t),
        |p AS (
        |  SELECT lang,
-       |    CASE WHEN greatest(he, hd, hs, hf) = 0 THEN 'und'
-       |         WHEN he >= greatest(hd, hs, hf) THEN 'en'
-       |         WHEN hd >= greatest(hs, hf) THEN 'de'
-       |         WHEN hs >= hf THEN 'es'
-       |         ELSE 'fr' END AS predicted
+       |    $DLangPred AS predicted
        |  FROM h)
        |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
        |FROM p GROUP BY lang, predicted""".stripMargin) { (s, dir) =>
     val w = tokens(col("text"))
-    val h = Tables.documents(s, dir).select(col("lang"),
-      tokenHits(w, StopEn).as("he"), tokenHits(w, StopDe).as("hd"),
-      tokenHits(w, StopEs).as("hs"), tokenHits(w, StopFr).as("hf"))
-    h.select(col("lang"),
-        when(greatest(col("he"), col("hd"), col("hs"), col("hf")) === 0,
-          "und")
-          .when(col("he") >= greatest(col("hd"), col("hs"), col("hf")), "en")
-          .when(col("hd") >= greatest(col("hs"), col("hf")), "de")
-          .when(col("hs") >= col("hf"), "es")
-          .otherwise("fr").as("predicted"))
+    val h = Tables.documents(s, dir)
+      .select(col("lang") +: langHitCols(w): _*)
+    h.select(col("lang"), langPredCol.as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
   }

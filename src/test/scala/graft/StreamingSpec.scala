@@ -187,6 +187,58 @@ class StreamingSpec extends SparkSpec {
       Seq("day", "n_events", "total_value"))
   }
 
+  test("sessionizer state survives a checkpointed restart and " +
+      "stitches the boundary session") {
+    // The operational recovery story for ST5/q50: a stateful query
+    // stopped mid-stream (deploy, crash, rescale) must resume from
+    // its checkpoint with (a) source offsets intact — already-read
+    // files are not reprocessed — and (b) the flatMapGroupsWithState
+    // state restored, so a session OPEN across the stop/start boundary
+    // is stitched into one session, not split or truncated. If state
+    // did not carry, user 1's session would come back as n_events=1
+    // (only the post-restart event); if offsets did not carry, the
+    // run would double-fold the phase-1 rows.
+    val base = "/tmp/graft_test_stream_restart"
+    graft.sources.Ingest.deletePath(spark, base)
+    val src = s"$base/src"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    def stage(xs: Seq[(Long, String)]): Unit =
+      xs.toDF("user_id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(src)
+    // phase 1: user 1 has an OPEN 2-event session; user 2 one event
+    stage(Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00"),
+      (2L, "2024-01-01 09:00:00")))
+    val schema = spark.read.parquet(src).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src)
+      val q = Streaming.sessionizeStream(stream, 30)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // no session closed yet — everything is in state, nothing emitted
+    assert(spark.read.parquet(out).count() == 0)
+    // phase 2 (after the "restart"): an event WITHIN the gap extends
+    // user 1's open session; far-future sentinels close everything
+    stage(Seq((1L, "2024-01-01 10:20:00"),
+      (1L, "2024-03-01 00:00:00"), (2L, "2024-03-01 00:00:00")))
+    runOnce()
+    val got = rows(spark.read.parquet(out)
+      .select("user_id", "session_id", "n_events", "session_start",
+        "session_end").orderBy("user_id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4)))
+    assert(got == Seq(
+      (1L, 1L, 3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00")),
+      (2L, 1L, 1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"))))
+  }
+
   test("oncePerBatch applies a committed batchId exactly once on replay") {
     val ckpt = s"/tmp/graft_test_once_${java.util.UUID.randomUUID()}"
     var applied = 0
