@@ -138,7 +138,11 @@ object ScaleBench {
     "q221_ess_weights", "q222_ks_drift", "q227_source_novelty",
     "q230_randomized_response", "q240_heaps_fit",
     // round-8 addition: PQ codebook-utilization audit (embeddings)
-    "q232_codebook_balance")
+    "q232_codebook_balance",
+    // round-8 addition: the composed corpus-curation product — the
+    // whole gate→dedup→decontaminate→pack→publish chain at 10× in one
+    // probe (its cost includes the table writes, matching production)
+    "q245_corpus_build_e2e")
 
   /** Relational + graph pipelines under scale test (round 8, VERDICT
     * r7 #7: the q233-q242 family and the lineitem-graph operators were
