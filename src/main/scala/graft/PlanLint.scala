@@ -8,6 +8,25 @@ import org.apache.spark.sql.SparkSession
   * three bracket groups `Window [fns], [partSpec], [orderSpec]`; a
   * global one prints two. */
 object PlanLint {
+
+  /** Global windows accepted because their input frame is BOUNDED BY
+    * CONTRACT — the same convention as the repo's bounded `.collect()`
+    * calls: the window runs over a post-aggregation frame whose row
+    * count is fixed by a constant, a value domain, or calendar time,
+    * never by the dataset size. Anything NOT listed here that plans a
+    * global window is a flag. */
+  private val boundedWindowByContract = Map(
+    "q206_conversion_hazard" ->
+      "per-day frame, bounded by the calendar span",
+    "q216_bootstrap_ci" ->
+      "B=40 bootstrap replicate means (constant)",
+    "q222_ks_drift" ->
+      "distinct n_chars values (value-domain-bounded, q199 rationale)",
+    "q225_cusum_changepoint" ->
+      "per-day frame, bounded by the calendar span",
+    "q240_heaps_fit" ->
+      "per-day vocabulary frame, bounded by the calendar span")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -32,10 +51,18 @@ object PlanLint {
             (!t.matches(".*\\], \\[.*") ||
               t.replaceFirst(".*\\], \\[", "").matches(".*(ASC|DESC).*"))
         }
+        val windowMsg =
+          if (!globalWindow) Nil
+          else boundedWindowByContract.get(n) match {
+            case Some(bound) =>
+              println(s"NOTE $n: global window, bounded by contract " +
+                s"($bound)")
+              Nil
+            case None => Seq("GLOBAL window (no partition)")
+          }
         val msgs =
           (if (plan.contains("CartesianProduct")) Seq("cartesian product")
-           else Nil) ++
-          (if (globalWindow) Seq("GLOBAL window (no partition)") else Nil)
+           else Nil) ++ windowMsg
         if (msgs.nonEmpty) {
           flags += 1
           println(s"FLAG $n: ${msgs.mkString("; ")}")
