@@ -153,12 +153,15 @@ object Quality {
     * (not_null, accepted values, custom predicates).
     *
     * Returns (instrumented df, observation). After the caller's first
-    * action, `observation.get` yields `<name> -> violation count`. */
+    * action, `observation.get` yields `<name> -> violation count`.
+    * Counters are coalesced to 0: `sum` over an EMPTY scan is NULL,
+    * which would NPE every consumer reading the metrics as Longs —
+    * an empty source must report zeros, not crash the build. */
   def observed(df: DataFrame, checks: Seq[(String, Column)])
       : (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation()
     val metrics = checks.map { case (name, bad) =>
-      sum(when(bad, 1L).otherwise(0L)).as(name)
+      coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(name)
     }
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }

@@ -47,6 +47,31 @@ class CorpusBuildSpec extends SparkSpec {
     assert(rep(("shards", "manifest", "audit_violations")) == 0)
   }
 
+  test("an EMPTY corpus builds a zero report, not a crash") {
+    // the q224-class degenerate contract: every aggregate in the chain
+    // must survive zero input rows — observe counters coalesce to 0
+    // (sum over an empty scan is NULL), the manifest read-back
+    // coalesces, and the WAP publish still promotes an empty manifest
+    import org.apache.spark.sql.types._
+    val dir = "/tmp/graft_test_empty_corpus"
+    graft.sources.Ingest.deletePath(spark, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rep = report(dir)
+    assert(rep.size == 13)
+    assert(rep(("quality", "corpus", "rows_in")) == 0)
+    assert(rep(("corpus", "curated", "rows_final")) == 0)
+    assert(rep(("shards", "manifest", "n_shards")) == 0)
+    assert(rep(("shards", "manifest", "total_tokens")) == 0)
+    assert(rep(("shards", "manifest", "published")) == 1)
+    assert(rep(("shards", "manifest", "audit_violations")) == 0)
+  }
+
   test("the curation build is deterministic under replay") {
     // every stage is a pure function of the input (content hashes,
     // argmax gates, window keyed on unique doc_id), so a second run —
