@@ -97,4 +97,42 @@ class RuntimeFilterSpec extends SparkSpec {
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
     }
   }
+
+  test("AQE demotes a statically-planned sort-merge join to broadcast " +
+      "at runtime when the built side turns out small") {
+    // the README's cluster-posture claim ("leave AQE on: it re-plans
+    // joins"), spec-locked: static size estimates over-estimate a
+    // filtered dim, AQE sees the REAL post-shuffle size and broadcasts
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // static: SMJ
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+    try {
+      val path = s"$base/fact_aqe"
+      graft.sources.Ingest.deletePath(spark, path)
+      spark.range(0, 5000)
+        .select(col("id"), (col("id") % 500).as("k"))
+        .write.mode("overwrite").parquet(path)
+      val dimPath = s"$base/dim_aqe"
+      graft.sources.Ingest.deletePath(spark, dimPath)
+      spark.range(0, 500).select(col("id").as("k"), col("id").as("v"))
+        .write.mode("overwrite").parquet(dimPath)
+      val q = spark.read.parquet(path)
+        .join(spark.read.parquet(dimPath), Seq("k"))
+        .agg(count(lit(1)).as("n"))
+      assert(q.collect().head.getLong(0) == 5000L)
+      val plan = q.queryExecution.executedPlan.toString
+      val (finalPart, initialPart) = plan.indexOf("== Initial Plan ==") match {
+        case -1 => (plan, "")
+        case i  => (plan.take(i), plan.drop(i))
+      }
+      assert(initialPart.contains("SortMergeJoin"),
+        s"static plan was not SMJ:\n${plan.take(3000)}")
+      assert(finalPart.contains("BroadcastHashJoin"),
+        s"AQE did not demote to broadcast:\n${plan.take(3000)}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }
