@@ -359,6 +359,31 @@ class PlanContractSpec extends SparkSpec {
       executed.contains("*("), executed.take(3000))
   }
 
+  test("column pruning reaches the scan: wide tables read only the " +
+      "columns the query touches") {
+    // at 100 TB the difference between ReadSchema<4 cols> and
+    // ReadSchema<11 cols> is the difference between reading the
+    // touched gigabytes and the whole table — lock the projection
+    // pushdown for one wide relational query and one corpus query
+    def readSchemas(q: String): Seq[String] = {
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      p.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    }
+    // q1 touches 7 of lineitem's 11 columns — the key ids must be gone
+    val q1 = readSchemas("q1_pricing_summary").mkString("\n")
+    assert(q1.contains("l_quantity"), q1)
+    for (dropped <- Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber"))
+      assert(!q1.contains(dropped), s"$dropped not pruned:\n$q1")
+    // q56 touches text+lang of documents' 5 columns
+    val q56 = readSchemas("q56_hash_split").mkString("\n")
+    assert(q56.contains("text"), q56)
+    for (dropped <- Seq("doc_id", "source", "n_chars"))
+      assert(!q56.contains(dropped), s"$dropped not pruned:\n$q56")
+  }
+
   test("q244: the fused salted join+agg shuffles on (key, salt) — " +
       "the hot key never lands whole on one reducer") {
     val p = plan("q244_salted_join_agg")
