@@ -45,17 +45,13 @@ object CorpusBuild {
 
   private type Metric = (String, String, String, Long)
 
-  /** Run the full curation build against the fixture at `dir`.
-    * Returns the audit report: (step, relation, metric, value BIGINT).
-    * Tables are suffixed per-`dir` so scale factors don't collide. */
-  def run(spark: SparkSession, dir: String): DataFrame = {
-    val h = math.abs(dir.hashCode).toString
-    val raw = Tables.documents(spark, dir)
-
-    // ---- one enriched scan: quality features + language hits as
-    // codegen'd columns; every gate below is a filter over these.
+  /** One enriched scan over a documents frame: quality features +
+    * language hits as codegen'd columns; every gate is a filter over
+    * these. Shared by [[run]] and [[runIncremental]] so the full and
+    * incremental paths cannot drift. */
+  private def enrich(raw: DataFrame): DataFrame = {
     val w = tokens(col("text"))
-    val enriched = raw.select(
+    raw.select(
       Seq(col("doc_id"), col("text"), size(w).as("tok"),
         tokenHits(w, Llm.StopEn).as("stop_hits"),
         length(col("text")).as("chars"),
@@ -63,6 +59,18 @@ object CorpusBuild {
         Llm.langHitCols(w): _*)
       .withColumn("score", Llm.qualityScoreCol)
       .withColumn("predicted", Llm.langPredCol)
+  }
+
+  /** The normalized content hash both dedup paths key on. */
+  private def contentHash = md5(normText(col("text")))
+
+  /** Run the full curation build against the fixture at `dir`.
+    * Returns the audit report: (step, relation, metric, value BIGINT).
+    * Tables are suffixed per-`dir` so scale factors don't collide. */
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val h = math.abs(dir.hashCode).toString
+    val raw = Tables.documents(spark, dir)
+    val enriched = enrich(raw)
     val (observed, gateObs) = Quality.observed(enriched, Seq(
       "rows_in" -> lit(true),
       "dropped_low_quality" -> (col("score") < QualityMin),
@@ -76,7 +84,7 @@ object CorpusBuild {
     val gated = observed
       .filter(col("score") >= QualityMin && col("predicted") === "en")
     val deduped = gated
-      .withColumn("__h", md5(normText(col("text"))))
+      .withColumn("__h", contentHash)
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("__h")).orderBy(col("doc_id"))))
@@ -93,8 +101,14 @@ object CorpusBuild {
       s"e2e_corpus_stage_$h")
 
     // ---- decontamination vs the raw probe set (broadcast grams; the
-    // stored corpus is scanned once and never shuffled for candidates)
-    val probes = raw.filter(pmod(col("doc_id"), lit(Llm.DcProbeEvery)) === 0)
+    // stored corpus is scanned once and never shuffled for candidates).
+    // The eval set is itself a published artifact: an eval harness
+    // needs it, and [[runIncremental]] dedups and retro-decontaminates
+    // against the stored copy.
+    val probes = Materialize.table(
+      raw.filter(pmod(col("doc_id"), lit(Llm.DcProbeEvery)) === 0)
+        .select(col("doc_id"), col("text")),
+      s"e2e_corpus_probes_$h")
     val contaminated = TextDedup.contaminationPairs(staged, "doc_id",
         "text", probes, "doc_id", "text", Llm.DcN, Llm.DcMinShared)
       .select(col("doc_id")).distinct()
@@ -157,6 +171,173 @@ object CorpusBuild {
       ("shards", "manifest", "published", if (publishOk) 1L else 0L),
       ("shards", "manifest", "audit_violations",
         audit.map(_.violations).sum))
+    import spark.implicits._
+    report.toDF("step", "relation", "metric", "value")
+  }
+
+  /** INCREMENTAL continuation of [[run]] — the production path at
+    * 100 TB: a delta of newly ingested documents is curated against
+    * the PUBLISHED state instead of rebuilding the corpus. The full
+    * rebuild's cost is proportional to the corpus; this run's cost is
+    * proportional to the delta (plus one bounded retro-decontamination
+    * scan of the stored corpus against only the NEW eval probes).
+    *
+    * Semantics (spec-pinned equivalent to a full [[run]] over
+    * base ∪ delta, under the append-only ingest contract that delta
+    * `doc_id`s sort after the base's and ids never repeat):
+    *
+    *  - same gates (shared [[enrich]] — the paths cannot drift);
+    *  - keep-first dedup: within the delta by window, against the
+    *    published corpus AND eval set by content-hash anti-join (the
+    *    existing copy always wins — which IS keep-first when delta ids
+    *    sort after base ids);
+    *  - delta eval docs (raw, ungated — mirroring [[run]]) join the
+    *    published probe set, replay-guarded by doc_id;
+    *  - decontamination runs BOTH directions: new candidates vs all
+    *    probes, and the published corpus vs the new probes — new eval
+    *    docs retroactively protect the benchmark;
+    *  - curated corpus, probe set, and manifest republish through the
+    *    same WAP audit gate ([[Materialize.publishAudited]]); the
+    *    `Unique(doc_id)` audit makes an ingest-contract violation
+    *    refuse the publish instead of corrupting the corpus.
+    *
+    * Replay-safe: re-applying the same delta converges to the same
+    * published state (dedup absorbs resurvivors, probe append is
+    * id-guarded, manifest recompute is deterministic). */
+  def runIncremental(spark: SparkSession, dir: String,
+      delta: DataFrame): DataFrame = {
+    val h = math.abs(dir.hashCode).toString
+    val curatedT = s"e2e_corpus_curated_$h"
+    val probesT = s"e2e_corpus_probes_$h"
+    val manifestT = s"e2e_corpus_manifest_$h"
+    require(spark.catalog.tableExists(curatedT) &&
+      spark.catalog.tableExists(probesT),
+      s"runIncremental continues a prior run: $curatedT/$probesT missing")
+
+    // ---- delta gates ride one scan, counters via observe (the same
+    // instrumentation contract as the full build)
+    val (observed, gateObs) = Quality.observed(enrich(delta), Seq(
+      "rows_in" -> lit(true),
+      "dropped_low_quality" -> (col("score") < QualityMin),
+      "dropped_non_en" ->
+        (col("score") >= QualityMin && col("predicted") =!= "en")))
+    val gated = observed
+      .filter(col("score") >= QualityMin && col("predicted") === "en")
+
+    // ---- the delta's eval docs, straight from RAW (run() takes
+    // probes before any gate), id-guarded against the published set
+    val deltaEval = delta
+      .filter(pmod(col("doc_id"), lit(Llm.DcProbeEvery)) === 0)
+      .select(col("doc_id"), col("text"))
+    val newProbes = Materialize.table(
+      deltaEval.join(spark.table(probesT).select("doc_id"),
+        Seq("doc_id"), "left_anti"),
+      s"e2e_corpus_delta_probes_$h")
+    val evalAdded = newProbes.count() // bounded scalar: one Long
+
+    // ---- candidate dedup: keep-first within the delta, then one
+    // hash anti-join against everything already admitted (published
+    // corpus, published eval set, the delta's own eval docs)
+    val existingH = spark.table(curatedT).select(contentHash.as("__h"))
+      .unionByName(spark.table(probesT).select(contentHash.as("__h")))
+      .unionByName(deltaEval.select(contentHash.as("__h")))
+      .distinct()
+    val fresh = gated
+      .filter(pmod(col("doc_id"), lit(Llm.DcProbeEvery)) =!= 0)
+      .withColumn("__h", contentHash)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__h")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .join(existingH, Seq("__h"), "left_anti")
+    val (freshObserved, dedupObs) = Quality.observed(fresh, Seq(
+      "rows_kept" -> lit(true)))
+    // the ONE action that fires both observe nodes (and it reads the
+    // OLD probe table — so it must run before the probe republish)
+    val stagedDelta = Materialize.table(
+      freshObserved.select(col("doc_id"), col("text"),
+        col("tok").cast("long")),
+      s"e2e_corpus_delta_stage_$h")
+
+    // ---- republish the eval set (WAP staging+swap makes rewriting a
+    // table the plan reads safe)
+    val (probesOk, probesAudit) = Materialize.publishAudited(
+      spark.table(probesT).unionByName(newProbes),
+      probesT, Seq(NotNull("doc_id"), Unique(Seq("doc_id"))))
+    // each republish boundary drops operator-internal persisted
+    // frames: a persisted plan over the REPLACED version sameResult-
+    // matches a fresh plan (same table path) and would recompute from
+    // its frozen pre-swap file listing — found live when the manifest
+    // packing read the pre-merge corpus (stale) and then, with the
+    // relation cache fixed, died on the swapped-away files
+    graft.operators.InternalCache.release()
+
+    // ---- decontamination, both directions; grams broadcast, the
+    // corpus scans once per direction and never shuffles
+    val contamNew = TextDedup.contaminationPairs(stagedDelta, "doc_id",
+        "text", spark.table(probesT), "doc_id", "text",
+        Llm.DcN, Llm.DcMinShared)
+      .select(col("doc_id")).distinct()
+    val contamOld = TextDedup.contaminationPairs(spark.table(curatedT),
+        "doc_id", "text", newProbes, "doc_id", "text",
+        Llm.DcN, Llm.DcMinShared)
+      .select(col("doc_id")).distinct()
+    val removedNew = contamNew.count() // bounded scalars
+    val removedOld = contamOld.count()
+
+    // ---- merge + republish the curated corpus, then its manifest
+    val (curatedOk, curatedAudit) = Materialize.publishAudited(
+      spark.table(curatedT).join(contamOld, Seq("doc_id"), "left_anti")
+        .unionByName(stagedDelta
+          .join(contamNew, Seq("doc_id"), "left_anti")),
+      curatedT, Seq(NotNull("doc_id"), Unique(Seq("doc_id"))))
+    graft.operators.InternalCache.release() // see probes republish
+    val rowsFinal = spark.table(curatedT).count()
+    val packed = Ranking.withRunningTotal(
+      spark.table(curatedT).select(col("doc_id"), col("tok")),
+      col("doc_id").asc, col("tok"), "prev")
+    val manifest = packed
+      .groupBy(floor(col("prev") / lit(ShardBudget.toDouble)).cast("long")
+        .as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+    val (publishOk, audit) = Materialize.publishAudited(manifest,
+      manifestT,
+      Seq(NotNull("shard"), NotNull("shard_tokens"), Unique(Seq("shard"))))
+
+    val m = spark.table(manifestT)
+      .agg(count(lit(1)).as("n_shards"),
+        coalesce(sum(col("shard_tokens")), lit(0L)).cast("long")
+          .as("total_tokens"),
+        coalesce(max(col("shard_tokens")), lit(0L)).cast("long")
+          .as("max_shard_tokens"))
+      .head()
+    def obsVal(o: org.apache.spark.sql.Observation, k: String): Long =
+      o.get(k).asInstanceOf[Number].longValue()
+    val kept = obsVal(dedupObs, "rows_kept")
+    val report: Seq[Metric] = Seq[Metric](
+      ("quality", "delta", "rows_in", obsVal(gateObs, "rows_in")),
+      ("quality", "delta", "dropped_low_quality",
+        obsVal(gateObs, "dropped_low_quality")),
+      ("langid", "delta", "dropped_non_en",
+        obsVal(gateObs, "dropped_non_en")),
+      ("dedup", "delta", "rows_kept", kept),
+      ("decontam", "delta", "eval_docs_added", evalAdded),
+      ("decontam", "delta", "contaminated_removed", removedNew),
+      ("decontam", "corpus", "retro_contaminated_removed", removedOld),
+      ("corpus", "curated", "rows_added", kept - removedNew),
+      ("corpus", "curated", "rows_final", rowsFinal),
+      ("shards", "manifest", "n_shards", m.getAs[Long]("n_shards")),
+      ("shards", "manifest", "total_tokens", m.getAs[Long]("total_tokens")),
+      ("shards", "manifest", "max_shard_tokens",
+        m.getAs[Long]("max_shard_tokens")),
+      ("shards", "manifest", "published",
+        if (probesOk && curatedOk && publishOk) 1L else 0L),
+      ("shards", "manifest", "audit_violations",
+        (probesAudit ++ curatedAudit ++ audit).map(_.violations).sum))
+    graft.operators.InternalCache.release() // a replay starts clean
     import spark.implicits._
     report.toDF("step", "relation", "metric", "value")
   }

@@ -442,6 +442,13 @@ object Materialize {
       spark.sql(s"ALTER TABLE $staging RENAME TO $name")
       crash(4)
       spark.sql(s"DROP TABLE IF EXISTS $prev")
+      // a catalog RENAME does not touch the cache manager: any
+      // persisted plan over the OLD version canonicalizes to the same
+      // relation (same warehouse location) and would keep serving
+      // stale blocks to every post-publish reader in this session —
+      // found live when runIncremental's manifest read the pre-merge
+      // corpus. Publishing must invalidate readers' caches.
+      spark.catalog.refreshTable(name)
     } else {
       spark.sql(s"DROP TABLE IF EXISTS $staging")
     }
@@ -465,6 +472,7 @@ object Materialize {
         spark.catalog.tableExists(prev)) {
       dropOrphanLocation(spark, name)
       spark.sql(s"ALTER TABLE $prev RENAME TO $name")
+      spark.catalog.refreshTable(name) // same staleness class as publish
       true
     } else false
   }

@@ -72,6 +72,81 @@ class CorpusBuildSpec extends SparkSpec {
     assert(rep(("shards", "manifest", "audit_violations")) == 0)
   }
 
+  test("incremental continuation converges to the full rebuild, and " +
+      "replaying the delta is a no-op") {
+    import org.apache.spark.sql.functions._
+    val probeEvery = 20L // Llm.DcProbeEvery
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ids = src.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    val maxId = ids.last
+    val base = src.filter(col("doc_id") < cut)
+    // a base doc that certainly survives into the curated corpus: the
+    // incremental run must drop a later duplicate of it and must
+    // retroactively remove it when its text becomes an eval probe
+    val curatedBaseText = {
+      val dirB = "/tmp/graft_test_inc_base"
+      graft.sources.Ingest.deletePath(spark, dirB)
+      base.write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+      CorpusBuild.run(spark, dirB)
+      val h = math.abs(dirB.hashCode).toString
+      spark.table(s"e2e_corpus_curated_$h")
+        .orderBy(col("doc_id")).select("text").head().getString(0)
+    }
+    val dirB = "/tmp/graft_test_inc_base"
+    val hB = math.abs(dirB.hashCode).toString
+    // delta = natural upper half + two crafted rows (append-only ids):
+    //  - a non-eval duplicate of a curated base doc (dedup must drop)
+    //  - a new EVAL doc duplicating another curated base doc (retro
+    //    decontamination must remove the base doc)
+    val retroTarget = spark.table(s"e2e_corpus_curated_$hB")
+      .orderBy(col("doc_id").desc).select("text").head().getString(0)
+    val dupId = (maxId + 1) + (if ((maxId + 1) % probeEvery == 0) 1 else 0)
+    val evalId = ((maxId / probeEvery) + 2) * probeEvery
+    import spark.implicits._
+    val crafted = Seq(
+      (dupId, curatedBaseText, "en", "crafted", curatedBaseText.length.toLong),
+      (evalId, retroTarget, "en", "crafted", retroTarget.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val delta = src.filter(col("doc_id") >= cut)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .unionByName(crafted)
+
+    val rep1 = rows(CorpusBuild.runIncremental(spark, dirB, delta))
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3))).toMap
+    assert(rep1(("decontam", "corpus", "retro_contaminated_removed")) >= 1,
+      rep1.toString)
+    assert(rep1(("shards", "manifest", "published")) == 1)
+    assert(rep1(("shards", "manifest", "audit_violations")) == 0)
+
+    // full rebuild over base ∪ delta must publish the same corpus,
+    // probe set, and manifest
+    val dirF = "/tmp/graft_test_inc_full"
+    graft.sources.Ingest.deletePath(spark, dirF)
+    base.select(delta.columns.map(col): _*).unionByName(delta)
+      .write.mode("overwrite").parquet(s"$dirF/documents.parquet")
+    CorpusBuild.run(spark, dirF)
+    val hF = math.abs(dirF.hashCode).toString
+    def snap(h: String, t: String): Set[Seq[Any]] =
+      spark.table(s"e2e_corpus_${t}_$h").collect()
+        .map(_.toSeq).toSet
+    for (t <- Seq("curated", "probes", "manifest"))
+      assert(snap(hB, t) == snap(hF, t), s"$t diverged from full rebuild")
+
+    // replay: applying the identical delta again changes nothing
+    val before = Seq("curated", "probes", "manifest").map(snap(hB, _))
+    val rep2 = rows(CorpusBuild.runIncremental(spark, dirB, delta))
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3))).toMap
+    assert(rep2(("corpus", "curated", "rows_added")) == 0, rep2.toString)
+    assert(rep2(("decontam", "delta", "eval_docs_added")) == 0)
+    val after = Seq("curated", "probes", "manifest").map(snap(hB, _))
+    assert(before == after, "replay mutated the published state")
+  }
+
   test("the curation build is deterministic under replay") {
     // every stage is a pure function of the input (content hashes,
     // argmax gates, window keyed on unique doc_id), so a second run —
