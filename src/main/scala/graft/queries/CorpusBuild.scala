@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Functions.{normText, punctChars, tokenHits, tokens}
+import graft.functions.Functions.{md5Long, normText, punctChars, tokenHits, tokens}
 import graft.operators.{Ranking, TextDedup}
 import graft.quality.{NotNull, Quality, Unique}
 import graft.sources.{Materialize, Tables}
@@ -42,6 +42,18 @@ object CorpusBuild {
 
   /** Whitespace-token budget per training shard (the q82 contract). */
   private val ShardBudget = 4096L
+
+  /** doc_id span per curated-table partition: with append-only ids,
+    * a delta's additions land in the tail partitions and a retroactive
+    * removal touches only its doc's partition — the partition-scoped
+    * merge in [[runIncremental]] rewrites exactly those slices. Sized
+    * for the repo fixtures and their replicas; a deployment with
+    * ~1e12 ids would pick ~1e9 (partition count = id range / span,
+    * target a few hundred MB of text per partition). */
+  private val CuratedPartSpan = 10000L
+
+  private def ptCol = floor(col("doc_id") / lit(CuratedPartSpan))
+    .cast("long").as("pt")
 
   private type Metric = (String, String, String, Long)
 
@@ -95,9 +107,13 @@ object CorpusBuild {
 
     // ---- materialize the staged corpus: the ONE action that fires
     // both observe nodes; everything downstream reads the stored copy.
+    // the normalized content hash is STORED at admission: the
+    // incremental path's dedup anti-join then reads one pruned column
+    // instead of re-hashing every text in the corpus
     val staged = Materialize.table(
       dedupObserved.filter(pmod(col("doc_id"), lit(Llm.DcProbeEvery)) =!= 0)
-        .select(col("doc_id"), col("text"), col("tok").cast("long")),
+        .select(col("doc_id"), col("text"), col("tok").cast("long"),
+          col("__h").as("h")),
       s"e2e_corpus_stage_$h")
 
     // ---- decontamination vs the raw probe set (broadcast grams; the
@@ -107,17 +123,27 @@ object CorpusBuild {
     // against the stored copy.
     val probes = Materialize.table(
       raw.filter(pmod(col("doc_id"), lit(Llm.DcProbeEvery)) === 0)
-        .select(col("doc_id"), col("text")),
+        .select(col("doc_id"), col("text"), contentHash.as("h")),
       s"e2e_corpus_probes_$h")
     val contaminated = TextDedup.contaminationPairs(staged, "doc_id",
         "text", probes, "doc_id", "text", Llm.DcN, Llm.DcMinShared)
       .select(col("doc_id")).distinct()
     // bounded scalar: one Long
     val contamRemoved = contaminated.count()
-    val curated = Materialize.table(
-      staged.join(contaminated, Seq("doc_id"), "left_anti"),
-      s"e2e_corpus_curated_$h")
+    val curated = Materialize.partitionedTable(
+      staged.join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("pt", ptCol),
+      s"e2e_corpus_curated_$h", "pt")
     val rowsFinal = curated.count()
+    // the decontamination gram INDEX (gh = md5Long(gram), doc_id over
+    // the curated corpus): makes the incremental path's retroactive
+    // decontamination a narrow hashed-pairs lookup instead of
+    // re-shingling every stored text. Append-only; entries of later-
+    // removed docs are harmless (their doc_ids anti-join away).
+    Materialize.table(
+      TextDedup.docShingleRows(curated, "doc_id", "text", Llm.DcN)
+        .select(col("doc_id"), md5Long(col("g")).as("gh")),
+      s"e2e_corpus_grams_$h")
 
     // ---- shard packing over the curated table: distributed
     // range-partitioned exclusive prefix sum (q82's contract — a doc
@@ -210,9 +236,11 @@ object CorpusBuild {
     val curatedT = s"e2e_corpus_curated_$h"
     val probesT = s"e2e_corpus_probes_$h"
     val manifestT = s"e2e_corpus_manifest_$h"
+    val gramsT = s"e2e_corpus_grams_$h"
     require(spark.catalog.tableExists(curatedT) &&
-      spark.catalog.tableExists(probesT),
-      s"runIncremental continues a prior run: $curatedT/$probesT missing")
+      spark.catalog.tableExists(probesT) &&
+      spark.catalog.tableExists(gramsT),
+      s"runIncremental continues a prior run: $curatedT/$probesT/$gramsT missing")
 
     // ---- delta gates ride one scan, counters via observe (the same
     // instrumentation contract as the full build)
@@ -231,15 +259,18 @@ object CorpusBuild {
       .select(col("doc_id"), col("text"))
     val newProbes = Materialize.table(
       deltaEval.join(spark.table(probesT).select("doc_id"),
-        Seq("doc_id"), "left_anti"),
+        Seq("doc_id"), "left_anti")
+        .withColumn("h", contentHash),
       s"e2e_corpus_delta_probes_$h")
     val evalAdded = newProbes.count() // bounded scalar: one Long
 
     // ---- candidate dedup: keep-first within the delta, then one
     // hash anti-join against everything already admitted (published
-    // corpus, published eval set, the delta's own eval docs)
-    val existingH = spark.table(curatedT).select(contentHash.as("__h"))
-      .unionByName(spark.table(probesT).select(contentHash.as("__h")))
+    // corpus, published eval set, the delta's own eval docs). The
+    // admitted hashes are STORED columns — this reads one pruned
+    // column per table, never the corpus text
+    val existingH = spark.table(curatedT).select(col("h").as("__h"))
+      .unionByName(spark.table(probesT).select(col("h").as("__h")))
       .unionByName(deltaEval.select(contentHash.as("__h")))
       .distinct()
     val fresh = gated
@@ -256,7 +287,7 @@ object CorpusBuild {
     // OLD probe table — so it must run before the probe republish)
     val stagedDelta = Materialize.table(
       freshObserved.select(col("doc_id"), col("text"),
-        col("tok").cast("long")),
+        col("tok").cast("long"), col("__h").as("h")),
       s"e2e_corpus_delta_stage_$h")
 
     // ---- republish the eval set (WAP staging+swap makes rewriting a
@@ -272,25 +303,78 @@ object CorpusBuild {
     // relation cache fixed, died on the swapped-away files
     graft.operators.InternalCache.release()
 
-    // ---- decontamination, both directions; grams broadcast, the
-    // corpus scans once per direction and never shuffles
+    // ---- decontamination, both directions, both delta-bounded in
+    // compute: the new candidates shingle only the DELTA against the
+    // broadcast probe grams, and the retroactive direction looks the
+    // NEW probes' grams up in the stored index — a narrow (gh, doc_id)
+    // scan instead of re-shingling every stored text, and skipped
+    // entirely when the delta added no eval docs
     val contamNew = TextDedup.contaminationPairs(stagedDelta, "doc_id",
         "text", spark.table(probesT), "doc_id", "text",
         Llm.DcN, Llm.DcMinShared)
       .select(col("doc_id")).distinct()
-    val contamOld = TextDedup.contaminationPairs(spark.table(curatedT),
-        "doc_id", "text", newProbes, "doc_id", "text",
-        Llm.DcN, Llm.DcMinShared)
-      .select(col("doc_id")).distinct()
+    val contamOld =
+      if (evalAdded == 0L)
+        spark.table(curatedT).select(col("doc_id")).limit(0)
+      else spark.table(gramsT)
+        .join(broadcast(
+          TextDedup.docShingleRows(newProbes, "doc_id", "text", Llm.DcN)
+            .select(col("doc_id").as("probe_id"),
+              md5Long(col("g")).as("gh"))), "gh")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy(col("doc_id"), col("probe_id"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+        .filter(col("n_shared") >= Llm.DcMinShared)
+        .select(col("doc_id")).distinct()
     val removedNew = contamNew.count() // bounded scalars
     val removedOld = contamOld.count()
 
-    // ---- merge + republish the curated corpus, then its manifest
-    val (curatedOk, curatedAudit) = Materialize.publishAudited(
-      spark.table(curatedT).join(contamOld, Seq("doc_id"), "left_anti")
-        .unionByName(stagedDelta
-          .join(contamNew, Seq("doc_id"), "left_anti")),
-      curatedT, Seq(NotNull("doc_id"), Unique(Seq("doc_id"))))
+    // ---- partition-scoped merge of the curated corpus: with
+    // append-only ids the additions land in the tail partitions and
+    // each retroactive removal touches its doc's partition — the
+    // tableIncremental dynamic-overwrite machinery rewrites exactly
+    // those slices; the rest of a 100 TB corpus is never read or
+    // written. REPLAY is the recovery story (the tableIncremental
+    // contract): every step is deterministic and absorbing, so
+    // re-running the same delta from any partial state converges.
+    val addKept = stagedDelta.join(contamNew, Seq("doc_id"), "left_anti")
+      .withColumn("pt", ptCol)
+    val touched = addKept.select(col("pt"))
+      .unionByName(contamOld.select(ptCol))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    // bounded collect: <= delta-partition + removal-partition VALUES
+    if (touched.nonEmpty) {
+      val cols = spark.table(curatedT).columns.toSeq // pt last
+      val merged = spark.table(curatedT)
+        .filter(col("pt").isin(touched: _*))
+        .join(contamOld, Seq("doc_id"), "left_anti")
+        .select(cols.map(col): _*)
+        .unionByName(addKept.select(cols.map(col): _*))
+      // a partition erased to zero rows must be dropped explicitly —
+      // dynamic overwrite only rewrites partitions PRESENT in the
+      // output (the eraseKeys contract)
+      val keptParts = merged.select(col("pt")).distinct()
+        .collect().map(_.getLong(0)).toSet // bounded: <= touched
+      val PoKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(PoKey)
+      spark.conf.set(PoKey, "dynamic")
+      try merged.repartition(col("pt"))
+        .write.mode("overwrite").insertInto(curatedT)
+      finally prev match {
+        case Some(v) => spark.conf.set(PoKey, v)
+        case None => spark.conf.unset(PoKey)
+      }
+      touched.filterNot(keptParts.contains).foreach { v =>
+        spark.sql(
+          s"ALTER TABLE $curatedT DROP IF EXISTS PARTITION (pt=$v)")
+      }
+      spark.catalog.refreshTable(curatedT)
+    }
+    // the gram index learns the additions (append-only; source is
+    // addKept, empty on replay, so a re-applied delta appends nothing)
+    TextDedup.docShingleRows(addKept, "doc_id", "text", Llm.DcN)
+      .select(col("doc_id"), md5Long(col("g")).as("gh"))
+      .write.mode("append").format("parquet").saveAsTable(gramsT)
     graft.operators.InternalCache.release() // see probes republish
     val rowsFinal = spark.table(curatedT).count()
     val packed = Ranking.withRunningTotal(
@@ -334,9 +418,9 @@ object CorpusBuild {
       ("shards", "manifest", "max_shard_tokens",
         m.getAs[Long]("max_shard_tokens")),
       ("shards", "manifest", "published",
-        if (probesOk && curatedOk && publishOk) 1L else 0L),
+        if (probesOk && publishOk) 1L else 0L),
       ("shards", "manifest", "audit_violations",
-        (probesAudit ++ curatedAudit ++ audit).map(_.violations).sum))
+        (probesAudit ++ audit).map(_.violations).sum))
     graft.operators.InternalCache.release() // a replay starts clean
     import spark.implicits._
     report.toDF("step", "relation", "metric", "value")

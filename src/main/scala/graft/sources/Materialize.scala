@@ -30,6 +30,23 @@ object Materialize {
     df.sparkSession.table(name)
   }
 
+  /** Partitioned table materialization: like [[table]] but laid out by
+    * `partitionCol`, so later partition-scoped merges (the
+    * [[tableIncremental]] dynamic-overwrite machinery) rewrite only
+    * the touched slices instead of the whole table. Rows are clustered
+    * by target partition first — the same files-per-partition bound as
+    * every partitioned write in this repo. */
+  def partitionedTable(df: DataFrame, name: String, partitionCol: String,
+      path: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (path.isEmpty) dropOrphanLocation(df.sparkSession, name)
+    val w = df.repartition(col(partitionCol))
+      .write.mode("overwrite").format("parquet").partitionBy(partitionCol)
+    path.foreach(p => w.option("path", p))
+    w.saveAsTable(name)
+    df.sparkSession.table(name)
+  }
+
   /** A run that dies between writing a managed table's files and
     * committing its catalog entry leaves an orphan directory that
     * `saveAsTable` then refuses (LOCATION_ALREADY_EXISTS) — remove the
