@@ -375,6 +375,11 @@ object CorpusBuild {
     TextDedup.docShingleRows(addKept, "doc_id", "text", Llm.DcN)
       .select(col("doc_id"), md5Long(col("g")).as("gh"))
       .write.mode("append").format("parquet").saveAsTable(gramsT)
+    // refresh through THIS session: under foreachBatch the append
+    // command invalidates only the micro-batch clone's relation cache
+    // (the Materialize.table contract note) — without this, the next
+    // batch's retro lookup reads the pre-append index listing
+    spark.catalog.refreshTable(gramsT)
     graft.operators.InternalCache.release() // see probes republish
     val rowsFinal = spark.table(curatedT).count()
     val packed = Ranking.withRunningTotal(
@@ -424,6 +429,47 @@ object CorpusBuild {
     graft.operators.InternalCache.release() // a replay starts clean
     import spark.implicits._
     report.toDF("step", "relation", "metric", "value")
+  }
+
+  /** CONTINUOUS curation: document files landed under `landingDir`
+    * stream through [[runIncremental]] one micro-batch per file
+    * (`maxFilesPerTrigger=1`), run to completion with
+    * `Trigger.AvailableNow`. Restarting with the same checkpoint
+    * resumes from the committed offsets.
+    *
+    * No `oncePerBatch` marker is needed — [[runIncremental]] is
+    * replay-CONVERGENT (dedup absorbs resurvivors, the probe append
+    * is id-guarded, the partition merge is absorbing), so
+    * `foreachBatch`'s at-least-once delivery collapses to
+    * effectively-once. That is a STRONGER recovery story than a
+    * marker: it also covers the marker's own crash window (body
+    * committed, marker not yet written).
+    *
+    * Ingest contract: files must land in doc_id order (the append-only
+    * id contract [[runIncremental]] documents) — the file source
+    * processes them in listing order. */
+  def streamIncremental(spark: SparkSession, dir: String,
+      landingDir: String, checkpoint: String)
+      : Seq[(Long, Map[(String, String, String), Long])] = {
+    val reports =
+      scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Map[(String, String, String), Long])]
+    val q = spark.readStream
+      .schema(Tables.documents(spark, dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val rep = runIncremental(spark, dir, batch).collect()
+          .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+            r.getLong(3))).toMap
+        reports.synchronized { reports += ((id, rep)); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    reports.toSeq
   }
 
   // ------------------------------------------------------------ q245

@@ -27,6 +27,13 @@ object Materialize {
     val w = df.write.mode("overwrite").format("parquet")
     path.foreach(p => w.option("path", p)) // external location when given
     w.saveAsTable(name)
+    // refresh through df's OWN session, not the thread's active one:
+    // inside a streaming foreachBatch the active session is the
+    // micro-batch CLONE, so the write command invalidates the clone's
+    // relation cache while the outer session — the one this library
+    // reads through — keeps serving the stale pre-write file listing
+    // (found live: batch N+1 joined against batch N's gram index)
+    df.sparkSession.catalog.refreshTable(name)
     df.sparkSession.table(name)
   }
 
@@ -44,6 +51,7 @@ object Materialize {
       .write.mode("overwrite").format("parquet").partitionBy(partitionCol)
     path.foreach(p => w.option("path", p))
     w.saveAsTable(name)
+    df.sparkSession.catalog.refreshTable(name) // see table()
     df.sparkSession.table(name)
   }
 
@@ -74,6 +82,7 @@ object Materialize {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
     path.foreach(p => w.option("path", p)) // external location when given
     w.saveAsTable(name)
+    df.sparkSession.catalog.refreshTable(name) // see table()
     df.sparkSession.table(name)
   }
 

@@ -147,6 +147,62 @@ class CorpusBuildSpec extends SparkSpec {
     assert(before == after, "replay mutated the published state")
   }
 
+  test("continuous curation: landed files stream through the " +
+      "incremental build and match the full rebuild") {
+    import org.apache.spark.sql.functions._
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ids = src.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (cut1, cut2) = (ids(ids.length / 2), ids(3 * ids.length / 4))
+    val dirB = "/tmp/graft_test_stream_corpus_base"
+    graft.sources.Ingest.deletePath(spark, dirB)
+    src.filter(col("doc_id") < cut1)
+      .write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+    CorpusBuild.run(spark, dirB)
+
+    // stage two delta FILES in id order — with maxFilesPerTrigger=1
+    // each is its own micro-batch, so two sequential incremental
+    // applies are exercised in one availableNow drain
+    val landing = "/tmp/graft_test_stream_corpus_landing"
+    val chk = "/tmp/graft_test_stream_corpus_chk"
+    for (d <- Seq(landing, chk))
+      graft.sources.Ingest.deletePath(spark, d)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"/tmp/graft_test_stream_corpus_tmp_$name"
+      graft.sources.Ingest.deletePath(spark, tmp)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*")).head
+      org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs,
+        new org.apache.hadoop.fs.Path(landing, s"$name.parquet"),
+        false, true, conf)
+    }
+    land(src.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "d1")
+    land(src.filter(col("doc_id") >= cut2), "d2")
+    CorpusBuild.streamIncremental(spark, dirB, landing, chk)
+
+    val dirF = "/tmp/graft_test_stream_corpus_full"
+    graft.sources.Ingest.deletePath(spark, dirF)
+    src.write.mode("overwrite").parquet(s"$dirF/documents.parquet")
+    CorpusBuild.run(spark, dirF)
+    val (hB, hF) =
+      (math.abs(dirB.hashCode).toString, math.abs(dirF.hashCode).toString)
+    def snap(h: String, t: String): Set[Seq[Any]] =
+      spark.table(s"e2e_corpus_${t}_$h").collect().map(_.toSeq).toSet
+    for (t <- Seq("curated", "probes", "manifest"))
+      assert(snap(hB, t) == snap(hF, t), s"$t diverged from full rebuild")
+
+    // restart from the same checkpoint with no new files: offsets
+    // carry, nothing refolds, the published state is untouched
+    val before = Seq("curated", "probes", "manifest").map(snap(hB, _))
+    CorpusBuild.streamIncremental(spark, dirB, landing, chk)
+    val after = Seq("curated", "probes", "manifest").map(snap(hB, _))
+    assert(before == after, "checkpoint restart mutated published state")
+  }
+
   test("the curation build is deterministic under replay") {
     // every stage is a pure function of the input (content hashes,
     // argmax gates, window keyed on unique doc_id), so a second run —
