@@ -140,10 +140,13 @@ object CorpusBuild {
     // decontamination a narrow hashed-pairs lookup instead of
     // re-shingling every stored text. Append-only; entries of later-
     // removed docs are harmless (their doc_ids anti-join away).
-    Materialize.table(
+    // Partitioned by the SAME pt as the curated table so [[eraseDocs]]
+    // can physically delete a doc's gram rows by rewriting one slice.
+    Materialize.partitionedTable(
       TextDedup.docShingleRows(curated, "doc_id", "text", Llm.DcN)
-        .select(col("doc_id"), md5Long(col("g")).as("gh")),
-      s"e2e_corpus_grams_$h")
+        .select(col("doc_id"), md5Long(col("g")).as("gh"))
+        .withColumn("pt", ptCol),
+      s"e2e_corpus_grams_$h", "pt")
 
     // ---- shard packing over the curated table: distributed
     // range-partitioned exclusive prefix sum (q82's contract — a doc
@@ -371,10 +374,13 @@ object CorpusBuild {
       spark.catalog.refreshTable(curatedT)
     }
     // the gram index learns the additions (append-only; source is
-    // addKept, empty on replay, so a re-applied delta appends nothing)
+    // addKept, empty on replay, so a re-applied delta appends nothing).
+    // insertInto is positional: (doc_id, gh) data columns, pt last
     TextDedup.docShingleRows(addKept, "doc_id", "text", Llm.DcN)
       .select(col("doc_id"), md5Long(col("g")).as("gh"))
-      .write.mode("append").format("parquet").saveAsTable(gramsT)
+      .withColumn("pt", ptCol)
+      .repartition(col("pt"))
+      .write.mode("append").insertInto(gramsT)
     // refresh through THIS session: under foreachBatch the append
     // command invalidates only the micro-batch clone's relation cache
     // (the Materialize.table contract note) — without this, the next
@@ -382,27 +388,7 @@ object CorpusBuild {
     spark.catalog.refreshTable(gramsT)
     graft.operators.InternalCache.release() // see probes republish
     val rowsFinal = spark.table(curatedT).count()
-    val packed = Ranking.withRunningTotal(
-      spark.table(curatedT).select(col("doc_id"), col("tok")),
-      col("doc_id").asc, col("tok"), "prev")
-    val manifest = packed
-      .groupBy(floor(col("prev") / lit(ShardBudget.toDouble)).cast("long")
-        .as("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("tok")).cast("long").as("shard_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-    val (publishOk, audit) = Materialize.publishAudited(manifest,
-      manifestT,
-      Seq(NotNull("shard"), NotNull("shard_tokens"), Unique(Seq("shard"))))
-
-    val m = spark.table(manifestT)
-      .agg(count(lit(1)).as("n_shards"),
-        coalesce(sum(col("shard_tokens")), lit(0L)).cast("long")
-          .as("total_tokens"),
-        coalesce(max(col("shard_tokens")), lit(0L)).cast("long")
-          .as("max_shard_tokens"))
-      .head()
+    val (publishOk, audit, m) = republishManifest(spark, h)
     def obsVal(o: org.apache.spark.sql.Observation, k: String): Long =
       o.get(k).asInstanceOf[Number].longValue()
     val kept = obsVal(dedupObs, "rows_kept")
@@ -427,6 +413,124 @@ object CorpusBuild {
       ("shards", "manifest", "audit_violations",
         (probesAudit ++ audit).map(_.violations).sum))
     graft.operators.InternalCache.release() // a replay starts clean
+    import spark.implicits._
+    report.toDF("step", "relation", "metric", "value")
+  }
+
+  /** Repack and WAP-republish the shard manifest from the current
+    * curated table; returns (published?, audit results, metrics row
+    * with n_shards/total_tokens/max_shard_tokens). Shared by
+    * [[runIncremental]] and [[eraseDocs]] so the manifest contract
+    * cannot drift between the lifecycle paths. */
+  private def republishManifest(spark: SparkSession, h: String)
+      : (Boolean, Seq[Quality.Result], org.apache.spark.sql.Row) = {
+    val packed = Ranking.withRunningTotal(
+      spark.table(s"e2e_corpus_curated_$h")
+        .select(col("doc_id"), col("tok")),
+      col("doc_id").asc, col("tok"), "prev")
+    val manifest = packed
+      .groupBy(floor(col("prev") / lit(ShardBudget.toDouble)).cast("long")
+        .as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+    val (ok, audit) = Materialize.publishAudited(manifest,
+      s"e2e_corpus_manifest_$h",
+      Seq(NotNull("shard"), NotNull("shard_tokens"), Unique(Seq("shard"))))
+    val m = spark.table(s"e2e_corpus_manifest_$h")
+      .agg(count(lit(1)).as("n_shards"),
+        coalesce(sum(col("shard_tokens")), lit(0L)).cast("long")
+          .as("total_tokens"),
+        coalesce(max(col("shard_tokens")), lit(0L)).cast("long")
+          .as("max_shard_tokens"))
+      .head()
+    (ok, audit, m)
+  }
+
+  /** Right-to-erasure for the PUBLISHED corpus (GDPR art. 17 /
+    * copyright-opt-out takedown — the lifecycle step after [[run]] /
+    * [[runIncremental]]): every trace of the requested `doc_id`s is
+    * physically deleted from every published artifact — the curated
+    * corpus and the decontamination gram index (both partition-scoped
+    * rewrites of ONLY the touched `pt` slices via
+    * [[Materialize.eraseKeys]]; the rest of a 100 TB corpus is never
+    * read or written), and the eval probe set (WAP republish) — then
+    * the shard manifest is repacked so no published artifact
+    * references an erased doc. Returns the audit report a DPO wants:
+    * rows deleted per artifact, partitions rewritten, and the
+    * republished-manifest state.
+    *
+    * Contract notes (spec-pinned):
+    *  - erasure FORGETS, it does not replay history: a duplicate that
+    *    lost keep-first dedup against an erased doc is NOT
+    *    resurrected (a full rebuild without the erased docs would
+    *    differ exactly there); and because the stored content hash is
+    *    erased with the doc, a future delta re-submitting the same
+    *    content is admitted again — both are the intended "forget"
+    *    semantics, not drift.
+    *  - replay-safe: erasing the same ids twice is a content no-op
+    *    (second report shows zero deletions).
+    *  - `eraseIds` is a bounded request list (broadcast through every
+    *    use), and the only driver-side values are the report's Longs
+    *    plus the touched partition VALUES. */
+  def eraseDocs(spark: SparkSession, dir: String,
+      eraseIds: DataFrame): DataFrame = {
+    val h = math.abs(dir.hashCode).toString
+    val curatedT = s"e2e_corpus_curated_$h"
+    val probesT = s"e2e_corpus_probes_$h"
+    val gramsT = s"e2e_corpus_grams_$h"
+    require(spark.catalog.tableExists(curatedT) &&
+      spark.catalog.tableExists(probesT) &&
+      spark.catalog.tableExists(gramsT),
+      s"eraseDocs amends a prior run: $curatedT/$probesT/$gramsT missing")
+    val ids = eraseIds
+      .select(col(eraseIds.columns.head).cast("long").as("doc_id"))
+      .distinct()
+
+    // audit counts BEFORE deletion (bounded scalars)
+    val inCurated = spark.table(curatedT)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val nCurated = inCurated.count()
+    val nParts = inCurated.select(col("pt")).distinct().count()
+    val nGrams = spark.table(gramsT)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi").count()
+    val nProbes = spark.table(probesT)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi").count()
+
+    // partition-scoped physical deletes
+    Materialize.eraseKeys(spark, curatedT, "doc_id", ids, "pt")
+    Materialize.eraseKeys(spark, gramsT, "doc_id", ids, "pt")
+    // the probe set is corpus-bounded-small (1/DcProbeEvery of the
+    // docs) — a WAP republish, so a failed audit can never leave a
+    // half-erased eval set
+    val (probesOk, probesAudit) =
+      if (nProbes == 0L) (true, Seq.empty[Quality.Result])
+      else Materialize.publishAudited(
+        spark.table(probesT)
+          .join(broadcast(ids), Seq("doc_id"), "left_anti"),
+        probesT, Seq(NotNull("doc_id"), Unique(Seq("doc_id"))))
+    // republish boundary: drop operator-internal persisted frames so
+    // nothing downstream reads a pre-swap file listing
+    graft.operators.InternalCache.release()
+
+    val rowsFinal = spark.table(curatedT).count()
+    val (publishOk, audit, m) = republishManifest(spark, h)
+    val report: Seq[Metric] = Seq[Metric](
+      ("erase", "curated", "docs_erased", nCurated),
+      ("erase", "curated", "partitions_rewritten", nParts),
+      ("erase", "grams", "rows_erased", nGrams),
+      ("erase", "probes", "docs_erased", nProbes),
+      ("corpus", "curated", "rows_final", rowsFinal),
+      ("shards", "manifest", "n_shards", m.getAs[Long]("n_shards")),
+      ("shards", "manifest", "total_tokens", m.getAs[Long]("total_tokens")),
+      ("shards", "manifest", "max_shard_tokens",
+        m.getAs[Long]("max_shard_tokens")),
+      ("shards", "manifest", "published",
+        if (probesOk && publishOk) 1L else 0L),
+      ("shards", "manifest", "audit_violations",
+        (probesAudit ++ audit).map(_.violations).sum))
+    graft.operators.InternalCache.release()
     import spark.implicits._
     report.toDF("step", "relation", "metric", "value")
   }
@@ -482,9 +586,11 @@ object CorpusBuild {
     * the contamination verdicts, and the shard manifest totals — so
     * the whole chain (gates, dedup window, broadcast decontamination,
     * prefix-sum packing, WAP publish) is hash-checked end to end. */
-  val q245 = Query(
-    "q245_corpus_build_e2e",
-    s"""WITH b AS (
+  /** The oracle CTE chain shared by q245 and q246: raw documents →
+    * gates → keep-first dedup → corpus → probe/corpus gram sets →
+    * contamination → `fin` (the curated set) → shard packing. */
+  private val corpusCtes =
+    s"""b AS (
        |  SELECT doc_id, text, ${Llm.DTokens} AS w, length(text) AS chars,
        |    length(text) -
        |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct
@@ -551,7 +657,11 @@ object CorpusBuild {
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
        |    CAST(COALESCE(SUM(st), 0) AS BIGINT) AS total_tokens,
        |    CAST(COALESCE(MAX(st), 0) AS BIGINT) AS max_shard_tokens
-       |  FROM shd)
+       |  FROM shd)""".stripMargin
+
+  val q245 = Query(
+    "q245_corpus_build_e2e",
+    s"""WITH $corpusCtes
        |SELECT 'quality' AS step, 'corpus' AS relation,
        |  'rows_in' AS metric,
        |  (SELECT COUNT(*) FROM documents)::BIGINT AS value
@@ -582,5 +692,75 @@ object CorpusBuild {
     run(s, dir)
   }
 
-  val all: Seq[Query] = Seq(q245)
+  // ------------------------------------------------------------ q246
+
+  /** The deterministic erasure request set q246 exercises: every raw
+    * doc_id ≡ EraseRes (mod EraseMod) — some in the curated corpus,
+    * some in the eval probe set, some already removed by the gates
+    * (an erasure request may name docs that are not published; the
+    * report counts what was actually present). */
+  private val EraseMod = 97L
+  private val EraseRes = 3L
+
+  /** The corpus-erasure lifecycle step, oracle-checked end to end:
+    * [[run]] publishes the full curated state, then [[eraseDocs]]
+    * deletes a deterministic request set; the oracle recomputes every
+    * report metric — per-artifact deletion counts, touched partition
+    * count, and the repacked manifest totals — independently from the
+    * raw `documents` table. */
+  val q246 = Query(
+    "q246_corpus_erasure",
+    s"""WITH $corpusCtes,
+       |er AS (
+       |  SELECT doc_id FROM fin
+       |  WHERE doc_id % $EraseMod = $EraseRes),
+       |fin2 AS (
+       |  SELECT * FROM fin WHERE doc_id % $EraseMod <> $EraseRes),
+       |gsz AS (
+       |  SELECT CAST(COALESCE(SUM(len(s)), 0) AS BIGINT) AS g
+       |  FROM csh JOIN er USING (doc_id)),
+       |pk2 AS (
+       |  SELECT doc_id, tok,
+       |    COALESCE(SUM(tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+       |  FROM fin2),
+       |shd2 AS (
+       |  SELECT CAST(FLOOR(prev / $ShardBudget.0) AS BIGINT) AS shard,
+       |    SUM(tok) AS st
+       |  FROM pk2 GROUP BY shard),
+       |m2 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+       |    CAST(COALESCE(SUM(st), 0) AS BIGINT) AS total_tokens,
+       |    CAST(COALESCE(MAX(st), 0) AS BIGINT) AS max_shard_tokens
+       |  FROM shd2)
+       |SELECT 'erase' AS step, 'curated' AS relation,
+       |  'docs_erased' AS metric,
+       |  (SELECT COUNT(*) FROM er)::BIGINT AS value
+       |UNION ALL SELECT 'erase', 'curated', 'partitions_rewritten',
+       |  (SELECT COUNT(DISTINCT CAST(FLOOR(doc_id / $CuratedPartSpan.0)
+       |     AS BIGINT)) FROM er)
+       |UNION ALL SELECT 'erase', 'grams', 'rows_erased',
+       |  (SELECT g FROM gsz)
+       |UNION ALL SELECT 'erase', 'probes', 'docs_erased',
+       |  (SELECT COUNT(*) FROM documents
+       |   WHERE doc_id % ${Llm.DcProbeEvery} = 0
+       |     AND doc_id % $EraseMod = $EraseRes)
+       |UNION ALL SELECT 'corpus', 'curated', 'rows_final',
+       |  (SELECT COUNT(*) FROM fin2)
+       |UNION ALL SELECT 'shards', 'manifest', 'n_shards',
+       |  (SELECT n_shards FROM m2)
+       |UNION ALL SELECT 'shards', 'manifest', 'total_tokens',
+       |  (SELECT total_tokens FROM m2)
+       |UNION ALL SELECT 'shards', 'manifest', 'max_shard_tokens',
+       |  (SELECT max_shard_tokens FROM m2)
+       |UNION ALL SELECT 'shards', 'manifest', 'published', 1::BIGINT
+       |UNION ALL SELECT 'shards', 'manifest', 'audit_violations',
+       |  0::BIGINT""".stripMargin) { (s, dir) =>
+    run(s, dir)
+    eraseDocs(s, dir,
+      Tables.documents(s, dir).select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(EraseMod)) === EraseRes))
+  }
+
+  val all: Seq[Query] = Seq(q245, q246)
 }

@@ -203,6 +203,77 @@ class CorpusBuildSpec extends SparkSpec {
     assert(before == after, "checkpoint restart mutated published state")
   }
 
+  test("erasure deletes from every published artifact, repacks the " +
+      "manifest, replays as a no-op, and never resurrects a dedup loser") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val probeEvery = 20L // Llm.DcProbeEvery
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ids = src.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    val maxId = ids.last
+    val dirE = "/tmp/graft_test_erase"
+    graft.sources.Ingest.deletePath(spark, dirE)
+    // base + a crafted NON-EVAL duplicate of a doc that will survive
+    // curation: after its winner is erased, the loser must NOT come back
+    val base = src.filter(col("doc_id") < cut)
+    base.write.mode("overwrite").parquet(s"$dirE/documents.parquet")
+    CorpusBuild.run(spark, dirE)
+    val h = math.abs(dirE.hashCode).toString
+    val winner = spark.table(s"e2e_corpus_curated_$h")
+      .orderBy(col("doc_id")).select("doc_id", "text").head()
+    val (wId, wText) = (winner.getLong(0), winner.getString(1))
+    val dupId = (maxId + 1) + (if ((maxId + 1) % probeEvery == 0) 1 else 0)
+    graft.sources.Ingest.deletePath(spark, dirE)
+    base.unionByName(Seq((dupId, wText, "en", "crafted",
+        wText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$dirE/documents.parquet")
+    CorpusBuild.run(spark, dirE)
+
+    def snap(t: String): Set[Seq[Any]] =
+      spark.table(s"e2e_corpus_${t}_$h").collect().map(_.toSeq).toSet
+    val (cur0, grams0, probes0) = (snap("curated"), snap("grams"),
+      snap("probes"))
+    // keep-first admitted the winner, not the crafted duplicate
+    assert(cur0.exists(_.head == wId) && !cur0.exists(_.head == dupId))
+    val probeId = probes0.head.head.asInstanceOf[Long]
+    val wGrams = grams0.count(_.head == wId)
+    assert(wGrams > 0)
+
+    val erase = Seq(wId, probeId).toDF("doc_id")
+    def repOf(df: org.apache.spark.sql.DataFrame) = rows(df)
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3))).toMap
+    val rep = repOf(CorpusBuild.eraseDocs(spark, dirE, erase))
+    assert(rep(("erase", "curated", "docs_erased")) == 1)
+    assert(rep(("erase", "grams", "rows_erased")) == wGrams)
+    assert(rep(("erase", "probes", "docs_erased")) == 1)
+    assert(rep(("shards", "manifest", "published")) == 1)
+    assert(rep(("shards", "manifest", "audit_violations")) == 0)
+    // every artifact dropped exactly the erased rows; the dedup loser
+    // is NOT resurrected (erasure forgets, it does not replay history)
+    assert(snap("curated") == cur0.filterNot(_.head == wId))
+    assert(snap("grams") == grams0.filterNot(_.head == wId))
+    assert(snap("probes") == probes0.filterNot(_.head == probeId))
+    assert(!snap("curated").exists(_.head == dupId))
+    // the repacked manifest accounts the remaining tokens exactly
+    val remTok = spark.table(s"e2e_corpus_curated_$h")
+      .agg(coalesce(sum(col("tok")), lit(0L))).head().getLong(0)
+    assert(rep(("shards", "manifest", "total_tokens")) == remTok)
+
+    // replay: the same request again deletes nothing and moves nothing
+    val (cur1, grams1, probes1) = (snap("curated"), snap("grams"),
+      snap("probes"))
+    val rep2 = repOf(CorpusBuild.eraseDocs(spark, dirE, erase))
+    assert(rep2(("erase", "curated", "docs_erased")) == 0)
+    assert(rep2(("erase", "grams", "rows_erased")) == 0)
+    assert(rep2(("erase", "probes", "docs_erased")) == 0)
+    assert((snap("curated"), snap("grams"), snap("probes")) ==
+      ((cur1, grams1, probes1)))
+  }
+
   test("the curation build is deterministic under replay") {
     // every stage is a pure function of the input (content hashes,
     // argmax gates, window keyed on unique doc_id), so a second run —
