@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.quality.{NotNull, Unique}
+import graft.sources.Materialize
+
+/** The PERSISTED trained-IVF ANN index — the production form of
+  * [[Similarity.trainedIvfTopK]]'s inline search (reference basis: the
+  * embedding/ANN surface of the LLM extension; the inline queries
+  * re-train and re-assign per run, which a 100 TB corpus cannot
+  * afford). The index is two published catalog tables:
+  *
+  *  - `<name>_centroids`: the k trained coarse centroids (WAP-audited
+  *    publish — a half-trained centroid table is never visible);
+  *  - `<name>_postings`: (id, vec) PARTITIONED BY assigned `cell`, so
+  *    every later operation touches only the relevant cell slices.
+  *
+  * Lifecycle, each step cost-bounded by what it touches:
+  *  - [[build]] trains ([[KMeans.fit]]: one scan per iteration,
+  *    centroids broadcast, ≤ k-row collects) and assigns once;
+  *  - [[append]] assigns a delta under the FROZEN published centroids
+  *    and appends only ids not already present — the existence probe
+  *    reads just the delta's own cells' id column (partition-pruned +
+  *    column-pruned), so replaying a delta is a no-op and cost is
+  *    ∝ delta, never ∝ index;
+  *  - [[erase]] is the partition-scoped [[Materialize.eraseKeys]]
+  *    delete (the GDPR story, same contract as the corpus build's);
+  *  - [[topK]] is a 2-probe search: each query probes its nearest and
+  *    runner-up cells, the probed cell VALUES (bounded ≤ k) become a
+  *    `PartitionFilters` entry on the postings scan — unprobed
+  *    partitions are never listed or read (spec-locked) — and
+  *    candidates are scored with exact cosine into the
+  *    partial-aggregatable TopK.
+  *
+  * Determinism: assignment is the [[KMeans]] quantized-grid
+  * first-wins argmin; centroid doubles round-trip parquet bit-exactly,
+  * so frozen-centroid assignment in a later session (or engine —
+  * the oracle replays from the same Lloyd's chain) equals the
+  * build-time one.
+  */
+object AnnIndex {
+
+  def centroidsTable(name: String): String = s"${name}_centroids"
+  def postingsTable(name: String): String = s"${name}_postings"
+
+  /** (id, vec, cell) under the given centroids — the one assignment
+    * path every lifecycle step shares, so build/append/search cannot
+    * drift on cell boundaries. */
+  private def assign(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    KMeans.withCellDist(
+        df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .withColumn("__vq", KMeans.quantize(col("vec"))),
+        "__vq", cents)
+      .select(col("id"), col("vec"), col("__cell").cast("long").as("cell"))
+
+  /** Train on `vectors` and publish the index; returns the posting
+    * count. `vectors` is scanned `iters + 1` times (persisted through
+    * [[InternalCache]] for the duration of the build). */
+  def build(spark: SparkSession, vectors: DataFrame, idCol: String,
+      vecCol: String, name: String, k: Int, dims: Int,
+      iters: Int): Long = {
+    val vq = InternalCache.persist(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("__vq", KMeans.quantize(col("vec"))))
+    val cents = KMeans.fit(vq, "__vq", k, dims, iters)
+    import spark.implicits._
+    val cdf = cents.zipWithIndex.toIndexedSeq
+      .map { case (c, m) => (m.toLong, c.toSeq) }
+      .toDF("cell", "c")
+    Materialize.publishAudited(cdf, centroidsTable(name),
+      Seq(NotNull("cell"), NotNull("c"), Unique(Seq("cell"))))
+    Materialize.partitionedTable(
+      KMeans.withCellDist(vq, "__vq", cents)
+        .select(col("id"), col("vec"), col("__cell").cast("long").as("cell")),
+      postingsTable(name), "cell")
+    InternalCache.release()
+    spark.table(postingsTable(name)).count()
+  }
+
+  /** The published centroid table, ordered by cell.
+    * Bounded collect: ≤ k centroid rows (the [[KMeans.fit]] contract). */
+  def loadCentroids(spark: SparkSession, name: String): Array[Array[Double]] =
+    spark.table(centroidsTable(name)).orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Assign `delta` under the frozen published centroids and append
+    * the ids not already indexed; returns the appended count.
+    * Replay-safe: a re-submitted id lands in the SAME cell
+    * (deterministic assignment of the same vector), so the existence
+    * anti-join only needs the delta's own cells — one partition-pruned
+    * id-column scan, never the whole postings table. */
+  def append(spark: SparkSession, name: String, delta: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    val post = postingsTable(name)
+    val a = InternalCache.persist(
+      assign(delta, idCol, vecCol, loadCentroids(spark, name)))
+    // bounded collect: ≤ k distinct cell VALUES
+    val touched = a.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val fresh = a.join(
+      spark.table(post).filter(col("cell").isin(touched: _*))
+        .select(col("id")),
+      Seq("id"), "left_anti")
+    val n = fresh.count()
+    if (n > 0) {
+      // insertInto is positional: (id, vec) data columns, cell last
+      fresh.select(col("id"), col("vec"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("append").insertInto(post)
+      spark.catalog.refreshTable(post)
+    }
+    InternalCache.release()
+    n
+  }
+
+  /** Physically delete the given ids from the postings — a
+    * partition-scoped rewrite of only the cells that hold them.
+    * Returns the touched cell values. */
+  def erase(spark: SparkSession, name: String, ids: DataFrame): Seq[Any] =
+    Materialize.eraseKeys(spark, postingsTable(name), "id", ids, "cell")
+
+  /** 2-probe IVF search over the published index: per query, exact
+    * cosine top-k among the postings of its nearest + runner-up cells.
+    * Returns (query_id, rank, neighbor_id, cosine), rank 1..k by
+    * (cosine desc, id), self-matches excluded. The two probes are
+    * distinct cells and every posting lives in exactly one cell, so
+    * candidates need no dedup. */
+  def topK(spark: SparkSession, name: String, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
+    val cents = loadCentroids(spark, name)
+    val qp = KMeans.withCell2(
+        queries.select(col(queryIdCol).as("query_id"),
+          col(queryVecCol).as("qvec"))
+          .withColumn("__vq", KMeans.quantize(col("qvec"))),
+        "__vq", cents)
+      .select(col("query_id"), col("qvec"),
+        explode(array(col("__cell").cast("long"),
+          col("__cell2").cast("long"))).as("probe"))
+    // bounded collect: ≤ k probed cell VALUES — this literal list is
+    // what turns the postings scan into a PartitionFilters-pruned read
+    val probed = qp.select(col("probe")).distinct()
+      .collect().map(_.getLong(0))
+    val scored = spark.table(postingsTable(name))
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(qp),
+        col("cell") === col("probe") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        Similarity.cosineF(col("vec"), col("qvec")).as("score"))
+    Similarity.topKPerQuery(scored, k)
+  }
+}

@@ -110,6 +110,27 @@ object KMeans {
       .drop((0 until k).map(m => s"__kd$m"): _*)
   }
 
+  /** [[withCellDist]] plus `__cell2` — the runner-up CELL id (the rk=2
+    * row of the oracle's `ORDER BY dist, cell` window: among the cells
+    * other than the winner, lowest distance, ties → lowest cell). The
+    * second probe of a 2-probe IVF search ([[AnnIndex.topK]]). */
+  def withCell2(df: DataFrame, vqCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val k = cents.length
+    require(k >= 2, "a second probe needs k >= 2")
+    val withD = cents.zipWithIndex.foldLeft(df) { case (d, (c, m)) =>
+      d.withColumn(s"__kd$m", distTo(col(vqCol), c))
+    }
+    withD
+      .withColumn("__cell",
+        Similarity.argminCell(k, m => col(s"__kd$m")))
+      .withColumn("__cell2",
+        Similarity.argminCell(k, m =>
+          when(col("__cell") === m, lit(Double.MaxValue))
+            .otherwise(col(s"__kd$m"))))
+      .drop((0 until k).map(m => s"__kd$m"): _*)
+  }
+
   /** `iters` Lloyd's iterations from the deterministic init; returns
     * the final k×dims centroid table. Each iteration: one distributed
     * scan (assign + per-cluster integer sums), one bounded ≤ k-row

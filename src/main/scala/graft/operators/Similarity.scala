@@ -140,7 +140,7 @@ object Similarity {
   }
 
   /** Shared tail: scored (query_id, id, score) → ranked top-k rows. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopK(k))
     scored
       .groupBy(col("query_id"))

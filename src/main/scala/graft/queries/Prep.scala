@@ -791,6 +791,93 @@ object Prep {
       .unionByName(leg("ivf_trained", trained))
   }
 
+  // ------------------------------------------------------------ q247
+
+  private val AnnDeltaMod = 5L
+  private val AnnDeltaRes = 4L
+  private val AnnEraseMod = 31L
+  private val AnnEraseRes = 7L
+
+  /** q247's oracle: the Lloyd's chain trained on the BASE subset only
+    * (the index is built before the delta arrives), frozen-centroid
+    * assignment of the post-append post-erase index content, 2-probe
+    * query cells (rk ≤ 2 of the same `ORDER BY dist, cell` window),
+    * and in-probed-cell exact-cosine top-k. */
+  private def annIndexOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings WHERE vec_id % $AnnDeltaMod <> $AnnDeltaRes),
+       |$dKmChain,
+       |va AS (
+       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS e,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings WHERE vec_id % $AnnEraseMod <> $AnnEraseRes),
+       |bc AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT vec_id, e, cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT va.vec_id, va.e, c.cell, $dKmDist AS dist
+       |          FROM va, c$KmIters c))
+       |  WHERE rk = 1),
+       |qv AS (
+       |  SELECT vec_id AS query_id, [x::DOUBLE for x in embedding] AS qe,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings WHERE vec_id % ${Llm.TopkEvery} = 0),
+       |qp AS (
+       |  SELECT query_id, qe, cell FROM (
+       |    SELECT query_id, qe, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT q.query_id, q.qe, c.cell, $dKmDist AS dist
+       |          FROM qv q, c$KmIters c))
+       |  WHERE rk <= 2),
+       |res AS (
+       |  SELECT query_id, neighbor_id, score, rk FROM (
+       |    SELECT query_id, id AS neighbor_id, score,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, id) AS rk
+       |    FROM (SELECT qp.query_id, bc.vec_id AS id,
+       |            ${Llm.dCosine("qe", "e")} AS score
+       |          FROM bc JOIN qp
+       |            ON bc.cell = qp.cell AND bc.vec_id != qp.query_id))
+       |  WHERE rk <= ${Llm.IvfK})
+       |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+       |  ROUND(score, 6) AS cosine
+       |FROM res""".stripMargin
+
+  /** The persisted ANN index lifecycle ([[graft.operators.AnnIndex]])
+    * end to end: build on the base subset (trained centroids + postings
+    * partitioned by cell, both published tables), incremental append of
+    * a delta under the FROZEN centroids, partition-scoped erasure of an
+    * opt-out id set, then a 2-probe top-k search whose postings scan
+    * reads only the probed cell partitions. The oracle replays the
+    * whole lifecycle — base-only training, frozen assignment of the
+    * final index content, probe selection, in-cell cosine rank — so the
+    * published-index state, not just one search, is value-checked. */
+  val q247 = Query("q247_ann_index_lifecycle", annIndexOracle) { (s, dir) =>
+    import graft.operators.AnnIndex
+    val name = s"ann_idx_${math.abs(dir.hashCode)}"
+    val emb = Tables.embeddings(s, dir)
+    AnnIndex.build(s,
+      emb.filter(col("vec_id") % AnnDeltaMod =!= AnnDeltaRes),
+      "vec_id", "embedding", name, KmK, KmDims, KmIters)
+    AnnIndex.append(s, name,
+      emb.filter(col("vec_id") % AnnDeltaMod === AnnDeltaRes),
+      "vec_id", "embedding")
+    AnnIndex.erase(s, name,
+      emb.select(col("vec_id"))
+        .filter(col("vec_id") % AnnEraseMod === AnnEraseRes))
+    AnnIndex.topK(s, name,
+      emb.filter(col("vec_id") % Llm.TopkEvery === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      "query_id", "qvec", Llm.IvfK)
+  }
+
   // ------------------------------------------------------------ q120
 
   private val BpeK = 6
@@ -1342,5 +1429,5 @@ object Prep {
   }
 
   val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99, q100,
-    q120, q148, q191, q213, q214, q215)
+    q120, q148, q191, q213, q214, q215, q247)
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AnnIndex
+
+/** The persisted ANN index ([[graft.operators.AnnIndex]], q247):
+  * beyond the oracle's value check, the lifecycle contracts —
+  * append ≡ one-shot frozen-centroid assignment, replay no-ops,
+  * partition-scoped erasure, and the probed-cells partition pruning
+  * that makes a search read only its slice of a 100 TB postings
+  * table — must hold structurally. */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dir = "/root/testdata/sf0.001"
+  private val Dims = 64
+  private val K = 8
+  private val Iters = 3
+
+  private def emb = graft.sources.Tables.embeddings(spark, Dir)
+
+  private def postings(name: String): Set[(Long, Long)] =
+    spark.table(AnnIndex.postingsTable(name))
+      .select(col("id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("append under frozen centroids converges to the one-shot " +
+      "assignment, and replaying the delta appends nothing") {
+    val name = "annspec_inc"
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    AnnIndex.build(spark, base, "vec_id", "embedding", name, K, Dims,
+      Iters)
+    val appended = AnnIndex.append(spark, name, delta, "vec_id",
+      "embedding")
+    assert(appended == delta.count())
+
+    // one-shot reference: assign EVERYTHING under the same frozen
+    // centroids (the published table round-trips doubles bit-exactly)
+    val cents = AnnIndex.loadCentroids(spark, name)
+    val ref = graft.operators.KMeans.withCellDist(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .withColumn("__vq",
+            graft.operators.KMeans.quantize(col("vec"))),
+        "__vq", cents)
+      .select(col("id"), col("__cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postings(name) == ref)
+
+    // replay: every delta id already lives in its (deterministically
+    // identical) cell, so the cell-scoped existence probe drops all
+    val again = AnnIndex.append(spark, name, delta, "vec_id", "embedding")
+    assert(again == 0L)
+    assert(postings(name) == ref)
+  }
+
+  test("erasure rewrites only the touched cells and replays as a no-op") {
+    val name = "annspec_erase"
+    AnnIndex.build(spark, emb, "vec_id", "embedding", name, K, Dims,
+      Iters)
+    val before = postings(name)
+    val ids = emb.select(col("vec_id")).filter(col("vec_id") % 17 === 5)
+    val idSet = ids.collect().map(_.getLong(0)).toSet
+    val touched = AnnIndex.erase(spark, name, ids)
+    assert(postings(name) == before.filterNot(p => idSet(p._1)))
+    // the touched set is exactly the cells that held a target id
+    assert(touched.map(_.asInstanceOf[Long]).toSet ==
+      before.filter(p => idSet(p._1)).map(_._2))
+    val again = AnnIndex.erase(spark, name, ids)
+    assert(again.isEmpty)
+    assert(postings(name) == before.filterNot(p => idSet(p._1)))
+  }
+
+  test("a search reads ONLY the probed cell partitions") {
+    val name = "annspec_prune"
+    AnnIndex.build(spark, emb, "vec_id", "embedding", name, K, Dims,
+      Iters)
+    // one query → exactly 2 probed cells; the postings scan must list
+    // only those partitions, both in the plan and in the files touched
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val res = AnnIndex.topK(spark, name, q, "query_id", "qvec", 3)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"no partition filter on the postings scan:\n${plan.take(3000)}")
+    val nCellsTotal = spark.table(AnnIndex.postingsTable(name))
+      .select(col("cell")).distinct().count()
+    assert(nCellsTotal > 2, "fixture degenerate: every vector in 2 cells")
+    // candidates touched at most 2 of the >2 cells
+    val probedCells = graft.operators.KMeans.withCell2(
+        q.withColumn("__vq",
+          graft.operators.KMeans.quantize(col("qvec"))),
+        "__vq", AnnIndex.loadCentroids(spark, name))
+      .select(col("__cell").cast("long"), col("__cell2").cast("long"))
+      .head()
+    val cellsRead = spark.table(AnnIndex.postingsTable(name))
+      .filter(col("cell").isin(probedCells.getLong(0),
+        probedCells.getLong(1)))
+      .select(input_file_name()).distinct().count()
+    val filesTotal = spark.table(AnnIndex.postingsTable(name))
+      .select(input_file_name()).distinct().count()
+    assert(cellsRead < filesTotal,
+      "pruned read did not touch fewer files than the full table")
+    assert(rows(res).nonEmpty)
+  }
+
+  test("the runner-up probe cell is the rk=2 of (dist, cell)") {
+    // closed-form: centroids at 0 and ±1 on dim 0 (k=3); a vector at
+    // 0.4 has dists (0.16, 0.36, 1.96) → cell 0, runner-up 1; a vector
+    // at -0.6 has dists (0.36, 2.56, 0.16) → cell 2, runner-up 0
+    val cents = Array(
+      Array.fill(2)(0.0),
+      { val a = Array.fill(2)(0.0); a(0) = 1.0; a },
+      { val a = Array.fill(2)(0.0); a(0) = -1.0; a })
+    val df = Seq((1L, Seq(0.4, 0.0)), (2L, Seq(-0.6, 0.0)))
+      .toDF("id", "vec")
+      .withColumn("__vq", graft.operators.KMeans.quantize(col("vec")))
+    val got = graft.operators.KMeans.withCell2(df, "__vq", cents)
+      .select(col("id"), col("__cell"), col("__cell2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .toSet
+    assert(got == Set((1L, 0, 1), (2L, 2, 0)))
+  }
+}
