@@ -769,6 +769,146 @@ object Curation {
           .otherwise(0L))
   }
 
+  // ------------------------------------------------------------ q248
+
+  /** Sliding-window width (whitespace tokens) for span-level scrub. */
+  private val SpanW = 10
+
+  /** Substring-level duplicated-SPAN scrub — the full Lee et al. 2021
+    * semantics q175's fixed tiling approximates: every OVERLAPPING
+    * [[SpanW]]-word window is hashed, a window occurring ≥ 2 times
+    * anywhere in the corpus (other docs or the same doc) is
+    * duplicated, a token position is removed when ANY duplicated
+    * window covers it, and every document is REBUILT from its
+    * surviving tokens. A span of any length ≥ [[SpanW]] that repeats
+    * is covered exactly (each of its windows repeats), which the
+    * non-overlapping tiling misses at segment boundaries. The
+    * per-source report carries the scrub mass AND a `bit_xor`
+    * checksum over every rebuilt document, so the reconstruction
+    * itself — not just the counts — is value-checked cross-engine.
+    *
+    * Scale: corpus text never shuffles — windows collapse to 60-bit
+    * hashes row-locally, the frequency table is one map-combinable
+    * count, the flag-back join moves only (doc_id, i, h) longs, and
+    * the duplicated window STARTS come back to each doc row as one
+    * sorted array (bounded by the doc's own token count — the
+    * per-doc row-local contract) where coverage + rebuild run as
+    * array HOFs inside codegen. */
+  val q248 = Query(
+    "q248_span_scrub",
+    s"""WITH t AS (
+       |  SELECT doc_id, source, $DTokens AS w FROM documents),
+       |s AS (
+       |  SELECT doc_id, source, w,
+       |    [array_to_string(list_slice(w, i + 1, i + $SpanW), ' ')
+       |     for i in range(0, len(w) - $SpanW + 1)] AS segs
+       |  FROM t WHERE len(w) >= $SpanW),
+       |e AS (
+       |  SELECT doc_id, source,
+       |    unnest(range(0, len(w) - $SpanW + 1)) AS i,
+       |    unnest(segs) AS seg
+       |  FROM s),
+       |hh AS (
+       |  SELECT doc_id, source, i, ${dHash64("seg")} AS h FROM e),
+       |f AS (SELECT h, COUNT(*) AS freq FROM hh GROUP BY 1),
+       |dupw AS (
+       |  SELECT doc_id, source, i FROM hh JOIN f USING (h)
+       |  WHERE freq > 1),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, source, i + d AS p
+       |  FROM dupw CROSS JOIN (SELECT unnest(range(0, $SpanW)) AS d)),
+       |tokp AS (
+       |  SELECT doc_id, unnest(w) AS tok,
+       |    unnest(range(0, len(w))) AS p
+       |  FROM t),
+       |kept AS (
+       |  SELECT tokp.doc_id, tokp.p, tokp.tok
+       |  FROM tokp LEFT JOIN cov
+       |    ON tokp.doc_id = cov.doc_id AND tokp.p = cov.p
+       |  WHERE cov.p IS NULL),
+       |reb AS (
+       |  SELECT doc_id,
+       |    array_to_string(list(tok ORDER BY p), ' ') AS txt
+       |  FROM kept GROUP BY 1),
+       |chk AS (
+       |  SELECT t.doc_id, t.source, len(w) AS n_tok,
+       |    CASE WHEN len(w) >= $SpanW THEN len(w) - $SpanW + 1
+       |      ELSE 0 END AS n_win,
+       |    ${dHash64("COALESCE(reb.txt, '')")} AS rh
+       |  FROM t LEFT JOIN reb USING (doc_id)),
+       |a1 AS (
+       |  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+       |    SUM(n_win) AS n_windows, bit_xor(rh) AS scrub_checksum
+       |  FROM chk GROUP BY 1),
+       |a2 AS (
+       |  SELECT source, COUNT(*) AS n_dup_windows,
+       |    COUNT(DISTINCT doc_id) AS docs_affected
+       |  FROM dupw GROUP BY 1),
+       |a3 AS (
+       |  SELECT source, COUNT(*) AS tokens_removed FROM cov GROUP BY 1)
+       |SELECT a1.source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_windows AS BIGINT) AS n_windows,
+       |  CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(COALESCE(docs_affected, 0) AS BIGINT) AS docs_affected,
+       |  CAST(COALESCE(tokens_removed, 0) AS BIGINT) AS tokens_removed,
+       |  CAST(CASE WHEN n_tokens > 0
+       |    THEN (1000000 * COALESCE(tokens_removed, 0)) // n_tokens
+       |    ELSE 0 END AS BIGINT) AS removed_ppm,
+       |  CAST(scrub_checksum AS BIGINT) AS scrub_checksum
+       |FROM a1 LEFT JOIN a2 USING (source)
+       |LEFT JOIN a3 USING (source)""".stripMargin) { (s, dir) =>
+    import graft.functions.Functions.{md5Long, tokens}
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), col("source"),
+      tokens(col("text")).as("w"))
+    val wins = toks.filter(size(col("w")) >= SpanW)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), size(col("w")) - SpanW)).as("i"),
+        col("w"))
+      .select(col("doc_id"), col("source"), col("i"),
+        md5Long(array_join(
+          slice(col("w"), col("i") + 1, lit(SpanW)), " ")).as("h"))
+    val freq = wins.groupBy(col("h")).agg(count(lit(1)).as("freq"))
+    val dupw = wins.join(freq.filter(col("freq") > 1), "h")
+      .select(col("doc_id"), col("source"), col("i"))
+    // bounded per-group state: ≤ one start per token of ONE doc
+    val starts = dupw.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("st"))
+    val perDoc = toks.join(starts, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("st").isNull, col("w"))
+          .otherwise(filter(col("w"), (_, idx) =>
+            !exists(col("st"), st =>
+              st <= idx && idx < st + lit(SpanW)))))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("n_win",
+        when(size(col("w")) >= SpanW,
+          (size(col("w")) - SpanW + 1).cast("long")).otherwise(0L))
+      .withColumn("removed",
+        (size(col("w")) - size(col("kept"))).cast("long"))
+      .withColumn("rh", md5Long(array_join(col("kept"), " ")))
+    val a1 = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_win")).as("n_windows"),
+        sum(col("removed")).as("tokens_removed"),
+        expr("bit_xor(rh)").cast("long").as("scrub_checksum"))
+    val a2 = dupw.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        countDistinct(col("doc_id")).as("docs_affected"))
+    a1.join(a2, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
+        col("tokens_removed"),
+        when(col("n_tokens") > 0,
+          expr("(1000000 * tokens_removed) div n_tokens"))
+          .otherwise(0L).as("removed_ppm"),
+        col("scrub_checksum"))
+  }
+
   // ------------------------------------------------------------ q176
 
   /** 2^60 as a double — md5Long's range, the uniform's denominator. */
@@ -1171,5 +1311,6 @@ object Curation {
   }
 
   val all: Seq[Query] = Seq(q78, q79, q80, q82, q83, q84, q85, q89, q102,
-    q155, q173, q174, q175, q176, q177, q180, q182, q212, q221, q230)
+    q155, q173, q174, q175, q176, q177, q180, q182, q212, q221, q230,
+    q248)
 }
