@@ -142,7 +142,13 @@ object ScaleBench {
     // round-8 addition: the composed corpus-curation product — the
     // whole gate→dedup→decontaminate→pack→publish chain at 10× in one
     // probe (its cost includes the table writes, matching production)
-    "q245_corpus_build_e2e")
+    "q245_corpus_build_e2e",
+    // round-8 session-2 additions: the erasure lifecycle (build +
+    // partition-scoped erase), the persisted ANN index lifecycle
+    // (train/append/erase/2-probe search — embeddings only), and the
+    // sliding-window span scrub (windows collapse to hashes, rebuild
+    // is row-local — the ideal-linear candidate)
+    "q246_corpus_erasure", "q247_ann_index_lifecycle", "q248_span_scrub")
 
   /** Relational + graph pipelines under scale test (round 8, VERDICT
     * r7 #7: the q233-q242 family and the lineitem-graph operators were
