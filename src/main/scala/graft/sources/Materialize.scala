@@ -502,4 +502,130 @@ object Materialize {
       true
     } else false
   }
+
+  /** Multi-TABLE write-audit-publish — the all-or-nothing release a
+    * composed build needs (the dbt `build` promotion semantic: the
+    * whole DAG ships or nothing does). [[publishAudited]] per table
+    * cannot give that: if mart 2-of-2 fails its audit after mart 1
+    * published, readers see a MIXED release — a new mart beside a
+    * stale sibling it was built with. Here every table stages, every
+    * staging is audited, and only if ALL pass does any swap happen;
+    * a failing audit drops all stagings and every published table
+    * keeps serving its previous version.
+    *
+    * The swap phase is still a sequence of per-table renames (a
+    * catalog without multi-op transactions cannot make it one atomic
+    * op), so a crash mid-swap can leave a mixed set on disk. The
+    * protocol makes that window RECOVERABLE instead of silent:
+    *
+    *  1. stage all `<name>__staging`;
+    *  2. audit all (fail → drop stagings, previous versions serve);
+    *  3. create the `<setName>__swapping` marker table;
+    *  4. per table: drop old `__prev`, rename name→prev,
+    *     rename staging→name (prevs are KEPT until step 5 — unlike
+    *     the single-table gate, rollback must stay possible until the
+    *     whole set is in);
+    *  5. drop all prevs, drop the marker.
+    *
+    * [[recoverSet]] inspects the states and rolls the set to ONE
+    * generation: forward when every table already swapped (no
+    * stagings remain under the marker), back otherwise. The marker
+    * disambiguates the one otherwise-ambiguous state (a first-publish
+    * table whose name exists with neither staging nor prev).
+    *
+    * `crashAfterSwap` is TEST-ONLY fault injection: k ∈ [0, n) throws
+    * [[CrashInjected]] after table k's rename-in; k = n throws after
+    * all swaps, before cleanup. */
+  def publishSetAudited(setName: String,
+      tables: Seq[(DataFrame, String, Seq[graft.quality.Check])],
+      warnAsError: Boolean = false, crashAfterSwap: Int = -1)
+      : (Boolean, Seq[(String, Seq[graft.quality.Quality.Result])]) = {
+    require(tables.nonEmpty, "empty publish set")
+    val spark = tables.head._1.sparkSession
+    val marker = s"${setName}__swapping"
+    require(!spark.catalog.tableExists(marker),
+      s"unrecovered prior publish of $setName: run recoverSet first")
+    tables.foreach { case (df, name, _) => table(df, s"${name}__staging") }
+    val results = tables.map { case (_, name, checks) =>
+      name -> graft.quality.Quality.run(
+        spark.table(s"${name}__staging"), checks, warnAsError)
+    }
+    val ok = results.forall(_._2.forall(_.passed))
+    if (!ok) {
+      tables.foreach { case (_, name, _) =>
+        spark.sql(s"DROP TABLE IF EXISTS ${name}__staging") }
+      return (false, results)
+    }
+    dropOrphanLocation(spark, marker)
+    spark.sql(s"CREATE TABLE $marker (committed INT) USING parquet")
+    tables.zipWithIndex.foreach { case ((_, name, _), i) =>
+      val prev = s"${name}__prev"
+      spark.sql(s"DROP TABLE IF EXISTS $prev")
+      dropOrphanLocation(spark, prev)
+      if (spark.catalog.tableExists(name))
+        spark.sql(s"ALTER TABLE $name RENAME TO $prev")
+      dropOrphanLocation(spark, name)
+      spark.sql(s"ALTER TABLE ${name}__staging RENAME TO $name")
+      spark.catalog.refreshTable(name) // the publish staleness class
+      if (crashAfterSwap == i) throw new CrashInjected(i)
+    }
+    if (crashAfterSwap == tables.size)
+      throw new CrashInjected(tables.size)
+    tables.foreach { case (_, name, _) =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}__prev") }
+    spark.sql(s"DROP TABLE $marker")
+    (true, results)
+  }
+
+  /** Crash repair for [[publishSetAudited]]: rolls the WHOLE set to
+    * one consistent generation. Marker absent → only staging debris
+    * is possible (pre-swap crash or clean completion): drop it.
+    * Marker present → if NO staging remains every table swapped:
+    * roll FORWARD (finish the cleanup); otherwise roll BACK — unswapped
+    * tables keep (or recover) their previous version and swapped
+    * tables have their new version dropped and the previous restored.
+    * Idempotent. Returns "forward", "back", or "noop". */
+  def recoverSet(spark: SparkSession, setName: String,
+      names: Seq[String]): String = {
+    val marker = s"${setName}__swapping"
+    def staging(n: String) = s"${n}__staging"
+    def prev(n: String) = s"${n}__prev"
+    if (!spark.catalog.tableExists(marker)) {
+      val any = names.exists(n => spark.catalog.tableExists(staging(n)))
+      names.foreach(n =>
+        spark.sql(s"DROP TABLE IF EXISTS ${staging(n)}"))
+      return if (any) "back" else "noop"
+    }
+    val anyStaging = names.exists(n =>
+      spark.catalog.tableExists(staging(n)))
+    if (!anyStaging) {
+      names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS ${prev(n)}"))
+      spark.sql(s"DROP TABLE IF EXISTS $marker")
+      "forward"
+    } else {
+      names.foreach { n =>
+        if (spark.catalog.tableExists(staging(n))) {
+          // not yet swapped: the previous version either still holds
+          // the name or sits aside as __prev (crash between renames)
+          if (!spark.catalog.tableExists(n) &&
+              spark.catalog.tableExists(prev(n))) {
+            dropOrphanLocation(spark, n)
+            spark.sql(s"ALTER TABLE ${prev(n)} RENAME TO $n")
+          }
+          spark.sql(s"DROP TABLE IF EXISTS ${staging(n)}")
+        } else {
+          // swapped: the name holds the NEW version — roll it back to
+          // the kept prev (or to unpublished for a first release)
+          spark.sql(s"DROP TABLE IF EXISTS $n")
+          dropOrphanLocation(spark, n)
+          if (spark.catalog.tableExists(prev(n)))
+            spark.sql(s"ALTER TABLE ${prev(n)} RENAME TO $n")
+        }
+        if (spark.catalog.tableExists(n))
+          spark.catalog.refreshTable(n) // publish staleness class
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $marker")
+      "back"
+    }
+  }
 }

@@ -81,21 +81,29 @@ object WarehouseBuild {
     val dimCurrentViol = Scd2.currentViolations(dim, Seq("user_id")).count()
 
     // ---- marts from the STAGED tables (proving the chain feeds
-    // forward through the catalog), published through the WAP gate.
+    // forward through the catalog), published as ONE all-or-nothing
+    // SET ([[Materialize.publishSetAudited]]): the dbt-build promotion
+    // semantic — if EITHER mart fails its audit, NEITHER publishes, so
+    // readers never see a fresh mart beside the stale sibling it was
+    // built with.
     val monthly = stgOrders
       .groupBy(trunc(col("o_orderdate"), "MM").as("month"))
       .agg(sum(money(col("o_totalprice"))).as("revenue"))
-    val (monthlyOk, monthlyAudit) = Materialize.publishAudited(
-      monthly, s"e2e_mart_monthly_$h",
-      Seq(NotNull("month"), NotNull("revenue"), Unique(Seq("month"))))
-
     val segment = stgOrders
       .join(stgCust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(sum(money(col("o_totalprice"))).as("revenue"))
-    val (segmentOk, segmentAudit) = Materialize.publishAudited(
-      segment, s"e2e_mart_segment_$h",
-      Seq(NotNull("c_mktsegment"), Unique(Seq("c_mktsegment"))))
+    val (martsOk, martsAudit) = Materialize.publishSetAudited(
+      s"e2e_marts_$h", Seq(
+        (monthly, s"e2e_mart_monthly_$h",
+          Seq(NotNull("month"), NotNull("revenue"), Unique(Seq("month")))),
+        (segment, s"e2e_mart_segment_$h",
+          Seq(NotNull("c_mktsegment"), Unique(Seq("c_mktsegment"))))))
+    val (monthlyOk, segmentOk) = (martsOk, martsOk)
+    val monthlyAudit = martsAudit
+      .find(_._1 == s"e2e_mart_monthly_$h").map(_._2).getOrElse(Nil)
+    val segmentAudit = martsAudit
+      .find(_._1 == s"e2e_mart_segment_$h").map(_._2).getOrElse(Nil)
 
     def martMetrics(rel: String, name: String, ok: Boolean,
         audit: Seq[Quality.Result]): Seq[Metric] = {
