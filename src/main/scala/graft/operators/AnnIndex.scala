@@ -122,6 +122,46 @@ object AnnIndex {
   def erase(spark: SparkSession, name: String, ids: DataFrame): Seq[Any] =
     Materialize.eraseKeys(spark, postingsTable(name), "id", ids, "cell")
 
+  /** CONTINUOUS index ingestion: embedding files landed under
+    * `landingDir` drain through [[append]] one micro-batch per file
+    * (`maxFilesPerTrigger=1`, `Trigger.AvailableNow`); restarting with
+    * the same checkpoint resumes from committed offsets. No batch-id
+    * marker is needed — [[append]] is replay-CONVERGENT (the
+    * cell-scoped id anti-join absorbs redelivered vectors), so
+    * foreachBatch's at-least-once delivery collapses to
+    * effectively-once, the same recovery story as the corpus build's
+    * streaming front-end. Returns (batchId, appended) per batch. */
+  def streamAppend(spark: SparkSession, name: String, landingDir: String,
+      checkpoint: String, idCol: String, vecCol: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : Seq[(Long, Long)] = {
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val n = append(spark, name, batch, idCol, vecCol)
+        counts.synchronized { counts += ((id, n)); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    counts.toSeq
+  }
+
+  /** Post-append maintenance: every [[append]] adds at least one file
+    * to each touched cell, so a long-running ingest fragments the
+    * postings (per-file open cost dominates a scan once files ≪ the
+    * split size). Compacts every cell whose file count exceeds
+    * `maxFiles` — content bit-identical, only layout changes. Returns
+    * the compacted cell values. */
+  def maintain(spark: SparkSession, name: String,
+      maxFiles: Int = 1): Seq[Any] =
+    Materialize.compactFiles(spark, postingsTable(name), "cell", maxFiles)
+
   /** 2-probe IVF search over the published index: per query, exact
     * cosine top-k among the postings of its nearest + runner-up cells.
     * Returns (query_id, rank, neighbor_id, cosine), rank 1..k by

@@ -105,6 +105,66 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows(res).nonEmpty)
   }
 
+  test("landed embedding files stream into the index, a checkpoint " +
+      "restart is a no-op, and maintenance compacts without changing " +
+      "content") {
+    val name = "annspec_stream"
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val (cut1, cut2) = (ids(ids.length / 2), ids(3 * ids.length / 4))
+    AnnIndex.build(spark, emb.filter(col("vec_id") < cut1),
+      "vec_id", "embedding", name, K, Dims, Iters)
+
+    val landing = "/tmp/graft_test_annstream_landing"
+    val chk = "/tmp/graft_test_annstream_chk"
+    for (d <- Seq(landing, chk)) graft.sources.Ingest.deletePath(spark, d)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+    def land(df: org.apache.spark.sql.DataFrame, n: String): Unit = {
+      val tmp = s"/tmp/graft_test_annstream_tmp_$n"
+      graft.sources.Ingest.deletePath(spark, tmp)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*")).head
+      org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs,
+        new org.apache.hadoop.fs.Path(landing, s"$n.parquet"),
+        false, true, conf)
+    }
+    land(emb.filter(col("vec_id") >= cut1 && col("vec_id") < cut2), "d1")
+    land(emb.filter(col("vec_id") >= cut2), "d2")
+    val counts = AnnIndex.streamAppend(spark, name, landing, chk,
+      "vec_id", "embedding", emb.schema)
+    assert(counts.size == 2 && counts.map(_._2).sum ==
+      emb.filter(col("vec_id") >= cut1).count())
+
+    // streamed state ≡ one-shot frozen assignment of everything
+    val cents = AnnIndex.loadCentroids(spark, name)
+    val ref = graft.operators.KMeans.withCellDist(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .withColumn("__vq",
+            graft.operators.KMeans.quantize(col("vec"))),
+        "__vq", cents)
+      .select(col("id"), col("__cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postings(name) == ref)
+
+    // restart with no new files: offsets carry, nothing re-appends
+    val counts2 = AnnIndex.streamAppend(spark, name, landing, chk,
+      "vec_id", "embedding", emb.schema)
+    assert(counts2.isEmpty && postings(name) == ref)
+
+    // the two appends fragmented the touched cells; maintenance
+    // compacts them and content stays bit-identical
+    val post = spark.table(AnnIndex.postingsTable(name))
+    val filesBefore = post.select(input_file_name()).distinct().count()
+    val compacted = AnnIndex.maintain(spark, name)
+    assert(compacted.nonEmpty)
+    val filesAfter = spark.table(AnnIndex.postingsTable(name))
+      .select(input_file_name()).distinct().count()
+    assert(filesAfter < filesBefore)
+    assert(postings(name) == ref, "compaction changed content")
+  }
+
   test("the runner-up probe cell is the rk=2 of (dist, cell)") {
     // closed-form: centroids at 0 and ±1 on dim 0 (k=3); a vector at
     // 0.4 has dists (0.16, 0.36, 1.96) → cell 0, runner-up 1; a vector
