@@ -514,7 +514,14 @@ object Prep {
     * `SUM / (COUNT·Q)` centroids, empty cells keep the previous
     * centroid). References a CTE `v(vec_id, …, vq)`; the trained
     * centroids are CTE `c$KmIters`. Shared by q99 and q100. */
-  private def dKmChain: String = {
+  private def dKmChain: String = dKmChainP("", "v")
+
+  /** [[dKmChain]] with every emitted CTE name prefixed `p` and the
+    * training set read from CTE `vCte` — lets one oracle train TWO
+    * centroid tables (q249: frozen-on-base vs retrained-on-all)
+    * without CTE-name collisions. The trained centroids land in
+    * `${p}c$KmIters`. */
+  private def dKmChainP(p: String, vCte: String): String = {
     val init = (0 until KmK).map { m =>
       if (m == 0) s"  SELECT 0 AS cell, ${dKmInit(0)} AS c"
       else s"  UNION ALL SELECT $m, ${dKmInit(m)}"
@@ -523,21 +530,21 @@ object Prep {
       .map(i => s"CAST(SUM(vq[$i]) AS DOUBLE) / (COUNT(*) * $KmQL)")
       .mkString(",\n      ")
     val iters = (1 to KmIters).map { t =>
-      s"""a$t AS (
+      s"""${p}a$t AS (
          |  SELECT vec_id, vq, cell FROM (
          |    SELECT vec_id, vq, cell,
          |      row_number() OVER (PARTITION BY vec_id
          |        ORDER BY dist, cell) AS rk
          |    FROM (SELECT v.vec_id, v.vq, c.cell, $dKmDist AS dist
-         |          FROM v, c${t - 1} c))
+         |          FROM $vCte v, ${p}c${t - 1} c))
          |  WHERE rk = 1),
-         |c$t AS (
+         |${p}c$t AS (
          |  SELECT p.cell, CASE WHEN n.cell IS NULL THEN p.c ELSE n.c END AS c
-         |  FROM c${t - 1} p LEFT JOIN (
+         |  FROM ${p}c${t - 1} p LEFT JOIN (
          |    SELECT cell, [$meanList] AS c
-         |    FROM a$t GROUP BY cell) n ON p.cell = n.cell)""".stripMargin
+         |    FROM ${p}a$t GROUP BY cell) n ON p.cell = n.cell)""".stripMargin
     }.mkString(",\n")
-    s"c0 AS (\n$init),\n$iters"
+    s"${p}c0 AS (\n$init),\n$iters"
   }
 
   /** q99's oracle: the Lloyd's chain, then a final assignment under
@@ -876,6 +883,144 @@ object Prep {
       emb.filter(col("vec_id") % Llm.TopkEvery === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
       "query_id", "qvec", Llm.IvfK)
+  }
+
+  // ------------------------------------------------------------ q249
+
+  /** q249's oracle: TWO Lloyd's chains — frozen (trained on the base
+    * subset, the q247 index state) and retrained (trained on
+    * everything, prefix `r`) — then for each: frozen/retrained
+    * assignment of the full corpus, 2-probe query cells, in-cell
+    * cosine top-k, and recall against the exact brute-force top-k. */
+  private def annRetrainOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings WHERE vec_id % $AnnDeltaMod <> $AnnDeltaRes),
+       |$dKmChain,
+       |vall AS (
+       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS e,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings),
+       |${dKmChainP("r", "vall")},
+       |qv AS (
+       |  SELECT vec_id AS query_id, [x::DOUBLE for x in embedding] AS qe,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings WHERE vec_id % ${Llm.TopkEvery} = 0),
+       |bcf AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT vec_id, e, cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT v.vec_id, v.e, c.cell, $dKmDist AS dist
+       |          FROM vall v, c$KmIters c))
+       |  WHERE rk = 1),
+       |bcr AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT vec_id, e, cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT v.vec_id, v.e, c.cell, $dKmDist AS dist
+       |          FROM vall v, rc$KmIters c))
+       |  WHERE rk = 1),
+       |qpf AS (
+       |  SELECT query_id, qe, cell FROM (
+       |    SELECT query_id, qe, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT v.query_id, v.qe, c.cell, $dKmDist AS dist
+       |          FROM qv v, c$KmIters c))
+       |  WHERE rk <= 2),
+       |qpr AS (
+       |  SELECT query_id, qe, cell FROM (
+       |    SELECT query_id, qe, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT v.query_id, v.qe, c.cell, $dKmDist AS dist
+       |          FROM qv v, rc$KmIters c))
+       |  WHERE rk <= 2),
+       |resf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, id) AS rk
+       |    FROM (SELECT qpf.query_id, bcf.vec_id AS id,
+       |            ${Llm.dCosine("qe", "e")} AS score
+       |          FROM bcf JOIN qpf
+       |            ON bcf.cell = qpf.cell AND bcf.vec_id != qpf.query_id))
+       |  WHERE rk <= ${Llm.IvfK}),
+       |resr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, id) AS rk
+       |    FROM (SELECT qpr.query_id, bcr.vec_id AS id,
+       |            ${Llm.dCosine("qe", "e")} AS score
+       |          FROM bcr JOIN qpr
+       |            ON bcr.cell = qpr.cell AND bcr.vec_id != qpr.query_id))
+       |  WHERE rk <= ${Llm.IvfK}),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |${Llm.bruteForceOracle(Llm.IvfK)})),
+       |rec AS (
+       |  SELECT 'ivf_frozen' AS method,
+       |    (SELECT COUNT(*) FROM ex) AS n_exact,
+       |    (SELECT COUNT(*) FROM ex JOIN resf
+       |       ON ex.query_id = resf.query_id
+       |      AND ex.neighbor_id = resf.neighbor_id) AS n_hit
+       |  UNION ALL SELECT 'ivf_retrained',
+       |    (SELECT COUNT(*) FROM ex),
+       |    (SELECT COUNT(*) FROM ex JOIN resr
+       |       ON ex.query_id = resr.query_id
+       |      AND ex.neighbor_id = resr.neighbor_id))
+       |SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
+       |FROM rec""".stripMargin
+
+  /** The retrain-decision monitor for the PERSISTED index: recall@k of
+    * the incrementally maintained index (centroids FROZEN at
+    * base-build time, delta appended) vs a freshly retrained index
+    * over the same final content, both through the identical 2-probe
+    * search, both against the exact brute-force top-k. This is the
+    * production "when do appended deltas justify retraining the
+    * coarse quantizer" measurement — the recall gap between the two
+    * rows IS the staleness cost of the frozen centroids. Training
+    * cost: the retrained leg reuses the full-corpus Lloyd's run shape
+    * of q99; search and recall legs are probe-bounded. */
+  val q249 = Query("q249_ann_retrain_monitor", annRetrainOracle) { (s, dir) =>
+    import graft.operators.{AnnIndex, InternalCache}
+    val h = math.abs(dir.hashCode)
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") % AnnDeltaMod =!= AnnDeltaRes)
+    val delta = emb.filter(col("vec_id") % AnnDeltaMod === AnnDeltaRes)
+    val nF = s"ann_mon_frozen_$h"
+    val nR = s"ann_mon_retr_$h"
+    AnnIndex.build(s, base, "vec_id", "embedding", nF, KmK, KmDims,
+      KmIters)
+    AnnIndex.append(s, nF, delta, "vec_id", "embedding")
+    AnnIndex.build(s, emb, "vec_id", "embedding", nR, KmK, KmDims,
+      KmIters)
+    val q = emb.filter(col("vec_id") % Llm.TopkEvery === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = InternalCache.persist(Llm.bruteForceShared(s, dir)
+      .filter(col("rank") <= Llm.IvfK)
+      .select("query_id", "neighbor_id"))
+    def leg(method: String, approx: DataFrame) = {
+      val hit = exact.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(hit)
+        .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6)
+            .as("recall"))
+    }
+    leg("ivf_frozen",
+        AnnIndex.topK(s, nF, q, "query_id", "qvec", Llm.IvfK))
+      .unionByName(leg("ivf_retrained",
+        AnnIndex.topK(s, nR, q, "query_id", "qvec", Llm.IvfK)))
   }
 
   // ------------------------------------------------------------ q120
@@ -1429,5 +1574,5 @@ object Prep {
   }
 
   val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99, q100,
-    q120, q148, q191, q213, q214, q215, q247)
+    q120, q148, q191, q213, q214, q215, q247, q249)
 }
