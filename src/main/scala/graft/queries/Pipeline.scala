@@ -1618,8 +1618,122 @@ object Pipeline {
     graft.sources.WarehouseBuild.run(s, dir)
   }
 
+  // ------------------------------------------------------------ q250
+
+  /** The INCREMENTAL warehouse build (the dbt incremental-run /
+    * snapshot semantic): a base build over ~6/7 of orders and ~4/5 of
+    * events, then one [[graft.sources.WarehouseBuild.runIncremental]]
+    * folding the late arrivals into the published state — month-
+    * partition order append with key dedup, affected-users-only SCD2
+    * re-versioning with bucket-scoped rewrites, touched-month mart
+    * recompute, all-or-nothing mart republish. The oracle recomputes
+    * every delta counter, the dim deltas, the post-merge invariants,
+    * and the final mart state from the raw tables (base ∪ delta =
+    * everything, so the final state metrics equal the full build's —
+    * which is exactly the semantic being claimed). */
+  val q250 = Query(
+    "q250_build_incremental",
+    """WITH od AS (
+      |  SELECT * FROM orders WHERE o_orderkey % 7 = 3),
+      |odv AS (
+      |  SELECT * FROM od
+      |  WHERE o_totalprice > 0 AND o_custkey IS NOT NULL),
+      |obv AS (
+      |  SELECT * FROM orders WHERE o_orderkey % 7 <> 3
+      |    AND o_totalprice > 0 AND o_custkey IS NOT NULL),
+      |resub AS (
+      |  SELECT COUNT(*) AS n FROM odv
+      |  WHERE o_orderkey IN (SELECT o_orderkey FROM obv)),
+      |so AS (
+      |  SELECT * FROM orders
+      |  WHERE o_totalprice > 0 AND o_custkey IS NOT NULL),
+      |sc AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
+      |scd AS (
+      |  SELECT user_id, ts AS valid_from,
+      |    LEAD(ts) OVER w AS valid_to,
+      |    (LEAD(ts) OVER w IS NULL) AS is_current,
+      |    ROW_NUMBER() OVER w AS version
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |ov AS (
+      |  SELECT COUNT(*) AS n FROM (
+      |    SELECT valid_to, LEAD(valid_from) OVER (
+      |      PARTITION BY user_id ORDER BY valid_from, version) AS nf
+      |    FROM scd)
+      |  WHERE nf IS NOT NULL
+      |    AND (valid_to IS NULL OR valid_to > nf)),
+      |cv AS (
+      |  SELECT COUNT(*) AS n FROM (
+      |    SELECT user_id,
+      |      SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS nc
+      |    FROM scd GROUP BY 1)
+      |  WHERE nc <> 1),
+      |seg AS (
+      |  SELECT c.c_mktsegment, o.o_totalprice
+      |  FROM so o JOIN sc c ON o.o_custkey = c.c_custkey)
+      |SELECT 'staging' AS step, 'stg_orders_delta' AS relation,
+      |  'rows_in' AS metric, (SELECT COUNT(*) FROM od)::BIGINT AS value
+      |UNION ALL SELECT 'staging', 'stg_orders_delta', 'rows_kept',
+      |  (SELECT COUNT(*) FROM odv)
+      |UNION ALL SELECT 'staging', 'stg_orders_delta', 'dropped_invalid',
+      |  (SELECT COUNT(*) FROM od
+      |   WHERE o_totalprice <= 0 OR o_custkey IS NULL)
+      |UNION ALL SELECT 'staging', 'stg_orders_delta', 'high_value',
+      |  (SELECT COUNT(*) FROM od WHERE o_totalprice > 400000)
+      |UNION ALL SELECT 'staging', 'stg_orders_delta',
+      |  'resubmitted_dropped', (SELECT n FROM resub)
+      |UNION ALL SELECT 'staging', 'stg_orders', 'rows_appended',
+      |  (SELECT COUNT(*) FROM odv) - (SELECT n FROM resub)
+      |UNION ALL SELECT 'staging', 'stg_orders', 'months_touched',
+      |  (SELECT COUNT(DISTINCT strftime(o_orderdate, '%Y-%m'))
+      |   FROM odv WHERE o_orderkey NOT IN (SELECT o_orderkey FROM obv))
+      |UNION ALL SELECT 'dim', 'dim_user_scd2', 'affected_users',
+      |  (SELECT COUNT(DISTINCT user_id) FROM events
+      |   WHERE event_id % 5 = 2)
+      |UNION ALL SELECT 'dim', 'dim_user_scd2', 'versions_added',
+      |  (SELECT COUNT(*) FROM events WHERE event_id % 5 = 2)
+      |UNION ALL SELECT 'dim', 'dim_user_scd2', 'versions',
+      |  (SELECT COUNT(*) FROM scd)
+      |UNION ALL SELECT 'dim', 'dim_user_scd2', 'current_rows',
+      |  (SELECT COUNT(*) FROM scd WHERE is_current)
+      |UNION ALL SELECT 'dim', 'dim_user_scd2', 'overlap_violations',
+      |  (SELECT n FROM ov)
+      |UNION ALL SELECT 'dim', 'dim_user_scd2', 'current_violations',
+      |  (SELECT n FROM cv)
+      |UNION ALL SELECT 'mart', 'mart_monthly_revenue', 'rows',
+      |  (SELECT COUNT(DISTINCT date_trunc('month', o_orderdate))
+      |   FROM so)
+      |UNION ALL SELECT 'mart', 'mart_monthly_revenue', 'revenue_cents',
+      |  (SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |     AS BIGINT)) AS BIGINT) FROM so)
+      |UNION ALL SELECT 'mart', 'mart_monthly_revenue', 'published',
+      |  1::BIGINT
+      |UNION ALL SELECT 'mart', 'mart_monthly_revenue',
+      |  'audit_violations', 0::BIGINT
+      |UNION ALL SELECT 'mart', 'mart_segment_revenue', 'rows',
+      |  (SELECT COUNT(DISTINCT c_mktsegment) FROM seg)
+      |UNION ALL SELECT 'mart', 'mart_segment_revenue', 'revenue_cents',
+      |  (SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |     AS BIGINT)) AS BIGINT) FROM seg)
+      |UNION ALL SELECT 'mart', 'mart_segment_revenue', 'published',
+      |  1::BIGINT
+      |UNION ALL SELECT 'mart', 'mart_segment_revenue',
+      |  'audit_violations', 0::BIGINT""".stripMargin) { (s, dir) =>
+    import graft.sources.{Tables, WarehouseBuild}
+    val h = s"inc${math.abs(dir.hashCode)}"
+    val orders = Tables.orders(s, dir)
+    val events = Tables.events(s, dir)
+    WarehouseBuild.runOn(s,
+      orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 3),
+      Tables.customer(s, dir),
+      events.filter(pmod(col("event_id"), lit(5)) =!= 2), h)
+    WarehouseBuild.runIncremental(s, h,
+      orders.filter(pmod(col("o_orderkey"), lit(7)) === 3),
+      events.filter(pmod(col("event_id"), lit(5)) === 2))
+  }
+
   val all: Seq[Query] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q46, q47, q50, q51, q52, q59, q61, q62, q69,
     q74, q76, q77, q101, q105, q145, q147, q149, q160, q165, q168, q172,
-    q178, q233, q234, q243)
+    q178, q233, q234, q243, q250)
 }

@@ -17,47 +17,76 @@ import graft.quality.{NotNull, Quality, Unique}
   * materialization actions via `Dataset.observe` ([[Quality.observed]])
   * — rows-in, rows-kept, and violation counters cost ZERO extra scans;
   * the one pass that writes each staged table also counts it. Mart
-  * publication goes through [[Materialize.publishAudited]] (the WAP
-  * gate), so a failing quality suite leaves the previous version
-  * untouched and the report's `published` metric reads 0 — the audit
-  * report IS the gate's evidence, and the driver's oracle recomputes
-  * every count independently from the raw tables.
+  * publication goes through [[Materialize.publishSetAudited]] (the
+  * all-or-nothing WAP gate), so a failing quality suite on EITHER mart
+  * leaves BOTH previous versions untouched and the report's
+  * `published` metric reads 0 — the audit report IS the gate's
+  * evidence, and the driver's oracle recomputes every count
+  * independently from the raw tables.
   *
   * Scale posture (100 TB): every layer is a declarative frame —
   * staging filters push into the raw scans, the SCD2 chain is one
   * partitioned window, marts are map-side-combinable aggregates, and
   * the only driver-side values are the report's bounded scalars (one
   * Long per metric, ~20 rows total). Nothing in the chain collects
-  * row-level data.
+  * row-level data. The state tables are laid out for the INCREMENTAL
+  * run ([[runIncremental]]): staged orders partitioned by order
+  * month, the SCD2 dim by a user-hash bucket, the per-(segment,
+  * month) mart input by month — so a daily delta touches its own
+  * months/buckets and the rest of the warehouse is never read or
+  * rewritten.
   */
 object WarehouseBuild {
 
   /** One metric row of the audit report. */
   private type Metric = (String, String, String, Long)
 
+  /** SCD2 dim partition buckets (user-hash). Sized for the fixtures;
+    * a deployment picks bucket count ≈ dim size / target partition. */
+  private val DimBuckets = 16
+
+  private def omCol(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM")
+
+  private def ubCol = pmod(col("user_id"), lit(DimBuckets))
+    .cast("int").as("ub")
+
+  /** The orders staging gate — ONE definition shared by the full and
+    * incremental paths so they cannot drift. */
+  private def validOrder = col("o_totalprice") > 0 &&
+    col("o_custkey").isNotNull
+
   /** Run the full build against the fixture at `dir`. Returns the
     * audit report: (step, relation, metric, value BIGINT), one frame
     * summarizing every layer of the single composed run. Tables are
     * suffixed per-`dir` so concurrent scale factors don't collide. */
-  def run(spark: SparkSession, dir: String): DataFrame = {
-    val h = math.abs(dir.hashCode).toString
+  def run(spark: SparkSession, dir: String): DataFrame =
+    runOn(spark, Tables.orders(spark, dir), Tables.customer(spark, dir),
+      Tables.events(spark, dir), math.abs(dir.hashCode).toString)
+
+  /** [[run]] against explicit input frames and an explicit state-table
+    * suffix — the full-rebuild entry the incremental path's specs and
+    * q250 continue from. */
+  def runOn(spark: SparkSession, rawOrders: DataFrame,
+      rawCustomer: DataFrame, rawEvents: DataFrame,
+      h: String): DataFrame = {
 
     // ---- staging: orders. Counters ride the materialization action.
-    val rawOrders = Tables.orders(spark, dir)
     val (ordersIn, ordersInObs) = Quality.observed(rawOrders, Seq(
       "rows_in" -> lit(true),
-      "dropped_invalid" ->
-        (col("o_totalprice") <= 0 || col("o_custkey").isNull),
+      "dropped_invalid" -> !validOrder,
       "high_value" -> (col("o_totalprice") > 400000)))
     val (ordersKept, ordersKeptObs) = Quality.observed(
-      ordersIn.filter(col("o_totalprice") > 0 &&
-        col("o_custkey").isNotNull),
+      ordersIn.filter(validOrder),
       Seq("rows_kept" -> lit(true)))
-    val stgOrders =
-      Materialize.table(ordersKept, s"e2e_stg_orders_$h")
+    // partitioned by order month: the incremental path's append and
+    // mart recompute read only the delta's own months
+    Materialize.partitionedTable(
+      ordersKept.withColumn("om", omCol(col("o_orderdate"))),
+      s"e2e_stg_orders_$h", "om")
 
     // ---- staging: customer (q52 soft-delete rule: key ≡ 0 mod 10).
-    val rawCust = Tables.customer(spark, dir)
+    val rawCust = rawCustomer
       .withColumn("is_deleted", pmod(col("c_custkey"), lit(10)) === 0)
     val (custIn, custInObs) = Quality.observed(rawCust, Seq(
       "rows_in" -> lit(true),
@@ -65,90 +94,269 @@ object WarehouseBuild {
     val (custKept, custKeptObs) = Quality.observed(
       graft.stage.Staging.dropSoftDeleted(custIn),
       Seq("rows_kept" -> lit(true)))
-    val stgCust =
-      Materialize.table(custKept.drop("is_deleted"), s"e2e_stg_customer_$h")
+    Materialize.table(custKept.drop("is_deleted"), s"e2e_stg_customer_$h")
 
     // ---- dim: SCD2 user-state chain from the event log (q6 shape),
-    // materialized, then invariant-audited FROM THE STORED COPY (the
-    // checks prove what readers will see, not what the plan computed).
-    val dim = Materialize.table(
-      Scd2.build(Tables.events(spark, dir), Seq("user_id"), "ts",
-        Seq("event_id")),
-      s"e2e_dim_user_scd2_$h")
-    val dimVersions = dim.count()
-    val dimCurrent = dim.filter(col("is_current")).count()
-    val dimOverlap = Scd2.overlapViolations(dim, Seq("user_id")).count()
-    val dimCurrentViol = Scd2.currentViolations(dim, Seq("user_id")).count()
+    // materialized PARTITIONED BY user bucket (the incremental merge
+    // rewrites only buckets holding changed users), then
+    // invariant-audited FROM THE STORED COPY (the checks prove what
+    // readers will see, not what the plan computed).
+    Materialize.partitionedTable(
+      Scd2.build(rawEvents, Seq("user_id"), "ts", Seq("event_id"))
+        .withColumn("ub", ubCol),
+      s"e2e_dim_user_scd2_$h", "ub")
 
-    // ---- marts from the STAGED tables (proving the chain feeds
-    // forward through the catalog), published as ONE all-or-nothing
-    // SET ([[Materialize.publishSetAudited]]): the dbt-build promotion
-    // semantic — if EITHER mart fails its audit, NEITHER publishes, so
-    // readers never see a fresh mart beside the stale sibling it was
-    // built with.
-    val monthly = stgOrders
+    // ---- the per-(segment, month) partial mart, partitioned by month
+    // so the incremental path recomputes only touched slices
+    // (absorbing: recompute-from-staged, never a partial-sum merge).
+    rebuildSegMonth(spark, h, None)
+
+    // ---- marts + publish (one all-or-nothing set), then the report.
+    val martRows = publishMarts(spark, h)
+    def obsVal(o: org.apache.spark.sql.Observation, k: String): Long =
+      o.get(k).asInstanceOf[Number].longValue()
+    import spark.implicits._
+    (stagingMetrics(
+        obsVal(ordersInObs, "rows_in"),
+        obsVal(ordersKeptObs, "rows_kept"),
+        obsVal(ordersInObs, "dropped_invalid"),
+        obsVal(ordersInObs, "high_value"),
+        obsVal(custInObs, "rows_in"),
+        obsVal(custKeptObs, "rows_kept"),
+        obsVal(custInObs, "soft_deleted")) ++
+      dimMetrics(spark, h))
+      .toDF("step", "relation", "metric", "value")
+      .unionByName(martRows)
+  }
+
+  private def stagingMetrics(oIn: Long, oKept: Long, oDrop: Long,
+      oHigh: Long, cIn: Long, cKept: Long, cSoft: Long): Seq[Metric] =
+    Seq[Metric](
+      ("staging", "stg_orders", "rows_in", oIn),
+      ("staging", "stg_orders", "rows_kept", oKept),
+      ("staging", "stg_orders", "dropped_invalid", oDrop),
+      ("staging", "stg_orders", "high_value", oHigh),
+      ("staging", "stg_customer", "rows_in", cIn),
+      ("staging", "stg_customer", "rows_kept", cKept),
+      ("staging", "stg_customer", "soft_deleted", cSoft))
+
+  private def dimMetrics(spark: SparkSession, h: String): Seq[Metric] = {
+    val dim = spark.table(s"e2e_dim_user_scd2_$h")
+    Seq[Metric](
+      ("dim", "dim_user_scd2", "versions", dim.count()),
+      ("dim", "dim_user_scd2", "current_rows",
+        dim.filter(col("is_current")).count()),
+      ("dim", "dim_user_scd2", "overlap_violations",
+        Scd2.overlapViolations(dim, Seq("user_id")).count()),
+      ("dim", "dim_user_scd2", "current_violations",
+        Scd2.currentViolations(dim, Seq("user_id")).count()))
+  }
+
+  /** (Re)compute the per-(segment, month) partial mart from the stored
+    * staged tables. `months = None` rebuilds the whole table (the full
+    * run); `Some(ms)` recomputes ONLY those month partitions via
+    * dynamic partition overwrite — the pruned scan reads just those
+    * slices of the staged orders. Recompute-from-staged is ABSORBING:
+    * replaying the same months converges, unlike a partial-sum merge. */
+  private def rebuildSegMonth(spark: SparkSession, h: String,
+      months: Option[Seq[String]]): Unit = {
+    val joined = spark.table(s"e2e_stg_orders_$h")
+      .join(spark.table(s"e2e_stg_customer_$h"),
+        col("o_custkey") === col("c_custkey"))
+    months match {
+      case None =>
+        Materialize.partitionedTable(
+          joined.groupBy(col("c_mktsegment"), col("om"))
+            .agg(sum(money(col("o_totalprice"))).as("revenue")),
+          s"e2e_seg_month_$h", "om")
+        ()
+      case Some(ms) if ms.isEmpty => ()
+      case Some(ms) =>
+        val slice = joined.filter(col("om").isin(ms: _*))
+          .groupBy(col("c_mktsegment"), col("om"))
+          .agg(sum(money(col("o_totalprice"))).as("revenue"))
+        val cols = spark.table(s"e2e_seg_month_$h").columns.toSeq
+        val PoKey = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(PoKey)
+        spark.conf.set(PoKey, "dynamic")
+        try slice.select(cols.map(col): _*)
+          .repartition(col("om"))
+          .write.mode("overwrite").insertInto(s"e2e_seg_month_$h")
+        finally prev match {
+          case Some(v) => spark.conf.set(PoKey, v)
+          case None => spark.conf.unset(PoKey)
+        }
+        spark.catalog.refreshTable(s"e2e_seg_month_$h")
+    }
+  }
+
+  /** Recompute both marts from the stored state tables and publish
+    * them as ONE all-or-nothing set; returns the mart metric rows.
+    * Shared by the full and incremental paths so the mart definitions
+    * and the release gate cannot drift. */
+  private def publishMarts(spark: SparkSession, h: String): DataFrame = {
+    val monthly = spark.table(s"e2e_stg_orders_$h")
       .groupBy(trunc(col("o_orderdate"), "MM").as("month"))
       .agg(sum(money(col("o_totalprice"))).as("revenue"))
-    val segment = stgOrders
-      .join(stgCust, col("o_custkey") === col("c_custkey"))
+    val segment = spark.table(s"e2e_seg_month_$h")
       .groupBy(col("c_mktsegment"))
-      .agg(sum(money(col("o_totalprice"))).as("revenue"))
+      .agg(sum(col("revenue")).cast("decimal(18,2)").as("revenue"))
     val (martsOk, martsAudit) = Materialize.publishSetAudited(
       s"e2e_marts_$h", Seq(
         (monthly, s"e2e_mart_monthly_$h",
           Seq(NotNull("month"), NotNull("revenue"), Unique(Seq("month")))),
         (segment, s"e2e_mart_segment_$h",
           Seq(NotNull("c_mktsegment"), Unique(Seq("c_mktsegment"))))))
-    val (monthlyOk, segmentOk) = (martsOk, martsOk)
-    val monthlyAudit = martsAudit
-      .find(_._1 == s"e2e_mart_monthly_$h").map(_._2).getOrElse(Nil)
-    val segmentAudit = martsAudit
-      .find(_._1 == s"e2e_mart_segment_$h").map(_._2).getOrElse(Nil)
-
-    def martMetrics(rel: String, name: String, ok: Boolean,
-        audit: Seq[Quality.Result]): Seq[Metric] = {
+    def metrics(rel: String, name: String): Seq[Metric] = {
       // read back from the catalog: the report describes the
       // PUBLISHED artifact (cents stay exact: decimal × 100 → long)
       val m = spark.table(name)
         .agg(count(lit(1)).as("n"),
           sum((col("revenue") * 100).cast("long")).as("cents"))
         .head()
+      val viol = martsAudit.find(_._1 == name).map(_._2).getOrElse(Nil)
       Seq(
         ("mart", rel, "rows", m.getAs[Long]("n")),
         ("mart", rel, "revenue_cents", m.getAs[Long]("cents")),
-        ("mart", rel, "published", if (ok) 1L else 0L),
-        ("mart", rel, "audit_violations", audit.map(_.violations).sum))
+        ("mart", rel, "published", if (martsOk) 1L else 0L),
+        ("mart", rel, "audit_violations", viol.map(_.violations).sum))
+    }
+    import spark.implicits._
+    (metrics("mart_monthly_revenue", s"e2e_mart_monthly_$h") ++
+      metrics("mart_segment_revenue", s"e2e_mart_segment_$h"))
+      .toDF("step", "relation", "metric", "value")
+  }
+
+  /** INCREMENTAL continuation of [[runOn]] — the dbt incremental-run /
+    * snapshot semantic at warehouse scale: a delta of new orders and
+    * new events is folded into the PUBLISHED state instead of
+    * rebuilding the warehouse. Cost is proportional to the delta:
+    *
+    *  - delta orders pass the SAME staging gate (shared predicate),
+    *    are de-duplicated against the staged table by order key WITHIN
+    *    the delta's own month partitions only (a resubmitted order is
+    *    dropped — the stored copy wins), and append to their month
+    *    partitions;
+    *  - delta events re-version ONLY the affected users' SCD2 chains
+    *    (the q63/Scd2.merge semantic), and only the user-hash buckets
+    *    holding affected users are rewritten (dynamic partition
+    *    overwrite); the union of each affected user's stored change
+    *    rows and the delta is de-duplicated on (user_id, ts, event_id)
+    *    before re-versioning, which makes the merge ABSORBING — a
+    *    replayed delta rebuilds identical chains;
+    *  - the per-(segment, month) mart input is RECOMPUTED from the
+    *    staged tables for the touched months only (absorbing, pruned
+    *    scan), and both marts republish through the same
+    *    all-or-nothing set gate as the full build.
+    *
+    * Replay-safe end to end: every step is absorbing, so re-applying
+    * the same delta is a content no-op (spec-pinned, along with
+    * set-equality against a full rebuild over base ∪ delta). */
+  def runIncremental(spark: SparkSession, h: String,
+      ordersDelta: DataFrame, eventsDelta: DataFrame): DataFrame = {
+    val stgT = s"e2e_stg_orders_$h"
+    val dimT = s"e2e_dim_user_scd2_$h"
+    require(spark.catalog.tableExists(stgT) &&
+      spark.catalog.tableExists(dimT) &&
+      spark.catalog.tableExists(s"e2e_seg_month_$h"),
+      s"runIncremental continues a prior run: state tables for $h missing")
+
+    // ---- delta staging gate (counters ride the one staging action)
+    val (oIn, oInObs) = Quality.observed(ordersDelta, Seq(
+      "rows_in" -> lit(true),
+      "dropped_invalid" -> !validOrder,
+      "high_value" -> (col("o_totalprice") > 400000)))
+    val (oKept, oKeptObs) = Quality.observed(
+      oIn.filter(validOrder), Seq("rows_kept" -> lit(true)))
+    val staged = Materialize.table(
+      oKept.withColumn("om", omCol(col("o_orderdate"))),
+      s"e2e_stg_orders_delta_$h")
+
+    // ---- order-key dedup against the stored months the delta lands
+    // in (partition-pruned, one key column read); the stored copy wins
+    // bounded collect: <= delta-month VALUES
+    val deltaMonths = staged.select(col("om")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val fresh = staged.join(
+      spark.table(stgT).filter(col("om").isin(deltaMonths: _*))
+        .select(col("o_orderkey")),
+      Seq("o_orderkey"), "left_anti")
+    val appended = fresh.count() // bounded scalar
+    val resubmitted = spark.table(s"e2e_stg_orders_delta_$h").count() -
+      appended
+    // touched months = months that actually gained rows
+    val touched = fresh.select(col("om")).distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: <= delta months
+    if (appended > 0) {
+      val cols = spark.table(stgT).columns.toSeq // om last
+      fresh.select(cols.map(col): _*)
+        .repartition(col("om"))
+        .write.mode("append").insertInto(stgT)
+      spark.catalog.refreshTable(stgT)
     }
 
-    // ---- the report: bounded driver scalars only (≤ ~20 Longs).
+    // ---- SCD2 merge: re-version ONLY affected users, rewrite ONLY
+    // their buckets. The (stored change rows ∪ delta) union is
+    // de-duplicated on the full change identity so replay is absorbing.
+    val scdCols = Seq("valid_from", "valid_to", "is_current", "version")
+    val affected = eventsDelta.select(col("user_id")).distinct()
+    val nAffected = affected.count() // bounded scalar
+    val dim = spark.table(dimT)
+    val touchedBuckets = affected.select(ubCol)
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // bounded collect: <= DimBuckets VALUES
+    val versionsBefore = dim.count()
+    if (nAffected > 0) {
+      val bucketSlice = dim.filter(col("ub").isin(touchedBuckets: _*))
+      val touchedDim = bucketSlice.join(affected, Seq("user_id"),
+        "left_semi")
+      val untouchedInBuckets = bucketSlice.join(affected, Seq("user_id"),
+        "left_anti")
+      val changeLog = touchedDim.drop((scdCols :+ "ub").map(c => c): _*)
+      val rebuilt = Scd2.build(
+        changeLog.unionByName(
+          eventsDelta.select(changeLog.columns.map(col): _*))
+          .dropDuplicates("user_id", "ts", "event_id"),
+        Seq("user_id"), "ts", Seq("event_id"))
+        .withColumn("ub", ubCol)
+      val cols = dim.columns.toSeq
+      val PoKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(PoKey)
+      spark.conf.set(PoKey, "dynamic")
+      try untouchedInBuckets.select(cols.map(col): _*)
+        .unionByName(rebuilt.select(cols.map(col): _*))
+        .repartition(col("ub"))
+        .write.mode("overwrite").insertInto(dimT)
+      finally prev match {
+        case Some(v) => spark.conf.set(PoKey, v)
+        case None => spark.conf.unset(PoKey)
+      }
+      spark.catalog.refreshTable(dimT)
+    }
+
+    // ---- touched-month mart recompute + all-or-nothing republish
+    rebuildSegMonth(spark, h, Some(touched))
+    val martRows = publishMarts(spark, h)
+
     def obsVal(o: org.apache.spark.sql.Observation, k: String): Long =
       o.get(k).asInstanceOf[Number].longValue()
-    val rows: Seq[Metric] =
-      Seq[Metric](
-        ("staging", "stg_orders", "rows_in",
-          obsVal(ordersInObs, "rows_in")),
-        ("staging", "stg_orders", "rows_kept",
-          obsVal(ordersKeptObs, "rows_kept")),
-        ("staging", "stg_orders", "dropped_invalid",
-          obsVal(ordersInObs, "dropped_invalid")),
-        ("staging", "stg_orders", "high_value",
-          obsVal(ordersInObs, "high_value")),
-        ("staging", "stg_customer", "rows_in",
-          obsVal(custInObs, "rows_in")),
-        ("staging", "stg_customer", "rows_kept",
-          obsVal(custKeptObs, "rows_kept")),
-        ("staging", "stg_customer", "soft_deleted",
-          obsVal(custInObs, "soft_deleted")),
-        ("dim", "dim_user_scd2", "versions", dimVersions),
-        ("dim", "dim_user_scd2", "current_rows", dimCurrent),
-        ("dim", "dim_user_scd2", "overlap_violations", dimOverlap),
-        ("dim", "dim_user_scd2", "current_violations", dimCurrentViol)) ++
-      martMetrics("mart_monthly_revenue", s"e2e_mart_monthly_$h",
-        monthlyOk, monthlyAudit) ++
-      martMetrics("mart_segment_revenue", s"e2e_mart_segment_$h",
-        segmentOk, segmentAudit)
-
     import spark.implicits._
-    rows.toDF("step", "relation", "metric", "value")
+    (Seq[Metric](
+      ("staging", "stg_orders_delta", "rows_in", obsVal(oInObs, "rows_in")),
+      ("staging", "stg_orders_delta", "rows_kept",
+        obsVal(oKeptObs, "rows_kept")),
+      ("staging", "stg_orders_delta", "dropped_invalid",
+        obsVal(oInObs, "dropped_invalid")),
+      ("staging", "stg_orders_delta", "high_value",
+        obsVal(oInObs, "high_value")),
+      ("staging", "stg_orders_delta", "resubmitted_dropped", resubmitted),
+      ("staging", "stg_orders", "rows_appended", appended),
+      ("staging", "stg_orders", "months_touched", touched.size.toLong),
+      ("dim", "dim_user_scd2", "affected_users", nAffected),
+      ("dim", "dim_user_scd2", "versions_added",
+        spark.table(dimT).count() - versionsBefore)) ++
+      dimMetrics(spark, h))
+      .toDF("step", "relation", "metric", "value")
+      .unionByName(martRows)
   }
 }

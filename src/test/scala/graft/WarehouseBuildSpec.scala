@@ -36,4 +36,69 @@ class WarehouseBuildSpec extends SparkSpec {
     assert(rep(("mart", "mart_segment_revenue", "revenue_cents")) <=
       rep(("mart", "mart_monthly_revenue", "revenue_cents")))
   }
+
+  test("the incremental run converges to the full rebuild, handles " +
+      "resubmissions/invalid/late-event deltas, and replays as a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.sources.Tables.orders(spark, dir)
+    val events = graft.sources.Tables.events(spark, dir)
+    val customer = graft.sources.Tables.customer(spark, dir)
+    // deterministic split: ~1/7 of orders and ~1/5 of events arrive late
+    val oBase = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 3)
+    val oDeltaNat = orders.filter(pmod(col("o_orderkey"), lit(7)) === 3)
+    val eBase = events.filter(pmod(col("event_id"), lit(5)) =!= 2)
+    val eDelta = events.filter(pmod(col("event_id"), lit(5)) === 2)
+
+    val hI = "whinc"
+    WarehouseBuild.runOn(spark, oBase, customer, eBase, hI)
+    // crafted delta rows: a RESUBMISSION of a staged base order (must
+    // be dropped — the stored copy wins) and an INVALID order (gated)
+    val resub = oBase.filter(validBase(oBase)).limit(1)
+    val invalid = resub
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      .withColumn("o_totalprice",
+        lit(-1).cast(orders.schema("o_totalprice").dataType))
+    val oDelta = oDeltaNat.unionByName(resub).unionByName(invalid)
+
+    val rep = rows(WarehouseBuild.runIncremental(spark, hI, oDelta,
+      eDelta))
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3))).toMap
+    assert(rep(("staging", "stg_orders_delta", "resubmitted_dropped"))
+      == 1, rep.toString)
+    assert(rep(("staging", "stg_orders_delta", "dropped_invalid")) >= 1)
+    assert(rep(("dim", "dim_user_scd2", "affected_users")) > 0)
+    assert(rep(("dim", "dim_user_scd2", "versions_added")) > 0)
+    assert(rep(("dim", "dim_user_scd2", "overlap_violations")) == 0)
+    assert(rep(("dim", "dim_user_scd2", "current_violations")) == 0)
+    assert(rep(("mart", "mart_monthly_revenue", "published")) == 1)
+
+    // full rebuild over base ∪ delta must produce identical state
+    val hF = "whfull"
+    WarehouseBuild.runOn(spark, oBase.unionByName(oDeltaNat), customer,
+      events, hF)
+    def snap(h: String, t: String): Set[Seq[Any]] =
+      spark.table(s"e2e_${t}_$h").collect().map(_.toSeq).toSet
+    for (t <- Seq("stg_orders", "dim_user_scd2", "seg_month",
+        "mart_monthly", "mart_segment"))
+      assert(snap(hI, t) == snap(hF, t), s"$t diverged from full rebuild")
+
+    // replay: the identical delta changes nothing
+    val rep2 = rows(WarehouseBuild.runIncremental(spark, hI, oDelta,
+      eDelta))
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3))).toMap
+    assert(rep2(("staging", "stg_orders", "rows_appended")) == 0)
+    assert(rep2(("dim", "dim_user_scd2", "versions_added")) == 0)
+    for (t <- Seq("stg_orders", "dim_user_scd2", "seg_month",
+        "mart_monthly", "mart_segment"))
+      assert(snap(hI, t) == snap(hF, t), s"$t drifted under replay")
+  }
+
+  private def validBase(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    col("o_totalprice") > 0 && col("o_custkey").isNotNull
+  }
 }
