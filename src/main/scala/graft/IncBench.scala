@@ -23,6 +23,9 @@ object IncBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_INC_MODE").contains("warehouse")) {
+      warehouse(spark, sfDir); spark.stop(); return
+    }
     import graft.queries.CorpusBuild
 
     // SPARK_GRAFT_INC_MULT=k replicates the corpus k× with id-offset,
@@ -66,5 +69,86 @@ object IncBench {
     def r3(v: Double) = f"$v%.3f"
     println(s"""{"metric":"incremental_corpus_build","rows_total":$totalRows,"rows_delta":$deltaRows,"sec_full_rebuild":${r3(tFull)},"sec_incremental_delta":${r3(tInc)},"sec_base_build":${r3(tBase)},"speedup_vs_rebuild":${r3(tFull / tInc)}}""")
     spark.stop()
+  }
+
+  /** The warehouse twin ([[graft.sources.WarehouseBuild]]): apply a
+    * ~1% late-arrival delta of orders + events via `runIncremental` vs
+    * rebuilding with `runOn`. `SPARK_GRAFT_INC_MULT=k` replicates
+    * orders/events k× (order/event/user keys offset so chains and
+    * months keep their per-key profile; customers fixed, so replicas
+    * join the same dimension). */
+  private def warehouse(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sources.WarehouseBuild
+    val mult = sys.env.getOrElse("SPARK_GRAFT_INC_MULT", "1").toInt
+    // bucket count must scale with the user population: the merge
+    // rewrites ~affected_users/buckets of the dim (hash scatter), so
+    // a fixed small bucket count turns any scattered delta into a
+    // full-dim rewrite
+    val dimBuckets =
+      sys.env.getOrElse("SPARK_GRAFT_INC_DIMBUCKETS", "256").toInt
+    def replicate(df: org.apache.spark.sql.DataFrame,
+        keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+      if (mult <= 1) df
+      else {
+        val offs = keys.map(k =>
+          k -> (df.agg(max(col(k))).head.getLong(0) + 1)).toMap
+        (0 until mult).map { r =>
+          keys.foldLeft(df) { (d, k) =>
+            d.withColumn(k, (col(k) + lit(r * offs(k)))
+              .cast(df.schema(k).dataType))
+          }
+        }.reduce(_ unionByName _)
+      }
+    }
+    val orders = replicate(
+      spark.read.parquet(s"$sfDir/orders.parquet"), Seq("o_orderkey"))
+    val events = replicate(
+      spark.read.parquet(s"$sfDir/events.parquet"),
+      Seq("event_id", "user_id"))
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    // the REALISTIC late-arrival shape: the delta is date-localized
+    // (the newest slice of each stream), not key-random — that is what
+    // makes the month-partition append/recompute and the affected-user
+    // dim merge touch slices instead of everything. Orders: the last
+    // ~30 days (1-2 of ~80 months); events: the last ~2 minutes of the
+    // log (a bounded set of affected users).
+    val oCut = orders.agg(expr("date_sub(max(o_orderdate), 30)")).head.get(0)
+    val eCut = events.agg(expr("max(ts) - INTERVAL 2 MINUTES")).head.get(0)
+    // diagnostic: SPARK_GRAFT_INC_SKIP=events|orders empties one delta
+    // stream so the two incremental phases can be costed separately
+    val skip = sys.env.getOrElse("SPARK_GRAFT_INC_SKIP", "")
+    val (oBase, oDelta0) = (orders.filter(col("o_orderdate") < lit(oCut)),
+      orders.filter(col("o_orderdate") >= lit(oCut)))
+    val (eBase, eDelta0) = (events.filter(col("ts") < lit(eCut)),
+      events.filter(col("ts") >= lit(eCut)))
+    val oDelta = if (skip == "orders") oDelta0.filter(lit(false)) else oDelta0
+    val eDelta = if (skip == "events") eDelta0.filter(lit(false)) else eDelta0
+    val totalRows = orders.count() + events.count()
+    val deltaRows = oDelta.count() + eDelta.count()
+    val affectedUsers = eDelta.select("user_id").distinct().count()
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    graft.operators.InternalCache.release()
+    val tBase = time {
+      WarehouseBuild.runOn(spark, oBase, customer, eBase, "wib",
+        dimBuckets = dimBuckets).count()
+      ()
+    }
+    graft.operators.InternalCache.release()
+    val tInc = time {
+      WarehouseBuild.runIncremental(spark, "wib", oDelta, eDelta,
+        dimBuckets = dimBuckets).count()
+      ()
+    }
+    graft.operators.InternalCache.release()
+    val tFull = time {
+      WarehouseBuild.runOn(spark, orders, customer, events, "wif",
+        dimBuckets = dimBuckets).count()
+      ()
+    }
+    def r3(v: Double) = f"$v%.3f"
+    println(s"""{"metric":"incremental_warehouse_build","rows_total":$totalRows,"rows_delta":$deltaRows,"affected_users":$affectedUsers,"sec_full_rebuild":${r3(tFull)},"sec_incremental_delta":${r3(tInc)},"sec_base_build":${r3(tBase)},"speedup_vs_rebuild":${r3(tFull / tInc)}}""")
   }
 }

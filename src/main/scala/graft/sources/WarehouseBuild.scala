@@ -41,15 +41,21 @@ object WarehouseBuild {
   /** One metric row of the audit report. */
   private type Metric = (String, String, String, Long)
 
-  /** SCD2 dim partition buckets (user-hash). Sized for the fixtures;
-    * a deployment picks bucket count ≈ dim size / target partition. */
-  private val DimBuckets = 16
+  /** Default SCD2 dim partition buckets (user-hash), sized for the
+    * fixtures. A deployment picks bucket count ≈ users / target
+    * partition: the incremental merge rewrites every bucket holding an
+    * affected user, so the rewrite fraction ≈ affected_users / buckets
+    * — too few buckets and a scattered delta touches them all
+    * (measured: at 16 buckets a 50-user delta rewrites the whole dim).
+    * [[runOn]] and [[runIncremental]] must be called with the SAME
+    * value for one state suffix. */
+  val DefaultDimBuckets = 16
 
   private def omCol(c: org.apache.spark.sql.Column) =
     date_format(c, "yyyy-MM")
 
-  private def ubCol = pmod(col("user_id"), lit(DimBuckets))
-    .cast("int").as("ub")
+  private def ubCol(buckets: Int) =
+    pmod(col("user_id"), lit(buckets)).cast("int").as("ub")
 
   /** The orders staging gate — ONE definition shared by the full and
     * incremental paths so they cannot drift. */
@@ -68,8 +74,8 @@ object WarehouseBuild {
     * suffix — the full-rebuild entry the incremental path's specs and
     * q250 continue from. */
   def runOn(spark: SparkSession, rawOrders: DataFrame,
-      rawCustomer: DataFrame, rawEvents: DataFrame,
-      h: String): DataFrame = {
+      rawCustomer: DataFrame, rawEvents: DataFrame, h: String,
+      dimBuckets: Int = DefaultDimBuckets): DataFrame = {
 
     // ---- staging: orders. Counters ride the materialization action.
     val (ordersIn, ordersInObs) = Quality.observed(rawOrders, Seq(
@@ -103,13 +109,15 @@ object WarehouseBuild {
     // readers will see, not what the plan computed).
     Materialize.partitionedTable(
       Scd2.build(rawEvents, Seq("user_id"), "ts", Seq("event_id"))
-        .withColumn("ub", ubCol),
+        .withColumn("ub", ubCol(dimBuckets)),
       s"e2e_dim_user_scd2_$h", "ub")
 
-    // ---- the per-(segment, month) partial mart, partitioned by month
-    // so the incremental path recomputes only touched slices
-    // (absorbing: recompute-from-staged, never a partial-sum merge).
+    // ---- the per-(segment, month) and per-month partial marts,
+    // partitioned by month so the incremental path recomputes only
+    // touched slices (absorbing: recompute-from-staged, never a
+    // partial-sum merge).
     rebuildSegMonth(spark, h, None)
+    rebuildMonthRev(spark, h, None)
 
     // ---- marts + publish (one all-or-nothing set), then the report.
     val martRows = publishMarts(spark, h)
@@ -152,52 +160,75 @@ object WarehouseBuild {
         Scd2.currentViolations(dim, Seq("user_id")).count()))
   }
 
-  /** (Re)compute the per-(segment, month) partial mart from the stored
-    * staged tables. `months = None` rebuilds the whole table (the full
-    * run); `Some(ms)` recomputes ONLY those month partitions via
-    * dynamic partition overwrite — the pruned scan reads just those
-    * slices of the staged orders. Recompute-from-staged is ABSORBING:
-    * replaying the same months converges, unlike a partial-sum merge. */
-  private def rebuildSegMonth(spark: SparkSession, h: String,
-      months: Option[Seq[String]]): Unit = {
-    val joined = spark.table(s"e2e_stg_orders_$h")
-      .join(spark.table(s"e2e_stg_customer_$h"),
-        col("o_custkey") === col("c_custkey"))
+  /** (Re)compute a month-partitioned partial-mart table from the
+    * stored staged tables. `months = None` rebuilds the whole table
+    * (the full run); `Some(ms)` recomputes ONLY those month partitions
+    * via dynamic partition overwrite — the pruned scan reads just
+    * those slices of the staged orders. Recompute-from-staged is
+    * ABSORBING: replaying the same months converges, unlike a
+    * partial-sum merge. */
+  private def rebuildMonthPartial(spark: SparkSession, name: String,
+      source: => DataFrame, months: Option[Seq[String]]): Unit =
     months match {
       case None =>
-        Materialize.partitionedTable(
-          joined.groupBy(col("c_mktsegment"), col("om"))
-            .agg(sum(money(col("o_totalprice"))).as("revenue")),
-          s"e2e_seg_month_$h", "om")
+        Materialize.partitionedTable(source, name, "om")
         ()
       case Some(ms) if ms.isEmpty => ()
       case Some(ms) =>
-        val slice = joined.filter(col("om").isin(ms: _*))
-          .groupBy(col("c_mktsegment"), col("om"))
-          .agg(sum(money(col("o_totalprice"))).as("revenue"))
-        val cols = spark.table(s"e2e_seg_month_$h").columns.toSeq
+        val slice = source.filter(col("om").isin(ms: _*))
+        val cols = spark.table(name).columns.toSeq
         val PoKey = "spark.sql.sources.partitionOverwriteMode"
         val prev = spark.conf.getOption(PoKey)
         spark.conf.set(PoKey, "dynamic")
         try slice.select(cols.map(col): _*)
           .repartition(col("om"))
-          .write.mode("overwrite").insertInto(s"e2e_seg_month_$h")
+          .write.mode("overwrite").insertInto(name)
         finally prev match {
           case Some(v) => spark.conf.set(PoKey, v)
           case None => spark.conf.unset(PoKey)
         }
-        spark.catalog.refreshTable(s"e2e_seg_month_$h")
+        spark.catalog.refreshTable(name)
     }
-  }
+
+  /** The per-(segment, month) partial mart. The touched-month filter
+    * is applied BEFORE the join/aggregate, so a scoped rebuild reads
+    * only those staged-order partitions. */
+  private def rebuildSegMonth(spark: SparkSession, h: String,
+      months: Option[Seq[String]]): Unit =
+    rebuildMonthPartial(spark, s"e2e_seg_month_$h", {
+      val base = spark.table(s"e2e_stg_orders_$h")
+      val scoped = months.fold(base)(ms =>
+        if (ms.isEmpty) base else base.filter(col("om").isin(ms: _*)))
+      scoped.join(spark.table(s"e2e_stg_customer_$h"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("om"))
+        .agg(sum(money(col("o_totalprice"))).as("revenue"))
+    }, months)
+
+  /** The per-month revenue partial mart (the published monthly mart is
+    * a cheap projection of this table, so an incremental run never
+    * re-scans the whole staged-orders table to republish it). */
+  private def rebuildMonthRev(spark: SparkSession, h: String,
+      months: Option[Seq[String]]): Unit =
+    rebuildMonthPartial(spark, s"e2e_month_rev_$h", {
+      val base = spark.table(s"e2e_stg_orders_$h")
+      val scoped = months.fold(base)(ms =>
+        if (ms.isEmpty) base else base.filter(col("om").isin(ms: _*)))
+      scoped.groupBy(trunc(col("o_orderdate"), "MM").as("month"),
+          col("om"))
+        .agg(sum(money(col("o_totalprice"))).as("revenue"))
+    }, months)
 
   /** Recompute both marts from the stored state tables and publish
     * them as ONE all-or-nothing set; returns the mart metric rows.
     * Shared by the full and incremental paths so the mart definitions
     * and the release gate cannot drift. */
   private def publishMarts(spark: SparkSession, h: String): DataFrame = {
-    val monthly = spark.table(s"e2e_stg_orders_$h")
-      .groupBy(trunc(col("o_orderdate"), "MM").as("month"))
-      .agg(sum(money(col("o_totalprice"))).as("revenue"))
+    // both marts read the month-partitioned partials (bounded rows),
+    // never the staged fact table — the republish cost an incremental
+    // run pays is months × segments rows, not a fact scan
+    val monthly = spark.table(s"e2e_month_rev_$h")
+      .select(col("month"), col("revenue"))
     val segment = spark.table(s"e2e_seg_month_$h")
       .groupBy(col("c_mktsegment"))
       .agg(sum(col("revenue")).cast("decimal(18,2)").as("revenue"))
@@ -253,7 +284,8 @@ object WarehouseBuild {
     * the same delta is a content no-op (spec-pinned, along with
     * set-equality against a full rebuild over base ∪ delta). */
   def runIncremental(spark: SparkSession, h: String,
-      ordersDelta: DataFrame, eventsDelta: DataFrame): DataFrame = {
+      ordersDelta: DataFrame, eventsDelta: DataFrame,
+      dimBuckets: Int = DefaultDimBuckets): DataFrame = {
     val stgT = s"e2e_stg_orders_$h"
     val dimT = s"e2e_dim_user_scd2_$h"
     require(spark.catalog.tableExists(stgT) &&
@@ -302,12 +334,15 @@ object WarehouseBuild {
     val affected = eventsDelta.select(col("user_id")).distinct()
     val nAffected = affected.count() // bounded scalar
     val dim = spark.table(dimT)
-    val touchedBuckets = affected.select(ubCol)
+    val touchedBuckets = affected.select(ubCol(dimBuckets))
       .distinct().collect().map(_.getInt(0)).toSeq
-    // bounded collect: <= DimBuckets VALUES
-    val versionsBefore = dim.count()
-    if (nAffected > 0) {
-      val bucketSlice = dim.filter(col("ub").isin(touchedBuckets: _*))
+    // bounded collect: <= dimBuckets VALUES
+    val versionsBefore = dim.count() // one narrow columnar count
+    val versionsAdded = if (nAffected == 0) 0L else {
+      // the slice feeds the semi-join, the anti-join, and the version
+      // accounting — one pruned read, cached for the merge's duration
+      val bucketSlice = graft.operators.InternalCache.persist(
+        dim.filter(col("ub").isin(touchedBuckets: _*)))
       val touchedDim = bucketSlice.join(affected, Seq("user_id"),
         "left_semi")
       val untouchedInBuckets = bucketSlice.join(affected, Seq("user_id"),
@@ -318,7 +353,9 @@ object WarehouseBuild {
           eventsDelta.select(changeLog.columns.map(col): _*))
           .dropDuplicates("user_id", "ts", "event_id"),
         Seq("user_id"), "ts", Seq("event_id"))
-        .withColumn("ub", ubCol)
+        .withColumn("ub", ubCol(dimBuckets))
+      // slice-proportional delta accounting — never a second full count
+      val before = touchedDim.count()
       val cols = dim.columns.toSeq
       val PoKey = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(PoKey)
@@ -332,16 +369,31 @@ object WarehouseBuild {
         case None => spark.conf.unset(PoKey)
       }
       spark.catalog.refreshTable(dimT)
+      val added = spark.table(dimT)
+        .filter(col("ub").isin(touchedBuckets: _*))
+        .join(affected, Seq("user_id"), "left_semi").count() - before
+      graft.operators.InternalCache.release() // the merge-scoped slice
+      added
     }
 
     // ---- touched-month mart recompute + all-or-nothing republish
     rebuildSegMonth(spark, h, Some(touched))
+    rebuildMonthRev(spark, h, Some(touched))
     val martRows = publishMarts(spark, h)
 
+    // invariant checks SCOPED to the affected users' chains: rows of
+    // unaffected users pass through the bucket rewrite verbatim, so
+    // only the rebuilt chains could have been broken by this run —
+    // the incremental audit pays a window over the delta's users'
+    // versions, not a dim-wide (or even bucket-wide) one
+    val checkedSlice =
+      if (touchedBuckets.isEmpty) spark.table(dimT).limit(0)
+      else spark.table(dimT).filter(col("ub").isin(touchedBuckets: _*))
+        .join(affected, Seq("user_id"), "left_semi")
     def obsVal(o: org.apache.spark.sql.Observation, k: String): Long =
       o.get(k).asInstanceOf[Number].longValue()
     import spark.implicits._
-    (Seq[Metric](
+    Seq[Metric](
       ("staging", "stg_orders_delta", "rows_in", obsVal(oInObs, "rows_in")),
       ("staging", "stg_orders_delta", "rows_kept",
         obsVal(oKeptObs, "rows_kept")),
@@ -353,9 +405,15 @@ object WarehouseBuild {
       ("staging", "stg_orders", "rows_appended", appended),
       ("staging", "stg_orders", "months_touched", touched.size.toLong),
       ("dim", "dim_user_scd2", "affected_users", nAffected),
-      ("dim", "dim_user_scd2", "versions_added",
-        spark.table(dimT).count() - versionsBefore)) ++
-      dimMetrics(spark, h))
+      ("dim", "dim_user_scd2", "versions_added", versionsAdded),
+      ("dim", "dim_user_scd2", "versions",
+        versionsBefore + versionsAdded),
+      ("dim", "dim_user_scd2", "current_rows",
+        spark.table(dimT).filter(col("is_current")).count()),
+      ("dim", "dim_user_scd2", "overlap_violations",
+        Scd2.overlapViolations(checkedSlice, Seq("user_id")).count()),
+      ("dim", "dim_user_scd2", "current_violations",
+        Scd2.currentViolations(checkedSlice, Seq("user_id")).count()))
       .toDF("step", "relation", "metric", "value")
       .unionByName(martRows)
   }
