@@ -148,7 +148,10 @@ object ScaleBench {
     // (train/append/erase/2-probe search — embeddings only), and the
     // sliding-window span scrub (windows collapse to hashes, rebuild
     // is row-local — the ideal-linear candidate)
-    "q246_corpus_erasure", "q247_ann_index_lifecycle", "q248_span_scrub")
+    "q246_corpus_erasure", "q247_ann_index_lifecycle", "q248_span_scrub",
+    // the retrain-decision monitor: two Lloyd's trainings + two index
+    // builds + three search legs — the heaviest ANN composition
+    "q249_ann_retrain_monitor")
 
   /** Relational + graph pipelines under scale test (round 8, VERDICT
     * r7 #7: the q233-q242 family and the lineitem-graph operators were
@@ -160,7 +163,10 @@ object ScaleBench {
     "q228_degree_histogram",
     "q233_cohort_ltv", "q235_pareto_customers", "q236_purchase_gaps",
     "q237_abc_parts", "q238_shipping_sla", "q239_lorenz_points",
-    "q241_repeat_rate", "q242_basket_profile")
+    "q241_repeat_rate", "q242_basket_profile",
+    // round-8 session-2: the composed warehouse builds (full and
+    // base+incremental) at 10× in one probe each
+    "q243_build_e2e", "q250_build_incremental")
 
   /** ANN with a FIXED query workload (replica 0 queries only): a corpus
     * scale-up grows the indexed side, not the query side — without the
