@@ -139,12 +139,20 @@ object Bench {
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), fullJson)
 
-    // compact stdout line: qNN keys keep it ~1 KB for 80 queries, so a
-    // tail-limited capture window always contains the WHOLE line
-    val qs = medians.map { case (k, v) =>
+    // stdout, two lines. The FINAL line is the one a tail-limited log
+    // capture must be able to parse (r8's 250-entry map overflowed the
+    // driver's tail buffer mid-line → `parsed: null`), so it carries only
+    // the bounded summary: total, count, error count, top-10 medians.
+    // The complete per-query map goes on the PRECEDING line (best-effort
+    // for humans) and, authoritatively, in target/bench.json.
+    val qsAll = medians.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfShort,"reps":$reps,"stat":"median_per_query_across_sorted_sweeps","errors":${errors.size},"full":"target/bench.json","queries":$qs}""")
+    println(s"""{"metric":"total_allqueries","value":${r3(total)},"unit":"sec","queries":$qsAll}""")
+    val top10 = medians.sortBy(-_._2).take(10).map { case (k, v) =>
+      "\"" + k + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfShort,"reps":$reps,"n":${medians.size},"stat":"median_per_query_across_sorted_sweeps","errors":${errors.size},"full":"target/bench.json","queries":$top10}""")
     spark.stop()
   }
 }

@@ -95,8 +95,20 @@ object AnnIndex {
   def append(spark: SparkSession, name: String, delta: DataFrame,
       idCol: String, vecCol: String): Long = {
     val post = postingsTable(name)
+    // the anti-join below guards against ids ALREADY indexed; a delta
+    // (or one streamed file) carrying the same id twice would pass it
+    // twice and create duplicate postings — violating the unique-id
+    // assumption topK's "candidates need no dedup" relies on. Keep-first
+    // within the delta, deterministically (portable hash tie-break, so
+    // a replayed/re-partitioned delta keeps the same row).
+    val deduped = delta.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(graft.functions.Functions
+            .md5Long(to_json(col(vecCol))))))
+      .filter(col("__rn") === 1).drop("__rn")
     val a = InternalCache.persist(
-      assign(delta, idCol, vecCol, loadCentroids(spark, name)))
+      assign(deduped, idCol, vecCol, loadCentroids(spark, name)))
     // bounded collect: ≤ k distinct cell VALUES
     val touched = a.select(col("cell")).distinct()
       .collect().map(_.getLong(0))

@@ -287,6 +287,14 @@ object Graph {
     * extra DFS write per round, executor-loss-safe. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     var e = truncateLineage(edges.select(col("a"), col("b")))
+    // reliable checkpoint dirs are NOT reclaimed by the ContextCleaner
+    // (it tracks localCheckpoint blocks; DFS snapshots need
+    // spark.cleaner.referenceTracking.cleanCheckpoints, off by
+    // default) — so a long-running session would leak one snapshot per
+    // round. Each round deletes the PREVIOUS round's dir once the next
+    // round has materialized from it; the FINAL round's snapshot
+    // survives because the returned frame reads from it.
+    var reclaim = checkpointDirOf(e)
     var prev = e.count()
     var round = 0
     var stable = false
@@ -300,12 +308,34 @@ object Graph {
         .join(keep.withColumnRenamed("node", "b"), Seq("b"))
         .select(col("a"), col("b")))
       val c = e2.count()
+      // e2 is materialized (checkpoint(true) is eager + counted above)
+      // — e's snapshot is no longer referenced by anything returned
+      reclaim.foreach(deleteCheckpointDir(edges.sparkSession, _))
+      reclaim = checkpointDirOf(e2)
       stable = c == prev
       prev = c
       e = e2
       round += 1
     }
     e
+  }
+
+  /** The reliable-checkpoint directory backing a [[truncateLineage]]d
+    * frame, if any (None for the localCheckpoint path — block-store
+    * blocks, reclaimed by the ContextCleaner already). */
+  private def checkpointDirOf(df: DataFrame): Option[String] =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  private def deleteCheckpointDir(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
   }
 
   /** Eager lineage cut for iterative peels: reliable `checkpoint`

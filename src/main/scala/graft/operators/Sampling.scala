@@ -80,6 +80,16 @@ object Sampling {
     * to this method and dropped. */
   private def withAesKey(df: DataFrame, idCol: Column, weight: Column,
       seed: String): DataFrame = {
+    // ENFORCED grid contract (not just scaladoc): weight < 0.005 would
+    // push |raw·1e12| past 2^53 and silently lose integer-grid
+    // exactness — the exact cross-engine rank-drift class the grid
+    // exists to prevent — so a violating row fails the job loudly.
+    // The guard is a no-op on conforming data, so the DuckDB oracle
+    // twin (which has no guard) stays node-for-node equivalent.
+    val checked = when(weight < lit(0.005) || weight.isNull,
+      raise_error(concat(
+        lit("Sampling: weight must be >= 0.005 (1e-12 grid contract), got "),
+        weight.cast("string")))).otherwise(weight)
     val h = md5Long(concat(lit(s"$seed:"), idCol.cast("string")))
     df.withColumn("__hn", h + lit(1L))
       .withColumn("__bl", length(bin(col("__hn"))))
@@ -88,7 +98,7 @@ object Sampling {
           expr("CAST(shiftleft(CAST(1 AS BIGINT), __bl) AS DOUBLE)"))
       .withColumn("__z",
         (col("__m") - lit(1.0)) / (col("__m") + lit(1.0)))
-      .withColumn("ws_key", aesKeyFromParts(weight))
+      .withColumn("ws_key", aesKeyFromParts(checked))
       .drop("__hn", "__bl", "__m", "__z")
   }
 

@@ -167,14 +167,11 @@ object CorpusBuild {
       Seq(NotNull("shard"), NotNull("shard_tokens"), Unique(Seq("shard"))))
 
     // read back from the catalog: the report describes the PUBLISHED
-    // manifest (coalesce guards the degenerate empty-corpus case)
-    val m = spark.table(s"e2e_corpus_manifest_$h")
-      .agg(count(lit(1)).as("n_shards"),
-        coalesce(sum(col("shard_tokens")), lit(0L)).cast("long")
-          .as("total_tokens"),
-        coalesce(max(col("shard_tokens")), lit(0L)).cast("long")
-          .as("max_shard_tokens"))
-      .head()
+    // manifest (coalesce guards the degenerate empty-corpus case; the
+    // tableExists guard covers a FIRST-ever publish whose audit failed
+    // — no table exists yet, and the report must still come back with
+    // published=0 rather than the read-back killing the build)
+    val m = manifestReadBack(spark, h)
 
     def obsVal(o: org.apache.spark.sql.Observation, k: String): Long =
       o.get(k).asInstanceOf[Number].longValue()
@@ -438,14 +435,31 @@ object CorpusBuild {
     val (ok, audit) = Materialize.publishAudited(manifest,
       s"e2e_corpus_manifest_$h",
       Seq(NotNull("shard"), NotNull("shard_tokens"), Unique(Seq("shard"))))
-    val m = spark.table(s"e2e_corpus_manifest_$h")
-      .agg(count(lit(1)).as("n_shards"),
-        coalesce(sum(col("shard_tokens")), lit(0L)).cast("long")
-          .as("total_tokens"),
-        coalesce(max(col("shard_tokens")), lit(0L)).cast("long")
-          .as("max_shard_tokens"))
-      .head()
-    (ok, audit, m)
+    (ok, audit, manifestReadBack(spark, h))
+  }
+
+  /** Catalog read-back of the published manifest's summary metrics.
+    * If the manifest has NEVER been published (first publish + failing
+    * audit), the table does not exist — the report still comes back as
+    * zeros, because the audit report itself is the gate's evidence. */
+  private def manifestReadBack(spark: SparkSession, h: String)
+      : org.apache.spark.sql.Row = {
+    val name = s"e2e_corpus_manifest_$h"
+    if (spark.catalog.tableExists(name))
+      spark.table(name)
+        .agg(count(lit(1)).as("n_shards"),
+          coalesce(sum(col("shard_tokens")), lit(0L)).cast("long")
+            .as("total_tokens"),
+          coalesce(max(col("shard_tokens")), lit(0L)).cast("long")
+            .as("max_shard_tokens"))
+        .head()
+    else {
+      // schema-carrying zero row (a bare Row(...) has no schema and
+      // would throw on the callers' getAs-by-name reads)
+      import spark.implicits._
+      Seq((0L, 0L, 0L))
+        .toDF("n_shards", "total_tokens", "max_shard_tokens").head()
+    }
   }
 
   /** Right-to-erasure for the PUBLISHED corpus (GDPR art. 17 /

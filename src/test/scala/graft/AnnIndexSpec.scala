@@ -182,4 +182,21 @@ class AnnIndexSpec extends SparkSpec {
       .toSet
     assert(got == Set((1L, 0, 1), (2L, 2, 0)))
   }
+
+  test("a delta carrying the same id twice appends exactly one posting") {
+    val name = "annspec_dupdelta"
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val extra = emb.filter(col("vec_id") % 3 === 0)
+    AnnIndex.build(spark, base, "vec_id", "embedding", name, K, Dims,
+      Iters)
+    // the existence anti-join only guards against ALREADY-indexed ids;
+    // an upstream that double-delivers within ONE batch must not be
+    // able to break the unique-id invariant topK relies on
+    val n = AnnIndex.append(spark, name, extra.unionByName(extra),
+      "vec_id", "embedding")
+    assert(n == extra.count())
+    val dupIds = spark.table(AnnIndex.postingsTable(name))
+      .groupBy(col("id")).count().filter(col("count") > 1).count()
+    assert(dupIds == 0L)
+  }
 }

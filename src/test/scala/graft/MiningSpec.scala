@@ -182,6 +182,24 @@ class MiningSpec extends SparkSpec {
       Map("g0" -> 10, "g1" -> 10, "g2" -> 10))
   }
 
+  test("weighted sample: a sub-contract weight fails loudly, not " +
+      "silently off-grid") {
+    // weight < 0.005 pushes |key·1e12| past 2^53 — the guard must
+    // surface the violation instead of silently losing grid exactness
+    val df = Seq((1L, 0.5), (2L, 0.001)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, col("id"), col("w"), 2, "g").collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("0.005")), chain(e).mkString(" | "))
+    // and a conforming frame is untouched by the guard
+    val ok = Seq((1L, 0.5), (2L, 0.005)).toDF("id", "w")
+    assert(rows(Sampling.weightedSample(ok, col("id"), col("w"), 2, "g"))
+      .size == 2)
+  }
+
   // ------------------------------------------------------ naive bayes
 
   test("naive bayes: separable vocabularies classify perfectly") {

@@ -218,4 +218,37 @@ class SketchGraphSpec extends SparkSpec {
     graft.operators.InternalCache.release()
     assert(kept.size == 4)
   }
+
+  test("kCore: reliable checkpoint snapshots are reclaimed round by " +
+      "round, only the final round's survives") {
+    // with a checkpoint dir configured each round writes a DFS
+    // snapshot the ContextCleaner never reclaims — the operator must
+    // delete round N-1's dir once round N materializes, or a
+    // long-running session leaks one snapshot per round
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      // a 5-path under k=2 peels over MULTIPLE rounds (ends first,
+      // then middle) so several snapshots are written and reclaimed
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+        .toDF("a", "b")
+      val core = Graph.kCore(edges, 2, 8)
+      val remaining = {
+        val s = java.nio.file.Files.walk(dir)
+        try s.filter(p => p.getFileName.toString.startsWith("rdd-"))
+          .count()
+        finally s.close()
+      }
+      assert(remaining <= 1, s"leaked $remaining checkpoint snapshots")
+      // the returned frame still reads from its surviving snapshot
+      assert(rows(core).isEmpty)
+    } finally {
+      graft.operators.InternalCache.release()
+      // restore the no-checkpoint-dir default for the shared session
+      // (private[spark] var -> public setter at bytecode level)
+      spark.sparkContext.getClass
+        .getMethod("checkpointDir_$eq", classOf[Option[_]])
+        .invoke(spark.sparkContext, None)
+    }
+  }
 }
