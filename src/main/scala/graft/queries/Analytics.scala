@@ -1016,12 +1016,9 @@ object Analytics {
       |    AS revenue,
       |  CAST(COUNT(*) AS BIGINT) AS n_orders
       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
-    import graft.sources.{Ingest, Materialize}
+    import graft.sources.Materialize
     val name = s"graft_agginc_${math.abs(dir.hashCode)}"
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    Ingest.deletePath(s,
-      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
-        s"/$name")
+    Materialize.dropAggState(s, name)
     val orders = Tables.orders(s, dir)
     def partial(df: DataFrame): DataFrame =
       df.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
@@ -1030,10 +1027,10 @@ object Analytics {
     val cut = lit("1996-06-15").cast("date")
     Materialize.aggIncremental(s, name,
       partial(orders.filter(col("o_orderdate") < cut)),
-      Seq("month"), "month")
+      Seq("month"), "month", "inc1")
     Materialize.aggIncremental(s, name,
       partial(orders.filter(col("o_orderdate") >= cut)),
-      Seq("month"), "month")
+      Seq("month"), "month", "inc2")
     s.table(name).select(col("month").cast("timestamp_ntz").as("month"),
       col("revenue").cast("double").as("revenue"), col("n_orders"))
   }
@@ -1107,12 +1104,8 @@ object Analytics {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
       |    AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-    import graft.sources.Ingest
     val name = s"graft_stragg_${math.abs(dir.hashCode)}"
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    Ingest.deletePath(s,
-      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
-        s"/$name")
+    graft.sources.Materialize.dropAggState(s, name)
     graft.streaming.Streaming.streamIntoAggIncremental(
         s, s"$dir/events.parquet", name, "2024-01-15 12:00:00")
       .select(col("day").cast("timestamp_ntz").as("day"),
@@ -2580,12 +2573,8 @@ object Analytics {
        |  CAST(MAX(tot) AS BIGINT) AS n_events,
        |  round(SUM((p - q) * ln(p / q)), 6) AS psi
        |FROM terms GROUP BY 1""".stripMargin) { (s, dir) =>
-    import graft.sources.Ingest
     val name = s"graft_strpsi_${math.abs(dir.hashCode)}"
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    Ingest.deletePath(s,
-      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
-        s"/$name")
+    graft.sources.Materialize.dropAggState(s, name)
     val db = graft.streaming.Streaming.streamIntoBucketCounts(
       s, s"$dir/events.parquet", name, "2024-01-15 12:00:00",
       SpWidth, SpB)

@@ -195,59 +195,114 @@ object Materialize {
     * keys + value columns); every NON-key column must be
     * sum-mergeable (sums of sums, counts as sums of partial counts —
     * the associative-merge property that makes a 100 TB mart
-    * maintainable without ever re-scanning history). Each run:
+    * maintainable without ever re-scanning history).
     *
-    *  1. touched partition values are collected (bounded by contract —
-    *     an increment touches a handful of partitions);
-    *  2. ONLY those partitions are read back, merged with the partial
-    *     by summing value columns per key;
-    *  3. just the touched partitions rewrite via dynamic partition
-    *     overwrite, value columns cast back to the table schema so
-    *     decimal widening from the re-aggregation never drifts it.
+    * REPLAY-CONVERGENT, same recovery contract as [[tableIncremental]]
+    * ("replay converges"). Summing a replayed partial into the live
+    * table can never be made absorbing, so this operator never does
+    * that; instead the batch-keyed partials are STORED and touched
+    * slices of the aggregate are RECOMPUTED from storage:
+    *
+    *  1. the partial lands in `<name>__partials`, partitioned by
+    *     (partitionCol, __batch): a replayed `batchId` dynamic-
+    *     overwrites exactly its own slices with identical bytes
+    *     (the partial is a deterministic function of its input);
+    *  2. every partition value the batch touches (bounded collect —
+    *     an increment touches a handful of partitions) is recomputed
+    *     by re-aggregating ALL stored partials for that value — a
+    *     partition-pruned read of pre-aggregated rows, never a fact
+    *     scan; recompute-from-stored is absorbing by construction;
+    *  3. only the touched slices of `name` rewrite via dynamic
+    *     partition overwrite, value columns cast back to the table
+    *     schema so decimal widening from the re-aggregation never
+    *     drifts it.
+    *
+    * Crash anywhere, replay the same (batchId, partial): step 1
+    * rewrites identical content and steps 2-3 are deterministic
+    * functions of storage, so any partial state converges to the
+    * clean-apply state; a duplicate apply is a content no-op (spec:
+    * "aggIncremental replay converges").
     *
     * Post-condition: table ≡ the full aggregate over all increments
-    * ever merged (the q123 oracle checks exactly this).
-    *
-    * Crash/replay caveat — the OPPOSITE of [[tableIncremental]]'s
-    * contract: summing is not absorbing, so replaying the same partial
-    * after a mid-commit crash DOUBLE-COUNTS whatever partitions
-    * already landed. Callers owning exactly-once must either key the
-    * run (a batch-id column checked before merge, the
-    * `Streaming.oncePerBatch` pattern) or rebuild the touched
-    * partitions from upstream instead of replaying the partial. */
+    * ever merged (the q123 oracle checks exactly this). Cost note: a
+    * partition's recompute reads one stored row-set per batch that
+    * ever touched it — pre-aggregated rows, so history stays cheap;
+    * a pathological every-batch-touches-one-partition ingest can fold
+    * history with [[compactFiles]] on the partials table. */
   def aggIncremental(spark: SparkSession, name: String,
       partial: DataFrame, keys: Seq[String],
-      partitionCol: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, sum}
+      partitionCol: String, batchId: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val partials = s"${name}__partials"
     val valCols = partial.columns.filterNot(keys.contains).toSeq
-    def merge(df: DataFrame) = df.groupBy(keys.map(col): _*)
+    val keyed = partial.withColumn("__batch", lit(batchId))
+    // ---- 1. store this batch's partial, idempotently
+    if (!spark.catalog.tableExists(partials)) {
+      keyed.repartition(col(partitionCol))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy(partitionCol, "__batch").saveAsTable(partials)
+    } else {
+      val pCols = spark.table(partials).columns.toSeq
+      withDynamicOverwrite(spark) {
+        keyed.select(pCols.map(col): _*)
+          .repartition(col(partitionCol))
+          .write.mode("overwrite").insertInto(partials)
+      }
+    }
+    spark.catalog.refreshTable(partials)
+    // ---- 2. recompute the touched partitions from stored partials
+    // bounded collect: the partition values one increment touches
+    val touched = partial.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val merged = spark.table(partials)
+      .filter(col(partitionCol).isin(touched: _*))
+      .drop("__batch")
+      .groupBy(keys.map(col): _*)
       .agg(sum(col(valCols.head)).as(valCols.head),
         valCols.tail.map(c => sum(col(c)).as(c)): _*)
+    // ---- 3. rewrite only those slices of the published aggregate
     if (!spark.catalog.tableExists(name)) {
-      partial.repartition(col(partitionCol))
+      merged
+        .select(partial.columns.toSeq
+          .map(c => col(c).cast(partial.schema(c).dataType)): _*)
+        .repartition(col(partitionCol))
         .write.mode("overwrite").format("parquet")
         .partitionBy(partitionCol).saveAsTable(name)
     } else {
-      val touched = partial.select(col(partitionCol)).distinct()
-        .collect().map(_.get(0)).toSeq
       val schema = spark.table(name).schema
-      val existing = spark.table(name)
-        .filter(col(partitionCol).isin(touched: _*))
-      val merged = merge(existing.unionByName(
-        partial.select(schema.map(f => col(f.name)): _*)))
-      val PoKey = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(PoKey)
-      spark.conf.set(PoKey, "dynamic")
-      try merged
-        .select(schema.map(f => col(f.name).cast(f.dataType)): _*)
-        .repartition(col(partitionCol))
-        .write.mode("overwrite").insertInto(name)
-      finally prev match {
-        case Some(v) => spark.conf.set(PoKey, v)
-        case None => spark.conf.unset(PoKey)
+      withDynamicOverwrite(spark) {
+        merged
+          .select(schema.map(f => col(f.name).cast(f.dataType)): _*)
+          .repartition(col(partitionCol))
+          .write.mode("overwrite").insertInto(name)
       }
     }
+    spark.catalog.refreshTable(name)
     spark.table(name)
+  }
+
+  /** Drop an [[aggIncremental]] aggregate AND its `__partials` state
+    * table, locations included — the reset a fixture-rebuilding caller
+    * needs (dropping only the aggregate would leave stored partials
+    * that the next run's recompute silently folds back in). */
+  def dropAggState(spark: SparkSession, name: String): Unit =
+    Seq(name, s"${name}__partials").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      dropOrphanLocation(spark, t)
+    }
+
+  /** Run `body` under dynamic partition-overwrite mode, restoring the
+    * previous setting after. */
+  private def withDynamicOverwrite(spark: SparkSession)(
+      body: => Unit): Unit = {
+    val PoKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(PoKey)
+    spark.conf.set(PoKey, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(PoKey, v)
+      case None => spark.conf.unset(PoKey)
+    }
   }
 
   /** Crash/replay contract (spec: "tableIncremental replay

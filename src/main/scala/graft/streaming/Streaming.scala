@@ -307,7 +307,11 @@ object Streaming {
     * merged day-partitioned state table": stage the fixture as two
     * files split at `cutTs`, and per batch apply `partialOf` and
     * [[graft.sources.Materialize.aggIncremental]] (touched partitions
-    * only), replay-guarded by [[oncePerBatch]]. */
+    * only). No [[oncePerBatch]] marker is needed: aggIncremental is
+    * replay-CONVERGENT under a stable batch id (batch-keyed stored
+    * partials + recompute-from-stored), so foreachBatch's
+    * at-least-once delivery collapses to effectively-once — the same
+    * recovery story as the corpus build's streaming front-end. */
   private def streamIntoMergedTable(spark: SparkSession,
       eventsParquet: String, name: String, cutTs: String, tag: String,
       keys: Seq[String], partitionCol: String)(
@@ -325,10 +329,12 @@ object Streaming {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, batchId: Long) =>
-          // additive merge → guard against at-least-once replay
-          if (!b.isEmpty) oncePerBatch(b.sparkSession, ckpt, batchId) {
+          // the stream's batchId is stable across replays — exactly
+          // the key aggIncremental's convergence contract wants
+          if (!b.isEmpty) {
             graft.sources.Materialize.aggIncremental(
-              b.sparkSession, name, partialOf(b), keys, partitionCol)
+              b.sparkSession, name, partialOf(b), keys, partitionCol,
+              s"b$batchId")
             ()
           }
         }

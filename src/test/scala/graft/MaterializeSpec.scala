@@ -242,6 +242,53 @@ class MaterializeSpec extends SparkSpec {
       .foreach(n => spark.sql(s"DROP TABLE $n"))
   }
 
+  test("aggIncremental replay converges: a replayed batch never " +
+      "double-counts, from any partial state") {
+    // Additive merging of a replayed partial can never be absorbing,
+    // so the operator stores batch-keyed partials and RECOMPUTES
+    // touched partitions from storage — replaying the same (batchId,
+    // partial) from any crash state must land on the clean-apply
+    // state, the same contract as tableIncremental's.
+    def frame(xs: Seq[(String, String, Long)]) =
+      xs.toDF("d", "k", "v").withColumn("d", col("d").cast("date"))
+    val batchA = frame(Seq(("2024-01-01", "k1", 10L),
+      ("2024-01-02", "k2", 5L)))
+    val batchB = frame(Seq(("2024-01-01", "k1", 7L),
+      ("2024-01-03", "k3", 2L)))
+    def shape(n: String) = rows(spark.table(n).select("d", "k", "v"))
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    val want = Seq(("2024-01-01", "k1", 17L), ("2024-01-02", "k2", 5L),
+      ("2024-01-03", "k3", 2L))
+    for (n <- Seq("mz_agg_clean", "mz_agg_crash")) {
+      Materialize.dropAggState(spark, n)
+      Materialize.aggIncremental(spark, n, batchA, Seq("d", "k"), "d",
+        "A")
+    }
+    // clean apply = the reference final state
+    Materialize.aggIncremental(spark, "mz_agg_clean", batchB,
+      Seq("d", "k"), "d", "B")
+    assert(shape("mz_agg_clean") == want)
+    // crash state: only the 2024-01-01 slice of batch B committed,
+    // then the FULL batch replays under the SAME id — the overlap
+    // slice must not double-count (the pre-r9 failure mode: 24)
+    Materialize.aggIncremental(spark, "mz_agg_crash",
+      batchB.filter(col("d") === "2024-01-01"), Seq("d", "k"), "d", "B")
+    Materialize.aggIncremental(spark, "mz_agg_crash", batchB,
+      Seq("d", "k"), "d", "B")
+    assert(shape("mz_agg_crash") == want)
+    // plain duplicate apply of a committed batch is a content no-op
+    Materialize.aggIncremental(spark, "mz_agg_clean", batchB,
+      Seq("d", "k"), "d", "B")
+    assert(shape("mz_agg_clean") == want)
+    // and a genuinely NEW batch still merges additively
+    Materialize.aggIncremental(spark, "mz_agg_clean",
+      frame(Seq(("2024-01-01", "k1", 3L))), Seq("d", "k"), "d", "C")
+    assert(shape("mz_agg_clean").head == ("2024-01-01", "k1", 20L))
+    Seq("mz_agg_clean", "mz_agg_crash")
+      .foreach(n => Materialize.dropAggState(spark, n))
+  }
+
   test("compact reconciles cross-partition movers to full-rebuild dedup") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
