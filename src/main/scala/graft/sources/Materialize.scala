@@ -573,9 +573,13 @@ object Materialize {
     * op), so a crash mid-swap can leave a mixed set on disk. The
     * protocol makes that window RECOVERABLE instead of silent:
     *
-    *  1. stage all `<name>__staging`;
-    *  2. audit all (fail → drop stagings, previous versions serve);
-    *  3. create the `<setName>__swapping` marker table;
+    *  1. create the `<setName>__swapping` marker table — ATOMICALLY
+    *     (the catalog's create-if-absent is the mutex): a concurrent
+    *     publisher, or a session racing an unrecovered crash, fails
+    *     loudly HERE, before it can stage over anything;
+    *  2. stage all `<name>__staging`;
+    *  3. audit all (fail → drop stagings + marker, previous versions
+    *     serve);
     *  4. per table: drop old `__prev`, rename name→prev,
     *     rename staging→name (prevs are KEPT until step 5 — unlike
     *     the single-table gate, rollback must stay possible until the
@@ -588,6 +592,13 @@ object Materialize {
     * disambiguates the one otherwise-ambiguous state (a first-publish
     * table whose name exists with neither staging nor prev).
     *
+    * Writer concurrency contract: ONE publisher per set name at a
+    * time, enforced by the marker-as-mutex; losers of the race get an
+    * IllegalStateException and must retry after the winner finishes
+    * (or after `recoverSet` if the winner crashed). Readers are never
+    * blocked — they see the previous generation until step 4 swaps
+    * their table.
+    *
     * `crashAfterSwap` is TEST-ONLY fault injection: k ∈ [0, n) throws
     * [[CrashInjected]] after table k's rename-in; k = n throws after
     * all swaps, before cleanup. */
@@ -598,8 +609,21 @@ object Materialize {
     require(tables.nonEmpty, "empty publish set")
     val spark = tables.head._1.sparkSession
     val marker = s"${setName}__swapping"
-    require(!spark.catalog.tableExists(marker),
-      s"unrecovered prior publish of $setName: run recoverSet first")
+    // marker-as-mutex, taken FIRST: the atomic catalog create is the
+    // concurrency gate. A bare tableExists pre-check would leave a
+    // TOCTOU window in which a second publisher stages over the
+    // winner's stagings before either creates the marker.
+    if (!spark.catalog.tableExists(marker))
+      dropOrphanLocation(spark, marker)
+    try spark.sql(s"CREATE TABLE $marker (committed INT) USING parquet")
+    catch {
+      case e: org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"publish of $setName refused: marker $marker exists - " +
+            "either a concurrent publisher holds it or a prior crash " +
+            "was never recovered (run recoverSet first)", e)
+    }
     tables.foreach { case (df, name, _) => table(df, s"${name}__staging") }
     val results = tables.map { case (_, name, checks) =>
       name -> graft.quality.Quality.run(
@@ -609,10 +633,9 @@ object Materialize {
     if (!ok) {
       tables.foreach { case (_, name, _) =>
         spark.sql(s"DROP TABLE IF EXISTS ${name}__staging") }
+      spark.sql(s"DROP TABLE $marker")
       return (false, results)
     }
-    dropOrphanLocation(spark, marker)
-    spark.sql(s"CREATE TABLE $marker (committed INT) USING parquet")
     tables.zipWithIndex.foreach { case ((_, name, _), i) =>
       val prev = s"${name}__prev"
       spark.sql(s"DROP TABLE IF EXISTS $prev")

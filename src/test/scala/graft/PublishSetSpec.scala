@@ -109,12 +109,67 @@ class PublishSetSpec extends SparkSpec {
       Materialize.publishSetAudited("pset_f", Seq(
         (gen(1, 1), names(0), Seq(NotNull("k")))), crashAfterSwap = 0)
     }
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[IllegalStateException] {
       Materialize.publishSetAudited("pset_f", Seq(
         (gen(1, 2), names(0), Seq(NotNull("k")))))
     }
     assert(e.getMessage.contains("recoverSet"))
     assert(Materialize.recoverSet(spark, "pset_f", names.take(1))
       == "forward") // the single table fully swapped before the crash
+  }
+
+  test("a second publisher racing a live one is refused loudly and " +
+      "damages nothing") {
+    // the long-running-driver scenario: session B starts a publish of
+    // the same set while session A holds the marker mid-publish. The
+    // marker is taken ATOMICALLY as step 1 (before any staging), so B
+    // cannot stage over A's stagings — B fails fast, A's in-flight
+    // state is untouched, and A's publish completes normally.
+    val names = Seq("pset_race1")
+    reset(names, "pset_race")
+    // publisher A: establish a served generation first
+    val (ok0, _) = Materialize.publishSetAudited("pset_race", Seq(
+      (gen(1, 1), names(0), Seq(NotNull("k")))))
+    assert(ok0)
+    // simulate A mid-publish: marker held, staging written (the state
+    // between steps 2 and 4)
+    spark.sql(
+      "CREATE TABLE pset_race__swapping (committed INT) USING parquet")
+    Materialize.table(gen(2, 1), s"${names(0)}__staging")
+    val aStaging = rows(spark.table(s"${names(0)}__staging"))
+    // publisher B: refused at the mutex, before staging anything
+    val e = intercept[IllegalStateException] {
+      Materialize.publishSetAudited("pset_race", Seq(
+        (gen(3, 1), names(0), Seq(NotNull("k")))))
+    }
+    assert(e.getMessage.contains("concurrent"))
+    // nothing of A's was damaged: marker still held, staging intact,
+    // the served generation untouched
+    assert(spark.catalog.tableExists("pset_race__swapping"))
+    assert(rows(spark.table(s"${names(0)}__staging")) == aStaging)
+    assert(rows(spark.table(names(0))).nonEmpty)
+    // A finishes: its crash-recovery path completes the swap
+    assert(Materialize.recoverSet(spark, "pset_race", names) == "back")
+    // and a retry of the publish lands cleanly after the marker frees
+    val (ok1, _) = Materialize.publishSetAudited("pset_race", Seq(
+      (gen(2, 1), names(0), Seq(NotNull("k")))))
+    assert(ok1)
+    reset(names, "pset_race")
+  }
+
+  test("a failing audit releases the marker so the next publish can " +
+      "proceed") {
+    val names = Seq("pset_aud1")
+    reset(names, "pset_aud")
+    val bad = Seq((Option.empty[Long], 1L)).toDF("k", "v")
+    val (ok0, _) = Materialize.publishSetAudited("pset_aud", Seq(
+      (bad, names(0), Seq(NotNull("k")))))
+    assert(!ok0)
+    assert(!spark.catalog.tableExists("pset_aud__swapping"))
+    // the gate is free: a clean publish right after succeeds
+    val (ok1, _) = Materialize.publishSetAudited("pset_aud", Seq(
+      (gen(1, 1), names(0), Seq(NotNull("k")))))
+    assert(ok1)
+    reset(names, "pset_aud")
   }
 }
