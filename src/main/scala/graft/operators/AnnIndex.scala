@@ -174,6 +174,90 @@ object AnnIndex {
       maxFiles: Int = 1): Seq[Any] =
     Materialize.compactFiles(spark, postingsTable(name), "cell", maxFiles)
 
+  /** The retrain POLICY the q249 monitor feeds: frozen-centroid
+    * appends slowly degrade recall as the corpus distribution drifts
+    * away from the build-time quantizer, and this is the operator
+    * that acts on that signal. It measures, over `queries`:
+    *
+    *  - recall@k of the LIVE index (frozen centroids, 2-probe) vs the
+    *    exact brute-force top-k on the index's CURRENT content;
+    *  - recall@k of a CANDIDATE index retrained on that same content
+    *    (identical 2-probe search, evaluated inline — nothing
+    *    published yet);
+    *
+    * and only when `retrained − frozen > threshold` (absolute recall
+    * points — the q249 fixture reads a ~0.03 gap) swaps the retrained
+    * centroids AND re-binned postings in as ONE all-or-nothing set
+    * ([[Materialize.publishSetAuditedP]], postings staged PARTITIONED
+    * BY cell): a crash mid-swap can never leave new centroids over
+    * old cell assignments, which would silently break every
+    * subsequent cell-scoped append/search. Below the threshold it
+    * publishes nothing.
+    *
+    * Returns (frozenRecall, retrainedRecall, retrained?). Cost when
+    * the gap is below threshold: the measurement only — one exact
+    * scan over content × queries (the recall denominator needs it)
+    * plus the candidate training's `iters` scans; the swap cost is
+    * one re-binned postings rewrite, paid only when buying the
+    * measured recall back. */
+  def maintainWithRetrain(spark: SparkSession, name: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, cells: Int, dims: Int, iters: Int,
+      threshold: Double): (Double, Double, Boolean) = {
+    val content = InternalCache.persist(
+      spark.table(postingsTable(name)).select(col("id"), col("vec")))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("qvec"))
+    val exact = InternalCache.persist(
+      Similarity.bruteForceTopK(content, "id", "vec", q,
+          "query_id", "qvec", k)
+        .select(col("query_id"), col("neighbor_id")))
+    // bounded: recall is two scalar counts over ≤ |queries|·k rows
+    val nExact = exact.count()
+    def recallOf(approx: DataFrame): Double =
+      if (nExact == 0L) 1.0
+      else exact.join(
+        approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / nExact
+    val frozen = recallOf(topK(spark, name, q, "query_id", "qvec", k))
+    // candidate: retrain on the current content; evaluate the SAME
+    // 2-probe search inline, without publishing anything
+    val vq = InternalCache.persist(
+      content.withColumn("__vq", KMeans.quantize(col("vec"))))
+    val cand = KMeans.fit(vq, "__vq", cells, dims, iters)
+    val assigned = KMeans.withCellDist(vq, "__vq", cand)
+      .select(col("id"), col("vec"),
+        col("__cell").cast("long").as("cell"))
+    val qp = KMeans.withCell2(
+        q.withColumn("__vq", KMeans.quantize(col("qvec"))), "__vq", cand)
+      .select(col("query_id"), col("qvec"),
+        explode(array(col("__cell").cast("long"),
+          col("__cell2").cast("long"))).as("probe"))
+    val scored = assigned.join(broadcast(qp),
+        col("cell") === col("probe") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        Similarity.cosineF(col("vec"), col("qvec")).as("score"))
+    val retrained = recallOf(Similarity.topKPerQuery(scored, k))
+    val doSwap = retrained - frozen > threshold
+    if (doSwap) {
+      import spark.implicits._
+      val cdf = cand.zipWithIndex.toIndexedSeq
+        .map { case (c, m) => (m.toLong, c.toSeq) }
+        .toDF("cell", "c")
+      Materialize.publishSetAuditedP(s"${name}_retrain", Seq(
+        (cdf, centroidsTable(name),
+          Seq(NotNull("cell"), NotNull("c"), Unique(Seq("cell"))),
+          Option.empty[String]),
+        (assigned, postingsTable(name),
+          Seq(NotNull("id"), NotNull("cell"), Unique(Seq("id"))),
+          Some("cell"))))
+      ()
+    }
+    InternalCache.release()
+    (frozen, retrained, doSwap)
+  }
+
   /** 2-probe IVF search over the published index: per query, exact
     * cosine top-k among the postings of its nearest + runner-up cells.
     * Returns (query_id, rank, neighbor_id, cosine), rank 1..k by

@@ -605,6 +605,21 @@ object Materialize {
   def publishSetAudited(setName: String,
       tables: Seq[(DataFrame, String, Seq[graft.quality.Check])],
       warnAsError: Boolean = false, crashAfterSwap: Int = -1)
+      : (Boolean, Seq[(String, Seq[graft.quality.Quality.Result])]) =
+    publishSetAuditedP(setName,
+      tables.map { case (df, n, c) => (df, n, c, Option.empty[String]) },
+      warnAsError, crashAfterSwap)
+
+  /** [[publishSetAudited]] with per-table OPTIONAL partition layout:
+    * a `Some(col)` table stages (and therefore publishes — the swap is
+    * a metadata rename that keeps layout) PARTITIONED BY that column.
+    * Needed when a member of an atomic set is partition-pruned by its
+    * readers (e.g. an ANN postings table cell-partitioned for
+    * `PartitionFilters` search pruning). */
+  def publishSetAuditedP(setName: String,
+      tables: Seq[(DataFrame, String, Seq[graft.quality.Check],
+        Option[String])],
+      warnAsError: Boolean = false, crashAfterSwap: Int = -1)
       : (Boolean, Seq[(String, Seq[graft.quality.Quality.Result])]) = {
     require(tables.nonEmpty, "empty publish set")
     val spark = tables.head._1.sparkSession
@@ -624,19 +639,24 @@ object Materialize {
             "either a concurrent publisher holds it or a prior crash " +
             "was never recovered (run recoverSet first)", e)
     }
-    tables.foreach { case (df, name, _) => table(df, s"${name}__staging") }
-    val results = tables.map { case (_, name, checks) =>
+    tables.foreach { case (df, name, _, pc) =>
+      pc match {
+        case Some(c) => partitionedTable(df, s"${name}__staging", c)
+        case None => table(df, s"${name}__staging")
+      }
+    }
+    val results = tables.map { case (_, name, checks, _) =>
       name -> graft.quality.Quality.run(
         spark.table(s"${name}__staging"), checks, warnAsError)
     }
     val ok = results.forall(_._2.forall(_.passed))
     if (!ok) {
-      tables.foreach { case (_, name, _) =>
+      tables.foreach { case (_, name, _, _) =>
         spark.sql(s"DROP TABLE IF EXISTS ${name}__staging") }
       spark.sql(s"DROP TABLE $marker")
       return (false, results)
     }
-    tables.zipWithIndex.foreach { case ((_, name, _), i) =>
+    tables.zipWithIndex.foreach { case ((_, name, _, _), i) =>
       val prev = s"${name}__prev"
       spark.sql(s"DROP TABLE IF EXISTS $prev")
       dropOrphanLocation(spark, prev)
@@ -649,7 +669,7 @@ object Materialize {
     }
     if (crashAfterSwap == tables.size)
       throw new CrashInjected(tables.size)
-    tables.foreach { case (_, name, _) =>
+    tables.foreach { case (_, name, _, _) =>
       spark.sql(s"DROP TABLE IF EXISTS ${name}__prev") }
     spark.sql(s"DROP TABLE $marker")
     (true, results)

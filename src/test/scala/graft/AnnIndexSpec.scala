@@ -183,6 +183,54 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == Set((1L, 0, 1), (2L, 2, 0)))
   }
 
+  test("maintainWithRetrain: an injected drift batch trips the " +
+      "threshold, the swap is atomic, and recall recovers") {
+    val name = "annspec_retrain"
+    val dims = 4; val cells = 3; val iters = 4; val k = 5
+    def j(i: Int): Double = ((i * 37) % 21 - 10) / 100.0 // ±0.10, det.
+    // base distribution: two tight blobs on axes 0 and 1 — the
+    // build-time quantizer spends all 3 cells on them
+    val base = ((0 until 40).map(i =>
+        (i.toLong, Seq(1.0, j(i), j(i + 1), j(i + 2)))) ++
+      (0 until 40).map(i =>
+        ((100 + i).toLong, Seq(j(i), 1.0, j(i + 1), j(i + 2)))))
+      .toDF("vec_id", "embedding")
+    // drift: a NEW blob on the A/B diagonal whose members scatter
+    // across the old cells (the ±0.4 tilt flips the nearest-old-cell
+    // decision), so a 2-probe search under frozen centroids misses
+    // true neighbors that landed in the third cell
+    val delta = (0 until 40).map { i =>
+      val t = ((i * 53) % 21 - 10) / 25.0 // ±0.40, deterministic
+      ((200 + i).toLong, Seq(0.7 + t, 0.7 - t, j(i), j(i + 1)))
+    }.toDF("vec_id", "embedding")
+    AnnIndex.build(spark, base, "vec_id", "embedding", name, cells,
+      dims, iters)
+    AnnIndex.append(spark, name, delta, "vec_id", "embedding")
+    val q = delta.filter(col("vec_id") < 210)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def centFp(): Seq[(Long, Seq[Double])] =
+      rows(spark.table(AnnIndex.centroidsTable(name)).orderBy("cell"))
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val fpFrozen = centFp()
+    // an impossible threshold: measured but NOT acted on — no-op
+    val (f0, r0, sw0) = AnnIndex.maintainWithRetrain(spark, name, q,
+      "query_id", "qvec", k, cells, dims, iters, threshold = 1.0)
+    assert(!sw0 && centFp() == fpFrozen)
+    assert(r0 - f0 > 0.05,
+      s"drift fixture shows no staleness gap: frozen $f0 retrained $r0")
+    // a real threshold below the measured gap: retrain fires
+    val (f1, r1, sw1) = AnnIndex.maintainWithRetrain(spark, name, q,
+      "query_id", "qvec", k, cells, dims, iters, threshold = 0.02)
+    assert(sw1 && f1 == f0 && r1 == r0)
+    assert(centFp() != fpFrozen, "swap published no new centroids")
+    // postings were re-binned CONSISTENTLY with the new centroids:
+    // the live index's recall now equals the retrained measurement
+    val (f2, r2, sw2) = AnnIndex.maintainWithRetrain(spark, name, q,
+      "query_id", "qvec", k, cells, dims, iters, threshold = 1.0)
+    assert(f2 == r1, s"post-swap live recall $f2 != promised $r1")
+    assert(r2 == f2 && !sw2) // retraining again buys nothing
+  }
+
   test("a delta carrying the same id twice appends exactly one posting") {
     val name = "annspec_dupdelta"
     val base = emb.filter(col("vec_id") % 3 =!= 0)
