@@ -194,16 +194,28 @@ object AnnIndex {
     * subsequent cell-scoped append/search. Below the threshold it
     * publishes nothing.
     *
-    * Returns (frozenRecall, retrainedRecall, retrained?). Cost when
-    * the gap is below threshold: the measurement only — one exact
-    * scan over content × queries (the recall denominator needs it)
-    * plus the candidate training's `iters` scans; the swap cost is
-    * one re-binned postings rewrite, paid only when buying the
-    * measured recall back. */
+    * Returns (frozenRecall, retrainedRecall, swapped?) — swapped is
+    * true only when the threshold tripped AND the set audit published
+    * (a failed audit publishes nothing and must not be reported as a
+    * recovery). Cost when the gap is below threshold: the measurement
+    * only — one exact scan over content × queries (the recall
+    * denominator needs it) plus the candidate training's `iters`
+    * scans; the swap cost is one re-binned postings rewrite, paid
+    * only when buying the measured recall back.
+    *
+    * Crash recovery: the swap is a [[Materialize.publishSetAuditedP]]
+    * under set name `<name>_retrain` — a crash mid-swap leaves the
+    * `<name>_retrain__swapping` marker, and
+    * `Materialize.recoverSet(spark, s"${name}_retrain",
+    * Seq(centroidsTable(name), postingsTable(name)))` rolls the index
+    * back to one consistent generation (spec: "a crash mid-retrain-swap
+    * is recoverable"). `crashAfterSwap` is TEST-ONLY fault injection,
+    * forwarded to the publish. */
   def maintainWithRetrain(spark: SparkSession, name: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, cells: Int, dims: Int, iters: Int,
-      threshold: Double): (Double, Double, Boolean) = {
+      threshold: Double, crashAfterSwap: Int = -1)
+      : (Double, Double, Boolean) = try {
     val content = InternalCache.persist(
       spark.table(postingsTable(name)).select(col("id"), col("vec")))
     val q = queries.select(col(queryIdCol).as("query_id"),
@@ -240,23 +252,23 @@ object AnnIndex {
         Similarity.cosineF(col("vec"), col("qvec")).as("score"))
     val retrained = recallOf(Similarity.topKPerQuery(scored, k))
     val doSwap = retrained - frozen > threshold
-    if (doSwap) {
+    val published = doSwap && {
       import spark.implicits._
       val cdf = cand.zipWithIndex.toIndexedSeq
         .map { case (c, m) => (m.toLong, c.toSeq) }
         .toDF("cell", "c")
-      Materialize.publishSetAuditedP(s"${name}_retrain", Seq(
+      val (ok, _) = Materialize.publishSetAuditedP(s"${name}_retrain", Seq(
         (cdf, centroidsTable(name),
           Seq(NotNull("cell"), NotNull("c"), Unique(Seq("cell"))),
           Option.empty[String]),
         (assigned, postingsTable(name),
           Seq(NotNull("id"), NotNull("cell"), Unique(Seq("id"))),
-          Some("cell"))))
-      ()
+          Some("cell"))),
+        crashAfterSwap = crashAfterSwap)
+      ok
     }
-    InternalCache.release()
-    (frozen, retrained, doSwap)
-  }
+    (frozen, retrained, published)
+  } finally InternalCache.release()
 
   /** 2-probe IVF search over the published index: per query, exact
     * cosine top-k among the postings of its nearest + runner-up cells.

@@ -183,30 +183,50 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == Set((1L, 0, 1), (2L, 2, 0)))
   }
 
+  /** The retrain fixture: drift members within a GROUP share an exact
+    * direction (mutual cosine 1.0 — each group member's true top-k is
+    * the rest of its group) but differ in MAGNITUDE. Cosine search is
+    * magnitude-invariant; Euclidean cell assignment is not — the
+    * frozen base quantizer has a near centroid (~(0,1)) and a far one
+    * (~(0,3.5)) along the drift direction, whose Voronoi crossover
+    * (m ≈ 2.81) splits every group: low-magnitude members land in the
+    * near cell, high-magnitude in the far cell. A low-magnitude query
+    * 2-probes its own cell plus the (1,0) blob — never the far cell —
+    * so the frozen index structurally misses the high-magnitude half
+    * of its true neighbors, while a retrain on the current content
+    * dedicates a centroid to the drift region and recovers them. */
+  private def retrainFixture = {
+    def j(i: Int): Double = ((i * 37) % 21 - 10) / 100.0 // ±0.10, det.
+    val base = (
+      (0 until 40).map(i => (i.toLong, Seq(1.0, 0.0, j(i), j(i + 1)))) ++
+      (0 until 40).map(i => ((100 + i).toLong,
+        Seq(5.0, 0.0, j(i), j(i + 1)))) ++
+      (0 until 40).map(i => ((300 + i).toLong,
+        Seq(0.0, 1.0, j(i), j(i + 1)))) ++
+      (0 until 40).map(i => ((400 + i).toLong,
+        Seq(0.0, 3.5, j(i), j(i + 1)))))
+      .toDF("vec_id", "embedding")
+    val mags = Seq(2.0, 2.3, 2.6, 2.9, 3.2, 3.5)
+    val delta = (for { g <- 0 until 7; t <- 0 until 6 } yield {
+      val m = mags(t)
+      val th = 2.0 * math.Pi * g / 7.0
+      ((1000 + g * 10 + t).toLong,
+        Seq(0.6 * m, 0.8 * m,
+          0.2 * m * math.cos(th), 0.2 * m * math.sin(th)))
+    }).toDF("vec_id", "embedding")
+    (base, delta)
+  }
+
   test("maintainWithRetrain: an injected drift batch trips the " +
       "threshold, the swap is atomic, and recall recovers") {
     val name = "annspec_retrain"
-    val dims = 4; val cells = 3; val iters = 4; val k = 5
-    def j(i: Int): Double = ((i * 37) % 21 - 10) / 100.0 // ±0.10, det.
-    // base distribution: two tight blobs on axes 0 and 1 — the
-    // build-time quantizer spends all 3 cells on them
-    val base = ((0 until 40).map(i =>
-        (i.toLong, Seq(1.0, j(i), j(i + 1), j(i + 2)))) ++
-      (0 until 40).map(i =>
-        ((100 + i).toLong, Seq(j(i), 1.0, j(i + 1), j(i + 2)))))
-      .toDF("vec_id", "embedding")
-    // drift: a NEW blob on the A/B diagonal whose members scatter
-    // across the old cells (the ±0.4 tilt flips the nearest-old-cell
-    // decision), so a 2-probe search under frozen centroids misses
-    // true neighbors that landed in the third cell
-    val delta = (0 until 40).map { i =>
-      val t = ((i * 53) % 21 - 10) / 25.0 // ±0.40, deterministic
-      ((200 + i).toLong, Seq(0.7 + t, 0.7 - t, j(i), j(i + 1)))
-    }.toDF("vec_id", "embedding")
+    val dims = 4; val cells = 5; val iters = 8; val k = 5
+    val (base, delta) = retrainFixture
     AnnIndex.build(spark, base, "vec_id", "embedding", name, cells,
       dims, iters)
     AnnIndex.append(spark, name, delta, "vec_id", "embedding")
-    val q = delta.filter(col("vec_id") < 210)
+    // queries: the lowest-magnitude member of each drift group
+    val q = delta.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     def centFp(): Seq[(Long, Seq[Double])] =
       rows(spark.table(AnnIndex.centroidsTable(name)).orderBy("cell"))
@@ -229,6 +249,48 @@ class AnnIndexSpec extends SparkSpec {
       "query_id", "qvec", k, cells, dims, iters, threshold = 1.0)
     assert(f2 == r1, s"post-swap live recall $f2 != promised $r1")
     assert(r2 == f2 && !sw2) // retraining again buys nothing
+  }
+
+  test("a crash mid-retrain-swap is recoverable: recoverSet restores " +
+      "a serving index and a retry lands") {
+    import graft.sources.Materialize
+    val name = "annspec_retrcrash"
+    val dims = 4; val cells = 5; val iters = 8; val k = 5
+    val (base, delta) = retrainFixture
+    AnnIndex.build(spark, base, "vec_id", "embedding", name, cells,
+      dims, iters)
+    AnnIndex.append(spark, name, delta, "vec_id", "embedding")
+    val q = delta.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def centFp(): Seq[(Long, Seq[Double])] =
+      rows(spark.table(AnnIndex.centroidsTable(name)).orderBy("cell"))
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val fpFrozen = centFp()
+    val postFrozen = postings(name)
+    // crash after the CENTROIDS renamed in but before the postings:
+    // the worst state — new centroids over old cell assignments
+    intercept[Materialize.CrashInjected] {
+      AnnIndex.maintainWithRetrain(spark, name, q, "query_id", "qvec",
+        k, cells, dims, iters, threshold = 0.02, crashAfterSwap = 0)
+    }
+    val setTables = Seq(AnnIndex.centroidsTable(name),
+      AnnIndex.postingsTable(name))
+    assert(spark.catalog.tableExists(s"${name}_retrain__swapping"))
+    // recovery rolls the whole set back to the frozen generation...
+    assert(Materialize.recoverSet(spark, s"${name}_retrain",
+      setTables) == "back")
+    assert(centFp() == fpFrozen && postings(name) == postFrozen)
+    // ...the index serves (centroids and postings are consistent)
+    assert(rows(AnnIndex.topK(spark, name, q, "query_id", "qvec", k))
+      .nonEmpty)
+    // and a retry of the same retrain lands the swap
+    val (f1, r1, sw1) = AnnIndex.maintainWithRetrain(spark, name, q,
+      "query_id", "qvec", k, cells, dims, iters, threshold = 0.02)
+    assert(sw1 && r1 - f1 > 0.05)
+    assert(centFp() != fpFrozen)
+    val (f2, _, _) = AnnIndex.maintainWithRetrain(spark, name, q,
+      "query_id", "qvec", k, cells, dims, iters, threshold = 1.0)
+    assert(f2 == r1)
   }
 
   test("a delta carrying the same id twice appends exactly one posting") {
