@@ -86,7 +86,10 @@ object Sampling {
     // exists to prevent — so a violating row fails the job loudly.
     // The guard is a no-op on conforming data, so the DuckDB oracle
     // twin (which has no guard) stays node-for-node equivalent.
-    val checked = when(weight < lit(0.005) || weight.isNull,
+    // isnan: NaN < 0.005 is false, so without it a NaN weight would
+    // bypass the guard and silently produce an off-grid ws_key
+    val checked = when(weight < lit(0.005) || weight.isNull ||
+        isnan(weight.cast("double")),
       raise_error(concat(
         lit("Sampling: weight must be >= 0.005 (1e-12 grid contract), got "),
         weight.cast("string")))).otherwise(weight)

@@ -122,6 +122,46 @@ object Quality {
       Result(c.name, n, c.severity.label, st, st != "error")
     }
 
+  /** [[run]] with ONE Spark action for the whole suite: every check's
+    * violation count is a one-row aggregate leg, the legs union, and a
+    * single bounded collect (≤ #checks rows) reads them all. Results
+    * are element-for-element what [[run]] returns — this exists
+    * because composed pipelines are action-latency-bound at fixture
+    * scale (and action-SCHEDULING-bound at 100 TB: one job per audit
+    * gate, not one per check). */
+  def runOnce(df: DataFrame, checks: Seq[Check],
+      warnAsError: Boolean = false): Seq[Result] =
+    if (checks.isEmpty) Nil
+    else resultsOf(checks, countsOnce(Seq(df -> checks)).head, warnAsError)
+
+  /** The shared one-action core: per (table, suite) pair, every
+    * check's count, collected in one job. Returns counts aligned with
+    * the input structure. */
+  private[graft] def countsOnce(
+      suites: Seq[(DataFrame, Seq[Check])]): Seq[Seq[Long]] = {
+    val legs = for {
+      ((df, checks), t) <- suites.zipWithIndex
+      (c, i) <- checks.zipWithIndex
+    } yield c.violations(df)
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(lit(t).as("t"), lit(i).as("i"), col("n"))
+    if (legs.isEmpty) suites.map(_ => Nil)
+    else {
+      val got = legs.reduce(_ unionByName _).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      suites.zipWithIndex.map { case ((_, checks), t) =>
+        checks.indices.map(i => got((t, i))).toSeq
+      }
+    }
+  }
+
+  private[graft] def resultsOf(checks: Seq[Check], counts: Seq[Long],
+      warnAsError: Boolean): Seq[Result] =
+    checks.zip(counts).map { case (c, n) =>
+      val st = statusOf(n, c.severity, warnAsError)
+      Result(c.name, n, c.severity.label, st, st != "error")
+    }
+
   /** Single-job summary: unions per-check violation counts into one
     * DataFrame so the driver can execute all checks as one Spark job
     * (each leg is an aggregate; Spark shares the scan via plan reuse
@@ -165,4 +205,18 @@ object Quality {
     }
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** Observation reads tolerant of AQE empty-relation propagation:
+    * when the observed subtree turns out empty at runtime,
+    * `AQEPropagateEmptyRelation` replaces it with an empty relation
+    * and the `CollectMetrics` node is PRUNED — the metrics map comes
+    * back empty. That can only happen when the true metric is the
+    * aggregate of zero rows, so the zero-value default is exact, not
+    * a guess. */
+  def obsLong(o: org.apache.spark.sql.Observation, k: String): Long =
+    o.get.get(k).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+
+  /** [[obsLong]]'s collection twin (e.g. a `collect_set` metric). */
+  def obsSeq(o: org.apache.spark.sql.Observation, k: String): Seq[Any] =
+    o.get.get(k).map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil)
 }

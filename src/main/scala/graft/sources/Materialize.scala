@@ -227,15 +227,24 @@ object Materialize {
     * ever merged (the q123 oracle checks exactly this). Cost note: a
     * partition's recompute reads one stored row-set per batch that
     * ever touched it — pre-aggregated rows, so history stays cheap;
-    * a pathological every-batch-touches-one-partition ingest can fold
-    * history with [[compactFiles]] on the partials table. */
+    * an ingest that hits the same partition every batch grows that
+    * read O(#batches) — fold history with [[checkpointPartials]],
+    * which replaces all slices older than a watermark with one merged
+    * slice (recompute input then stays bounded, spec-pinned). */
   def aggIncremental(spark: SparkSession, name: String,
       partial: DataFrame, keys: Seq[String],
       partitionCol: String, batchId: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, sum}
+    import org.apache.spark.sql.functions.{col, collect_set, lit, sum}
     val partials = s"${name}__partials"
     val valCols = partial.columns.filterNot(keys.contains).toSeq
+    // the touched-partition set rides the store action as an observe
+    // metric: it is read off the rows actually WRITTEN (not a
+    // re-evaluation of `partial`, which a nondeterministic input could
+    // shift), and costs no extra job. Bounded by contract: an
+    // increment touches a handful of partitions.
+    val obs = org.apache.spark.sql.Observation()
     val keyed = partial.withColumn("__batch", lit(batchId))
+      .observe(obs, collect_set(col(partitionCol)).as("touched"))
     // ---- 1. store this batch's partial, idempotently
     if (!spark.catalog.tableExists(partials)) {
       keyed.repartition(col(partitionCol))
@@ -250,18 +259,24 @@ object Materialize {
       }
     }
     spark.catalog.refreshTable(partials)
-    // ---- 2. recompute the touched partitions from stored partials
-    // bounded collect: the partition values one increment touches
-    val touched = partial.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSeq
-    val merged = spark.table(partials)
-      .filter(col(partitionCol).isin(touched: _*))
+    val touched = graft.quality.Quality.obsSeq(obs, "touched")
+    // ---- 2. recompute from stored partials. First create of `name`
+    // recomputes EVERY partition present in the partials table, not
+    // just this batch's — a stored partial whose batch crashed before
+    // this step (and is never replayed) must not stay invisible until
+    // a later batch happens to touch its partition.
+    val firstCreate = !spark.catalog.tableExists(name)
+    val scope =
+      if (firstCreate) spark.table(partials)
+      else spark.table(partials)
+        .filter(col(partitionCol).isin(touched: _*))
+    val merged = scope
       .drop("__batch")
       .groupBy(keys.map(col): _*)
       .agg(sum(col(valCols.head)).as(valCols.head),
         valCols.tail.map(c => sum(col(c)).as(c)): _*)
     // ---- 3. rewrite only those slices of the published aggregate
-    if (!spark.catalog.tableExists(name)) {
+    if (firstCreate) {
       merged
         .select(partial.columns.toSeq
           .map(c => col(c).cast(partial.schema(c).dataType)): _*)
@@ -279,6 +294,96 @@ object Materialize {
     }
     spark.catalog.refreshTable(name)
     spark.table(name)
+  }
+
+  /** History fold for [[aggIncremental]]'s partials table: replaces
+    * every stored slice with a batch id strictly below `olderThan`
+    * (string-ordered — use sortable batch ids) with ONE merged slice
+    * per partition under the synthetic id `#ckpt_<olderThan>`. '#'
+    * sorts below every alphanumeric batch id, so a later checkpoint
+    * folds earlier checkpoints in and a recompute's `__batch`-blind
+    * read picks the fold up transparently. After the fold, a
+    * partition's recompute input is one row-set for all folded
+    * history plus one per unfolded batch — INDEPENDENT of how many
+    * batches ever touched it (the one unbounded-growth path in the
+    * incremental-aggregate design; [[compactFiles]] cannot do this,
+    * it merges files WITHIN a (partition, batch) slice).
+    *
+    * Crash/replay: each affected partition is rewritten by a single
+    * static-prefix `INSERT OVERWRITE … PARTITION (partitionCol=v)` —
+    * the merged slice plus the `>= olderThan` slices verbatim, one
+    * near-atomic commit per partition — so a crash leaves every
+    * partition either fully folded or fully unfolded, and replaying
+    * the same call converges (a folded partition's only sub-watermark
+    * slice is the synthetic one, which re-merges to itself).
+    * Aggregate CONTENT is untouched: fold-then-recompute ≡ recompute
+    * (associative sums), spec-pinned. Returns the affected partition
+    * values. */
+  def checkpointPartials(spark: SparkSession, name: String,
+      keys: Seq[String], partitionCol: String,
+      olderThan: String): Seq[Any] = {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    require(olderThan.nonEmpty && !olderThan.startsWith("#"),
+      "olderThan must be a real (alphanumeric-leading) batch id")
+    val partials = s"${name}__partials"
+    val syn = s"#ckpt_$olderThan"
+    val t = spark.table(partials)
+    val dataCols = t.columns.toSeq
+      .filterNot(c => c == partitionCol || c == "__batch")
+    val valCols = dataCols.filterNot(keys.contains)
+    val schema = t.schema
+    // bounded collect: partition values holding ≥1 REAL sub-watermark
+    // slice (an already-folded partition's only such slice is the
+    // synthetic id — skipping it makes replays metadata-only no-ops)
+    val affected = t
+      .filter(col("__batch") < lit(olderThan) &&
+        col("__batch") =!= lit(syn))
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    // the SQL INSERT OVERWRITE below refuses a plan that reads its own
+    // target, so each partition's replacement rows are staged to a
+    // scratch location first (the extra write is pre-aggregated rows
+    // for ONE partition — maintenance-sized); the COMMIT is still the
+    // single static-prefix statement
+    val scratch = spark.conf.get("spark.sql.warehouse.dir") +
+      s"/_ckpt_scratch_${name.toLowerCase(java.util.Locale.ROOT)}"
+    affected.foreach { v =>
+      val slice = spark.table(partials)
+        .filter(col(partitionCol) === lit(v))
+      val folded = slice.filter(col("__batch") < lit(olderThan))
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col(valCols.head)).as(valCols.head),
+          valCols.tail.map(c => sum(col(c)).as(c)): _*)
+        .withColumn("__batch", lit(syn))
+      folded
+        .select(schema.map(f => col(f.name).cast(f.dataType)): _*)
+        .unionByName(slice.filter(col("__batch") >= lit(olderThan)))
+        .select((dataCols :+ "__batch").map(col): _*)
+        .write.mode("overwrite").parquet(scratch)
+      val tmp = s"__graft_ckpt_${math.abs(name.hashCode)}"
+      spark.read.parquet(scratch).createOrReplaceTempView(tmp)
+      // STATIC-prefix overwrite: clears the whole partitionCol=v
+      // subtree (every old batch slice) and writes the fold + the
+      // surviving newer slices in one commit
+      val PoKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(PoKey)
+      spark.conf.set(PoKey, "static")
+      try spark.sql(
+        s"INSERT OVERWRITE TABLE $partials " +
+          s"PARTITION ($partitionCol='$v', __batch) SELECT * FROM $tmp")
+      finally {
+        prev match {
+          case Some(p) => spark.conf.set(PoKey, p)
+          case None => spark.conf.unset(PoKey)
+        }
+        spark.catalog.dropTempView(tmp)
+      }
+    }
+    if (affected.nonEmpty) {
+      spark.catalog.refreshTable(partials)
+      Ingest.deletePath(spark, scratch)
+    }
+    affected
   }
 
   /** Drop an [[aggIncremental]] aggregate AND its `__partials` state
@@ -497,8 +602,9 @@ object Materialize {
     val staging = name + "__staging"
     table(df, staging)
     crash(0)
-    val results =
-      graft.quality.Quality.run(spark.table(staging), checks, warnAsError)
+    // one action for the whole audit suite (run() pays one per check)
+    val results = graft.quality.Quality.runOnce(
+      spark.table(staging), checks, warnAsError)
     crash(1)
     val ok = results.forall(_.passed)
     if (ok) {
@@ -645,9 +751,15 @@ object Materialize {
         case None => table(df, s"${name}__staging")
       }
     }
-    val results = tables.map { case (_, name, checks, _) =>
-      name -> graft.quality.Quality.run(
-        spark.table(s"${name}__staging"), checks, warnAsError)
+    // ONE action audits every staged table's whole suite (the gate is
+    // the action-count hot spot of every composed build that publishes
+    // through it)
+    val counts = graft.quality.Quality.countsOnce(
+      tables.map { case (_, name, checks, _) =>
+        spark.table(s"${name}__staging") -> checks })
+    val results = tables.zip(counts).map {
+      case ((_, name, checks, _), cs) =>
+        name -> graft.quality.Quality.resultsOf(checks, cs, warnAsError)
     }
     val ok = results.forall(_._2.forall(_.passed))
     if (!ok) {

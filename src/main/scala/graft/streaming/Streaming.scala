@@ -322,19 +322,23 @@ object Streaming {
     try {
       val (srcDir, stream) =
         stageTwoHalves(spark, eventsParquet, cutTs, tag)
-      val ckpt = s"$srcDir/ckpt_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckptId = java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = s"$srcDir/ckpt_$ckptId"
       val q = stream.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, batchId: Long) =>
-          // the stream's batchId is stable across replays — exactly
-          // the key aggIncremental's convergence contract wants
+          // batchId is stable across replays OF ONE RUN (the
+          // checkpoint), but only unique per checkpoint — a second run
+          // into a surviving aggregate would reuse b0/b1 and silently
+          // overwrite the first run's partials. Prefixing the
+          // checkpoint id makes the key stable within a run and unique
+          // across runs.
           if (!b.isEmpty) {
             graft.sources.Materialize.aggIncremental(
               b.sparkSession, name, partialOf(b), keys, partitionCol,
-              s"b$batchId")
+              s"${ckptId.take(12)}-b$batchId")
             ()
           }
         }

@@ -289,6 +289,62 @@ class MaterializeSpec extends SparkSpec {
       .foreach(n => Materialize.dropAggState(spark, n))
   }
 
+  test("checkpointPartials bounds recompute input: history folds to " +
+      "one slice, newer batches survive, content never moves") {
+    // the O(#batches) growth path: a streaming ingest that touches
+    // today's partition EVERY batch makes the partition's recompute
+    // read one stored row-set per batch forever — unless folded
+    val n = "mz_agg_ckpt"
+    val partials = s"${n}__partials"
+    Materialize.dropAggState(spark, n)
+    def frame(xs: Seq[(String, String, Long)]) =
+      xs.toDF("d", "k", "v").withColumn("d", col("d").cast("date"))
+    def slicesOf(d: String): Set[String] =
+      rows(spark.table(partials).filter(col("d") === d)
+        .select("__batch").distinct()).map(_.getString(0)).toSet
+    def agg(): Seq[(String, String, Long)] =
+      rows(spark.table(n).select("d", "k", "v"))
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2))
+    // 5 batches, every one touching 2024-01-01; b000 also seeds -02
+    for (i <- 0 until 5)
+      Materialize.aggIncremental(spark, n,
+        frame(Seq(("2024-01-01", "k1", 10L + i)) ++
+          (if (i == 0) Seq(("2024-01-02", "k2", 5L)) else Nil)),
+        Seq("d", "k"), "d", f"b$i%03d")
+    val want = Seq(("2024-01-01", "k1", 60L), ("2024-01-02", "k2", 5L))
+    assert(agg() == want)
+    assert(slicesOf("2024-01-01").size == 5)
+    // fold everything below b003: the recompute input for -01 is now
+    // 1 (fold) + 2 (surviving batches) row-sets, not 5
+    val affected = Materialize.checkpointPartials(spark, n,
+      Seq("d", "k"), "d", "b003")
+    assert(affected.map(_.toString).toSet ==
+      Set("2024-01-01", "2024-01-02"))
+    assert(slicesOf("2024-01-01") == Set("#ckpt_b003", "b003", "b004"))
+    assert(slicesOf("2024-01-02") == Set("#ckpt_b003"))
+    assert(agg() == want, "checkpoint moved the published aggregate")
+    // replaying the same checkpoint is a metadata-only no-op
+    assert(Materialize.checkpointPartials(spark, n,
+      Seq("d", "k"), "d", "b003").isEmpty)
+    assert(slicesOf("2024-01-01") == Set("#ckpt_b003", "b003", "b004"))
+    // a post-fold increment recomputes from the folded state correctly
+    Materialize.aggIncremental(spark, n,
+      frame(Seq(("2024-01-01", "k1", 3L))), Seq("d", "k"), "d", "b005")
+    val want2 = Seq(("2024-01-01", "k1", 63L), ("2024-01-02", "k2", 5L))
+    assert(agg() == want2)
+    // a LATER checkpoint folds the earlier fold in: one slice remains
+    Materialize.checkpointPartials(spark, n, Seq("d", "k"), "d", "b006")
+    assert(slicesOf("2024-01-01") == Set("#ckpt_b006"))
+    assert(agg() == want2)
+    // and the folded state still recomputes to the full aggregate
+    Materialize.aggIncremental(spark, n,
+      frame(Seq(("2024-01-01", "k1", 2L))), Seq("d", "k"), "d", "b007")
+    assert(agg() == Seq(("2024-01-01", "k1", 65L),
+      ("2024-01-02", "k2", 5L)))
+    Materialize.dropAggState(spark, n)
+  }
+
   test("compact reconciles cross-partition movers to full-rebuild dedup") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
