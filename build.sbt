@@ -24,6 +24,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 scalacOptions ++= Seq("-deprecation")
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt artifacts broke that: the logger's "[info] " prefix
+// on forked-process output (fixed: StdoutOutput passes it through
+// bare) and the trailing "[success] Total time" line (fixed:
+// showSuccess off).
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

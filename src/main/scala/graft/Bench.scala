@@ -148,11 +148,15 @@ object Bench {
     val qsAll = medians.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_allqueries","value":${r3(total)},"unit":"sec","queries":$qsAll}""")
     val top10 = medians.sortBy(-_._2).take(10).map { case (k, v) =>
       "\"" + k + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfShort,"reps":$reps,"n":${medians.size},"stat":"median_per_query_across_sorted_sweeps","errors":${errors.size},"full":"target/bench.json","queries":$top10}""")
+    // stop FIRST so no Spark log line can land after the summary; the
+    // final stdout line must be the bare compact JSON (build.sbt's
+    // StdoutOutput + showSuccess:=false keep sbt from wrapping or
+    // trailing it)
     spark.stop()
+    println(s"""{"metric":"total_allqueries","value":${r3(total)},"unit":"sec","queries":$qsAll}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfShort,"reps":$reps,"n":${medians.size},"stat":"median_per_query_across_sorted_sweeps","errors":${errors.size},"full":"target/bench.json","queries":$top10}""")
   }
 }
