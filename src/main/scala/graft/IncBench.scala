@@ -117,12 +117,23 @@ object IncBench {
     // diagnostic: SPARK_GRAFT_INC_SKIP=events|orders empties one delta
     // stream so the two incremental phases can be costed separately
     val skip = sys.env.getOrElse("SPARK_GRAFT_INC_SKIP", "")
+    // SPARK_GRAFT_INC_USERMOD=k thins the event delta to users ≡ 0
+    // (mod k) — the VERSION-SPARSE late-arrival shape (few users → few
+    // touched buckets) that is the bucket-scoped merge's win
+    // condition; 1 = the r8 scattered shape
+    val userMod = sys.env.getOrElse("SPARK_GRAFT_INC_USERMOD", "1").toLong
     val (oBase, oDelta0) = (orders.filter(col("o_orderdate") < lit(oCut)),
       orders.filter(col("o_orderdate") >= lit(oCut)))
-    val (eBase, eDelta0) = (events.filter(col("ts") < lit(eCut)),
-      events.filter(col("ts") >= lit(eCut)))
+    val eDeltaAll = events.filter(col("ts") >= lit(eCut))
+      .filter(pmod(col("user_id"), lit(userMod)) === 0)
+    // the base keeps everything outside the DELTA (not outside the
+    // cut): thinned-away late events stay in the base so base ∪ delta
+    // is always the full log
+    val eBase = events.filter(col("ts") < lit(eCut) ||
+      pmod(col("user_id"), lit(userMod)) =!= 0)
     val oDelta = if (skip == "orders") oDelta0.filter(lit(false)) else oDelta0
-    val eDelta = if (skip == "events") eDelta0.filter(lit(false)) else eDelta0
+    val eDelta = if (skip == "events") eDeltaAll.filter(lit(false))
+      else eDeltaAll
     val totalRows = orders.count() + events.count()
     val deltaRows = oDelta.count() + eDelta.count()
     val affectedUsers = eDelta.select("user_id").distinct().count()

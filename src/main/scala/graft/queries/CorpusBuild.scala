@@ -128,13 +128,16 @@ object CorpusBuild {
     val contaminated = TextDedup.contaminationPairs(staged, "doc_id",
         "text", probes, "doc_id", "text", Llm.DcN, Llm.DcMinShared)
       .select(col("doc_id")).distinct()
-    // bounded scalar: one Long
-    val contamRemoved = contaminated.count()
+    // rows_final rides the curated write; contaminated_removed is then
+    // arithmetic over already-observed counters (staged rows − final)
+    // — neither costs an action of its own
+    val curObs = org.apache.spark.sql.Observation()
     val curated = Materialize.partitionedTable(
       staged.join(contaminated, Seq("doc_id"), "left_anti")
-        .withColumn("pt", ptCol),
+        .withColumn("pt", ptCol)
+        .observe(curObs, count(lit(1)).as("rows_final")),
       s"e2e_corpus_curated_$h", "pt")
-    val rowsFinal = curated.count()
+    val rowsFinal = Quality.obsLong(curObs, "rows_final")
     // the decontamination gram INDEX (gh = md5Long(gram), doc_id over
     // the curated corpus): makes the incremental path's retroactive
     // decontamination a narrow hashed-pairs lookup instead of
@@ -179,6 +182,11 @@ object CorpusBuild {
     val dropQ = obsVal(gateObs, "dropped_low_quality")
     val dropL = obsVal(gateObs, "dropped_non_en")
     val keptDedup = obsVal(dedupObs, "rows_kept")
+    // staged rows = kept minus the eval docs filtered at staging;
+    // whatever of those did not reach the curated table was removed by
+    // decontamination — arithmetic, not a count action
+    val contamRemoved =
+      (keptDedup - obsVal(dedupObs, "eval_docs")) - rowsFinal
     val report: Seq[Metric] = Seq[Metric](
       ("quality", "corpus", "rows_in", rowsIn),
       ("quality", "corpus", "dropped_low_quality", dropQ),
@@ -257,12 +265,15 @@ object CorpusBuild {
     val deltaEval = delta
       .filter(pmod(col("doc_id"), lit(Llm.DcProbeEvery)) === 0)
       .select(col("doc_id"), col("text"))
+    val peObs = org.apache.spark.sql.Observation()
     val newProbes = Materialize.table(
       deltaEval.join(spark.table(probesT).select("doc_id"),
         Seq("doc_id"), "left_anti")
-        .withColumn("h", contentHash),
+        .withColumn("h", contentHash)
+        .observe(peObs, count(lit(1)).as("eval_added")),
       s"e2e_corpus_delta_probes_$h")
-    val evalAdded = newProbes.count() // bounded scalar: one Long
+    // rides the staging write — no count action of its own
+    val evalAdded = Quality.obsLong(peObs, "eval_added")
 
     // ---- candidate dedup: keep-first within the delta, then one
     // hash anti-join against everything already admitted (published
@@ -326,8 +337,16 @@ object CorpusBuild {
         .agg(count(lit(1)).cast("long").as("n_shared"))
         .filter(col("n_shared") >= Llm.DcMinShared)
         .select(col("doc_id")).distinct()
-    val removedNew = contamNew.count() // bounded scalars
-    val removedOld = contamOld.count()
+    // both decontamination counts in one collected union (one action)
+    val removed = contamNew
+      .agg(count(lit(1)).cast("long").as("value"))
+      .select(lit("new").as("k"), col("value"))
+      .unionByName(contamOld
+        .agg(count(lit(1)).cast("long").as("value"))
+        .select(lit("old").as("k"), col("value")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val removedNew = removed("new")
+    val removedOld = removed("old")
 
     // ---- partition-scoped merge of the curated corpus: with
     // append-only ids the additions land in the tail partitions and
@@ -384,8 +403,9 @@ object CorpusBuild {
     // batch's retro lookup reads the pre-append index listing
     spark.catalog.refreshTable(gramsT)
     graft.operators.InternalCache.release() // see probes republish
-    val rowsFinal = spark.table(curatedT).count()
-    val (publishOk, audit, m) = republishManifest(spark, h)
+    // rows_final rides the manifest repack's curated scan — no count
+    // action of its own
+    val (publishOk, audit, m, rowsFinal) = republishManifest(spark, h)
     def obsVal(o: org.apache.spark.sql.Observation, k: String): Long =
       o.get(k).asInstanceOf[Number].longValue()
     val kept = obsVal(dedupObs, "rows_kept")
@@ -420,12 +440,16 @@ object CorpusBuild {
     * [[runIncremental]] and [[eraseDocs]] so the manifest contract
     * cannot drift between the lifecycle paths. */
   private def republishManifest(spark: SparkSession, h: String)
-      : (Boolean, Seq[Quality.Result], org.apache.spark.sql.Row) = {
+      : (Boolean, Seq[Quality.Result], org.apache.spark.sql.Row, Long) = {
     val packed = Ranking.withRunningTotal(
       spark.table(s"e2e_corpus_curated_$h")
         .select(col("doc_id"), col("tok")),
       col("doc_id").asc, col("tok"), "prev")
+    // the curated row count rides the repack's corpus scan (the one
+    // scan the manifest staging write already pays for)
+    val rowsObs = org.apache.spark.sql.Observation()
     val manifest = packed
+      .observe(rowsObs, count(lit(1)).as("rows_final"))
       .groupBy(floor(col("prev") / lit(ShardBudget.toDouble)).cast("long")
         .as("shard"))
       .agg(count(lit(1)).as("n_docs"),
@@ -435,7 +459,8 @@ object CorpusBuild {
     val (ok, audit) = Materialize.publishAudited(manifest,
       s"e2e_corpus_manifest_$h",
       Seq(NotNull("shard"), NotNull("shard_tokens"), Unique(Seq("shard"))))
-    (ok, audit, manifestReadBack(spark, h))
+    (ok, audit, manifestReadBack(spark, h),
+      Quality.obsLong(rowsObs, "rows_final"))
   }
 
   /** Catalog read-back of the published manifest's summary metrics.
@@ -502,15 +527,24 @@ object CorpusBuild {
       .select(col(eraseIds.columns.head).cast("long").as("doc_id"))
       .distinct()
 
-    // audit counts BEFORE deletion (bounded scalars)
+    // audit counts BEFORE deletion (bounded scalars), all four in one
+    // collected union — one action, not four
     val inCurated = spark.table(curatedT)
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
-    val nCurated = inCurated.count()
-    val nParts = inCurated.select(col("pt")).distinct().count()
-    val nGrams = spark.table(gramsT)
-      .join(broadcast(ids), Seq("doc_id"), "left_semi").count()
-    val nProbes = spark.table(probesT)
-      .join(broadcast(ids), Seq("doc_id"), "left_semi").count()
+    def leg(name: String, v: DataFrame) =
+      v.agg(count(lit(1)).cast("long").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    val pre = leg("curated", inCurated)
+      .unionByName(leg("parts", inCurated.select(col("pt")).distinct()))
+      .unionByName(leg("grams", spark.table(gramsT)
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")))
+      .unionByName(leg("probes", spark.table(probesT)
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nCurated = pre("curated")
+    val nParts = pre("parts")
+    val nGrams = pre("grams")
+    val nProbes = pre("probes")
 
     // partition-scoped physical deletes
     Materialize.eraseKeys(spark, curatedT, "doc_id", ids, "pt")
@@ -528,8 +562,8 @@ object CorpusBuild {
     // nothing downstream reads a pre-swap file listing
     graft.operators.InternalCache.release()
 
-    val rowsFinal = spark.table(curatedT).count()
-    val (publishOk, audit, m) = republishManifest(spark, h)
+    // rows_final rides the manifest repack's curated scan
+    val (publishOk, audit, m, rowsFinal) = republishManifest(spark, h)
     val report: Seq[Metric] = Seq[Metric](
       ("erase", "curated", "docs_erased", nCurated),
       ("erase", "curated", "partitions_rewritten", nParts),

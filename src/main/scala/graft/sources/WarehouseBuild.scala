@@ -51,6 +51,19 @@ object WarehouseBuild {
     * value for one state suffix. */
   val DefaultDimBuckets = 16
 
+  /** Adaptive SCD2 maintenance threshold: when an event delta's
+    * affected users touch at least this fraction of the dim's buckets,
+    * [[runIncremental]] REBUILDS the dim in one pass instead of the
+    * bucket-scoped merge. Measured physics (NOTES_r08, version-dense
+    * fixture at 40×): a scattered 200-user delta touched 55%+ of the
+    * buckets and the merge only reached parity with a rebuild — the
+    * semi/anti joins and slice accounting are pure overhead once the
+    * rewrite covers most of the table. The merge wins (and is kept)
+    * exactly where deltas localize: few users → few buckets →
+    * slice-proportional rewrite. Spec-pinned: both paths produce the
+    * identical final dim state and report. */
+  val DefaultDimRebuildFraction = 0.75
+
   private def omCol(c: org.apache.spark.sql.Column) =
     date_format(c, "yyyy-MM")
 
@@ -150,14 +163,25 @@ object WarehouseBuild {
 
   private def dimMetrics(spark: SparkSession, h: String): Seq[Metric] = {
     val dim = spark.table(s"e2e_dim_user_scd2_$h")
+    def leg(name: String, v: DataFrame) =
+      v.agg(count(lit(1)).cast("long").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    // all four dim metrics in ONE collected union (one action, not
+    // four — the composed build is action-latency-bound)
+    val got = leg("versions", dim)
+      .unionByName(leg("current_rows", dim.filter(col("is_current"))))
+      .unionByName(leg("overlap_violations",
+        Scd2.overlapViolations(dim, Seq("user_id"))))
+      .unionByName(leg("current_violations",
+        Scd2.currentViolations(dim, Seq("user_id"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     Seq[Metric](
-      ("dim", "dim_user_scd2", "versions", dim.count()),
-      ("dim", "dim_user_scd2", "current_rows",
-        dim.filter(col("is_current")).count()),
+      ("dim", "dim_user_scd2", "versions", got("versions")),
+      ("dim", "dim_user_scd2", "current_rows", got("current_rows")),
       ("dim", "dim_user_scd2", "overlap_violations",
-        Scd2.overlapViolations(dim, Seq("user_id")).count()),
+        got("overlap_violations")),
       ("dim", "dim_user_scd2", "current_violations",
-        Scd2.currentViolations(dim, Seq("user_id")).count()))
+        got("current_violations")))
   }
 
   /** (Re)compute a month-partitioned partial-mart table from the
@@ -238,22 +262,27 @@ object WarehouseBuild {
           Seq(NotNull("month"), NotNull("revenue"), Unique(Seq("month")))),
         (segment, s"e2e_mart_segment_$h",
           Seq(NotNull("c_mktsegment"), Unique(Seq("c_mktsegment"))))))
+    // read back from the catalog: the report describes the PUBLISHED
+    // artifact (cents stay exact: decimal × 100 → long). On the
+    // FIRST-ever publish a failing audit leaves no table at all — the
+    // report must still come back (published=0 IS the gate's
+    // evidence), so a missing table reads as zeros rather than
+    // TABLE_OR_VIEW_NOT_FOUND killing the build. BOTH marts' stats
+    // ride one collected union — one action, not one head() per mart.
+    val present = Seq(s"e2e_mart_monthly_$h", s"e2e_mart_segment_$h")
+      .filter(spark.catalog.tableExists)
+    val stats: Map[String, (Long, Long)] =
+      if (present.isEmpty) Map.empty
+      else present.map { n =>
+        spark.table(n).agg(count(lit(1)).as("n"),
+          coalesce(sum((col("revenue") * 100).cast("long")), lit(0L))
+            .as("cents"))
+          .select(lit(n).as("t"), col("n"), col("cents"))
+      }.reduce(_ unionByName _)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
     def metrics(rel: String, name: String): Seq[Metric] = {
-      // read back from the catalog: the report describes the
-      // PUBLISHED artifact (cents stay exact: decimal × 100 → long).
-      // On the FIRST-ever publish a failing audit leaves no table at
-      // all — the report must still come back (published=0 IS the
-      // gate's evidence), so a missing table reads as zeros rather
-      // than TABLE_OR_VIEW_NOT_FOUND killing the build
-      val (nRows, cents) =
-        if (spark.catalog.tableExists(name)) {
-          val m = spark.table(name)
-            .agg(count(lit(1)).as("n"),
-              coalesce(sum((col("revenue") * 100).cast("long")), lit(0L))
-                .as("cents"))
-            .head()
-          (m.getAs[Long]("n"), m.getAs[Long]("cents"))
-        } else (0L, 0L)
+      val (nRows, cents) = stats.getOrElse(name, (0L, 0L))
       val viol = martsAudit.find(_._1 == name).map(_._2).getOrElse(Nil)
       Seq(
         ("mart", rel, "rows", nRows),
@@ -283,7 +312,12 @@ object WarehouseBuild {
     *    overwrite); the union of each affected user's stored change
     *    rows and the delta is de-duplicated on (user_id, ts, event_id)
     *    before re-versioning, which makes the merge ABSORBING — a
-    *    replayed delta rebuilds identical chains;
+    *    replayed delta rebuilds identical chains. ADAPTIVE: when the
+    *    affected users touch ≥ `dimRebuildFraction` of the buckets
+    *    the merge degenerates to a full rewrite plus join overhead,
+    *    so the dim re-versions in one pass instead (identical final
+    *    state and report, spec-pinned — see
+    *    [[DefaultDimRebuildFraction]] for the measured physics);
     *  - the per-(segment, month) mart input is RECOMPUTED from the
     *    staged tables for the touched months only (absorbing, pruned
     *    scan), and both marts republish through the same
@@ -294,7 +328,9 @@ object WarehouseBuild {
     * set-equality against a full rebuild over base ∪ delta). */
   def runIncremental(spark: SparkSession, h: String,
       ordersDelta: DataFrame, eventsDelta: DataFrame,
-      dimBuckets: Int = DefaultDimBuckets): DataFrame = {
+      dimBuckets: Int = DefaultDimBuckets,
+      dimRebuildFraction: Double = DefaultDimRebuildFraction)
+      : DataFrame = {
     val stgT = s"e2e_stg_orders_$h"
     val dimT = s"e2e_dim_user_scd2_$h"
     require(spark.catalog.tableExists(stgT) &&
@@ -309,62 +345,110 @@ object WarehouseBuild {
       "high_value" -> (col("o_totalprice") > 400000)))
     val (oKept, oKeptObs) = Quality.observed(
       oIn.filter(validOrder), Seq("rows_kept" -> lit(true)))
+    // the delta's month set rides the staging write (bounded by
+    // contract: a delta touches a handful of months)
+    val mObs = org.apache.spark.sql.Observation()
     val staged = Materialize.table(
-      oKept.withColumn("om", omCol(col("o_orderdate"))),
+      oKept.withColumn("om", omCol(col("o_orderdate")))
+        .observe(mObs, collect_set(col("om")).as("delta_months")),
       s"e2e_stg_orders_delta_$h")
+    val deltaMonths = Quality.obsSeq(mObs, "delta_months").map(_.toString)
 
     // ---- order-key dedup against the stored months the delta lands
-    // in (partition-pruned, one key column read); the stored copy wins
-    // bounded collect: <= delta-month VALUES
-    val deltaMonths = staged.select(col("om")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // in (partition-pruned, one key column read); the stored copy wins.
+    // The appended count and the touched-month set ride the append
+    // write itself (they describe the rows actually written); the
+    // resubmitted count is the staging counter minus them — the whole
+    // dedup-and-append step is ONE action.
     val fresh = staged.join(
       spark.table(stgT).filter(col("om").isin(deltaMonths: _*))
         .select(col("o_orderkey")),
       Seq("o_orderkey"), "left_anti")
-    val appended = fresh.count() // bounded scalar
-    val resubmitted = spark.table(s"e2e_stg_orders_delta_$h").count() -
-      appended
+    val wObs = org.apache.spark.sql.Observation()
+    val cols = spark.table(stgT).columns.toSeq // om last
+    fresh.observe(wObs, count(lit(1)).as("appended"),
+        collect_set(col("om")).as("touched"))
+      .select(cols.map(col): _*)
+      .repartition(col("om"))
+      .write.mode("append").insertInto(stgT)
+    spark.catalog.refreshTable(stgT)
+    val appended = Quality.obsLong(wObs, "appended")
+    val resubmitted = Quality.obsLong(oKeptObs, "rows_kept") - appended
     // touched months = months that actually gained rows
-    val touched = fresh.select(col("om")).distinct()
-      .collect().map(_.getString(0)).toSeq // bounded: <= delta months
-    if (appended > 0) {
-      val cols = spark.table(stgT).columns.toSeq // om last
-      fresh.select(cols.map(col): _*)
-        .repartition(col("om"))
-        .write.mode("append").insertInto(stgT)
-      spark.catalog.refreshTable(stgT)
-    }
+    val touched = Quality.obsSeq(wObs, "touched")
+      .map(_.toString) // bounded: <= delta months
 
     // ---- SCD2 merge: re-version ONLY affected users, rewrite ONLY
     // their buckets. The (stored change rows ∪ delta) union is
     // de-duplicated on the full change identity so replay is absorbing.
     val scdCols = Seq("valid_from", "valid_to", "is_current", "version")
     val affected = eventsDelta.select(col("user_id")).distinct()
-    val nAffected = affected.count() // bounded scalar
+    // ONE bounded collect (≤ dimBuckets rows) yields both the affected
+    // user count and the touched bucket values
+    val bucketCounts = affected.groupBy(ubCol(dimBuckets))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val nAffected = bucketCounts.map(_._2).sum
+    val touchedBuckets = bucketCounts.map(_._1)
     val dim = spark.table(dimT)
-    val touchedBuckets = affected.select(ubCol(dimBuckets))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    // bounded collect: <= dimBuckets VALUES
     val versionsBefore = dim.count() // one narrow columnar count
-    val versionsAdded = if (nAffected == 0) 0L else {
-      // the slice feeds the semi-join, the anti-join, and the version
-      // accounting — one pruned read, cached for the merge's duration
+    val versionsAdded = if (nAffected == 0) 0L
+    else if (touchedBuckets.size.toDouble / dimBuckets
+        >= dimRebuildFraction) {
+      // ADAPTIVE path: the delta scatters across (nearly) every
+      // bucket, so the bucket-scoped merge would rewrite the whole
+      // dim anyway while paying semi/anti joins and slice accounting
+      // on top — re-version everything in one pass instead. Same
+      // machinery as the merge's write (dynamic overwrite via
+      // insertInto permits the self-read; every existing bucket is
+      // present in the output so the whole table rewrites).
+      val rebuiltObs = org.apache.spark.sql.Observation()
+      val changeLogAll = dim.drop((scdCols :+ "ub").map(c => c): _*)
+      val rebuilt = Scd2.build(
+        changeLogAll.unionByName(
+          eventsDelta.select(changeLogAll.columns.map(col): _*))
+          .dropDuplicates("user_id", "ts", "event_id"),
+        Seq("user_id"), "ts", Seq("event_id"))
+        .withColumn("ub", ubCol(dimBuckets))
+        .observe(rebuiltObs, count(lit(1)).as("versions_rebuilt"))
+      val cols = dim.columns.toSeq
+      val PoKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(PoKey)
+      spark.conf.set(PoKey, "dynamic")
+      try rebuilt.select(cols.map(col): _*)
+        .repartition(col("ub"))
+        .write.mode("overwrite").insertInto(dimT)
+      finally prev match {
+        case Some(v) => spark.conf.set(PoKey, v)
+        case None => spark.conf.unset(PoKey)
+      }
+      spark.catalog.refreshTable(dimT)
+      Quality.obsLong(rebuiltObs, "versions_rebuilt") - versionsBefore
+    } else {
+      // the slice feeds the semi-join and the anti-join — one pruned
+      // read, cached for the merge's duration
       val bucketSlice = graft.operators.InternalCache.persist(
         dim.filter(col("ub").isin(touchedBuckets: _*)))
       val touchedDim = bucketSlice.join(affected, Seq("user_id"),
         "left_semi")
       val untouchedInBuckets = bucketSlice.join(affected, Seq("user_id"),
         "left_anti")
+      // version accounting rides the merge write: the before/rebuilt
+      // counters observe the rows that actually flow through the
+      // rewrite (pre-merge chain rows and rebuilt chain rows), so the
+      // whole merge — rebuild, rewrite, delta accounting — is ONE
+      // action instead of three
+      val beforeObs = org.apache.spark.sql.Observation()
+      val rebuiltObs = org.apache.spark.sql.Observation()
       val changeLog = touchedDim.drop((scdCols :+ "ub").map(c => c): _*)
+        .observe(beforeObs, count(lit(1)).as("versions_before_slice"))
       val rebuilt = Scd2.build(
         changeLog.unionByName(
           eventsDelta.select(changeLog.columns.map(col): _*))
           .dropDuplicates("user_id", "ts", "event_id"),
         Seq("user_id"), "ts", Seq("event_id"))
         .withColumn("ub", ubCol(dimBuckets))
-      // slice-proportional delta accounting — never a second full count
-      val before = touchedDim.count()
+        .observe(rebuiltObs, count(lit(1)).as("versions_rebuilt"))
       val cols = dim.columns.toSeq
       val PoKey = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(PoKey)
@@ -378,9 +462,8 @@ object WarehouseBuild {
         case None => spark.conf.unset(PoKey)
       }
       spark.catalog.refreshTable(dimT)
-      val added = spark.table(dimT)
-        .filter(col("ub").isin(touchedBuckets: _*))
-        .join(affected, Seq("user_id"), "left_semi").count() - before
+      val added = Quality.obsLong(rebuiltObs, "versions_rebuilt") -
+        Quality.obsLong(beforeObs, "versions_before_slice")
       graft.operators.InternalCache.release() // the merge-scoped slice
       added
     }
@@ -399,6 +482,17 @@ object WarehouseBuild {
       if (touchedBuckets.isEmpty) spark.table(dimT).limit(0)
       else spark.table(dimT).filter(col("ub").isin(touchedBuckets: _*))
         .join(affected, Seq("user_id"), "left_semi")
+    // post-merge dim metrics in one collected union (one action)
+    def leg(name: String, v: DataFrame) =
+      v.agg(count(lit(1)).cast("long").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    val post = leg("current_rows",
+        spark.table(dimT).filter(col("is_current")))
+      .unionByName(leg("overlap_violations",
+        Scd2.overlapViolations(checkedSlice, Seq("user_id"))))
+      .unionByName(leg("current_violations",
+        Scd2.currentViolations(checkedSlice, Seq("user_id"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def obsVal(o: org.apache.spark.sql.Observation, k: String): Long =
       o.get(k).asInstanceOf[Number].longValue()
     import spark.implicits._
@@ -417,12 +511,11 @@ object WarehouseBuild {
       ("dim", "dim_user_scd2", "versions_added", versionsAdded),
       ("dim", "dim_user_scd2", "versions",
         versionsBefore + versionsAdded),
-      ("dim", "dim_user_scd2", "current_rows",
-        spark.table(dimT).filter(col("is_current")).count()),
+      ("dim", "dim_user_scd2", "current_rows", post("current_rows")),
       ("dim", "dim_user_scd2", "overlap_violations",
-        Scd2.overlapViolations(checkedSlice, Seq("user_id")).count()),
+        post("overlap_violations")),
       ("dim", "dim_user_scd2", "current_violations",
-        Scd2.currentViolations(checkedSlice, Seq("user_id")).count()))
+        post("current_violations")))
       .toDF("step", "relation", "metric", "value")
       .unionByName(martRows)
   }

@@ -97,6 +97,37 @@ class WarehouseBuildSpec extends SparkSpec {
       assert(snap(hI, t) == snap(hF, t), s"$t drifted under replay")
   }
 
+  test("adaptive dim maintenance: the bucket-scoped merge and the " +
+      "one-pass rebuild land the identical dim state and report") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.sources.Tables.orders(spark, dir)
+    val events = graft.sources.Tables.events(spark, dir)
+    val customer = graft.sources.Tables.customer(spark, dir)
+    val oBase = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 3)
+    val oDelta = orders.filter(pmod(col("o_orderkey"), lit(7)) === 3)
+    val eBase = events.filter(pmod(col("event_id"), lit(5)) =!= 2)
+    val eDelta = events.filter(pmod(col("event_id"), lit(5)) === 2)
+    def repOf(df: org.apache.spark.sql.DataFrame) =
+      rows(df).map(r => ((r.getString(0), r.getString(1),
+        r.getString(2)), r.getLong(3))).toMap
+    // same base, same scattered delta — one run forced through the
+    // merge (threshold no scatter can reach), one forced through the
+    // rebuild (threshold zero)
+    WarehouseBuild.runOn(spark, oBase, customer, eBase, "whadm")
+    WarehouseBuild.runOn(spark, oBase, customer, eBase, "whadr")
+    val repM = repOf(WarehouseBuild.runIncremental(spark, "whadm",
+      oDelta, eDelta, dimRebuildFraction = 1.1))
+    val repR = repOf(WarehouseBuild.runIncremental(spark, "whadr",
+      oDelta, eDelta, dimRebuildFraction = 0.0))
+    assert(repM == repR, s"reports diverged:\n$repM\nvs\n$repR")
+    def dimSnap(h: String): Set[Seq[Any]] =
+      spark.table(s"e2e_dim_user_scd2_$h").collect().map(_.toSeq).toSet
+    assert(dimSnap("whadm") == dimSnap("whadr"),
+      "merge and rebuild paths produced different dim states")
+    assert(repM(("dim", "dim_user_scd2", "versions_added")) > 0)
+  }
+
   private def validBase(df: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.functions._
     col("o_totalprice") > 0 && col("o_custkey").isNotNull
