@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.LongType
@@ -24,10 +24,13 @@ import org.apache.spark.sql.types.LongType
   *
   * 100 TB posture: the rewrite replaces a full fact scan + shuffle with
   * a scan of a table that is smaller by the rollup factor (days ×
-  * types vs raw events — typically 10³-10⁶×). Matching is strictly
-  * conservative: any filter, join, unknown expression, distinct
-  * aggregate, or unmatched column aborts the rewrite and the query
-  * runs against the fact table unchanged. Freshness is the caller's
+  * types vs raw events — typically 10³-10⁶×). Filters whose
+  * predicates reference only MV key expressions are COVERED: they map
+  * onto the mart's grouping columns and ride the rewrite (`WHERE
+  * month >= X GROUP BY month`). Matching is otherwise strictly
+  * conservative: any join, unknown expression, distinct aggregate,
+  * unmatched column, or filter touching a non-key column aborts the
+  * rewrite and the query runs against the fact table unchanged. Freshness is the caller's
   * contract (register the MV only while it is current — same as any
   * MV system with manual refresh).
   *
@@ -132,14 +135,26 @@ object Mv {
       }
 
     private def tryRewrite(agg: Aggregate, d: Registered)
-        : Option[Aggregate] = {
-      // unwrap: Aggregate over (Project over)? the source relation;
-      // any other child (Filter, Join, …) means the MV cannot answer
-      val (subst, rel) = agg.child match {
-        case Project(list, r: LogicalRelation) =>
-          (list.collect { case a: Alias => a.exprId -> a.child }
-            .toMap[ExprId, Expression], r)
-        case r: LogicalRelation => (Map.empty[ExprId, Expression], r)
+        : Option[LogicalPlan] = {
+      // unwrap: Aggregate over (Project over)? (Filter over)? the
+      // source relation. A Filter is COVERED when its condition maps
+      // entirely onto MV key expressions — such a predicate is
+      // constant within every MV group, so filtering pre-aggregated
+      // rows commutes with the rollup (the `WHERE month >= X GROUP BY
+      // month` consumer). Any other child (Join, uncovered filter, …)
+      // means the MV cannot answer
+      def aliases(list: Seq[NamedExpression]) =
+        list.collect { case a: Alias => a.exprId -> a.child }
+          .toMap[ExprId, Expression]
+      val none = Map.empty[ExprId, Expression]
+      val (subst, rel, srcFilter) = agg.child match {
+        case Project(list, r: LogicalRelation) => (aliases(list), r, None)
+        case r: LogicalRelation => (none, r, None)
+        case Filter(c, r: LogicalRelation) => (none, r, Some(c))
+        case Filter(c, Project(list, r: LogicalRelation)) =>
+          (aliases(list), r, Some(c))
+        case Project(list, Filter(c, r: LogicalRelation)) =>
+          (aliases(list), r, Some(c))
         case _ => return None
       }
       if (!relPath(rel).contains(d.sourcePath)) return None
@@ -185,6 +200,17 @@ object Mv {
           if (r.dataType == ae.dataType) r else Cast(r, ae.dataType))
       }
 
+      // the covered-filter gate: every piece of the condition must map
+      // to MV key expressions (the keys need not be in the QUERY's
+      // grouping set — a key-expression predicate is constant within
+      // each MV group either way)
+      val newFilter = srcFilter.map { cond =>
+        val mapped = resolve(cond).transformDown {
+          case e if keyFor(e).isDefined => keyFor(e).get
+        }
+        if (!mapped.references.subsetOf(mvOut)) return None
+        mapped
+      }
       val newGroupings = agg.groupingExpressions.map { g =>
         keyFor(g).getOrElse(return None)
       }
@@ -204,7 +230,8 @@ object Mv {
           case other => Alias(other, ne.name)(exprId = ne.exprId)
         }
       }
-      Some(Aggregate(newGroupings, newResult, mvPlan))
+      Some(Aggregate(newGroupings, newResult,
+        newFilter.map(c => Filter(c, mvPlan)).getOrElse(mvPlan)))
     }
   }
 

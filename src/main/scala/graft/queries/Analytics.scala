@@ -1440,6 +1440,48 @@ object Analytics {
     finally graft.plans.Mv.deregister("mv_daily_type")
   }
 
+  // ------------------------------------------------------------ q251
+
+  /** The COVERED-FILTER MV rewrite (the [[graft.plans.Mv]] extension
+    * over q142's exact-shape match): the consumer filters on the MV's
+    * key expression — `WHERE day >= X GROUP BY day` — and the rule
+    * maps the predicate onto the mart's grouping column, so the plan
+    * filters days×types pre-aggregated rows instead of scanning the
+    * fact. At 100 TB this is the common dashboard shape: a date-range
+    * predicate over a rollup key, answered from the mart WITH the
+    * range pushed to its (typically partition-pruned) scan. The
+    * oracle runs the plain fact-side SQL — the rewrite must be
+    * semantically invisible; MvSpec locks that the rewrite fires for
+    * this shape and that non-key filters stay out. */
+  val q251 = Query(
+    "q251_mv_covered_filter",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-15'
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val mv = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(money(col("value"))).as("total"))
+    graft.sources.Materialize.table(mv, "mv_daily_type_cf")
+    graft.plans.Mv.register(s, "mv_daily_type_cf", ev,
+      keys = Seq("day" -> date_trunc("day", col("ts")),
+        "event_type" -> col("event_type")),
+      sums = Seq("total" -> money(col("value"))),
+      countStar = Some("n_events"))
+    try
+      ev.filter(date_trunc("day", col("ts")) >=
+          lit("2024-01-15").cast("timestamp"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(money(col("value"))).cast("double").as("total_value"))
+        .localCheckpoint()
+    finally graft.plans.Mv.deregister("mv_daily_type_cf")
+  }
+
   // ------------------------------------------------------------ q151
 
   /** RFM customer segmentation (recency/frequency/monetary quintiles —
@@ -2603,5 +2645,5 @@ object Analytics {
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
     q127, q129, q130, q131, q132, q133, q140, q142, q151, q152, q153,
     q154, q156, q157, q159, q161, q162, q163, q167, q169, q170, q171,
-    q179, q181, q183, q184, q195, q201, q207)
+    q179, q181, q183, q184, q195, q201, q207, q251)
 }

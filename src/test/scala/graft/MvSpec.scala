@@ -70,6 +70,32 @@ class MvSpec extends SparkSpec {
     } finally Mv.deregister("mv_daily_type_test")
   }
 
+  test("a filter covered by MV key expressions rewrites; the filtered " +
+      "result matches the fact scan") {
+    val cut = "2024-02-01"
+    def fact = events
+      .filter(date_trunc("day", col("ts")) >= lit(cut).cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("total"))
+    val expect = rows(fact.orderBy("event_type")).map(_.toSeq)
+    buildAndRegister()
+    try {
+      // filter key ∈ grouping set: WHERE day >= X GROUP BY day
+      val byDay = events
+        .filter(date_trunc("day", col("ts")) >= lit(cut).cast("timestamp"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      assert(scansMv(byDay),
+        byDay.queryExecution.executedPlan.toString.take(3000))
+      // filter key ∉ grouping set: WHERE day >= X GROUP BY event_type
+      // (the predicate is constant within each MV group either way)
+      val byType = fact
+      assert(scansMv(byType))
+      assert(rows(byType.orderBy("event_type")).map(_.toSeq) == expect)
+    } finally Mv.deregister("mv_daily_type_test")
+  }
+
   test("filters, distinct aggs, and uncovered columns do NOT rewrite") {
     buildAndRegister()
     try {
