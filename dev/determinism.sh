@@ -9,5 +9,7 @@ cd "$(dirname "$0")/.."
 SF="${1:-0.001}"
 export SPARK_GRAFT_SF_DIR="/root/testdata/sf$SF"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
+# forked-run output is unprefixed since the StdoutOutput switch
+# (build.sbt); tolerate both forms
 sbt -batch "runMain graft.DeterminismCheck" 2>/dev/null \
-  | grep -E '^\[info\] (DRIFT|\{)' | sed 's/^\[info\] //'
+  | grep -E '^(\[info\] )?(DRIFT|\{)' | sed 's/^\[info\] //'
