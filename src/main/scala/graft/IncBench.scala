@@ -117,20 +117,28 @@ object IncBench {
     // diagnostic: SPARK_GRAFT_INC_SKIP=events|orders empties one delta
     // stream so the two incremental phases can be costed separately
     val skip = sys.env.getOrElse("SPARK_GRAFT_INC_SKIP", "")
-    // SPARK_GRAFT_INC_USERMOD=k thins the event delta to users ≡ 0
-    // (mod k) — the VERSION-SPARSE late-arrival shape (few users → few
-    // touched buckets) that is the bucket-scoped merge's win
-    // condition; 1 = the r8 scattered shape
-    val userMod = sys.env.getOrElse("SPARK_GRAFT_INC_USERMOD", "1").toLong
+    // SPARK_GRAFT_INC_USERS=n thins the event delta to the n smallest
+    // affected user ids — the VERSION-SPARSE late-arrival shape (few
+    // users → few touched buckets) that is the bucket-scoped merge's
+    // win condition; 0 = keep all (the r8 scattered shape)
+    val userCap = sys.env.getOrElse("SPARK_GRAFT_INC_USERS", "0").toInt
     val (oBase, oDelta0) = (orders.filter(col("o_orderdate") < lit(oCut)),
       orders.filter(col("o_orderdate") >= lit(oCut)))
-    val eDeltaAll = events.filter(col("ts") >= lit(eCut))
-      .filter(pmod(col("user_id"), lit(userMod)) === 0)
+    val lateAll = events.filter(col("ts") >= lit(eCut))
+    val eDeltaAll =
+      if (userCap <= 0) lateAll
+      else {
+        // bounded collect: ≤ userCap ids (a bench knob, not data)
+        val keep = lateAll.select(col("user_id")).distinct()
+          .orderBy(col("user_id")).limit(userCap)
+          .collect().map(_.getLong(0)).toSeq
+        lateAll.filter(col("user_id").isin(keep: _*))
+      }
     // the base keeps everything outside the DELTA (not outside the
     // cut): thinned-away late events stay in the base so base ∪ delta
     // is always the full log
-    val eBase = events.filter(col("ts") < lit(eCut) ||
-      pmod(col("user_id"), lit(userMod)) =!= 0)
+    val eBase = events.join(eDeltaAll.select(col("event_id")),
+      Seq("event_id"), "left_anti")
     val oDelta = if (skip == "orders") oDelta0.filter(lit(false)) else oDelta0
     val eDelta = if (skip == "events") eDeltaAll.filter(lit(false))
       else eDeltaAll
