@@ -10,6 +10,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local-mode partition DISCOVERY: listing an 80-partition month
+      // table as a distributed job costs ~0.2 s of scheduling per
+      // (refresh, read) pair - a composed build pays it dozens of times
+      // (measured, JobProfile q250). Up to 256 paths the driver lists
+      // in microseconds; beyond that the distributed path is right.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

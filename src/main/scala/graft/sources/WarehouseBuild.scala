@@ -391,7 +391,6 @@ object WarehouseBuild {
     val nAffected = bucketCounts.map(_._2).sum
     val touchedBuckets = bucketCounts.map(_._1)
     val dim = spark.table(dimT)
-    val versionsBefore = dim.count() // one narrow columnar count
     val versionsAdded = if (nAffected == 0) 0L
     else if (touchedBuckets.size.toDouble / dimBuckets
         >= dimRebuildFraction) {
@@ -402,8 +401,10 @@ object WarehouseBuild {
       // machinery as the merge's write (dynamic overwrite via
       // insertInto permits the self-read; every existing bucket is
       // present in the output so the whole table rewrites).
+      val beforeObs = org.apache.spark.sql.Observation()
       val rebuiltObs = org.apache.spark.sql.Observation()
       val changeLogAll = dim.drop((scdCols :+ "ub").map(c => c): _*)
+        .observe(beforeObs, count(lit(1)).as("versions_before"))
       val rebuilt = Scd2.build(
         changeLogAll.unionByName(
           eventsDelta.select(changeLogAll.columns.map(col): _*))
@@ -423,7 +424,8 @@ object WarehouseBuild {
         case None => spark.conf.unset(PoKey)
       }
       spark.catalog.refreshTable(dimT)
-      Quality.obsLong(rebuiltObs, "versions_rebuilt") - versionsBefore
+      Quality.obsLong(rebuiltObs, "versions_rebuilt") -
+        Quality.obsLong(beforeObs, "versions_before")
     } else {
       // the slice feeds the semi-join and the anti-join — one pruned
       // read, cached for the merge's duration
@@ -486,8 +488,9 @@ object WarehouseBuild {
     def leg(name: String, v: DataFrame) =
       v.agg(count(lit(1)).cast("long").as("value"))
         .select(lit(name).as("metric"), col("value"))
-    val post = leg("current_rows",
-        spark.table(dimT).filter(col("is_current")))
+    val post = leg("versions", spark.table(dimT))
+      .unionByName(leg("current_rows",
+        spark.table(dimT).filter(col("is_current"))))
       .unionByName(leg("overlap_violations",
         Scd2.overlapViolations(checkedSlice, Seq("user_id"))))
       .unionByName(leg("current_violations",
@@ -509,8 +512,10 @@ object WarehouseBuild {
       ("staging", "stg_orders", "months_touched", touched.size.toLong),
       ("dim", "dim_user_scd2", "affected_users", nAffected),
       ("dim", "dim_user_scd2", "versions_added", versionsAdded),
-      ("dim", "dim_user_scd2", "versions",
-        versionsBefore + versionsAdded),
+      // the post-merge count: ≡ before + added on both maintenance
+      // paths (the merge rewrites only affected chains; the rebuild
+      // re-versions the same change set)
+      ("dim", "dim_user_scd2", "versions", post("versions")),
       ("dim", "dim_user_scd2", "current_rows", post("current_rows")),
       ("dim", "dim_user_scd2", "overlap_violations",
         post("overlap_violations")),
