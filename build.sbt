@@ -31,6 +31,10 @@ scalacOptions ++= Seq("-deprecation")
 // showSuccess off).
 outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which lintUnused
+// cannot see — without this exclusion every sbt invocation leads with
+// a spurious unused-setting warning
+Global / excludeLintKeys += showSuccess
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
