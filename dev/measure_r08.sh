@@ -10,6 +10,8 @@ sbt -batch "runMain graft.Bench" >/dev/null 2>&1
 cp target/bench.json BENCH_r08_full.json
 echo "[measure] full sweep done $(date -u +%H:%M:%S)" >&2
 echo "[measure] scalebench start" >&2
+# tolerate both prefixed and (since the r10 StdoutOutput switch)
+# unprefixed forked-run output
 SPARK_GRAFT_SCALE_MULT=10 sbt -batch "runMain graft.ScaleBench" 2>/dev/null \
-  | grep -E '^\[info\] \{' | sed 's/^\[info\] //' > SCALEBENCH_r08.jsonl
+  | grep -E '^(\[info\] )?\{' | sed 's/^\[info\] //' > SCALEBENCH_r08.jsonl
 echo "[measure] scalebench done $(date -u +%H:%M:%S)" >&2

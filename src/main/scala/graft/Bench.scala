@@ -160,8 +160,11 @@ object Bench {
     // stop FIRST so no Spark log line can land after the summary; the
     // final stdout line must be the bare compact JSON (build.sbt's
     // StdoutOutput + showSuccess:=false keep sbt from wrapping or
-    // trailing it)
-    spark.stop()
+    // trailing it). A throwing shutdown (hook races) must not discard
+    // a completed sweep — the summary still prints.
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"spark.stop() failed; results intact: $e") }
     println(s"""{"metric":"total_allqueries","value":${r3(total)},"unit":"sec","queries":$qsAll}""")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfShort,"reps":$reps,"n":${medians.size},"stat":"median_per_query_across_sorted_sweeps","errors":${errors.size},"full":"target/bench.json","queries":$top10}""")
   }

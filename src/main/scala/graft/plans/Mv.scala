@@ -29,8 +29,13 @@ import org.apache.spark.sql.types.LongType
   * onto the mart's grouping columns and ride the rewrite (`WHERE
   * month >= X GROUP BY month`). Matching is otherwise strictly
   * conservative: any join, unknown expression, distinct aggregate,
-  * unmatched column, or filter touching a non-key column aborts the
-  * rewrite and the query runs against the fact table unchanged. Freshness is the caller's
+  * unmatched column, or filter that touches a non-key column, is
+  * nondeterministic (`rand()` samples GROUPS post-rollup), or carries
+  * a subquery aborts the rewrite and the query runs against the fact
+  * table unchanged. When several registered MVs cover the same
+  * aggregate, the fewest-keys (coarsest, hence smallest) mart answers,
+  * ties on table name — deterministic in registration order.
+  * Freshness is the caller's
   * contract (register the MV only while it is current — same as any
   * MV system with manual refresh).
   *
@@ -129,9 +134,18 @@ object Mv {
       if (registered.isEmpty) plan
       else plan.transformUp {
         case agg: Aggregate =>
-          registered.values.view
+          // when several registered MVs cover the same aggregate, the
+          // one with the FEWEST key columns answers — the coarsest
+          // covering rollup is the smallest mart (each extra key
+          // multiplies stored groups); ties break on table name. The
+          // choice is a sort, not registry iteration order, so a later
+          // registrant can never silently change which MV answers an
+          // existing query (spec: "smallest covering MV wins").
+          registered.values.toSeq
+            .sortBy(d => (d.keys.size, d.mvTable))
+            .iterator
             .flatMap(d => tryRewrite(agg, d))
-            .headOption.getOrElse(agg)
+            .nextOption().getOrElse(agg)
       }
 
     private def tryRewrite(agg: Aggregate, d: Registered)
@@ -203,8 +217,15 @@ object Mv {
       // the covered-filter gate: every piece of the condition must map
       // to MV key expressions (the keys need not be in the QUERY's
       // grouping set — a key-expression predicate is constant within
-      // each MV group either way)
+      // each MV group either way). A NONDETERMINISTIC predicate (e.g.
+      // `WHERE rand() < 0.1`) carries no column references, so the
+      // reference-subset check alone would pass it — but evaluating it
+      // over pre-aggregated rows samples GROUPS instead of raw rows.
+      // Subqueries hide arbitrary plans the coverage check cannot see.
+      // Both abort the rewrite.
       val newFilter = srcFilter.map { cond =>
+        if (!cond.deterministic ||
+            cond.exists(_.isInstanceOf[SubqueryExpression])) return None
         val mapped = resolve(cond).transformDown {
           case e if keyFor(e).isDefined => keyFor(e).get
         }

@@ -102,6 +102,15 @@ class MvSpec extends SparkSpec {
       val filtered = events.filter(col("value") > 10)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       assert(!scansMv(filtered))
+      // a nondeterministic predicate has NO column references, so the
+      // reference-subset gate alone would pass it — but rand() over
+      // pre-aggregated rows samples GROUPS, not raw rows. Must abort.
+      // (< 0.5, not an always-true bound: the optimizer FOLDS
+      // `rand() < 2.0` away before the rule ever sees it)
+      val nondet = events.filter(rand(7) < 0.5)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      assert(!scansMv(nondet),
+        nondet.queryExecution.executedPlan.toString.take(3000))
       val distinctAgg = events.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n"))
       assert(!scansMv(distinctAgg))
@@ -112,5 +121,55 @@ class MvSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"))
       assert(!scansMv(wrongKey))
     } finally Mv.deregister("mv_daily_type_test")
+  }
+
+  test("smallest covering MV wins, independent of registration order") {
+    // a coarser 1-key rollup of the same fact: both MVs cover a
+    // GROUP BY event_type query; the fewest-keys mart must answer in
+    // EITHER registration order (the choice is a sort, not registry
+    // iteration order)
+    def buildCoarse(): Unit = {
+      spark.sql("DROP TABLE IF EXISTS mv_type_only_test")
+      val loc = new java.io.File("/tmp/graft_test_warehouse/mv_type_only_test")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(money(col("value"))).as("total"))
+        .write.mode("overwrite").saveAsTable("mv_type_only_test")
+    }
+    def registerCoarse(): Unit =
+      Mv.register(spark, "mv_type_only_test", events,
+        keys = Seq("event_type" -> col("event_type")),
+        sums = Seq("total" -> money(col("value"))),
+        countStar = Some("n_events"))
+    def byType = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("total"))
+    def byDay = events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    def scans(df: org.apache.spark.sql.DataFrame, t: String): Boolean =
+      df.queryExecution.executedPlan.toString.contains(t)
+    val expect = rows(byType.orderBy("event_type")).map(_.toSeq)
+    buildCoarse()
+    try {
+      // order 1: fine first, coarse second
+      buildAndRegister(); registerCoarse()
+      assert(scans(byType, "mv_type_only_test"),
+        byType.queryExecution.executedPlan.toString.take(3000))
+      assert(!scans(byType, "mv_daily_type_test"))
+      // a query only the fine MV covers still goes to the fine MV
+      assert(scans(byDay, "mv_daily_type_test"))
+      assert(rows(byType.orderBy("event_type")).map(_.toSeq) == expect)
+      Mv.deregister("mv_daily_type_test")
+      Mv.deregister("mv_type_only_test")
+      // order 2: coarse first, fine second — same answers
+      registerCoarse(); buildAndRegister()
+      assert(scans(byType, "mv_type_only_test"))
+      assert(!scans(byType, "mv_daily_type_test"))
+      assert(rows(byType.orderBy("event_type")).map(_.toSeq) == expect)
+    } finally {
+      Mv.deregister("mv_daily_type_test")
+      Mv.deregister("mv_type_only_test")
+    }
   }
 }
