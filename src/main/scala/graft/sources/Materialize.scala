@@ -309,7 +309,7 @@ object Materialize {
     * incremental-aggregate design; [[compactFiles]] cannot do this,
     * it merges files WITHIN a (partition, batch) slice).
     *
-    * Crash/replay: each affected partition is rewritten by a single
+    * Crash/replay: each affected partition is committed by a single
     * static-prefix `INSERT OVERWRITE … PARTITION (partitionCol=v)` —
     * the merged slice plus the `>= olderThan` slices verbatim, one
     * near-atomic commit per partition — so a crash leaves every
@@ -318,7 +318,19 @@ object Materialize {
     * slice is the synthetic one, which re-merges to itself).
     * Aggregate CONTENT is untouched: fold-then-recompute ≡ recompute
     * (associative sums), spec-pinned. Returns the affected partition
-    * values. */
+    * values.
+    *
+    * Scale: ALL affected partitions' replacement rows are staged in
+    * ONE distributed write (partitioned by `partitionCol`, so each
+    * commit reads only its own staged slice), and the per-partition
+    * commits that follow are metadata-sized — a maintenance window
+    * folding months of history pays one Spark job for the heavy merge
+    * plus one cheap commit per partition, not a full stage-and-merge
+    * round-trip each (spec: "checkpointPartials stages all partitions
+    * in one distributed write"). Partition values are interpolated
+    * into the commit statements, so values outside
+    * `[A-Za-z0-9 ._:-]` (the engine's date/month shapes and then
+    * some) are rejected rather than risk a broken statement. */
   def checkpointPartials(spark: SparkSession, name: String,
       keys: Seq[String], partitionCol: String,
       olderThan: String): Seq[Any] = {
@@ -340,49 +352,63 @@ object Materialize {
         col("__batch") =!= lit(syn))
       .select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
-    // the SQL INSERT OVERWRITE below refuses a plan that reads its own
-    // target, so each partition's replacement rows are staged to a
-    // scratch location first (the extra write is pre-aggregated rows
-    // for ONE partition — maintenance-sized); the COMMIT is still the
-    // single static-prefix statement
-    val scratch = spark.conf.get("spark.sql.warehouse.dir") +
-      s"/_ckpt_scratch_${name.toLowerCase(java.util.Locale.ROOT)}"
+    if (affected.isEmpty) return affected
     affected.foreach { v =>
-      val slice = spark.table(partials)
-        .filter(col(partitionCol) === lit(v))
-      val folded = slice.filter(col("__batch") < lit(olderThan))
-        .groupBy(keys.map(col): _*)
-        .agg(sum(col(valCols.head)).as(valCols.head),
-          valCols.tail.map(c => sum(col(c)).as(c)): _*)
-        .withColumn("__batch", lit(syn))
-      folded
-        .select(schema.map(f => col(f.name).cast(f.dataType)): _*)
-        .unionByName(slice.filter(col("__batch") >= lit(olderThan)))
-        .select((dataCols :+ "__batch").map(col): _*)
-        .write.mode("overwrite").parquet(scratch)
-      val tmp = s"__graft_ckpt_${math.abs(name.hashCode)}"
-      spark.read.parquet(scratch).createOrReplaceTempView(tmp)
-      // STATIC-prefix overwrite: clears the whole partitionCol=v
-      // subtree (every old batch slice) and writes the fold + the
-      // surviving newer slices in one commit
-      val PoKey = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(PoKey)
-      spark.conf.set(PoKey, "static")
-      try spark.sql(
+      require(v != null &&
+        v.toString.matches("[A-Za-z0-9 ._:\\-]+"),
+        s"checkpointPartials: partition value '$v' is not safely " +
+          "embeddable in a PARTITION spec (null or outside " +
+          "[A-Za-z0-9 ._:-])")
+    }
+    def ident(s: String) = s.replaceAll("[^A-Za-z0-9_]", "_")
+    // the SQL INSERT OVERWRITE below refuses a plan that reads its own
+    // target, so replacement rows stage to a scratch location first.
+    // ONE distributed write covers every affected partition; the path
+    // and temp-view name carry (table, watermark) so concurrent folds
+    // of different tables cannot collide, and a replay of the same
+    // fold overwrites its own leftovers.
+    val scratch = spark.conf.get("spark.sql.warehouse.dir") +
+      s"/_ckpt_scratch_${ident(name).toLowerCase(java.util.Locale.ROOT)}" +
+      s"_${ident(olderThan)}"
+    val scoped = t.filter(col(partitionCol).isin(affected: _*))
+    val folded = scoped.filter(col("__batch") < lit(olderThan))
+      .groupBy((partitionCol +: keys).distinct.map(col): _*)
+      .agg(sum(col(valCols.head)).as(valCols.head),
+        valCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .withColumn("__batch", lit(syn))
+    folded
+      .select(schema.map(f => col(f.name).cast(f.dataType)): _*)
+      .unionByName(scoped.filter(col("__batch") >= lit(olderThan))
+        .select(schema.map(f => col(f.name)): _*))
+      .repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(scratch)
+    // schema-enforced read: partition-directory type inference must
+    // not drift the partition column's type (a "202401" month would
+    // re-infer as int); the explicit schema pins every column
+    val tmp = s"__graft_ckpt_${ident(name)}_${ident(olderThan)}"
+    spark.read.schema(schema).parquet(scratch).createOrReplaceTempView(tmp)
+    // STATIC-prefix overwrites: each clears the whole partitionCol=v
+    // subtree (every old batch slice) and writes the fold + the
+    // surviving newer slices in one commit, reading only that
+    // partition's staged slice (partition-pruned on the scratch dir)
+    val PoKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(PoKey)
+    spark.conf.set(PoKey, "static")
+    val cols = (dataCols :+ "__batch").map(c => s"`$c`").mkString(", ")
+    try affected.foreach { v =>
+      spark.sql(
         s"INSERT OVERWRITE TABLE $partials " +
-          s"PARTITION ($partitionCol='$v', __batch) SELECT * FROM $tmp")
-      finally {
-        prev match {
-          case Some(p) => spark.conf.set(PoKey, p)
-          case None => spark.conf.unset(PoKey)
-        }
-        spark.catalog.dropTempView(tmp)
+          s"PARTITION ($partitionCol='$v', __batch) " +
+          s"SELECT $cols FROM $tmp WHERE `$partitionCol` = '$v'")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(PoKey, p)
+        case None => spark.conf.unset(PoKey)
       }
+      spark.catalog.dropTempView(tmp)
     }
-    if (affected.nonEmpty) {
-      spark.catalog.refreshTable(partials)
-      Ingest.deletePath(spark, scratch)
-    }
+    spark.catalog.refreshTable(partials)
+    Ingest.deletePath(spark, scratch)
     affected
   }
 

@@ -345,6 +345,62 @@ class MaterializeSpec extends SparkSpec {
     Materialize.dropAggState(spark, n)
   }
 
+  test("checkpointPartials stages all partitions in one distributed " +
+      "write: fold jobs scale 1-per-partition, not stage+merge each") {
+    val n = "mz_agg_ckpt_wide"
+    Materialize.dropAggState(spark, n)
+    def frame(xs: Seq[(String, String, Long)]) =
+      xs.toDF("d", "k", "v").withColumn("d", col("d").cast("date"))
+    val days = (1 to 8).map(i => f"2024-02-$i%02d")
+    for (b <- 0 until 4)
+      Materialize.aggIncremental(spark, n,
+        frame(days.map(d => (d, "k1", 10L + b))), Seq("d", "k"), "d",
+        f"b$b%03d")
+    // job-group accounting (thread-local, so only this fold's jobs):
+    // the maintenance-window contract is ONE distributed staging write
+    // for ALL partitions plus one metadata-sized commit per partition —
+    // the pre-r11 shape ran a stage-merge-commit round-trip per
+    // partition (≥3 jobs each, 24+ here)
+    val sc = spark.sparkContext
+    sc.setJobGroup("ckpt_job_count", "fold job accounting", false)
+    val affected =
+      try Materialize.checkpointPartials(spark, n, Seq("d", "k"), "d",
+        "b003")
+      finally sc.clearJobGroup()
+    assert(affected.size == 8)
+    val jobs = sc.statusTracker.getJobIdsForGroup("ckpt_job_count").length
+    assert(jobs <= affected.size + 8,
+      s"fold ran $jobs jobs for ${affected.size} partitions")
+    // every partition folded to the synthetic slice + the surviving b003
+    val slices = rows(spark.table(s"${n}__partials")
+      .select("d", "__batch").distinct())
+      .map(r => (r.getDate(0).toString, r.getString(1)))
+    assert(slices.groupBy(_._1).values
+      .forall(_.map(_._2).toSet == Set("#ckpt_b003", "b003")))
+    // and the published aggregate never moved (10+11+12+13 per day)
+    val agg = rows(spark.table(n).select("d", "k", "v"))
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    assert(agg.toSet == days.map(d => (d, "k1", 46L)).toSet)
+    Materialize.dropAggState(spark, n)
+  }
+
+  test("checkpointPartials rejects partition values it cannot embed " +
+      "in a PARTITION spec") {
+    val n = "mz_agg_ckpt_badval"
+    Materialize.dropAggState(spark, n)
+    Materialize.aggIncremental(spark, n,
+      Seq(("ok_val", "k1", 1L), ("bad'val", "k1", 2L)).toDF("p", "k", "v"),
+      Seq("p", "k"), "p", "b000")
+    Materialize.aggIncremental(spark, n,
+      Seq(("ok_val", "k1", 3L)).toDF("p", "k", "v"),
+      Seq("p", "k"), "p", "b001")
+    val e = intercept[IllegalArgumentException] {
+      Materialize.checkpointPartials(spark, n, Seq("p", "k"), "p", "b001")
+    }
+    assert(e.getMessage.contains("not safely"))
+    Materialize.dropAggState(spark, n)
+  }
+
   test("compact reconciles cross-partition movers to full-rebuild dedup") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
