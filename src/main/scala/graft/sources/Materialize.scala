@@ -230,10 +230,14 @@ object Materialize {
     * an ingest that hits the same partition every batch grows that
     * read O(#batches) — fold history with [[checkpointPartials]],
     * which replaces all slices older than a watermark with one merged
-    * slice (recompute input then stays bounded, spec-pinned). */
+    * slice (recompute input then stays bounded, spec-pinned), or pass
+    * `foldEvery > 0` to run that fold automatically whenever any
+    * partition's slice count exceeds it (the streaming ingest paths
+    * default to this cadence). */
   def aggIncremental(spark: SparkSession, name: String,
       partial: DataFrame, keys: Seq[String],
-      partitionCol: String, batchId: String): DataFrame = {
+      partitionCol: String, batchId: String,
+      foldEvery: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.{col, collect_set, lit, sum}
     val partials = s"${name}__partials"
     val valCols = partial.columns.filterNot(keys.contains).toSeq
@@ -293,6 +297,25 @@ object Materialize {
       }
     }
     spark.catalog.refreshTable(name)
+    // ---- 4. fold cadence: with foldEvery > 0, once any partition
+    // holds more than foldEvery slices, everything strictly below THIS
+    // batch id folds into one synthetic slice ([[checkpointPartials]])
+    // — the knob that keeps a continuously ingesting deployment's
+    // recompute input bounded WITHOUT manual maintenance. The check is
+    // metadata-only: SHOW PARTITIONS lists one row per (partition,
+    // batch) slice, and the cadence itself bounds that listing at
+    // ≤ foldEvery+1 rows per partition. Sortable batch ids give the
+    // fold clean watermark semantics; under arbitrary ids the old/new
+    // split is arbitrary but content still converges (the merge is
+    // associative, spec-pinned).
+    if (foldEvery > 0) {
+      val slices = spark.sql(s"SHOW PARTITIONS $partials")
+        .collect().map(_.getString(0).takeWhile(_ != '/'))
+      val worst = slices.groupBy(identity)
+        .valuesIterator.map(_.length).foldLeft(0)(math.max)
+      if (worst > foldEvery)
+        checkpointPartials(spark, name, keys, partitionCol, batchId)
+    }
     spark.table(name)
   }
 

@@ -272,30 +272,44 @@ object Streaming {
     * receives partial sums from BOTH batches and the additive merge is
     * exercised, not just appends. Post-condition (the q127 oracle):
     * table ≡ the one-shot batch aggregate. */
-  /** Stage `eventsParquet` as a dir of exactly TWO data files split at
-    * `cutTs` — with `maxFilesPerTrigger=1` the stream runs as two
-    * micro-batches, so cross-batch state merging is exercised. */
-  private def stageTwoHalves(spark: SparkSession, eventsParquet: String,
-      cutTs: String, tag: String): (String, DataFrame) = {
+  /** Stage `eventsParquet` as a dir of exactly `splits` data files —
+    * with `maxFilesPerTrigger=1` the stream runs as that many
+    * micro-batches, so cross-batch state merging is exercised. Two
+    * splits cut at `cutTs` (the mid-day boundary both batches share —
+    * the q127/q201 fixture shape); more splits use a deterministic row
+    * hash, which spreads EVERY partition across every batch — the
+    * worst case for per-partition slice growth and exactly the shape
+    * the fold cadence must bound. */
+  private def stageSplits(spark: SparkSession, eventsParquet: String,
+      cutTs: String, tag: String, splits: Int): (String, DataFrame) = {
+    require(splits >= 2, "need at least two micro-batches")
     val batch = spark.read.parquet(eventsParquet)
     val ev0 = normalizeTs(batch)
     val srcDir = s"/tmp/graft_stream_${tag}_src_" +
-      s"${math.abs((eventsParquet + cutTs).hashCode)}"
+      s"${math.abs((eventsParquet + cutTs + splits).hashCode)}"
     val cut = lit(cutTs).cast("timestamp")
-    ev0.filter(col("ts") < cut).coalesce(1)
-      .write.mode("overwrite").parquet(s"$srcDir/a")
-    ev0.filter(col("ts") >= cut).coalesce(1)
-      .write.mode("overwrite").parquet(s"$srcDir/b")
-    // one staged dir holding exactly two data files
+    val parts: Seq[DataFrame] =
+      if (splits == 2)
+        Seq(ev0.filter(col("ts") < cut), ev0.filter(col("ts") >= cut))
+      else {
+        val h = pmod(graft.functions.Functions.md5Long(
+          concat_ws("|", col("user_id").cast("string"),
+            col("ts").cast("string"), col("event_type"))), lit(splits))
+        (0 until splits).map(i => ev0.filter(h === i))
+      }
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p.coalesce(1).write.mode("overwrite").parquet(f"$srcDir/s$i%03d")
+    }
+    // one staged dir holding exactly `splits` data files
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(s"$srcDir/in")
     val fs = dir.getFileSystem(conf)
     fs.delete(dir, true); fs.mkdirs(dir)
-    for (half <- Seq("a", "b")) {
+    for (i <- 0 until splits) {
       val part = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$srcDir/$half/part-*")).head
+        new org.apache.hadoop.fs.Path(f"$srcDir/s$i%03d/part-*")).head
       org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs,
-        new org.apache.hadoop.fs.Path(dir, s"$half.parquet"),
+        new org.apache.hadoop.fs.Path(dir, f"s$i%03d.parquet"),
         false, true, conf)
     }
     val schema = spark.read.parquet(dir.toString).schema
@@ -304,41 +318,48 @@ object Streaming {
   }
 
   /** Shared runner for "stream micro-batches into an additively
-    * merged day-partitioned state table": stage the fixture as two
-    * files split at `cutTs`, and per batch apply `partialOf` and
+    * merged day-partitioned state table": stage the fixture as
+    * `splits` files (two cut at `cutTs`; more hash-spread), and per
+    * batch apply `partialOf` and
     * [[graft.sources.Materialize.aggIncremental]] (touched partitions
-    * only). No [[oncePerBatch]] marker is needed: aggIncremental is
+    * only, history folded on the `foldEvery` cadence).
+    * No [[oncePerBatch]] marker is needed: aggIncremental is
     * replay-CONVERGENT under a stable batch id (batch-keyed stored
     * partials + recompute-from-stored), so foreachBatch's
     * at-least-once delivery collapses to effectively-once — the same
     * recovery story as the corpus build's streaming front-end. */
   private def streamIntoMergedTable(spark: SparkSession,
       eventsParquet: String, name: String, cutTs: String, tag: String,
-      keys: Seq[String], partitionCol: String)(
+      keys: Seq[String], partitionCol: String, splits: Int = 2,
+      foldEvery: Int = 8)(
       partialOf: DataFrame => DataFrame): DataFrame = {
     val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prevNanos = spark.conf.getOption(NanosKey)
     spark.conf.set(NanosKey, "true")
     try {
       val (srcDir, stream) =
-        stageTwoHalves(spark, eventsParquet, cutTs, tag)
-      val ckptId = java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = s"$srcDir/ckpt_$ckptId"
+        stageSplits(spark, eventsParquet, cutTs, tag, splits)
+      // batchId is stable across replays OF ONE RUN (the checkpoint),
+      // but only unique per checkpoint — a second run into a surviving
+      // aggregate would reuse b0/b1 and silently overwrite the first
+      // run's partials. The run prefix makes ids unique across runs,
+      // and SORTABLE: checkpointPartials' watermark contract wants
+      // string-ordered batch ids, so the prefix is a zero-padded
+      // epoch-ms stamp captured at stream start (runs sort
+      // chronologically; the random tail keeps two same-ms starts
+      // unique) and batch numbers are zero-padded (…-b0002 < …-b0010).
+      val runId = f"${System.currentTimeMillis}%013d" +
+        java.util.UUID.randomUUID().toString.take(4)
+      val ckpt = s"$srcDir/ckpt_$runId"
       val q = stream.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, batchId: Long) =>
-          // batchId is stable across replays OF ONE RUN (the
-          // checkpoint), but only unique per checkpoint — a second run
-          // into a surviving aggregate would reuse b0/b1 and silently
-          // overwrite the first run's partials. Prefixing the
-          // checkpoint id makes the key stable within a run and unique
-          // across runs.
           if (!b.isEmpty) {
             graft.sources.Materialize.aggIncremental(
               b.sparkSession, name, partialOf(b), keys, partitionCol,
-              s"${ckptId.take(12)}-b$batchId")
+              f"$runId-b$batchId%04d", foldEvery = foldEvery)
             ()
           }
         }
@@ -353,10 +374,19 @@ object Streaming {
     }
   }
 
+  /** `foldEvery`: the default cadence keeps a CONTINUOUSLY ingesting
+    * deployment bounded without manual maintenance — once any
+    * partition holds more than `foldEvery` partials slices, history
+    * below the current batch folds into one synthetic slice
+    * ([[graft.sources.Materialize.checkpointPartials]]); recompute
+    * input per partition then never exceeds foldEvery+1 row-sets
+    * regardless of how many batches ever ran (spec: "fold cadence
+    * bounds partials slices"). 0 disables. */
   def streamIntoAggIncremental(spark: SparkSession, eventsParquet: String,
-      name: String, cutTs: String): DataFrame =
+      name: String, cutTs: String, splits: Int = 2,
+      foldEvery: Int = 8): DataFrame =
     streamIntoMergedTable(spark, eventsParquet, name, cutTs, "agg",
-      Seq("day", "event_type"), "day") { b =>
+      Seq("day", "event_type"), "day", splits, foldEvery) { b =>
       b.groupBy(col("ts").cast("date").as("day"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(money(col("value"))).as("value_sum"))
@@ -372,9 +402,9 @@ object Streaming {
     * fact stream. */
   def streamIntoBucketCounts(spark: SparkSession, eventsParquet: String,
       name: String, cutTs: String, width: Int,
-      nBuckets: Int): DataFrame =
+      nBuckets: Int, splits: Int = 2, foldEvery: Int = 8): DataFrame =
     streamIntoMergedTable(spark, eventsParquet, name, cutTs, "psi",
-      Seq("day", "b"), "day") { b =>
+      Seq("day", "b"), "day", splits, foldEvery) { b =>
       b.groupBy(col("ts").cast("date").as("day"),
           least(floor(col("value") / width).cast("long"),
             lit((nBuckets - 1).toLong)).as("b"))
@@ -399,7 +429,7 @@ object Streaming {
     spark.conf.set(NanosKey, "true")
     try {
       val (srcDir, stream) =
-        stageTwoHalves(spark, eventsParquet, cutTs, "sketch")
+        stageSplits(spark, eventsParquet, cutTs, "sketch", 2)
       val ckpt = s"$srcDir/ckpt_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = stream.writeStream

@@ -130,6 +130,41 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE stream_inc")
   }
 
+  test("fold cadence bounds partials slices under a many-batch ingest; " +
+      "the final aggregate is identical to the unfolded run") {
+    import graft.sources.Materialize
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val cut = "2024-01-15 12:00:00"
+    val folded = "stream_agg_folded"
+    val unfolded = "stream_agg_unfolded"
+    Seq(folded, unfolded).foreach(Materialize.dropAggState(spark, _))
+    // 10 hash-spread micro-batches: every batch touches ~every day, so
+    // an unfolded ingest grows every day-partition's recompute input
+    // O(#batches) — the exact q127/q201 growth path the cadence bounds
+    graft.streaming.Streaming.streamIntoAggIncremental(
+      spark, src, folded, cut, splits = 10, foldEvery = 4)
+    graft.streaming.Streaming.streamIntoAggIncremental(
+      spark, src, unfolded, cut, splits = 10, foldEvery = 0)
+    def sliceIds(n: String): Seq[(String, String)] =
+      rows(spark.table(s"${n}__partials")
+        .select("day", "__batch").distinct())
+        .map(r => (r.get(0).toString, r.getString(1)))
+    val slices = sliceIds(folded)
+    val perDay = slices.groupBy(_._1).map(_._2.length)
+    assert(perDay.max <= 4, s"worst day holds ${perDay.max} slices")
+    assert(slices.exists(_._2.startsWith("#ckpt_")), "no fold ever ran")
+    // the unfolded control really did grow past the cadence bound
+    assert(sliceIds(unfolded).groupBy(_._1).map(_._2.length).max > 4)
+    // the fold is content-invisible: both runs land identical state
+    def shape(n: String) = rows(spark.table(n)
+        .select("day", "event_type", "n_events", "value_sum"))
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
+        r.getDecimal(3)))
+      .toSet
+    assert(shape(folded) == shape(unfolded))
+    Seq(folded, unfolded).foreach(Materialize.dropAggState(spark, _))
+  }
+
   test("watermark drops rows later than the lateness bound (ST2)") {
     import org.apache.spark.sql.streaming.Trigger
     val base = "/tmp/graft_test_stream_late"
