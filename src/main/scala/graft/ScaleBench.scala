@@ -197,6 +197,35 @@ object ScaleBench {
       q, "query_id", "qvec", "qlabel", 3)
   }
 
+  /** The retrain lifecycle at scale (VERDICT r10 #3): a frozen-on-base
+    * index with an appended delta, then ONE [[graft.operators.AnnIndex
+    * .maintainMonitored]] call — compaction + the recall monitor + the
+    * decision + the re-binned swap, under a threshold that always
+    * trips so the probe measures the FULL maintenance bill an operator
+    * pays when recall rot crosses the line (deterministic cost shape,
+    * independent of the replica corpus's actual gap). Index build +
+    * append run once per dir and are skipped on the second timed call,
+    * so min-of-2 isolates the maintain cost itself. Fixed query panel
+    * (replica 0); content, training, exact leg, and swap rewrite all
+    * grow with the corpus. */
+  private def annRetrainProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val name = s"scale_retrain_${math.abs(dir.hashCode)}"
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+    if (!spark.catalog.tableExists(AnnIndex.postingsTable(name))) {
+      AnnIndex.build(spark, v.filter(col("vec_id") % 5 =!= 0), "vec_id",
+        "embedding", name, 16, 64, 3)
+      AnnIndex.append(spark, name, v.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding")
+      ()
+    }
+    val q = v.filter(col("vec_id") % 40 === 0 &&
+        col("vec_id") < ReplicaStride)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    AnnIndex.maintainMonitored(spark, name, q, "query_id", "qvec",
+      3, 16, 64, 3, threshold = -1.0)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir =
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -272,7 +301,8 @@ object ScaleBench {
       }
       for ((name, probe) <- Seq(
           ("ann_ivf_fixedq", annFixedQ _),
-          ("hardneg_fixedq", hardNegFixedQ _))
+          ("hardneg_fixedq", hardNegFixedQ _),
+          ("ann_retrain_lifecycle", annRetrainProbe _))
           if only.forall(_.contains(name))) {
         val t = math.min(timeOne(name, probe(spark, dir)),
           timeOne(name, probe(spark, dir)))

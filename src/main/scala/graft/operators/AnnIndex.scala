@@ -215,7 +215,58 @@ object AnnIndex {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, cells: Int, dims: Int, iters: Int,
       threshold: Double, crashAfterSwap: Int = -1)
-      : (Double, Double, Boolean) = try {
+      : (Double, Double, Boolean) = {
+    val o = measureAndMaybeSwap(spark, name, queries, queryIdCol,
+      queryVecCol, k, cells, dims, iters, threshold, crashAfterSwap)
+    (o.frozenRecall, o.retrainedRecall, o.swapped)
+  }
+
+  /** ONE-CALL lifecycle maintenance that closes the
+    * monitor → decision → swap loop: compacts fragmented cells
+    * ([[maintain]]), runs the q249 retrain monitor (frozen vs
+    * retrained recall@k over `queries`), and acts on the monitor's
+    * OWN numbers — the swap fires exactly when that report's recall
+    * gap exceeds `threshold`. Returns the q249-shaped report the
+    * decision consumed: one row per method (`ivf_frozen` /
+    * `ivf_retrained`) with (n_exact, n_hit, recall), plus the action
+    * columns (`swapped`, `compacted_cells`) — the measurement and the
+    * action land as one record, so the numbers that justified a swap
+    * are exactly the numbers reported (no second, drifting
+    * measurement). Below threshold the call publishes nothing and the
+    * report documents the no-op (spec: "maintainMonitored"). */
+  def maintainMonitored(spark: SparkSession, name: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, cells: Int, dims: Int, iters: Int, threshold: Double,
+      maxFiles: Int = 1, crashAfterSwap: Int = -1): DataFrame = {
+    val compacted = maintain(spark, name, maxFiles).size.toLong
+    val o = measureAndMaybeSwap(spark, name, queries, queryIdCol,
+      queryVecCol, k, cells, dims, iters, threshold, crashAfterSwap)
+    import spark.implicits._
+    Seq(
+      ("ivf_frozen", o.nExact, o.frozenHits,
+        math.rint(o.frozenRecall * 1e6) / 1e6, o.swapped, compacted),
+      ("ivf_retrained", o.nExact, o.retrainedHits,
+        math.rint(o.retrainedRecall * 1e6) / 1e6, o.swapped, compacted))
+      .toDF("method", "n_exact", "n_hit", "recall", "swapped",
+        "compacted_cells")
+  }
+
+  /** Measurement + decision + (maybe) swap shared by
+    * [[maintainWithRetrain]] and [[maintainMonitored]]. Hit COUNTS
+    * (not just ratios) survive to the caller so the monitored form
+    * can report exactly what the decision consumed. */
+  private final case class RetrainOutcome(nExact: Long,
+      frozenHits: Long, retrainedHits: Long, swapped: Boolean) {
+    def frozenRecall: Double =
+      if (nExact == 0L) 1.0 else frozenHits.toDouble / nExact
+    def retrainedRecall: Double =
+      if (nExact == 0L) 1.0 else retrainedHits.toDouble / nExact
+  }
+
+  private def measureAndMaybeSwap(spark: SparkSession, name: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, cells: Int, dims: Int, iters: Int,
+      threshold: Double, crashAfterSwap: Int): RetrainOutcome = try {
     val content = InternalCache.persist(
       spark.table(postingsTable(name)).select(col("id"), col("vec")))
     val q = queries.select(col(queryIdCol).as("query_id"),
@@ -224,15 +275,14 @@ object AnnIndex {
       Similarity.bruteForceTopK(content, "id", "vec", q,
           "query_id", "qvec", k)
         .select(col("query_id"), col("neighbor_id")))
-    // bounded: recall is two scalar counts over ≤ |queries|·k rows
+    // bounded: recall is scalar counts over ≤ |queries|·k rows
     val nExact = exact.count()
-    def recallOf(approx: DataFrame): Double =
-      if (nExact == 0L) 1.0
-      else exact.join(
+    def hitsOf(approx: DataFrame): Long =
+      exact.join(
         approx.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_semi")
-        .count().toDouble / nExact
-    val frozen = recallOf(topK(spark, name, q, "query_id", "qvec", k))
+        .count()
+    val frozenHits = hitsOf(topK(spark, name, q, "query_id", "qvec", k))
     // candidate: retrain on the current content; evaluate the SAME
     // 2-probe search inline, without publishing anything
     val vq = InternalCache.persist(
@@ -250,8 +300,10 @@ object AnnIndex {
         col("cell") === col("probe") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         Similarity.cosineF(col("vec"), col("qvec")).as("score"))
-    val retrained = recallOf(Similarity.topKPerQuery(scored, k))
-    val doSwap = retrained - frozen > threshold
+    val retrainedHits = hitsOf(Similarity.topKPerQuery(scored, k))
+    val pre = RetrainOutcome(nExact, frozenHits, retrainedHits,
+      swapped = false)
+    val doSwap = pre.retrainedRecall - pre.frozenRecall > threshold
     val published = doSwap && {
       import spark.implicits._
       val cdf = cand.zipWithIndex.toIndexedSeq
@@ -267,7 +319,7 @@ object AnnIndex {
         crashAfterSwap = crashAfterSwap)
       ok
     }
-    (frozen, retrained, published)
+    pre.copy(swapped = published)
   } finally InternalCache.release()
 
   /** 2-probe IVF search over the published index: per query, exact

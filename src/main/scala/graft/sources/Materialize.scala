@@ -669,13 +669,13 @@ object Materialize {
       dropOrphanLocation(spark, prev)
       crash(2)
       if (spark.catalog.tableExists(name))
-        spark.sql(s"ALTER TABLE $name RENAME TO $prev")
+        renameTable(spark, name, prev)
       crash(3)
       // a previous JVM's published table may survive as files with no
       // catalog entry (in-memory catalog died) — clear the orphan or
       // the rename refuses with LOCATION_ALREADY_EXISTS
       dropOrphanLocation(spark, name)
-      spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+      renameTable(spark, staging, name)
       crash(4)
       spark.sql(s"DROP TABLE IF EXISTS $prev")
       // a catalog RENAME does not touch the cache manager: any
@@ -697,6 +697,24 @@ object Materialize {
   final class CrashInjected(step: Int)
     extends RuntimeException(s"injected crash after step $step")
 
+  /** `ALTER TABLE RENAME` plus the partitioned-table repair the
+    * catalog does NOT do: renaming a PARTITIONED managed table moves
+    * its directory but keeps every registered partition's location
+    * pointing at the OLD path, so the renamed table silently reads as
+    * EMPTY (found r11 — the retrain swap published an empty postings
+    * table, and the r10 spec scored the empty index recall 1.0 ==
+    * promised 1.0 vacuously). `MSCK REPAIR` re-registers partitions
+    * from the moved directory: one metadata listing of the table dir,
+    * paid only on publish/recovery renames. Every rename in the
+    * publish/recover protocols must go through here. */
+  private[graft] def renameTable(spark: SparkSession, from: String,
+      to: String): Unit = {
+    val partitioned =
+      spark.catalog.listColumns(from).collect().exists(_.isPartition)
+    spark.sql(s"ALTER TABLE $from RENAME TO $to")
+    if (partitioned) spark.sql(s"MSCK REPAIR TABLE $to")
+  }
+
   /** Crash repair for [[publishAudited]]: if a crash landed between
     * the rename-aside and the rename-in, the published name is gone
     * but the previous version survives as `<name>__prev` — restore it.
@@ -707,7 +725,7 @@ object Materialize {
     if (!spark.catalog.tableExists(name) &&
         spark.catalog.tableExists(prev)) {
       dropOrphanLocation(spark, name)
-      spark.sql(s"ALTER TABLE $prev RENAME TO $name")
+      renameTable(spark, prev, name)
       spark.catalog.refreshTable(name) // same staleness class as publish
       true
     } else false
@@ -822,9 +840,9 @@ object Materialize {
       spark.sql(s"DROP TABLE IF EXISTS $prev")
       dropOrphanLocation(spark, prev)
       if (spark.catalog.tableExists(name))
-        spark.sql(s"ALTER TABLE $name RENAME TO $prev")
+        renameTable(spark, name, prev)
       dropOrphanLocation(spark, name)
-      spark.sql(s"ALTER TABLE ${name}__staging RENAME TO $name")
+      renameTable(spark, s"${name}__staging", name)
       spark.catalog.refreshTable(name) // the publish staleness class
       if (crashAfterSwap == i) throw new CrashInjected(i)
     }
@@ -869,7 +887,7 @@ object Materialize {
           if (!spark.catalog.tableExists(n) &&
               spark.catalog.tableExists(prev(n))) {
             dropOrphanLocation(spark, n)
-            spark.sql(s"ALTER TABLE ${prev(n)} RENAME TO $n")
+            renameTable(spark, prev(n), n)
           }
           spark.sql(s"DROP TABLE IF EXISTS ${staging(n)}")
         } else {
@@ -878,7 +896,7 @@ object Materialize {
           spark.sql(s"DROP TABLE IF EXISTS $n")
           dropOrphanLocation(spark, n)
           if (spark.catalog.tableExists(prev(n)))
-            spark.sql(s"ALTER TABLE ${prev(n)} RENAME TO $n")
+            renameTable(spark, prev(n), n)
         }
         if (spark.catalog.tableExists(n))
           spark.catalog.refreshTable(n) // publish staleness class

@@ -243,6 +243,13 @@ class AnnIndexSpec extends SparkSpec {
       "query_id", "qvec", k, cells, dims, iters, threshold = 0.02)
     assert(sw1 && f1 == f0 && r1 == r0)
     assert(centFp() != fpFrozen, "swap published no new centroids")
+    // the swap must publish CONTENT, not just metadata: an empty
+    // postings table scores recall 1.0 on zero exact rows, which made
+    // the post-swap equality below pass VACUOUSLY while the r10
+    // partitioned-rename bug served an empty index (fixed r11:
+    // Materialize.renameTable repairs partition metadata)
+    assert(spark.table(AnnIndex.postingsTable(name)).count() > 0,
+      "swap published an empty postings table")
     // postings were re-binned CONSISTENTLY with the new centroids:
     // the live index's recall now equals the retrained measurement
     val (f2, r2, sw2) = AnnIndex.maintainWithRetrain(spark, name, q,
@@ -291,6 +298,50 @@ class AnnIndexSpec extends SparkSpec {
     val (f2, _, _) = AnnIndex.maintainWithRetrain(spark, name, q,
       "query_id", "qvec", k, cells, dims, iters, threshold = 1.0)
     assert(f2 == r1)
+  }
+
+  test("maintainMonitored: the report IS the decision input — no swap " +
+      "below threshold, swap above, compaction counted") {
+    val name = "annspec_monitored"
+    val dims = 4; val cells = 5; val iters = 8; val k = 5
+    val (base, delta) = retrainFixture
+    AnnIndex.build(spark, base, "vec_id", "embedding", name, cells,
+      dims, iters)
+    AnnIndex.append(spark, name, delta, "vec_id", "embedding")
+    val q = delta.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def centFp(): Seq[(Long, Seq[Double])] =
+      rows(spark.table(AnnIndex.centroidsTable(name)).orderBy("cell"))
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val fpFrozen = centFp()
+    def report(threshold: Double) =
+      rows(AnnIndex.maintainMonitored(spark, name, q, "query_id",
+        "qvec", k, cells, dims, iters, threshold))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4), r.getLong(5)))
+    // impossible threshold: measured, reported, NOT acted on
+    val rep0 = report(1.0)
+    assert(rep0.map(_._1).sorted == Seq("ivf_frozen", "ivf_retrained"))
+    assert(rep0.forall(!_._5) && centFp() == fpFrozen)
+    val Seq(f0, r0) = rep0.sortBy(_._1).map(x => x._3.toDouble / x._2)
+    assert(r0 - f0 > 0.05,
+      s"drift fixture shows no staleness gap: frozen $f0 retrained $r0")
+    // build + append fragmented the drift cells; the ONE lifecycle
+    // call compacted them before measuring
+    assert(rep0.head._6 > 0, "no cells compacted by the lifecycle call")
+    // threshold below the measured gap: the SAME call's report records
+    // the swap it performed, with the numbers that justified it
+    val rep1 = report(0.02)
+    assert(rep1.forall(_._5) && centFp() != fpFrozen,
+      "swap reported but no new centroids published")
+    val Seq(f1, r1) = rep1.sortBy(_._1).map(x => x._3.toDouble / x._2)
+    assert(f1 == f0 && r1 == r0)
+    // post-swap: the live index serves the retrained recall, and the
+    // next monitored run reports no further gap to act on
+    val rep2 = report(1.0)
+    val Seq(f2, _) = rep2.sortBy(_._1).map(x => x._3.toDouble / x._2)
+    assert(f2 == r1, s"post-swap live recall $f2 != promised $r1")
+    assert(rep2.forall(!_._5))
   }
 
   test("a delta carrying the same id twice appends exactly one posting") {
