@@ -1482,6 +1482,50 @@ object Analytics {
     finally graft.plans.Mv.deregister("mv_daily_type_cf")
   }
 
+  // ------------------------------------------------------------ q252
+
+  /** The covered-filter MV rewrite with the mart DATE-PARTITIONED
+    * (q251's scaladoc promise made structural): the mart is laid out
+    * `PARTITIONED BY (day)`, so when [[graft.plans.Mv]] maps the
+    * consumer's date-range predicate onto the mart's `day` key, the
+    * physical scan carries the range in `PartitionFilters` — at 100 TB
+    * the dashboard query reads only the asked-for days' partitions of
+    * an already rollup-factor-smaller table (pruned at LISTING time,
+    * never opened). PlanContractSpec locks the PartitionFilters shape;
+    * the oracle runs the plain fact-side SQL — the rewrite plus the
+    * layout must stay semantically invisible. */
+  val q252 = Query(
+    "q252_mv_partition_pruned",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-15'
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val mv = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(money(col("value"))).as("total"))
+    graft.sources.Materialize.partitionedTable(mv, "mv_daily_type_pp",
+      "day")
+    graft.plans.Mv.register(s, "mv_daily_type_pp", ev,
+      keys = Seq("day" -> date_trunc("day", col("ts")),
+        "event_type" -> col("event_type")),
+      sums = Seq("total" -> money(col("value"))),
+      countStar = Some("n_events"))
+    try
+      ev.filter(date_trunc("day", col("ts")) >=
+          lit("2024-01-15").cast("timestamp"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(money(col("value"))).cast("double").as("total_value"))
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          col("n_events"), col("total_value"))
+        .localCheckpoint()
+    finally graft.plans.Mv.deregister("mv_daily_type_pp")
+  }
+
   // ------------------------------------------------------------ q151
 
   /** RFM customer segmentation (recency/frequency/monetary quintiles —
@@ -2645,5 +2689,5 @@ object Analytics {
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
     q127, q129, q130, q131, q132, q133, q140, q142, q151, q152, q153,
     q154, q156, q157, q159, q161, q162, q163, q167, q169, q170, q171,
-    q179, q181, q183, q184, q195, q201, q207, q251)
+    q179, q181, q183, q184, q195, q201, q207, q251, q252)
 }

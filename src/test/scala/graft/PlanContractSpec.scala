@@ -399,4 +399,42 @@ class PlanContractSpec extends SparkSpec {
     assert(aggs >= 4, s"$aggs HashAggregate nodes:\n${p.take(3000)}")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("q252: the covered-filter MV rewrite lands the date range in " +
+      "PartitionFilters — the mart scan is pruned at listing time") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Functions.money
+    val events = graft.sources.Tables.events(spark, dir)
+    graft.sources.Materialize.partitionedTable(
+      events.groupBy(date_trunc("day", col("ts")).as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(money(col("value"))).as("total")),
+      "mv_pp_contract", "day")
+    graft.plans.Mv.register(spark, "mv_pp_contract", events,
+      keys = Seq("day" -> date_trunc("day", col("ts")),
+        "event_type" -> col("event_type")),
+      sums = Seq("total" -> money(col("value"))),
+      countStar = Some("n_events"))
+    try {
+      def q = events
+        .filter(date_trunc("day", col("ts")) >=
+          lit("2024-01-15").cast("timestamp"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("mv_pp_contract"), p.take(3000))
+      val i = p.indexOf("PartitionFilters: [")
+      assert(i >= 0, p.take(3000))
+      val pf = p.substring(i, p.indexOf("]", i) + 1)
+      // the range itself must be a partition filter, not a post-scan
+      // Filter over all partitions' rows
+      assert(pf.contains("day") && pf.contains(">="),
+        s"range not in PartitionFilters: $pf\n${p.take(3000)}")
+      val got = rows(q.orderBy("day")).map(_.toSeq)
+      graft.plans.Mv.deregister("mv_pp_contract")
+      val direct = rows(q.orderBy("day")).map(_.toSeq)
+      assert(got == direct, s"$got\nvs\n$direct")
+    } finally graft.plans.Mv.deregister("mv_pp_contract")
+  }
 }
