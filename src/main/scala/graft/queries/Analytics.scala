@@ -1526,6 +1526,45 @@ object Analytics {
     finally graft.plans.Mv.deregister("mv_daily_type_pp")
   }
 
+  // ------------------------------------------------------------ q253
+
+  /** The HISTORY-FOLDED incremental aggregate under continuous ingest
+    * — q123's operator in the deployment profile that motivated
+    * [[graft.sources.Materialize.checkpointPartials]]: four
+    * deterministic hash-split increments (every yearly partition
+    * touched by ~every batch, the WORST slice-growth shape) land
+    * through `aggIncremental(foldEvery = 2)`, so the partials history
+    * folds mid-run — twice here — and recompute input stays bounded at
+    * ≤ foldEvery+1 row-sets per partition regardless of how many
+    * batches ever ran. The oracle is the FULL aggregate over orders:
+    * cadence folding must be invisible to published content (the
+    * StreamingSpec sibling pins the slice BOUND; this query puts the
+    * content claim under the cross-engine gate). */
+  val q253 = Query(
+    "q253_agg_fold_maintenance",
+    """SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP)
+      |    AS year,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.sources.Materialize
+    val name = s"graft_aggfold_${math.abs(dir.hashCode)}"
+    Materialize.dropAggState(s, name)
+    val orders = Tables.orders(s, dir)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(date_trunc("year", col("o_orderdate")).as("year"))
+        .agg(sum(money(col("o_totalprice"))).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    val h = pmod(graft.functions.Functions.md5Long(
+      col("o_orderkey").cast("string")), lit(4))
+    for (i <- 0 until 4)
+      Materialize.aggIncremental(s, name, partial(orders.filter(h === i)),
+        Seq("year"), "year", f"inc$i%02d", foldEvery = 2)
+    s.table(name).select(col("year").cast("timestamp_ntz").as("year"),
+      col("revenue").cast("double").as("revenue"), col("n_orders"))
+  }
+
   // ------------------------------------------------------------ q151
 
   /** RFM customer segmentation (recency/frequency/monetary quintiles —
@@ -2689,5 +2728,5 @@ object Analytics {
     q113, q114, q115, q116, q117, q118, q119, q121, q122, q123, q124,
     q127, q129, q130, q131, q132, q133, q140, q142, q151, q152, q153,
     q154, q156, q157, q159, q161, q162, q163, q167, q169, q170, q171,
-    q179, q181, q183, q184, q195, q201, q207, q251, q252)
+    q179, q181, q183, q184, q195, q201, q207, q251, q252, q253)
 }
