@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.quality.{NotNull, Unique}
+import graft.quality.{NonEmpty, NotNull, Unique}
 import graft.sources.Materialize
 
 /** The PERSISTED trained-IVF ANN index — the production form of
@@ -309,12 +309,18 @@ object AnnIndex {
       val cdf = cand.zipWithIndex.toIndexedSeq
         .map { case (c, m) => (m.toLong, c.toSeq) }
         .toDF("cell", "c")
+      // NonEmpty: an index swap must never replace a serving index
+      // with nothing — row-level audits hold vacuously on zero rows
+      // (retraining a legitimately empty index fails the gate loudly,
+      // which is the right answer for a nonsense operation)
       val (ok, _) = Materialize.publishSetAuditedP(s"${name}_retrain", Seq(
         (cdf, centroidsTable(name),
-          Seq(NotNull("cell"), NotNull("c"), Unique(Seq("cell"))),
+          Seq(NonEmpty(), NotNull("cell"), NotNull("c"),
+            Unique(Seq("cell"))),
           Option.empty[String]),
         (assigned, postingsTable(name),
-          Seq(NotNull("id"), NotNull("cell"), Unique(Seq("id"))),
+          Seq(NonEmpty(), NotNull("id"), NotNull("cell"),
+            Unique(Seq("id"))),
           Some("cell"))),
         crashAfterSwap = crashAfterSwap)
       ok

@@ -96,6 +96,20 @@ final case class Predicate(name: String, bad: Column) extends Check {
   def violations(df: DataFrame): DataFrame = df.filter(bad)
 }
 
+/** Table NON-EMPTINESS — the anti-vacuity audit for publish gates:
+  * every row-level check (NotNull/Unique/AcceptedValues/…) holds
+  * VACUOUSLY on zero rows, so a pipeline bug that stages an EMPTY
+  * table sails through a WAP audit and replaces a healthy published
+  * version with nothing (r11 lesson: an empty ANN index also SCORES
+  * perfectly — recall 1.0 on a zero-row exact set). One aggregate leg
+  * that fires exactly when the table has no rows; add it to any suite
+  * whose table must never legitimately be empty. */
+final case class NonEmpty() extends Check {
+  val name = "non_empty"
+  def violations(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n")).filter(col("n") === 0)
+}
+
 object Quality {
 
   /** dbt-style check outcome: `status` is `pass`/`warn`/`error`

@@ -343,6 +343,13 @@ object Materialize {
     * (associative sums), spec-pinned. Returns the affected partition
     * values.
     *
+    * Contract: `olderThan` must trail the REPLAY FRONTIER — a batch
+    * replayed after the fold passed its id would re-add content the
+    * fold already absorbed (double count). The at-least-once streaming
+    * paths satisfy this by construction: they fold at the CURRENT
+    * batch id, and only the newest batch can be redelivered (earlier
+    * offsets are checkpoint-committed).
+    *
     * Scale: ALL affected partitions' replacement rows are staged in
     * ONE distributed write (partitioned by `partitionCol`, so each
     * commit reads only its own staged slice), and the per-partition
@@ -657,6 +664,10 @@ object Materialize {
     crash(1)
     val ok = results.forall(_.passed)
     if (ok) {
+      // one limit-1 probe: remembered so the post-swap guard below can
+      // tell "rename lost the staged rows" from a legitimately empty
+      // publish
+      val stagedNonEmpty = !spark.table(staging).isEmpty
       // Swap via rename-aside, NOT drop-then-rename: the previous
       // version keeps existing (as <name>__prev) until the new one is
       // in place, so a crash mid-publish can always be recovered from
@@ -676,8 +687,6 @@ object Materialize {
       // the rename refuses with LOCATION_ALREADY_EXISTS
       dropOrphanLocation(spark, name)
       renameTable(spark, staging, name)
-      crash(4)
-      spark.sql(s"DROP TABLE IF EXISTS $prev")
       // a catalog RENAME does not touch the cache manager: any
       // persisted plan over the OLD version canonicalizes to the same
       // relation (same warehouse location) and would keep serving
@@ -685,6 +694,15 @@ object Materialize {
       // found live when runIncremental's manifest read the pre-merge
       // corpus. Publishing must invalidate readers' caches.
       spark.catalog.refreshTable(name)
+      // the audits ran on the STAGED files; the rename is the one step
+      // that can lose them (the partitioned-rename class renameTable
+      // repairs). This probe turns any residual silent-empty into a
+      // loud failure while the __prev generation still exists on disk.
+      if (stagedNonEmpty)
+        require(!spark.table(name).isEmpty,
+          s"publish of $name: staged rows lost in the swap")
+      crash(4)
+      spark.sql(s"DROP TABLE IF EXISTS $prev")
     } else {
       spark.sql(s"DROP TABLE IF EXISTS $staging")
     }
@@ -835,6 +853,10 @@ object Materialize {
       spark.sql(s"DROP TABLE $marker")
       return (false, results)
     }
+    // one limit-1 probe per table: lets the post-swap guard tell
+    // "rename lost the staged rows" from a legitimately empty publish
+    val stagedNonEmpty = tables.map { case (_, name, _, _) =>
+      !spark.table(s"${name}__staging").isEmpty }
     tables.zipWithIndex.foreach { case ((_, name, _, _), i) =>
       val prev = s"${name}__prev"
       spark.sql(s"DROP TABLE IF EXISTS $prev")
@@ -844,6 +866,13 @@ object Materialize {
       dropOrphanLocation(spark, name)
       renameTable(spark, s"${name}__staging", name)
       spark.catalog.refreshTable(name) // the publish staleness class
+      // audits ran on the STAGED files; the rename is the one step
+      // that can lose them (the partitioned-rename class renameTable
+      // repairs). Fails while __prev + marker still exist, so
+      // recoverSet rolls the whole set back.
+      if (stagedNonEmpty(i))
+        require(!spark.table(name).isEmpty,
+          s"publish of $name: staged rows lost in the swap")
       if (crashAfterSwap == i) throw new CrashInjected(i)
     }
     if (crashAfterSwap == tables.size)

@@ -125,4 +125,49 @@ class PropertySpec extends SparkSpec {
       assert(merged.scores == expected.map(_.score))
     }
   }
+
+  private val batchesGen: Gen[List[List[(String, String, Long)]]] =
+    Gen.listOfN(5, Gen.listOfN(6, for {
+      p <- Gen.oneOf("p1", "p2", "p3")
+      k <- Gen.oneOf("k1", "k2")
+      v <- Gen.choose(1L, 9L)
+    } yield (p, k, v)))
+
+  test("aggIncremental with history folds equals the full aggregate " +
+      "for arbitrary batch sequences and fold cadences") {
+    import graft.sources.Materialize
+    for ((batches, ci) <- samples(batchesGen, 4).zipWithIndex) {
+      val name = s"prop_aggfold_$ci"
+      Materialize.dropAggState(spark, name)
+      val foldEvery = ci % 4 // 0 (never folds) through 3
+      batches.zipWithIndex.foreach { case (b, i) =>
+        if (b.nonEmpty)
+          Materialize.aggIncremental(spark, name, b.toDF("p", "k", "v"),
+            Seq("p", "k"), "p", f"b$i%03d", foldEvery = foldEvery)
+      }
+      val want = batches.flatten.groupBy(x => (x._1, x._2))
+        .map { case ((p, k), xs) => (p, k, xs.map(_._3).sum) }.toSet
+      def got() = rows(spark.table(name).select("p", "k", "v"))
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got() == want, s"case $ci foldEvery=$foldEvery")
+      if (foldEvery > 0) {
+        // at rest: ≤ foldEvery unfolded (no trip) or fold+current
+        val perPart = rows(spark.table(s"${name}__partials")
+          .select("p", "__batch").distinct())
+          .map(r => (r.getString(0), r.getString(1)))
+          .groupBy(_._1).map(_._2.size)
+        assert(perPart.max <= foldEvery + 1,
+          s"case $ci: ${perPart.max} slices > ${foldEvery + 1}")
+      }
+      // replaying the newest batch (the only one an at-least-once
+      // source can redeliver — the fold watermark trails it) no-ops
+      batches.zipWithIndex.reverse.find(_._1.nonEmpty).foreach {
+        case (b, i) =>
+          Materialize.aggIncremental(spark, name, b.toDF("p", "k", "v"),
+            Seq("p", "k"), "p", f"b$i%03d", foldEvery = foldEvery)
+      }
+      assert(got() == want, s"case $ci replay moved content")
+      Materialize.dropAggState(spark, name)
+    }
+  }
 }

@@ -52,6 +52,39 @@ class PublishSetSpec extends SparkSpec {
     assert(ok2 && names.map(generation) == Seq(Some(3L), Some(3L)))
   }
 
+  test("an EMPTY staged table is refused when the suite carries " +
+      "NonEmpty — row-level audits alone pass it vacuously") {
+    import graft.quality.NonEmpty
+    val names = Seq("pset_e1", "pset_e2")
+    reset(names, "pset_e")
+    val (ok0, _) = Materialize.publishSetAudited("pset_e", Seq(
+      (gen(1, 1), names(0), Seq(NonEmpty(), NotNull("k"))),
+      (gen(2, 1), names(1), Seq(NonEmpty(), NotNull("k")))))
+    assert(ok0)
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    // without NonEmpty the vacuity gap is real: an empty staging
+    // passes NotNull+Unique and would replace the serving version
+    val (okVacuous, rVac) = Materialize.publishSetAudited("pset_e", Seq(
+      (gen(1, 2), names(0), Seq(NotNull("k"), Unique(Seq("k")))),
+      (empty, names(1), Seq(NotNull("k"), Unique(Seq("k"))))))
+    assert(okVacuous && rVac.forall(_._2.forall(_.passed)))
+    assert(spark.table(names(1)).isEmpty) // the empty table IS serving
+    // with NonEmpty the same publish is refused and BOTH tables keep
+    // (or restore) the previous generation — all-or-nothing
+    reset(names, "pset_e")
+    val (okSeed, _) = Materialize.publishSetAudited("pset_e", Seq(
+      (gen(1, 1), names(0), Seq(NonEmpty())),
+      (gen(2, 1), names(1), Seq(NonEmpty()))))
+    assert(okSeed)
+    val (ok1, results) = Materialize.publishSetAudited("pset_e", Seq(
+      (gen(1, 2), names(0), Seq(NonEmpty())),
+      (empty, names(1), Seq(NonEmpty()))))
+    assert(!ok1)
+    assert(results.find(_._1 == names(1)).get._2
+      .exists(r => r.check == "non_empty" && !r.passed))
+    assert(names.map(generation) == Seq(Some(1L), Some(1L)))
+  }
+
   test("a crash at every swap point recovers to ONE consistent " +
       "generation, idempotently, and a retry lands the new one") {
     // 2 tables → injection points: after swap 0 (mixed on disk!),

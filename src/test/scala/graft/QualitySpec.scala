@@ -18,6 +18,19 @@ class QualitySpec extends SparkSpec {
     assert(NotNull("x").violations(df).count() == 1)
   }
 
+  test("NonEmpty: zero rows is itself a violation (anti-vacuity)") {
+    val empty = spark.range(0).selectExpr("id AS k")
+    val full = spark.range(3).selectExpr("id AS k")
+    // row-level checks hold VACUOUSLY on an empty table — the gap
+    // NonEmpty exists to close
+    assert(Quality.run(empty, Seq(NotNull("k"), Unique(Seq("k"))))
+      .forall(_.passed))
+    val r = Quality.runOnce(empty, Seq(NonEmpty(), NotNull("k")))
+    assert(!r.head.passed && r.head.violations == 1L)
+    assert(r(1).passed) // NotNull still vacuous; NonEmpty is the gate
+    assert(Quality.runOnce(full, Seq(NonEmpty())).forall(_.passed))
+  }
+
   test("Relationship ignores null child keys (dbt semantics)") {
     val parent = Seq(1, 2).toDF("pk")
     val child = Seq(Some(1), Some(99), None).toDF("fk")
