@@ -658,16 +658,18 @@ object Materialize {
     val staging = name + "__staging"
     table(df, staging)
     crash(0)
-    // one action for the whole audit suite (run() pays one per check)
-    val results = graft.quality.Quality.runOnce(
-      spark.table(staging), checks, warnAsError)
+    // one action for the whole audit suite (run() pays one per check).
+    // A hidden NonEmpty leg rides the same union — zero extra jobs —
+    // so the post-swap guard below can tell "rename lost the staged
+    // rows" from a legitimately empty publish without its own probe.
+    val counts = graft.quality.Quality.countsOnce(Seq(
+      spark.table(staging) -> (checks :+ graft.quality.NonEmpty()))).head
+    val results =
+      graft.quality.Quality.resultsOf(checks, counts.init, warnAsError)
     crash(1)
     val ok = results.forall(_.passed)
     if (ok) {
-      // one limit-1 probe: remembered so the post-swap guard below can
-      // tell "rename lost the staged rows" from a legitimately empty
-      // publish
-      val stagedNonEmpty = !spark.table(staging).isEmpty
+      val stagedNonEmpty = counts.last == 0L
       // Swap via rename-aside, NOT drop-then-rename: the previous
       // version keeps existing (as <name>__prev) until the new one is
       // in place, so a crash mid-publish can always be recovered from
@@ -686,7 +688,7 @@ object Materialize {
       // catalog entry (in-memory catalog died) — clear the orphan or
       // the rename refuses with LOCATION_ALREADY_EXISTS
       dropOrphanLocation(spark, name)
-      renameTable(spark, staging, name)
+      val renamedPartitioned = renameTable(spark, staging, name)
       // a catalog RENAME does not touch the cache manager: any
       // persisted plan over the OLD version canonicalizes to the same
       // relation (same warehouse location) and would keep serving
@@ -694,11 +696,14 @@ object Materialize {
       // found live when runIncremental's manifest read the pre-merge
       // corpus. Publishing must invalidate readers' caches.
       spark.catalog.refreshTable(name)
-      // the audits ran on the STAGED files; the rename is the one step
-      // that can lose them (the partitioned-rename class renameTable
-      // repairs). This probe turns any residual silent-empty into a
-      // loud failure while the __prev generation still exists on disk.
-      if (stagedNonEmpty)
+      // the audits ran on the STAGED files; a PARTITIONED rename is
+      // the one step that can lose them (partition metadata left at
+      // the old path — the class renameTable repairs). One limit-1
+      // probe, paid only for partitioned publishes, turns any residual
+      // silent-empty into a loud failure while the __prev generation
+      // still exists on disk. An unpartitioned rename moves the whole
+      // directory — nothing to lose silently, no probe.
+      if (renamedPartitioned && stagedNonEmpty)
         require(!spark.table(name).isEmpty,
           s"publish of $name: staged rows lost in the swap")
       crash(4)
@@ -726,11 +731,12 @@ object Materialize {
     * paid only on publish/recovery renames. Every rename in the
     * publish/recover protocols must go through here. */
   private[graft] def renameTable(spark: SparkSession, from: String,
-      to: String): Unit = {
+      to: String): Boolean = {
     val partitioned =
       spark.catalog.listColumns(from).collect().exists(_.isPartition)
     spark.sql(s"ALTER TABLE $from RENAME TO $to")
     if (partitioned) spark.sql(s"MSCK REPAIR TABLE $to")
+    partitioned
   }
 
   /** Crash repair for [[publishAudited]]: if a crash landed between
@@ -838,13 +844,17 @@ object Materialize {
     }
     // ONE action audits every staged table's whole suite (the gate is
     // the action-count hot spot of every composed build that publishes
-    // through it)
+    // through it). A hidden NonEmpty leg per table rides the same
+    // union — zero extra jobs — feeding the post-swap guard below.
     val counts = graft.quality.Quality.countsOnce(
       tables.map { case (_, name, checks, _) =>
-        spark.table(s"${name}__staging") -> checks })
+        spark.table(s"${name}__staging") ->
+          (checks :+ graft.quality.NonEmpty()) })
+    val stagedNonEmpty = counts.map(_.last == 0L)
     val results = tables.zip(counts).map {
       case ((_, name, checks, _), cs) =>
-        name -> graft.quality.Quality.resultsOf(checks, cs, warnAsError)
+        name -> graft.quality.Quality.resultsOf(checks, cs.init,
+          warnAsError)
     }
     val ok = results.forall(_._2.forall(_.passed))
     if (!ok) {
@@ -853,10 +863,6 @@ object Materialize {
       spark.sql(s"DROP TABLE $marker")
       return (false, results)
     }
-    // one limit-1 probe per table: lets the post-swap guard tell
-    // "rename lost the staged rows" from a legitimately empty publish
-    val stagedNonEmpty = tables.map { case (_, name, _, _) =>
-      !spark.table(s"${name}__staging").isEmpty }
     tables.zipWithIndex.foreach { case ((_, name, _, _), i) =>
       val prev = s"${name}__prev"
       spark.sql(s"DROP TABLE IF EXISTS $prev")
@@ -864,13 +870,14 @@ object Materialize {
       if (spark.catalog.tableExists(name))
         renameTable(spark, name, prev)
       dropOrphanLocation(spark, name)
-      renameTable(spark, s"${name}__staging", name)
+      val renamedPartitioned =
+        renameTable(spark, s"${name}__staging", name)
       spark.catalog.refreshTable(name) // the publish staleness class
-      // audits ran on the STAGED files; the rename is the one step
-      // that can lose them (the partitioned-rename class renameTable
-      // repairs). Fails while __prev + marker still exist, so
-      // recoverSet rolls the whole set back.
-      if (stagedNonEmpty(i))
+      // audits ran on the STAGED files; a PARTITIONED rename is the
+      // one step that can lose them (see publishAudited). One limit-1
+      // probe, paid only for partitioned members, fails while __prev +
+      // marker still exist so recoverSet rolls the whole set back.
+      if (renamedPartitioned && stagedNonEmpty(i))
         require(!spark.table(name).isEmpty,
           s"publish of $name: staged rows lost in the swap")
       if (crashAfterSwap == i) throw new CrashInjected(i)
