@@ -226,6 +226,30 @@ object ScaleBench {
       3, 16, 64, 3, threshold = -1.0)
   }
 
+  /** The history-folded incremental aggregate at scale (q253's shape
+    * over the replica events): four hash-split batches through
+    * `aggIncremental(foldEvery = 2)` — two mid-run folds — into a
+    * day-partitioned mart. Data volume grows with the scale-up while
+    * the partition count (the fixed date range) does not, so the
+    * expected shape is ~linear batch merges plus a near-constant fold
+    * overhead (the fold reads pre-aggregated partials, not events).
+    * State drops first: each timed call is the full lifecycle. */
+  private def aggFoldProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Materialize
+    val name = s"scale_aggfold_${math.abs(dir.hashCode)}"
+    Materialize.dropAggState(spark, name)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    val h = pmod(graft.functions.Functions.md5Long(
+      col("event_id").cast("string")), lit(4))
+    (0 until 4).map { i =>
+      Materialize.aggIncremental(spark, name, partial(ev.filter(h === i)),
+        Seq("day", "event_type"), "day", f"b$i%02d", foldEvery = 2)
+    }.last
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir =
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -302,7 +326,8 @@ object ScaleBench {
       for ((name, probe) <- Seq(
           ("ann_ivf_fixedq", annFixedQ _),
           ("hardneg_fixedq", hardNegFixedQ _),
-          ("ann_retrain_lifecycle", annRetrainProbe _))
+          ("ann_retrain_lifecycle", annRetrainProbe _),
+          ("agg_fold_lifecycle", aggFoldProbe _))
           if only.forall(_.contains(name))) {
         val t = math.min(timeOne(name, probe(spark, dir)),
           timeOne(name, probe(spark, dir)))

@@ -357,7 +357,14 @@ object Materialize {
     * folding months of history pays one Spark job for the heavy merge
     * plus one cheap commit per partition, not a full stage-and-merge
     * round-trip each (spec: "checkpointPartials stages all partitions
-    * in one distributed write"). Partition values are interpolated
+    * in one distributed write"). The commit loop is deliberately
+    * SERIAL: although the commits touch disjoint partition subtrees,
+    * concurrent `INSERT OVERWRITE` statements into one table share
+    * the output committer's staging directory at the table ROOT
+    * (`<table>/_temporary/0`), and one job's commit/abort deletes the
+    * other's in-flight task files (measured: TASK_WRITE_FAILED under
+    * a 4-thread commit pool) — do not parallelize this without a
+    * per-job staging committer. Partition values are interpolated
     * into the commit statements, so values outside
     * `[A-Za-z0-9 ._:-]` (the engine's date/month shapes and then
     * some) are rejected rather than risk a broken statement. */
@@ -425,6 +432,11 @@ object Materialize {
     val prev = spark.conf.getOption(PoKey)
     spark.conf.set(PoKey, "static")
     val cols = (dataCols :+ "__batch").map(c => s"`$c`").mkString(", ")
+    // SERIAL by necessity, not oversight: concurrent INSERT OVERWRITEs
+    // into one table share the committer staging at the table root and
+    // destroy each other's task files (see the scaladoc) — the scale
+    // lever is the single distributed staging write above, which left
+    // each of these commits metadata-sized.
     try affected.foreach { v =>
       spark.sql(
         s"INSERT OVERWRITE TABLE $partials " +
