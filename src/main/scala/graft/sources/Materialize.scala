@@ -314,7 +314,18 @@ object Materialize {
       val worst = slices.groupBy(identity)
         .valuesIterator.map(_.length).foldLeft(0)(math.max)
       if (worst > foldEvery)
-        checkpointPartials(spark, name, keys, partitionCol, batchId)
+        try { checkpointPartials(spark, name, keys, partitionCol,
+          batchId); () }
+        catch { case e: IllegalArgumentException =>
+          // a value the fold cannot safely embed (or a '#'-leading
+          // batch id): the APPLY already landed and content is
+          // correct, so degrade to growth-with-a-warning — failing
+          // here would turn a maintenance problem into an ingest
+          // outage that replays into the same failure forever
+          System.err.println(
+            s"[aggIncremental] history fold skipped for $name: " +
+              e.getMessage)
+        }
     }
     spark.table(name)
   }

@@ -398,6 +398,15 @@ class MaterializeSpec extends SparkSpec {
       Materialize.checkpointPartials(spark, n, Seq("p", "k"), "p", "b001")
     }
     assert(e.getMessage.contains("not safely"))
+    // through the CADENCE the same rejection must NOT fail the apply:
+    // the merge already landed, so the fold degrades to a warned skip
+    // (an exception here would replay into the same failure forever)
+    val out = Materialize.aggIncremental(spark, n,
+      Seq(("ok_val", "k1", 4L)).toDF("p", "k", "v"),
+      Seq("p", "k"), "p", "b002", foldEvery = 1)
+    assert(rows(out.select("p", "k", "v"))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("ok_val", "k1", 8L), ("bad'val", "k1", 2L)))
     Materialize.dropAggState(spark, n)
   }
 
