@@ -1493,6 +1493,143 @@ FROM rec"""
           q, "query_id", "qvec", AnnK, AnnPlanes, AnnDims)))
   }
 
+  // ------------------------------------------------------------ q254
+
+  /** Filtered-search candidate predicate: labels below this value
+    * (≈ 31% of the corpus at the generator's uniform 0-9 labels), so
+    * post-filtering visibly starves while the filter is not so narrow
+    * that every method collapses to the same tiny candidate set. */
+  private val FannLabelMax = 3
+
+  /** DuckDB: the three filtered-IVF strategies plus the exact filtered
+    * baseline, each ending in (query_id, neighbor_id) pairs, folded
+    * into the q53 recall shape. `c` carries the full corpus with its
+    * argmax cell (q49's assignment, label retained); `f` is the
+    * filtered candidate set; probe 2 re-runs the argmax with probe 1
+    * masked, exactly like `Similarity.withIvfProbes`. */
+  private def filteredRecallOracle: String = {
+    val dotCols = dIvfDotCols
+    val p0Case = ivfChainCase(i => s"d$i")
+    val p1Case = ivfChainCase(i => s"(CASE WHEN p0 = $i THEN -1e308 ELSE d$i END)")
+    val dList = (0 until IvfCells).map(i => s"d$i").mkString(", ")
+    def topk(from: String) =
+      s"""SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, id) AS rk
+         |  FROM ($from)) WHERE rk <= $IvfK""".stripMargin
+    def rec(method: String, cte: String, lead: String) =
+      s"""${lead}SELECT '$method' AS method,
+         |    (SELECT COUNT(*) FROM ex) AS n_exact,
+         |    (SELECT COUNT(*) FROM ex JOIN $cte
+         |       ON ex.query_id = $cte.query_id
+         |      AND ex.neighbor_id = $cte.neighbor_id) AS n_hit""".stripMargin
+    s"""WITH v AS (
+  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e
+  FROM embeddings),
+b AS (
+  SELECT vec_id, label, e,
+    $dotCols
+  FROM v),
+c AS (
+  SELECT vec_id, label, e, $dList,
+    CASE $p0Case
+         ELSE ${IvfCells - 1} END AS cell
+  FROM b),
+q0 AS (
+  SELECT query_id, qe, p0,
+    CASE $p1Case
+         ELSE ${IvfCells - 1} END AS p1
+  FROM (SELECT vec_id AS query_id, e AS qe, cell AS p0, $dList
+        FROM c WHERE vec_id % $TopkEvery = 0)),
+f AS (
+  SELECT vec_id, e, cell FROM c WHERE label < $FannLabelMax),
+ex AS (
+${topk(s"""SELECT q0.query_id, f.vec_id AS id, ${dCosine("qe", "e")} AS score
+FROM f, q0 WHERE f.vec_id != q0.query_id""")}),
+pre1 AS (
+${topk(s"""SELECT q0.query_id, f.vec_id AS id, ${dCosine("qe", "e")} AS score
+FROM f JOIN q0 ON f.cell = q0.p0 AND f.vec_id != q0.query_id""")}),
+pre2 AS (
+${topk(s"""SELECT qp.query_id, f.vec_id AS id, ${dCosine("qe", "e")} AS score
+FROM f JOIN (SELECT query_id, qe, unnest([p0, p1]) AS probe FROM q0) qp
+  ON f.cell = qp.probe AND f.vec_id != qp.query_id""")}),
+post AS (
+  SELECT r.query_id, r.neighbor_id
+  FROM (${topk(s"""SELECT q0.query_id, c.vec_id AS id,
+  ${dCosine("qe", "e")} AS score
+FROM c JOIN q0 ON c.cell = q0.p0 AND c.vec_id != q0.query_id""")}) r
+  JOIN v ON v.vec_id = r.neighbor_id
+  WHERE v.label < $FannLabelMax),
+rec AS (
+${rec("ivf_postfilter", "post", "  ")}
+${rec("ivf_prefilter", "pre1", "  UNION ALL ")}
+${rec("ivf_prefilter_p2", "pre2", "  UNION ALL ")})
+SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
+  CAST(n_hit AS BIGINT) AS n_hit,
+  ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
+FROM rec"""
+  }
+
+  /** FILTERED vector search — the metadata-constrained ANN every
+    * retrieval deployment eventually needs ("nearest neighbors WHERE
+    * lang = X / license = Y"), measured the only way that settles the
+    * strategy argument: recall@[[IvfK]] of each filtering strategy
+    * against the exact brute-force top-k over the FILTERED candidates.
+    *
+    *  - `ivf_postfilter`: search the unfiltered index (q49's shared
+    *    result), then drop non-matching neighbors — the naive overlay.
+    *    Its rank slots were consumed by now-discarded candidates, so
+    *    at selectivity s it converges to ≈ s · ivf recall; at 100 TB
+    *    this strategy silently returns near-empty result sets for
+    *    narrow filters.
+    *  - `ivf_prefilter`: restrict candidates BEFORE the cell join
+    *    (same hash-derived cells — assignment is data-independent, so
+    *    the filtered corpus bins identically). At scale this is a
+    *    partition-pruned scan of the filter's postings only.
+    *  - `ivf_prefilter_p2`: pre-filter + 2-probe over-probing — the
+    *    standard compensation for filter-thinned cells (a filtered
+    *    cell holds ~s·|cell| candidates, so a boundary query's true
+    *    neighbors sit one cell over more often); recall is never below
+    *    single-probe's by construction (strictly more candidates).
+    *
+    * The three recall rows ARE the capability: they quantify, on the
+    * same corpus and filter, why a production filtered-ANN serves
+    * pre-filtered partition-pruned postings with an over-probe knob
+    * rather than post-filtering a global search. */
+  val q254 = Query("q254_filtered_ann_recall", filteredRecallOracle) {
+    (s, dir) =>
+    import graft.operators.InternalCache
+    val v = Tables.embeddings(s, dir)
+    val cand = v.filter(col("label") < FannLabelMax)
+    val q = v.filter(col("vec_id") % TopkEvery === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = InternalCache.persist(
+      Similarity.bruteForceTopK(cand, "vec_id", "embedding",
+          q, "query_id", "qvec", IvfK)
+        .select("query_id", "neighbor_id"))
+    def leg(method: String, approx: org.apache.spark.sql.DataFrame) = {
+      val hit = exact.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(hit)
+        .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6)
+            .as("recall"))
+    }
+    val post = ivfShared(s, dir)
+      .join(v.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .filter(col("label") < FannLabelMax)
+    leg("ivf_postfilter", post)
+      .unionByName(leg("ivf_prefilter",
+        Similarity.ivfTopK(cand, "vec_id", "embedding",
+          q, "query_id", "qvec", IvfK, IvfCells, AnnDims)))
+      .unionByName(leg("ivf_prefilter_p2",
+        Similarity.ivfTopKMultiProbe(cand, "vec_id", "embedding",
+          q, "query_id", "qvec", IvfK, IvfCells, AnnDims, nProbe = 2)))
+  }
+
   // ------------------------------------------------------------ q55
 
   private[queries] val DcN = 3  // decontamination shingle width (words)
@@ -2087,5 +2224,6 @@ FROM h GROUP BY bucket""") { (s, dir) =>
 
   val all: Seq[Query] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q45, q48, q49, q53, q54, q55, q56, q57, q60, q81, q86, q87, q88,
-    q96, q97, q98, q128, q134, q164, q190, q192, q193, q194, q205, q232)
+    q96, q97, q98, q128, q134, q164, q190, q192, q193, q194, q205, q232,
+    q254)
 }

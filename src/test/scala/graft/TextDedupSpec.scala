@@ -291,4 +291,40 @@ class TextDedupSpec extends SparkSpec {
     docs.unpersist()
     ()
   }
+
+  test("filtered ANN (q254): pre-filter respects the predicate, " +
+      "over-probing never lowers recall, post-filter can only starve") {
+    val dir = "/root/testdata/sf0.001"
+    val byMethod = rows(
+      SparkEntry.queries("q254_filtered_ann_recall")(spark, dir))
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"))))
+      .toMap
+    graft.operators.InternalCache.release()
+    // one exact denominator for all three strategies (same filtered
+    // ground truth), and it is the full queries × k set: the filter
+    // keeps far more than k candidates, so exact top-k never runs short
+    assert(byMethod.values.map(_._1).toSet.size == 1)
+    assert(byMethod("ivf_prefilter")._1 == 30L)
+    // over-probing scores a strict SUPERSET of single-probe candidates,
+    // so its hit count can never be lower
+    assert(byMethod("ivf_prefilter_p2")._2 >=
+      byMethod("ivf_prefilter")._2)
+    // and the pre-filtered searches only ever return matching
+    // candidates — the predicate bounds the search space, not the output
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val v = Tables.embeddings(spark, dir)
+    val cand = v.filter($"label" < 3)
+    val q = v.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val pre2 = Similarity.ivfTopKMultiProbe(cand, "vec_id", "embedding",
+      q, "query_id", "qvec", 3, 8, 64, nProbe = 2)
+    val offLabel = pre2.join(
+      v.select($"vec_id".as("neighbor_id"), $"label"), Seq("neighbor_id"))
+      .filter($"label" >= 3).count()
+    assert(offLabel == 0L)
+    graft.operators.InternalCache.release()
+    ()
+  }
 }
