@@ -151,7 +151,11 @@ object ScaleBench {
     "q246_corpus_erasure", "q247_ann_index_lifecycle", "q248_span_scrub",
     // the retrain-decision monitor: two Lloyd's trainings + two index
     // builds + three search legs — the heaviest ANN composition
-    "q249_ann_retrain_monitor")
+    "q249_ann_retrain_monitor",
+    // round-11 continuation: the filtered-ANN strategy panel (brute
+    // filtered exact + three IVF legs) and filtered serving on a
+    // freshly built attribute-carrying index (train + topKWhere)
+    "q254_filtered_ann_recall", "q255_ann_filtered_serve")
 
   /** Relational + graph pipelines under scale test (round 8, VERDICT
     * r7 #7: the q233-q242 family and the lineitem-graph operators were
@@ -224,6 +228,30 @@ object ScaleBench {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     AnnIndex.maintainMonitored(spark, name, q, "query_id", "qvec",
       3, 16, 64, 3, threshold = -1.0)
+  }
+
+  /** FILTERED serving at scale: an attribute-carrying index built once
+    * per dir (untimed on the min-of-2), then [[graft.operators.AnnIndex
+    * .topKWhere]] with a fixed query panel and a ~30%-selective label
+    * predicate. The serve cost should track the MATCHING postings of
+    * the probed cells — the predicate is pushed into the parquet scan
+    * under the cell PartitionFilters, so the corpus-growth exponent
+    * measures pruned-and-filtered reads, not index size. */
+  private def annFilteredProbe(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.AnnIndex
+    val name = s"scale_annf_${math.abs(dir.hashCode)}"
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+    if (!spark.catalog.tableExists(AnnIndex.postingsTable(name))) {
+      AnnIndex.build(spark, v, "vec_id", "embedding", name, 16, 64, 3,
+        attrCols = Seq("label"))
+      ()
+    }
+    val q = v.filter(col("vec_id") % 40 === 0 &&
+        col("vec_id") < ReplicaStride)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    AnnIndex.topKWhere(spark, name, q, "query_id", "qvec", 3,
+      col("label") < 3)
   }
 
   /** The history-folded incremental aggregate at scale (q253's shape
@@ -327,6 +355,7 @@ object ScaleBench {
           ("ann_ivf_fixedq", annFixedQ _),
           ("hardneg_fixedq", hardNegFixedQ _),
           ("ann_retrain_lifecycle", annRetrainProbe _),
+          ("ann_filtered_serve", annFilteredProbe _),
           ("agg_fold_lifecycle", aggFoldProbe _))
           if only.forall(_.contains(name))) {
         val t = math.min(timeOne(name, probe(spark, dir)),

@@ -45,25 +45,49 @@ object AnnIndex {
   def centroidsTable(name: String): String = s"${name}_centroids"
   def postingsTable(name: String): String = s"${name}_postings"
 
-  /** (id, vec, cell) under the given centroids — the one assignment
-    * path every lifecycle step shares, so build/append/search cannot
-    * drift on cell boundaries. */
+  /** The postings columns that are NOT index machinery: everything the
+    * build carried besides (id, vec) and the partition column — the
+    * filterable attribute payload [[topKWhere]] serves against. */
+  private def attrColumns(spark: SparkSession, name: String): Seq[String] =
+    spark.table(postingsTable(name)).columns.toSeq
+      .filterNot(c => c == "id" || c == "vec" || c == "cell")
+
+  /** (id, vec, attrs..., cell) under the given centroids — the one
+    * assignment path every lifecycle step shares, so build/append/
+    * search cannot drift on cell boundaries. Attribute columns ride
+    * unchanged next to the vector. */
   private def assign(df: DataFrame, idCol: String, vecCol: String,
-      cents: Array[Array[Double]]): DataFrame =
+      cents: Array[Array[Double]], attrCols: Seq[String] = Nil)
+      : DataFrame =
     KMeans.withCellDist(
-        df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        df.select(col(idCol).as("id") +: col(vecCol).as("vec") +:
+          attrCols.map(col): _*)
           .withColumn("__vq", KMeans.quantize(col("vec"))),
         "__vq", cents)
-      .select(col("id"), col("vec"), col("__cell").cast("long").as("cell"))
+      .select(col("id") +: col("vec") +: attrCols.map(col) :+
+        col("__cell").cast("long").as("cell"): _*)
 
   /** Train on `vectors` and publish the index; returns the posting
     * count. `vectors` is scanned `iters + 1` times (persisted through
-    * [[InternalCache]] for the duration of the build). */
+    * [[InternalCache]] for the duration of the build).
+    *
+    * `attrCols` names metadata columns of `vectors` to carry INTO the
+    * postings (kept under the same names): the filterable payload of a
+    * FILTERED index — [[topKWhere]] pushes its predicate into the
+    * postings parquet scan, so at 100 TB a metadata-constrained search
+    * reads only the probed cells' row groups that can match, instead
+    * of joining a separate attribute table after the fact. Training
+    * and assignment ignore the attributes entirely. */
   def build(spark: SparkSession, vectors: DataFrame, idCol: String,
       vecCol: String, name: String, k: Int, dims: Int,
-      iters: Int): Long = {
+      iters: Int, attrCols: Seq[String] = Nil): Long = {
+    val reserved = Set("id", "vec", "cell", "__vq", "query_id", "qvec",
+      "probe")
+    require(attrCols.forall(c => !reserved(c)),
+      s"attrCols may not use reserved index column names $reserved")
     val vq = InternalCache.persist(
-      vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      vectors.select(col(idCol).as("id") +: col(vecCol).as("vec") +:
+        attrCols.map(col): _*)
         .withColumn("__vq", KMeans.quantize(col("vec"))))
     val cents = KMeans.fit(vq, "__vq", k, dims, iters)
     import spark.implicits._
@@ -74,7 +98,8 @@ object AnnIndex {
       Seq(NotNull("cell"), NotNull("c"), Unique(Seq("cell"))))
     Materialize.partitionedTable(
       KMeans.withCellDist(vq, "__vq", cents)
-        .select(col("id"), col("vec"), col("__cell").cast("long").as("cell")),
+        .select(col("id") +: col("vec") +: attrCols.map(col) :+
+          col("__cell").cast("long").as("cell"): _*),
       postingsTable(name), "cell")
     InternalCache.release()
     spark.table(postingsTable(name)).count()
@@ -91,10 +116,16 @@ object AnnIndex {
     * Replay-safe: a re-submitted id lands in the SAME cell
     * (deterministic assignment of the same vector), so the existence
     * anti-join only needs the delta's own cells — one partition-pruned
-    * id-column scan, never the whole postings table. */
+    * id-column scan, never the whole postings table.
+    *
+    * An attribute-carrying index ([[build]]'s `attrCols`) derives its
+    * attribute list from the PUBLISHED postings schema, so the delta
+    * must carry those columns under the postings' own names — a delta
+    * missing one fails analysis loudly rather than appending nulls. */
   def append(spark: SparkSession, name: String, delta: DataFrame,
       idCol: String, vecCol: String): Long = {
     val post = postingsTable(name)
+    val attrs = attrColumns(spark, name)
     // the anti-join below guards against ids ALREADY indexed; a delta
     // (or one streamed file) carrying the same id twice would pass it
     // twice and create duplicate postings — violating the unique-id
@@ -108,7 +139,7 @@ object AnnIndex {
             .md5Long(to_json(col(vecCol))))))
       .filter(col("__rn") === 1).drop("__rn")
     val a = InternalCache.persist(
-      assign(deduped, idCol, vecCol, loadCentroids(spark, name)))
+      assign(deduped, idCol, vecCol, loadCentroids(spark, name), attrs))
     // bounded collect: ≤ k distinct cell VALUES
     val touched = a.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
@@ -118,8 +149,10 @@ object AnnIndex {
       Seq("id"), "left_anti")
     val n = fresh.count()
     if (n > 0) {
-      // insertInto is positional: (id, vec) data columns, cell last
-      fresh.select(col("id"), col("vec"), col("cell"))
+      // insertInto is positional: (id, vec, attrs...) data columns,
+      // cell last — the partitionedTable layout
+      fresh.select(col("id") +: col("vec") +: attrs.map(col) :+
+          col("cell"): _*)
         .repartition(col("cell"))
         .write.mode("append").insertInto(post)
       spark.catalog.refreshTable(post)
@@ -267,8 +300,12 @@ object AnnIndex {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, cells: Int, dims: Int, iters: Int,
       threshold: Double, crashAfterSwap: Int): RetrainOutcome = try {
+    // full rows minus the stale cell: the re-bin must publish the
+    // attribute payload back, or a retrain swap would silently strip
+    // every filterable column from an attribute-carrying index
+    val attrs = attrColumns(spark, name)
     val content = InternalCache.persist(
-      spark.table(postingsTable(name)).select(col("id"), col("vec")))
+      spark.table(postingsTable(name)).drop("cell"))
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).as("qvec"))
     val exact = InternalCache.persist(
@@ -289,8 +326,8 @@ object AnnIndex {
       content.withColumn("__vq", KMeans.quantize(col("vec"))))
     val cand = KMeans.fit(vq, "__vq", cells, dims, iters)
     val assigned = KMeans.withCellDist(vq, "__vq", cand)
-      .select(col("id"), col("vec"),
-        col("__cell").cast("long").as("cell"))
+      .select(col("id") +: col("vec") +: attrs.map(col) :+
+        col("__cell").cast("long").as("cell"): _*)
     val qp = KMeans.withCell2(
         q.withColumn("__vq", KMeans.quantize(col("qvec"))), "__vq", cand)
       .select(col("query_id"), col("qvec"),
@@ -335,7 +372,29 @@ object AnnIndex {
     * distinct cells and every posting lives in exactly one cell, so
     * candidates need no dedup. */
   def topK(spark: SparkSession, name: String, queries: DataFrame,
-      queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
+      queryIdCol: String, queryVecCol: String, k: Int): DataFrame =
+    searchTopK(spark, name, queries, queryIdCol, queryVecCol, k, None)
+
+  /** FILTERED 2-probe search: [[topK]] restricted to postings matching
+    * `predicate` (over the attribute columns [[build]] carried — e.g.
+    * `col("label") < 3`). The filter lands on the postings scan ITSELF
+    * — under the cell `PartitionFilters`, the predicate becomes a
+    * parquet `PushedFilters` entry (spec-locked), so a narrow filter
+    * skips non-matching row groups instead of scoring and discarding
+    * them. This is PRE-filtering: every rank slot goes to a matching
+    * candidate, so the result never starves the way post-filtering a
+    * global search does (q254 measures that gap); recall under very
+    * narrow filters is bought back with more probes, not more k. */
+  def topKWhere(spark: SparkSession, name: String, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    searchTopK(spark, name, queries, queryIdCol, queryVecCol, k,
+      Some(predicate))
+
+  private def searchTopK(spark: SparkSession, name: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, predicate: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
     val cents = loadCentroids(spark, name)
     val qp = KMeans.withCell2(
         queries.select(col(queryIdCol).as("query_id"),
@@ -349,7 +408,9 @@ object AnnIndex {
     // what turns the postings scan into a PartitionFilters-pruned read
     val probed = qp.select(col("probe")).distinct()
       .collect().map(_.getLong(0))
-    val scored = spark.table(postingsTable(name))
+    val posts = predicate.foldLeft(
+      spark.table(postingsTable(name)))(_ filter _)
+    val scored = posts
       .filter(col("cell").isin(probed: _*))
       .join(broadcast(qp),
         col("cell") === col("probe") && col("id") =!= col("query_id"))

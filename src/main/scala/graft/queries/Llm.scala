@@ -1499,7 +1499,7 @@ FROM rec"""
     * (≈ 31% of the corpus at the generator's uniform 0-9 labels), so
     * post-filtering visibly starves while the filter is not so narrow
     * that every method collapses to the same tiny candidate set. */
-  private val FannLabelMax = 3
+  private[queries] val FannLabelMax = 3
 
   /** DuckDB: the three filtered-IVF strategies plus the exact filtered
     * baseline, each ending in (query_id, neighbor_id) pairs, folded

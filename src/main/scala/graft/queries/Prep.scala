@@ -885,6 +885,88 @@ object Prep {
       "query_id", "qvec", Llm.IvfK)
   }
 
+  // ------------------------------------------------------------ q255
+
+  /** q255's oracle: one Lloyd's chain trained on the FULL corpus, the
+    * frozen assignment of every vector (label kept next to it), 2-probe
+    * query cells, and the in-probed-cell exact-cosine top-k over ONLY
+    * the candidates matching the attribute predicate — the pre-filter
+    * semantics [[graft.operators.AnnIndex.topKWhere]] serves. */
+  private def annFilteredOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings),
+       |$dKmChain,
+       |va AS (
+       |  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings),
+       |bc AS (
+       |  SELECT vec_id, label, e, cell FROM (
+       |    SELECT vec_id, label, e, cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT va.vec_id, va.label, va.e, c.cell, $dKmDist AS dist
+       |          FROM va, c$KmIters c))
+       |  WHERE rk = 1),
+       |qv AS (
+       |  SELECT vec_id AS query_id, [x::DOUBLE for x in embedding] AS qe,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings WHERE vec_id % ${Llm.TopkEvery} = 0),
+       |qp AS (
+       |  SELECT query_id, qe, cell FROM (
+       |    SELECT query_id, qe, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT q.query_id, q.qe, c.cell, $dKmDist AS dist
+       |          FROM qv q, c$KmIters c))
+       |  WHERE rk <= 2),
+       |res AS (
+       |  SELECT query_id, neighbor_id, score, rk FROM (
+       |    SELECT query_id, id AS neighbor_id, score,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, id) AS rk
+       |    FROM (SELECT qp.query_id, bc.vec_id AS id,
+       |            ${Llm.dCosine("qe", "e")} AS score
+       |          FROM bc JOIN qp
+       |            ON bc.cell = qp.cell AND bc.vec_id != qp.query_id
+       |          WHERE bc.label < ${Llm.FannLabelMax}))
+       |  WHERE rk <= ${Llm.IvfK})
+       |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+       |  ROUND(score, 6) AS cosine
+       |FROM res""".stripMargin
+
+  /** FILTERED serving on the PERSISTED index: [[q254]] settled the
+    * strategy (pre-filter + over-probe beats post-filtering a global
+    * search); this is that strategy as a production surface. The index
+    * is built attribute-carrying (`attrCols = label` — the payload
+    * lives IN the postings, partitioned by cell), and
+    * [[graft.operators.AnnIndex.topKWhere]] serves "top-k WHERE
+    * label < [[Llm.FannLabelMax]]" with the predicate pushed into the
+    * postings parquet scan UNDER the probed-cell `PartitionFilters`
+    * (both spec-locked in AnnIndexSpec): at 100 TB a narrow filter
+    * reads the probed cells' matching row groups, not the index, and
+    * no rank slot is wasted on a candidate the filter would discard.
+    * The oracle replays build-on-all + frozen assignment + 2-probe +
+    * pre-filtered in-cell rank, so the published attribute payload
+    * itself is value-checked. */
+  val q255 = Query("q255_ann_filtered_serve", annFilteredOracle) {
+    (s, dir) =>
+    import graft.operators.AnnIndex
+    val name = s"annf_idx_${math.abs(dir.hashCode)}"
+    val emb = Tables.embeddings(s, dir)
+    AnnIndex.build(s, emb, "vec_id", "embedding", name, KmK, KmDims,
+      KmIters, attrCols = Seq("label"))
+    AnnIndex.topKWhere(s, name,
+      emb.filter(col("vec_id") % Llm.TopkEvery === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      "query_id", "qvec", Llm.IvfK, col("label") < Llm.FannLabelMax)
+  }
+
   // ------------------------------------------------------------ q249
 
   /** q249's oracle: TWO Lloyd's chains — frozen (trained on the base
@@ -1574,5 +1656,5 @@ object Prep {
   }
 
   val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99, q100,
-    q120, q148, q191, q213, q214, q215, q247, q249)
+    q120, q148, q191, q213, q214, q215, q247, q249, q255)
 }

@@ -360,4 +360,71 @@ class AnnIndexSpec extends SparkSpec {
       .groupBy(col("id")).count().filter(col("count") > 1).count()
     assert(dupIds == 0L)
   }
+
+  test("attribute payload survives append/erase/retrain-swap, and " +
+      "topKWhere pre-filters with the predicate PUSHED into the scan") {
+    import graft.operators.{KMeans, Similarity}
+    val name = "annspec_attrs"
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val delta = emb.filter(col("vec_id") % 4 === 0)
+    AnnIndex.build(spark, base, "vec_id", "embedding", name, K, Dims,
+      Iters, attrCols = Seq("label"))
+    def labels(): Map[Long, Int] =
+      spark.table(AnnIndex.postingsTable(name))
+        .select(col("id"), col("label"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expected = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+
+    // append derives the attribute list from the published schema —
+    // the delta's labels ride along without the caller restating them
+    AnnIndex.append(spark, name, delta, "vec_id", "embedding")
+    assert(labels() == expected)
+
+    // filtered serving: cell pruning AND a pushed attribute predicate
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val res = AnnIndex.topKWhere(spark, name, q, "query_id", "qvec", 3,
+      col("label") < 3)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"no partition filter on the postings scan:\n${plan.take(3000)}")
+    assert(plan.contains("LessThan(label,3)"),
+      s"label predicate not pushed to the postings scan:\n" +
+        plan.take(3000))
+    val got = rows(res).map(r => (r.getAs[Long]("rank"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, id, _) => expected(id) < 3 })
+    // equals pre-filtering the probed cells' candidates exactly
+    val pc = KMeans.withCell2(
+        q.withColumn("__vq", KMeans.quantize(col("qvec"))),
+        "__vq", AnnIndex.loadCentroids(spark, name))
+      .select(col("__cell").cast("long"), col("__cell2").cast("long"))
+      .head()
+    val cand = spark.table(AnnIndex.postingsTable(name))
+      .filter(col("cell").isin(pc.getLong(0), pc.getLong(1)) &&
+        col("label") < 3)
+    val ref = rows(Similarity.bruteForceTopK(cand, "id", "vec",
+      q, "query_id", "qvec", 3)).map(r => (r.getAs[Long]("rank"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(got == ref)
+
+    // erase keeps the payload on every surviving row
+    AnnIndex.erase(spark, name,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 1))
+    val afterErase = expected.filter { case (id, _) => id % 10 != 1 }
+    assert(labels() == afterErase)
+
+    // a forced retrain swap re-bins WITHOUT stripping the payload
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val (_, _, swapped) = AnnIndex.maintainWithRetrain(spark, name, qs,
+      "query_id", "qvec", 3, K, Dims, Iters, threshold = -1.0)
+    assert(swapped)
+    assert(labels() == afterErase)
+    // and filtered serving still answers on the new generation
+    assert(rows(AnnIndex.topKWhere(spark, name, q, "query_id", "qvec",
+      3, col("label") < 3)).nonEmpty)
+  }
 }
