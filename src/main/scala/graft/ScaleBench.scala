@@ -155,7 +155,10 @@ object ScaleBench {
     // round-11 continuation: the filtered-ANN strategy panel (brute
     // filtered exact + three IVF legs) and filtered serving on a
     // freshly built attribute-carrying index (train + topKWhere)
-    "q254_filtered_ann_recall", "q255_ann_filtered_serve")
+    "q254_filtered_ann_recall", "q255_ann_filtered_serve",
+    // index-served incremental semantic dedup: train-on-base + the
+    // delta's best-neighbor probes (the delta-proportional dedup path)
+    "q256_index_incremental_dedup")
 
   /** Relational + graph pipelines under scale test (round 8, VERDICT
     * r7 #7: the q233-q242 family and the lineitem-graph operators were

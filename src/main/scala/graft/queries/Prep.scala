@@ -967,6 +967,96 @@ object Prep {
       "query_id", "qvec", Llm.IvfK, col("label") < Llm.FannLabelMax)
   }
 
+  // ------------------------------------------------------------ q256
+
+  /** q256's oracle: the Lloyd's chain trained on the BASE subset (the
+    * corpus the index holds), frozen assignment of the base, 2-probe
+    * cells of each DELTA vector, the best in-probed-cell neighbor per
+    * delta doc, and the near-dup verdict at the q45 threshold. The
+    * verdict compares the ROUNDED cosine (the served value): both
+    * engines land on the same 1e-6 grid, so the flag is reproducible
+    * where a raw-vs-rounded mix at the boundary would not be. */
+  private def annIncDedupOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings WHERE vec_id % $AnnDeltaMod <> $AnnDeltaRes),
+       |$dKmChain,
+       |va AS (
+       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS e,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings WHERE vec_id % $AnnDeltaMod <> $AnnDeltaRes),
+       |bc AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT vec_id, e, cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT va.vec_id, va.e, c.cell, $dKmDist AS dist
+       |          FROM va, c$KmIters c))
+       |  WHERE rk = 1),
+       |qd AS (
+       |  SELECT vec_id AS query_id, [x::DOUBLE for x in embedding] AS qe,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings WHERE vec_id % $AnnDeltaMod = $AnnDeltaRes),
+       |qp AS (
+       |  SELECT query_id, qe, cell FROM (
+       |    SELECT query_id, qe, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT q.query_id, q.qe, c.cell, $dKmDist AS dist
+       |          FROM qd q, c$KmIters c))
+       |  WHERE rk <= 2),
+       |best AS (
+       |  SELECT query_id, neighbor_id, score FROM (
+       |    SELECT qp.query_id, bc.vec_id AS neighbor_id,
+       |      ${Llm.dCosine("qe", "e")} AS score,
+       |      row_number() OVER (PARTITION BY qp.query_id
+       |        ORDER BY ${Llm.dCosine("qe", "e")} DESC, bc.vec_id) AS rk
+       |    FROM bc JOIN qp ON bc.cell = qp.cell)
+       |  WHERE rk = 1)
+       |SELECT d.query_id AS vec_id, b.neighbor_id AS dup_of,
+       |  ROUND(b.score, 6) AS cosine,
+       |  COALESCE(ROUND(b.score, 6) >= ${Llm.NdThreshold}, FALSE)
+       |    AS is_dup
+       |FROM qd d LEFT JOIN best b ON b.query_id = d.query_id"""
+      .stripMargin
+
+  /** INCREMENTAL semantic dedup served from the persisted index — the
+    * embedding-space twin of q81's incremental MinHash dedup: a DELTA
+    * of new documents is deduplicated against the indexed corpus by
+    * querying each delta vector's best 2-probe neighbor
+    * ([[graft.operators.AnnIndex.topK]], k = 1) and flagging it at the
+    * q45 near-dup threshold. Cost is ∝ delta × probed cells — the
+    * corpus is read only through the partition-pruned postings of the
+    * cells the delta actually probes, never rescanned or reshuffled,
+    * which is the only dedup shape that survives continuous ingest at
+    * 100 TB (inline semantic dedup, q79, re-pairs the whole corpus
+    * every run). Kept docs are the `is_dup = false` rows; the match
+    * column carries the evidence for the drops. */
+  val q256 = Query("q256_index_incremental_dedup", annIncDedupOracle) {
+    (s, dir) =>
+    import graft.operators.AnnIndex
+    val name = s"annd_idx_${math.abs(dir.hashCode)}"
+    val emb = Tables.embeddings(s, dir)
+    AnnIndex.build(s,
+      emb.filter(col("vec_id") % AnnDeltaMod =!= AnnDeltaRes),
+      "vec_id", "embedding", name, KmK, KmDims, KmIters)
+    val delta = emb.filter(col("vec_id") % AnnDeltaMod === AnnDeltaRes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val best = AnnIndex.topK(s, name, delta, "query_id", "qvec", 1)
+      .withColumnRenamed("query_id", "vec_id")
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+    delta.select(col("query_id").as("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("neighbor_id").as("dup_of"),
+        col("cosine"),
+        coalesce(col("cosine") >= Llm.NdThreshold, lit(false))
+          .as("is_dup"))
+  }
+
   // ------------------------------------------------------------ q249
 
   /** q249's oracle: TWO Lloyd's chains — frozen (trained on the base
@@ -1656,5 +1746,5 @@ object Prep {
   }
 
   val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99, q100,
-    q120, q148, q191, q213, q214, q215, q247, q249, q255)
+    q120, q148, q191, q213, q214, q215, q247, q249, q255, q256)
 }
