@@ -158,7 +158,10 @@ object ScaleBench {
     "q254_filtered_ann_recall", "q255_ann_filtered_serve",
     // index-served incremental semantic dedup: train-on-base + the
     // delta's best-neighbor probes (the delta-proportional dedup path)
-    "q256_index_incremental_dedup")
+    "q256_index_incremental_dedup",
+    // the same dedup as a continuous ingest: per-batch verdict + audit
+    // + append (two micro-batches, cross-batch dedup included)
+    "q257_stream_ingest_dedup")
 
   /** Relational + graph pipelines under scale test (round 8, VERDICT
     * r7 #7: the q233-q242 family and the lineitem-graph operators were

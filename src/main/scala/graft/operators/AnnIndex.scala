@@ -197,6 +197,81 @@ object AnnIndex {
     counts.toSeq
   }
 
+  /** CONTINUOUS ingest WITH dedup — the full production front door for
+    * a semantic-dedup corpus: each landed micro-batch is (1) verdict-ed
+    * against the CURRENT index (best 2-probe neighbor, k = 1, dup at
+    * `threshold` on the served rounded cosine — the q256 semantics),
+    * (2) audited (one verdict row per batch doc, written to
+    * `auditDir/b<batchId>` with OVERWRITE so a replayed batch rewrites
+    * its own slice — at-least-once delivery collapses to idempotent
+    * audits), and (3) the kept docs are appended, so a duplicate
+    * arriving in a LATER batch is caught against its earlier twin —
+    * the cross-batch dedup a one-shot delta check cannot do. Cost per
+    * batch is ∝ batch × probed cells; the corpus is only ever read
+    * through partition-pruned postings.
+    *
+    * Contract: dedup is batch-vs-INDEX. Two near-dups inside ONE batch
+    * are both kept (no intra-batch pairing here — run the inline pair
+    * check or survivorship on the batch first if that matters);
+    * [[append]]'s id anti-join still collapses exact id replays.
+    * Returns (batchId, dropped, appended) per batch.
+    *
+    * Crash recovery: the batch's offset commits only after the whole
+    * foreachBatch body, so a crash ANYWHERE inside it (worst case:
+    * after the audit write, before the append) replays the batch on
+    * restart — the audit overwrite re-lands the same rows and the
+    * append anti-join absorbs what already landed, converging to the
+    * clean run's state (spec: fault-injected via `crashAfterAudit`,
+    * TEST-ONLY). */
+  def streamIngestDedup(spark: SparkSession, name: String,
+      landingDir: String, checkpoint: String, idCol: String,
+      vecCol: String, threshold: Double, auditDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      crashAfterAudit: Long = -1L)
+      : Seq[(Long, Long, Long)] = {
+    val counts =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val qs = batch.select(col(idCol).as("query_id"),
+          col(vecCol).as("qvec"))
+        val best = topK(spark, name, qs, "query_id", "qvec", 1)
+          .select(col("query_id").as(idCol),
+            col("neighbor_id").as("dup_of"), col("cosine"))
+        // persisted: consumed by the audit write, the kept filter,
+        // and the dropped count — one verdict, three readers
+        val verdict = InternalCache.persist(
+          batch.select(col(idCol)).join(best, Seq(idCol), "left")
+            .select(col(idCol), col("dup_of"), col("cosine"),
+              coalesce(col("cosine") >= threshold, lit(false))
+                .as("is_dup")))
+        verdict.write.mode("overwrite").parquet(s"$auditDir/b$bid")
+        if (bid == crashAfterAudit)
+          throw new Materialize.CrashInjected(bid.toInt)
+        // counted BEFORE append: append() releases operator-internal
+        // caches (its own contract), which would unpersist `verdict`,
+        // and a post-append recompute would re-verdict against the
+        // index the kept docs just joined — different numbers than
+        // the audit that was actually written
+        val dropped = verdict.filter(col("is_dup")).count()
+        val kept = batch.join(
+          verdict.filter(col("is_dup")).select(col(idCol)),
+          Seq(idCol), "left_anti")
+        val n = append(spark, name, kept, idCol, vecCol)
+        counts.synchronized { counts += ((bid, dropped, n)); () }
+        InternalCache.release()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    counts.toSeq
+  }
+
   /** Post-append maintenance: every [[append]] adds at least one file
     * to each touched cell, so a long-running ingest fragments the
     * postings (per-file open cost dominates a scan once files ≪ the

@@ -1057,6 +1057,142 @@ object Prep {
           .as("is_dup"))
   }
 
+  // ------------------------------------------------------------ q257
+
+  /** q257's oracle: q256's chain UNROLLED over the two micro-batches.
+    * Batch 1 (vec_id ≡ 4 mod 10) verdicts against the base index;
+    * its KEPT docs join the corpus (frozen assignment — exactly what
+    * [[graft.operators.AnnIndex.append]] publishes); batch 2
+    * (vec_id ≡ 9 mod 10) verdicts against base + kept₁, so a batch-2
+    * doc can be dropped against a batch-1 twin — the cross-batch
+    * dedup the stream exists for, value-checked. */
+  private def annStreamDedupOracle: String = {
+    val tau = Llm.NdThreshold
+    def assignCte(out: String, in: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT vec_id, e, cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, cell) AS rk
+         |    FROM (SELECT t.vec_id, t.e, c.cell, $dKmDist AS dist
+         |          FROM $in t, c$KmIters c))
+         |  WHERE rk = 1)""".stripMargin
+    def batchCte(out: String, res: Int): String =
+      s"""$out AS (
+         |  SELECT vec_id AS query_id, [x::DOUBLE for x in embedding] AS qe,
+         |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+         |     for x in embedding] AS vq
+         |  FROM embeddings WHERE vec_id % 10 = $res)""".stripMargin
+    def probeCte(out: String, qCte: String): String =
+      s"""$out AS (
+         |  SELECT query_id, qe, cell FROM (
+         |    SELECT query_id, qe, cell,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dist, cell) AS rk
+         |    FROM (SELECT q.query_id, q.qe, c.cell, $dKmDist AS dist
+         |          FROM $qCte q, c$KmIters c))
+         |  WHERE rk <= 2)""".stripMargin
+    def bestCte(out: String, qpCte: String, corpus: String): String =
+      s"""$out AS (
+         |  SELECT query_id, neighbor_id, score FROM (
+         |    SELECT qp.query_id, t.vec_id AS neighbor_id,
+         |      ${Llm.dCosine("qe", "e")} AS score,
+         |      row_number() OVER (PARTITION BY qp.query_id
+         |        ORDER BY ${Llm.dCosine("qe", "e")} DESC, t.vec_id) AS rk
+         |    FROM $corpus t JOIN $qpCte qp ON t.cell = qp.cell)
+         |  WHERE rk = 1)""".stripMargin
+    def verdictCte(out: String, qCte: String, bCte: String): String =
+      s"""$out AS (
+         |  SELECT d.query_id AS vec_id, b.neighbor_id AS dup_of,
+         |    ROUND(b.score, 6) AS cosine,
+         |    COALESCE(ROUND(b.score, 6) >= $tau, FALSE) AS is_dup
+         |  FROM $qCte d LEFT JOIN $bCte b ON b.query_id = d.query_id)"""
+        .stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings WHERE vec_id % $AnnDeltaMod <> $AnnDeltaRes),
+       |$dKmChain,
+       |va AS (
+       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS e,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings WHERE vec_id % $AnnDeltaMod <> $AnnDeltaRes),
+       |${assignCte("bc", "va")},
+       |${batchCte("q1", 4)},
+       |${probeCte("qp1", "q1")},
+       |${bestCte("b1", "qp1", "bc")},
+       |${verdictCte("v1", "q1", "b1")},
+       |k1 AS (
+       |  SELECT q.query_id AS vec_id, q.qe AS e, q.vq
+       |  FROM q1 q JOIN v1 ON v1.vec_id = q.query_id
+       |  WHERE NOT v1.is_dup),
+       |${assignCte("bk1", "k1")},
+       |bc2 AS (
+       |  SELECT vec_id, e, cell FROM bc
+       |  UNION ALL SELECT vec_id, e, cell FROM bk1),
+       |${batchCte("q2", 9)},
+       |${probeCte("qp2", "q2")},
+       |${bestCte("b2", "qp2", "bc2")},
+       |${verdictCte("v2", "q2", "b2")}
+       |SELECT vec_id, dup_of, cosine, is_dup FROM v1
+       |UNION ALL SELECT vec_id, dup_of, cosine, is_dup FROM v2"""
+      .stripMargin
+  }
+
+  /** q256 AS A STREAM — the production front door
+    * ([[graft.operators.AnnIndex.streamIngestDedup]]): the delta
+    * arrives as two micro-batch files (vec_id ≡ 4, then ≡ 9, mod 10;
+    * landed with strictly ordered mtimes so the file source's batch
+    * order is deterministic), each batch is verdict-ed against the
+    * CURRENT index, audited idempotently (per-batch-id overwrite),
+    * and its kept docs are appended — so batch 2 deduplicates against
+    * batch 1's survivors, the cross-batch catch a one-shot delta
+    * check cannot make. Result = the accumulated audit, which the
+    * oracle replays batch-sequentially. Scale posture: per-batch cost
+    * ∝ batch × probed cells (partition-pruned postings reads + the
+    * delta-proportional append); the corpus is never rescanned. */
+  val q257 = Query("q257_stream_ingest_dedup", annStreamDedupOracle) {
+    (s, dir) =>
+    import graft.operators.AnnIndex
+    import org.apache.hadoop.fs.Path
+    val tag = math.abs(dir.hashCode).toString
+    val name = s"anns_idx_$tag"
+    val emb = Tables.embeddings(s, dir)
+    AnnIndex.build(s,
+      emb.filter(col("vec_id") % AnnDeltaMod =!= AnnDeltaRes),
+      "vec_id", "embedding", name, KmK, KmDims, KmIters)
+    val landing = s"/tmp/graft_annstream_dedup_land_$tag"
+    val audit = s"/tmp/graft_annstream_dedup_audit_$tag"
+    Seq(landing, audit).foreach(p => graft.sources.Ingest.deletePath(s, p))
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(landing).getFileSystem(conf)
+    fs.mkdirs(new Path(landing))
+    // one file per micro-batch, mtimes strictly ordered: the file
+    // source processes oldest-first, so the batch sequence (and with
+    // it the cross-batch verdicts) is deterministic
+    def land(df: org.apache.spark.sql.DataFrame, n: String,
+        ageMs: Long): Unit = {
+      val tmp = s"${landing}_tmp_$n"
+      graft.sources.Ingest.deletePath(s, tmp)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*")).head
+      val dest = new Path(landing, s"$n.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs, dest,
+        false, true, conf)
+      fs.setTimes(dest, System.currentTimeMillis() - ageMs, -1)
+    }
+    land(emb.filter(col("vec_id") % 10 === 4), "b0", 60000L)
+    land(emb.filter(col("vec_id") % 10 === 9), "b1", 30000L)
+    val ckpt = "/tmp/graft_annstream_dedup_ckpt_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    AnnIndex.streamIngestDedup(s, name, landing, ckpt, "vec_id",
+      "embedding", Llm.NdThreshold, audit, emb.schema)
+    s.read.parquet(s"$audit/b*")
+      .select(col("vec_id"), col("dup_of"), col("cosine"), col("is_dup"))
+  }
+
   // ------------------------------------------------------------ q249
 
   /** q249's oracle: TWO Lloyd's chains — frozen (trained on the base
@@ -1746,5 +1882,5 @@ object Prep {
   }
 
   val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99, q100,
-    q120, q148, q191, q213, q214, q215, q247, q249, q255, q256)
+    q120, q148, q191, q213, q214, q215, q247, q249, q255, q256, q257)
 }

@@ -361,6 +361,133 @@ class AnnIndexSpec extends SparkSpec {
     assert(dupIds == 0L)
   }
 
+  test("streamed ingest-dedup: audits are idempotent, dropped docs " +
+      "never enter the index, kept docs land, restart is a no-op") {
+    import org.apache.hadoop.fs.Path
+    val name = "annspec_streamdedup"
+    AnnIndex.build(spark, emb.filter(col("vec_id") % 5 =!= 4),
+      "vec_id", "embedding", name, K, Dims, Iters)
+    val landing = "/tmp/graft_test_annsd_landing"
+    val audit = "/tmp/graft_test_annsd_audit"
+    val chk = "/tmp/graft_test_annsd_chk"
+    for (d <- Seq(landing, audit, chk))
+      graft.sources.Ingest.deletePath(spark, d)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(landing).getFileSystem(conf)
+    fs.mkdirs(new Path(landing))
+    def land(df: org.apache.spark.sql.DataFrame, n: String,
+        ageMs: Long): Unit = {
+      val tmp = s"${landing}_tmp_$n"
+      graft.sources.Ingest.deletePath(spark, tmp)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*")).head
+      val dest = new Path(landing, s"$n.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs, dest,
+        false, true, conf)
+      fs.setTimes(dest, System.currentTimeMillis() - ageMs, -1)
+    }
+    land(emb.filter(col("vec_id") % 10 === 4), "b0", 60000L)
+    land(emb.filter(col("vec_id") % 10 === 9), "b1", 30000L)
+    val counts = AnnIndex.streamIngestDedup(spark, name, landing, chk,
+      "vec_id", "embedding", 0.4, audit, emb.schema)
+    assert(counts.size == 2)
+    val deltaIds = emb.filter(col("vec_id") % 5 === 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val aud = spark.read.parquet(s"$audit/b*")
+    assert(aud.count() == deltaIds.size.toLong,
+      "one verdict row per delta doc")
+    // a dropped doc carries evidence at/above the threshold, and the
+    // served (rounded) cosine is what the flag compared
+    assert(aud.filter(col("is_dup") && col("cosine") < 0.4).count() == 0L)
+    val dropped = aud.filter(col("is_dup"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(counts.map(_._2).sum == dropped.size.toLong)
+    assert(counts.map(_._3).sum == (deltaIds.size - dropped.size).toLong)
+    val indexed = postings(name).map(_._1)
+    assert(dropped.forall(id => !indexed.contains(id)),
+      "a dropped duplicate entered the index")
+    assert((deltaIds -- dropped).forall(indexed.contains),
+      "a kept doc is missing from the index")
+    // restart with the same checkpoint: no batches, nothing changes
+    val before = postings(name)
+    val counts2 = AnnIndex.streamIngestDedup(spark, name, landing, chk,
+      "vec_id", "embedding", 0.4, audit, emb.schema)
+    assert(counts2.isEmpty)
+    assert(postings(name) == before)
+    assert(spark.read.parquet(s"$audit/b*").count() ==
+      deltaIds.size.toLong)
+  }
+
+  test("a crash between a batch's audit and its append replays the " +
+      "batch on restart and converges to the clean run") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def landAll(landing: String): Unit = {
+      val fs = new Path(landing).getFileSystem(conf)
+      fs.mkdirs(new Path(landing))
+      def land(df: org.apache.spark.sql.DataFrame, n: String,
+          ageMs: Long): Unit = {
+        val tmp = s"${landing}_tmp_$n"
+        graft.sources.Ingest.deletePath(spark, tmp)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*")).head
+        val dest = new Path(landing, s"$n.parquet")
+        org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs, dest,
+          false, true, conf)
+        fs.setTimes(dest, System.currentTimeMillis() - ageMs, -1)
+      }
+      land(emb.filter(col("vec_id") % 10 === 4), "b0", 60000L)
+      land(emb.filter(col("vec_id") % 10 === 9), "b1", 30000L)
+    }
+    def run(name: String, tag: String, crashAt: Long)
+        : (Set[(Long, Long)], Set[(Long, Boolean)]) = {
+      val landing = s"/tmp/graft_test_annsdc_${tag}_landing"
+      val audit = s"/tmp/graft_test_annsdc_${tag}_audit"
+      val chk = s"/tmp/graft_test_annsdc_${tag}_chk"
+      for (d <- Seq(landing, audit, chk))
+        graft.sources.Ingest.deletePath(spark, d)
+      landAll(landing)
+      AnnIndex.build(spark, emb.filter(col("vec_id") % 5 =!= 4),
+        "vec_id", "embedding", name, K, Dims, Iters)
+      if (crashAt >= 0) {
+        val e = intercept[Exception] {
+          AnnIndex.streamIngestDedup(spark, name, landing, chk,
+            "vec_id", "embedding", 0.4, audit, emb.schema,
+            crashAfterAudit = crashAt)
+        }
+        // the injected failure, not something else, killed the stream
+        val injected = Iterator.iterate[Throwable](e)(_.getCause)
+          .takeWhile(_ != null).take(8)
+          .exists(_.isInstanceOf[graft.sources.Materialize.CrashInjected])
+        assert(injected, s"stream died of something else: $e")
+        // the crashed batch audited but its kept docs never appended
+        assert(spark.read.parquet(s"$audit/b0").count() > 0)
+        assert(postings(name).map(_._1)
+          .intersect(emb.filter(col("vec_id") % 10 === 4)
+            .select("vec_id").collect().map(_.getLong(0)).toSet)
+          .isEmpty, "crash landed postings it should not have")
+        // restart with the SAME checkpoint, no injection
+        AnnIndex.streamIngestDedup(spark, name, landing, chk,
+          "vec_id", "embedding", 0.4, audit, emb.schema)
+        ()
+      } else {
+        AnnIndex.streamIngestDedup(spark, name, landing, chk,
+          "vec_id", "embedding", 0.4, audit, emb.schema)
+        ()
+      }
+      val aud = spark.read.parquet(s"$audit/b*")
+        .select(col("vec_id"), col("is_dup"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      (postings(name), aud)
+    }
+    val (cleanPost, cleanAud) = run("annspec_sdc_clean", "clean", -1L)
+    val (crashPost, crashAud) = run("annspec_sdc_crash", "crash", 0L)
+    assert(crashAud == cleanAud,
+      "replayed verdicts diverged from the clean run")
+    assert(crashPost == cleanPost,
+      "recovered index state diverged from the clean run")
+  }
+
   test("attribute payload survives append/erase/retrain-swap, and " +
       "topKWhere pre-filters with the predicate PUSHED into the scan") {
     import graft.operators.{KMeans, Similarity}
