@@ -440,15 +440,19 @@ object AnnIndex {
     pre.copy(swapped = published)
   } finally InternalCache.release()
 
-  /** 2-probe IVF search over the published index: per query, exact
-    * cosine top-k among the postings of its nearest + runner-up cells.
-    * Returns (query_id, rank, neighbor_id, cosine), rank 1..k by
-    * (cosine desc, id), self-matches excluded. The two probes are
+  /** Multi-probe IVF search over the published index: per query, exact
+    * cosine top-k among the postings of its `nProbe` nearest cells
+    * (default 2 — nearest + runner-up, the contract every 2-probe
+    * oracle replays; raise it to buy recall at nProbe/cells of the
+    * postings read). Returns (query_id, rank, neighbor_id, cosine),
+    * rank 1..k by (cosine desc, id), self-matches excluded. Probes are
     * distinct cells and every posting lives in exactly one cell, so
     * candidates need no dedup. */
   def topK(spark: SparkSession, name: String, queries: DataFrame,
-      queryIdCol: String, queryVecCol: String, k: Int): DataFrame =
-    searchTopK(spark, name, queries, queryIdCol, queryVecCol, k, None)
+      queryIdCol: String, queryVecCol: String, k: Int,
+      nProbe: Int = 2): DataFrame =
+    searchTopK(spark, name, queries, queryIdCol, queryVecCol, k,
+      nProbe, None)
 
   /** FILTERED 2-probe search: [[topK]] restricted to postings matching
     * `predicate` (over the attribute columns [[build]] carried — e.g.
@@ -459,26 +463,32 @@ object AnnIndex {
     * them. This is PRE-filtering: every rank slot goes to a matching
     * candidate, so the result never starves the way post-filtering a
     * global search does (q254 measures that gap); recall under very
-    * narrow filters is bought back with more probes, not more k. */
+    * narrow filters is bought back with more probes, not more k —
+    * `nProbe` is that knob (a filter at selectivity s thins each
+    * probed cell to ~s·|cell| candidates; raising nProbe restores the
+    * candidate count at nProbe/cells of the postings read, and a
+    * probe-superset can never lower any query's scores). */
   def topKWhere(spark: SparkSession, name: String, queries: DataFrame,
       queryIdCol: String, queryVecCol: String, k: Int,
-      predicate: org.apache.spark.sql.Column): DataFrame =
+      predicate: org.apache.spark.sql.Column,
+      nProbe: Int = 2): DataFrame =
     searchTopK(spark, name, queries, queryIdCol, queryVecCol, k,
-      Some(predicate))
+      nProbe, Some(predicate))
 
   private def searchTopK(spark: SparkSession, name: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, predicate: Option[org.apache.spark.sql.Column])
+      k: Int, nProbe: Int,
+      predicate: Option[org.apache.spark.sql.Column])
       : DataFrame = {
     val cents = loadCentroids(spark, name)
-    val qp = KMeans.withCell2(
+    val qp = KMeans.withCellN(
         queries.select(col(queryIdCol).as("query_id"),
           col(queryVecCol).as("qvec"))
           .withColumn("__vq", KMeans.quantize(col("qvec"))),
-        "__vq", cents)
+        "__vq", cents, nProbe)
       .select(col("query_id"), col("qvec"),
-        explode(array(col("__cell").cast("long"),
-          col("__cell2").cast("long"))).as("probe"))
+        explode(array((0 until nProbe)
+          .map(i => col(s"__probe$i").cast("long")): _*)).as("probe"))
     // bounded collect: ≤ k probed cell VALUES — this literal list is
     // what turns the postings scan into a PartitionFilters-pruned read
     val probed = qp.select(col("probe")).distinct()

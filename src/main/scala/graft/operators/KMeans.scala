@@ -131,6 +131,32 @@ object KMeans {
       .drop((0 until k).map(m => s"__kd$m"): _*)
   }
 
+  /** [[withCell2]] generalized: appends `__probe0..__probe{n-1}` — the
+    * n nearest cells per row, in the oracle's `ORDER BY dist, cell`
+    * window order (probe i+1 re-runs the same first-wins argmin with
+    * all previously chosen cells masked to MaxValue, so ties keep
+    * resolving to the lowest cell id). `withCellN(n = 2)`'s probes are
+    * exactly (`__cell`, `__cell2`) of [[withCell2]] — the 2-probe
+    * consumers' oracle contracts are unchanged by construction. */
+  def withCellN(df: DataFrame, vqCol: String,
+      cents: Array[Array[Double]], n: Int): DataFrame = {
+    val k = cents.length
+    require(n >= 1 && n <= k, "1 <= nProbe <= cells")
+    val withD = cents.zipWithIndex.foldLeft(df) { case (d, (c, m)) =>
+      d.withColumn(s"__kd$m", distTo(col(vqCol), c))
+    }
+    val staged = (0 until n).foldLeft(withD) { (d, i) =>
+      val masked: Int => Column = m => {
+        val prior = (0 until i).map(j => col(s"__probe$j") === m)
+        if (prior.isEmpty) col(s"__kd$m")
+        else when(prior.reduce(_ || _), lit(Double.MaxValue))
+          .otherwise(col(s"__kd$m"))
+      }
+      d.withColumn(s"__probe$i", Similarity.argminCell(k, masked))
+    }
+    staged.drop((0 until k).map(m => s"__kd$m"): _*)
+  }
+
   /** `iters` Lloyd's iterations from the deterministic init; returns
     * the final k×dims centroid table. Each iteration: one distributed
     * scan (assign + per-cluster integer sums), one bounded ≤ k-row

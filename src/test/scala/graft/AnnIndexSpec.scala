@@ -361,6 +361,50 @@ class AnnIndexSpec extends SparkSpec {
     assert(dupIds == 0L)
   }
 
+  test("nProbe: probes replay the (dist, cell) window order, nProbe=2 " +
+      "equals the withCell2 contract, and more probes never lower a " +
+      "query's scores") {
+    import graft.operators.KMeans
+    val name = "annspec_nprobe"
+    AnnIndex.build(spark, emb, "vec_id", "embedding", name, K, Dims,
+      Iters)
+    val cents = AnnIndex.loadCentroids(spark, name)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .withColumn("__vq", KMeans.quantize(col("qvec")))
+    // withCellN(2) ≡ (withCell2.__cell, withCell2.__cell2) — the
+    // contract every 2-probe oracle replays must be unchanged
+    val two = rows(KMeans.withCell2(q, "__vq", cents)
+      .select(col("query_id"), col("__cell").cast("long"),
+        col("__cell2").cast("long")))
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val n2 = rows(KMeans.withCellN(q, "__vq", cents, 2)
+      .select(col("query_id"), col("__probe0").cast("long"),
+        col("__probe1").cast("long")))
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(n2 == two)
+    // probe lists are prefixes of one another (the same window walked
+    // further), and all distinct
+    val n4 = rows(KMeans.withCellN(q, "__vq", cents, 4)
+      .select(col("query_id") +: (0 until 4)
+        .map(i => col(s"__probe$i").cast("long")): _*))
+      .map(r => (r.getLong(0), (0 until 4).map(i => r.getLong(i + 1))))
+      .toMap
+    assert(n4.forall { case (id, ps) =>
+      ps.take(2) == Seq(two(id)._1, two(id)._2) && ps.distinct == ps })
+    // a probe superset can never lower any query's best score
+    def best(nProbe: Int): Map[Long, Double] =
+      rows(AnnIndex.topK(spark, name,
+        q.drop("__vq"), "query_id", "qvec", 1, nProbe = nProbe))
+        .map(r => r.getAs[Long]("query_id") ->
+          r.getAs[Double]("cosine")).toMap
+    val b2 = best(2)
+    val b4 = best(4)
+    assert(b2.keySet == b4.keySet)
+    assert(b2.forall { case (id, s) => b4(id) >= s },
+      "4-probe best cosine fell below 2-probe for some query")
+  }
+
   test("streamed ingest-dedup: audits are idempotent, dropped docs " +
       "never enter the index, kept docs land, restart is a no-op") {
     import org.apache.hadoop.fs.Path
