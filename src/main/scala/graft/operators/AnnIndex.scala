@@ -81,10 +81,16 @@ object AnnIndex {
   def build(spark: SparkSession, vectors: DataFrame, idCol: String,
       vecCol: String, name: String, k: Int, dims: Int,
       iters: Int, attrCols: Seq[String] = Nil): Long = {
-    val reserved = Set("id", "vec", "cell", "__vq", "query_id", "qvec",
-      "probe")
-    require(attrCols.forall(c => !reserved(c)),
-      s"attrCols may not use reserved index column names $reserved")
+    // the full internal/output namespace of the lifecycle, not just
+    // build's own scratch: __rn (append's dedup window), __kd*/__probe*
+    // (KMeans scratch), and the stream verdict's output names — a
+    // colliding attrCol would otherwise surface later as a confusing
+    // AnalysisException in append/search instead of failing here
+    val reserved = Set("id", "vec", "cell", "query_id", "qvec", "probe",
+      "dup_of", "is_dup", "cosine", "neighbor_id", "rank", "score")
+    require(attrCols.forall(c => !reserved(c) && !c.startsWith("__")),
+      s"attrCols may not use reserved index column names $reserved " +
+        "or the __ internal prefix")
     val vq = InternalCache.persist(
       vectors.select(col(idCol).as("id") +: col(vecCol).as("vec") +:
         attrCols.map(col): _*)
@@ -210,24 +216,39 @@ object AnnIndex {
     * batch is ∝ batch × probed cells; the corpus is only ever read
     * through partition-pruned postings.
     *
-    * Contract: dedup is batch-vs-INDEX. Two near-dups inside ONE batch
-    * are both kept (no intra-batch pairing here — run the inline pair
-    * check or survivorship on the batch first if that matters);
-    * [[append]]'s id anti-join still collapses exact id replays.
-    * Returns (batchId, dropped, appended) per batch.
+    * Verdict candidates, per batch doc (ids must be orderable —
+    * "smaller id" below is the id column's own ordering):
+    *  - INDEX postings of its probed cells, the batch's OWN ids
+    *    excluded — the exclusion makes the verdict replay-INVARIANT:
+    *    a replayed batch whose kept docs already appended scores
+    *    against exactly the index the clean run saw;
+    *  - batch SIBLINGS with a SMALLER id whose assigned cell is one
+    *    of the doc's probed cells — the append-then-search shape, so
+    *    a burst of re-fetches inside one micro-batch keeps only its
+    *    smallest-id representative instead of landing N copies.
+    *    Leader-chaining (a ~ b ~ c, a !~ c) drops both b and c: each
+    *    has a near-dup with a smaller id, and the cluster's duplicate
+    *    content is represented by a alone.
+    * The verdict is the best candidate overall by (cosine desc, id);
+    * `dup_of` may therefore name a batch sibling that was itself
+    * dropped — the evidence chain, not necessarily the surviving
+    * copy. [[append]]'s id anti-join still collapses exact id
+    * replays. Returns (batchId, dropped, appended) per batch.
     *
     * Crash recovery: the batch's offset commits only after the whole
-    * foreachBatch body, so a crash ANYWHERE inside it (worst case:
-    * after the audit write, before the append) replays the batch on
-    * restart — the audit overwrite re-lands the same rows and the
-    * append anti-join absorbs what already landed, converging to the
-    * clean run's state (spec: fault-injected via `crashAfterAudit`,
-    * TEST-ONLY). */
+    * foreachBatch body, so a crash ANYWHERE inside it (after the
+    * audit write before the append, or after the append before the
+    * offset commit) replays the batch on restart — the audit
+    * overwrite re-lands the same rows (the verdict is
+    * replay-invariant, above) and the append anti-join absorbs what
+    * already landed, converging to the clean run's state (spec:
+    * fault-injected via `crashAfterAudit` AND `crashAfterAppend`,
+    * both TEST-ONLY). */
   def streamIngestDedup(spark: SparkSession, name: String,
       landingDir: String, checkpoint: String, idCol: String,
       vecCol: String, threshold: Double, auditDir: String,
       schema: org.apache.spark.sql.types.StructType,
-      crashAfterAudit: Long = -1L)
+      crashAfterAudit: Long = -1L, crashAfterAppend: Long = -1L)
       : Seq[(Long, Long, Long)] = {
     val counts =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
@@ -237,33 +258,52 @@ object AnnIndex {
       .parquet(landingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val qs = batch.select(col(idCol).as("query_id"),
-          col(vecCol).as("qvec"))
-        val best = topK(spark, name, qs, "query_id", "qvec", 1)
-          .select(col("query_id").as(idCol),
-            col("neighbor_id").as("dup_of"), col("cosine"))
-        // persisted: consumed by the audit write, the kept filter,
-        // and the dropped count — one verdict, three readers
-        val verdict = InternalCache.persist(
-          batch.select(col(idCol)).join(best, Seq(idCol), "left")
-            .select(col(idCol), col("dup_of"), col("cosine"),
-              coalesce(col("cosine") >= threshold, lit(false))
-                .as("is_dup")))
-        verdict.write.mode("overwrite").parquet(s"$auditDir/b$bid")
-        if (bid == crashAfterAudit)
-          throw new Materialize.CrashInjected(bid.toInt)
-        // counted BEFORE append: append() releases operator-internal
-        // caches (its own contract), which would unpersist `verdict`,
-        // and a post-append recompute would re-verdict against the
-        // index the kept docs just joined — different numbers than
-        // the audit that was actually written
-        val dropped = verdict.filter(col("is_dup")).count()
-        val kept = batch.join(
-          verdict.filter(col("is_dup")).select(col(idCol)),
-          Seq(idCol), "left_anti")
-        val n = append(spark, name, kept, idCol, vecCol)
-        counts.synchronized { counts += ((bid, dropped, n)); () }
-        InternalCache.release()
+        // try/finally: a crash (injected or real) anywhere in the body
+        // must still free the per-batch persisted frames — without it
+        // the verdict frame would leak in the cache queue until an
+        // unrelated later release()
+        try {
+          val cents = loadCentroids(spark, name)
+          val qs = batch.select(col(idCol).as("query_id"),
+            col(vecCol).as("qvec"))
+          val qp = probeFrame(qs, cents, 2)
+          // index leg, the batch's own ids excluded (replay
+          // invariance — see the contract above)
+          val idxScored = scoredAgainst(spark, name, qp, None,
+            Some(batch.select(col(idCol).as("id"))))
+          // sibling leg: smaller-id batch docs whose assigned cell is
+          // probed — the shape append-then-search would have given
+          val sibScored = assign(batch, idCol, vecCol, cents)
+            .join(broadcast(qp),
+              col("cell") === col("probe") && col("id") < col("query_id"))
+            .select(col("query_id"), col("id"),
+              Similarity.cosineF(col("vec"), col("qvec")).as("score"))
+          val best = Similarity
+            .topKPerQuery(idxScored.unionByName(sibScored), 1)
+            .select(col("query_id").as(idCol),
+              col("neighbor_id").as("dup_of"), col("cosine"))
+          // persisted: consumed by the audit write, the kept filter,
+          // and the dropped count — one verdict, three readers
+          val verdict = InternalCache.persist(
+            batch.select(col(idCol)).join(best, Seq(idCol), "left")
+              .select(col(idCol), col("dup_of"), col("cosine"),
+                coalesce(col("cosine") >= threshold, lit(false))
+                  .as("is_dup")))
+          verdict.write.mode("overwrite").parquet(s"$auditDir/b$bid")
+          if (bid == crashAfterAudit)
+            throw new Materialize.CrashInjected(bid.toInt)
+          // counted BEFORE append: append() releases operator-internal
+          // caches (its own contract), which would unpersist `verdict`,
+          // and a post-append recompute would re-read the landed file
+          val dropped = verdict.filter(col("is_dup")).count()
+          val kept = batch.join(
+            verdict.filter(col("is_dup")).select(col(idCol)),
+            Seq(idCol), "left_anti")
+          val n = append(spark, name, kept, idCol, vecCol)
+          if (bid == crashAfterAppend)
+            throw new Materialize.CrashInjected(bid.toInt)
+          counts.synchronized { counts += ((bid, dropped, n)); () }
+        } finally InternalCache.release()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -480,27 +520,48 @@ object AnnIndex {
       k: Int, nProbe: Int,
       predicate: Option[org.apache.spark.sql.Column])
       : DataFrame = {
-    val cents = loadCentroids(spark, name)
-    val qp = KMeans.withCellN(
-        queries.select(col(queryIdCol).as("query_id"),
-          col(queryVecCol).as("qvec"))
-          .withColumn("__vq", KMeans.quantize(col("qvec"))),
+    val qp = probeFrame(
+      queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("qvec")),
+      loadCentroids(spark, name), nProbe)
+    Similarity.topKPerQuery(
+      scoredAgainst(spark, name, qp, predicate, None), k)
+  }
+
+  /** (query_id, qvec, probe): each query exploded over its `nProbe`
+    * nearest cells under `cents` — the probe side of every index
+    * search. */
+  private def probeFrame(queries: DataFrame,
+      cents: Array[Array[Double]], nProbe: Int): DataFrame =
+    KMeans.withCellN(
+        queries.withColumn("__vq", KMeans.quantize(col("qvec"))),
         "__vq", cents, nProbe)
       .select(col("query_id"), col("qvec"),
         explode(array((0 until nProbe)
           .map(i => col(s"__probe$i").cast("long")): _*)).as("probe"))
+
+  /** Raw (query_id, id, score) candidate scores of the probed-cell
+    * postings search — the shared scoring leg of [[searchTopK]] and
+    * the stream verdict. `excludeIds` (an `id`-column frame) anti-joins
+    * postings out BEFORE scoring: [[streamIngestDedup]] passes the
+    * batch's own ids so a replayed batch scores against exactly the
+    * index the clean run saw (its own appended docs excluded). */
+  private def scoredAgainst(spark: SparkSession, name: String,
+      qp: DataFrame, predicate: Option[org.apache.spark.sql.Column],
+      excludeIds: Option[DataFrame]): DataFrame = {
     // bounded collect: ≤ k probed cell VALUES — this literal list is
     // what turns the postings scan into a PartitionFilters-pruned read
     val probed = qp.select(col("probe")).distinct()
       .collect().map(_.getLong(0))
-    val posts = predicate.foldLeft(
+    val posts0 = predicate.foldLeft(
       spark.table(postingsTable(name)))(_ filter _)
-    val scored = posts
+    val posts = excludeIds.foldLeft(posts0)((p, ex) =>
+      p.join(broadcast(ex.select(col("id"))), Seq("id"), "left_anti"))
+    posts
       .filter(col("cell").isin(probed: _*))
       .join(broadcast(qp),
         col("cell") === col("probe") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         Similarity.cosineF(col("vec"), col("qvec")).as("score"))
-    Similarity.topKPerQuery(scored, k)
   }
 }

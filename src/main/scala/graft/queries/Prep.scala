@@ -1059,13 +1059,25 @@ object Prep {
 
   // ------------------------------------------------------------ q257
 
+  /** Intra-batch dup fixture for q257: every batch-1 doc with
+    * vec_id ≡ 4 (mod [[StreamCloneEvery]]) is re-landed IN THE SAME
+    * micro-batch as an exact clone under `vec_id + `[[StreamCloneOff]]
+    * — the crawler re-fetch burst shape. Each clone's best candidate
+    * is its smaller-id original at cosine exactly 1.0, so the sibling
+    * leg of the verdict must drop it; the oracle recomputes every
+    * clone verdict alongside the cross-batch ones. */
+  private val StreamCloneEvery = 50L
+  private val StreamCloneOff = 1000000L
+
   /** q257's oracle: q256's chain UNROLLED over the two micro-batches.
-    * Batch 1 (vec_id ≡ 4 mod 10) verdicts against the base index;
+    * Batch 1 (vec_id ≡ 4 mod 10, PLUS the [[StreamCloneEvery]] clones)
+    * verdicts against the base index AND its own smaller-id siblings
+    * (assigned-cell ∈ probed cells — the append-then-search shape);
     * its KEPT docs join the corpus (frozen assignment — exactly what
     * [[graft.operators.AnnIndex.append]] publishes); batch 2
-    * (vec_id ≡ 9 mod 10) verdicts against base + kept₁, so a batch-2
-    * doc can be dropped against a batch-1 twin — the cross-batch
-    * dedup the stream exists for, value-checked. */
+    * (vec_id ≡ 9 mod 10) verdicts against base + kept₁ plus ITS
+    * siblings, so a batch-2 doc can be dropped against a batch-1 twin
+    * — the cross-batch dedup the stream exists for, value-checked. */
   private def annStreamDedupOracle: String = {
     val tau = Llm.NdThreshold
     def assignCte(out: String, in: String): String =
@@ -1077,12 +1089,23 @@ object Prep {
          |    FROM (SELECT t.vec_id, t.e, c.cell, $dKmDist AS dist
          |          FROM $in t, c$KmIters c))
          |  WHERE rk = 1)""".stripMargin
-    def batchCte(out: String, res: Int): String =
+    def batchCte(out: String, res: Int, clones: Boolean): String = {
+      val base =
+        s"""SELECT vec_id AS query_id, [x::DOUBLE for x in embedding] AS qe,
+           |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+           |     for x in embedding] AS vq
+           |  FROM embeddings WHERE vec_id % 10 = $res""".stripMargin
+      val cl =
+        s"""UNION ALL
+           |  SELECT vec_id + $StreamCloneOff AS query_id,
+           |    [x::DOUBLE for x in embedding] AS qe,
+           |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+           |     for x in embedding] AS vq
+           |  FROM embeddings WHERE vec_id % $StreamCloneEvery = $res"""
+          .stripMargin
       s"""$out AS (
-         |  SELECT vec_id AS query_id, [x::DOUBLE for x in embedding] AS qe,
-         |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
-         |     for x in embedding] AS vq
-         |  FROM embeddings WHERE vec_id % 10 = $res)""".stripMargin
+         |  $base${if (clones) "\n  " + cl else ""})""".stripMargin
+    }
     def probeCte(out: String, qCte: String): String =
       s"""$out AS (
          |  SELECT query_id, qe, cell FROM (
@@ -1092,14 +1115,26 @@ object Prep {
          |    FROM (SELECT q.query_id, q.qe, c.cell, $dKmDist AS dist
          |          FROM $qCte q, c$KmIters c))
          |  WHERE rk <= 2)""".stripMargin
-    def bestCte(out: String, qpCte: String, corpus: String): String =
+    // candidates = index postings of the probed cells UNION smaller-id
+    // batch siblings whose assigned cell is probed; the batch's own
+    // ids never appear in `corpus` (disjoint residues), mirroring the
+    // engine's replay-invariant self-exclusion
+    def bestCte(out: String, qpCte: String, corpus: String,
+        sib: String): String =
       s"""$out AS (
          |  SELECT query_id, neighbor_id, score FROM (
-         |    SELECT qp.query_id, t.vec_id AS neighbor_id,
-         |      ${Llm.dCosine("qe", "e")} AS score,
-         |      row_number() OVER (PARTITION BY qp.query_id
-         |        ORDER BY ${Llm.dCosine("qe", "e")} DESC, t.vec_id) AS rk
-         |    FROM $corpus t JOIN $qpCte qp ON t.cell = qp.cell)
+         |    SELECT query_id, neighbor_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id) AS rk
+         |    FROM (
+         |      SELECT qp.query_id, t.vec_id AS neighbor_id,
+         |        ${Llm.dCosine("qe", "e")} AS score
+         |      FROM $corpus t JOIN $qpCte qp ON t.cell = qp.cell
+         |      UNION ALL
+         |      SELECT qp.query_id, t.vec_id AS neighbor_id,
+         |        ${Llm.dCosine("qe", "e")} AS score
+         |      FROM $sib t JOIN $qpCte qp
+         |        ON t.cell = qp.cell AND t.vec_id < qp.query_id))
          |  WHERE rk = 1)""".stripMargin
     def verdictCte(out: String, qCte: String, bCte: String): String =
       s"""$out AS (
@@ -1120,9 +1155,11 @@ object Prep {
        |     for x in embedding] AS vq
        |  FROM embeddings WHERE vec_id % $AnnDeltaMod <> $AnnDeltaRes),
        |${assignCte("bc", "va")},
-       |${batchCte("q1", 4)},
+       |${batchCte("q1", 4, clones = true)},
+       |q1c AS (SELECT query_id AS vec_id, qe AS e, vq FROM q1),
+       |${assignCte("sb1", "q1c")},
        |${probeCte("qp1", "q1")},
-       |${bestCte("b1", "qp1", "bc")},
+       |${bestCte("b1", "qp1", "bc", "sb1")},
        |${verdictCte("v1", "q1", "b1")},
        |k1 AS (
        |  SELECT q.query_id AS vec_id, q.qe AS e, q.vq
@@ -1132,9 +1169,11 @@ object Prep {
        |bc2 AS (
        |  SELECT vec_id, e, cell FROM bc
        |  UNION ALL SELECT vec_id, e, cell FROM bk1),
-       |${batchCte("q2", 9)},
+       |${batchCte("q2", 9, clones = false)},
+       |q2c AS (SELECT query_id AS vec_id, qe AS e, vq FROM q2),
+       |${assignCte("sb2", "q2c")},
        |${probeCte("qp2", "q2")},
-       |${bestCte("b2", "qp2", "bc2")},
+       |${bestCte("b2", "qp2", "bc2", "sb2")},
        |${verdictCte("v2", "q2", "b2")}
        |SELECT vec_id, dup_of, cosine, is_dup FROM v1
        |UNION ALL SELECT vec_id, dup_of, cosine, is_dup FROM v2"""
@@ -1149,10 +1188,15 @@ object Prep {
     * CURRENT index, audited idempotently (per-batch-id overwrite),
     * and its kept docs are appended — so batch 2 deduplicates against
     * batch 1's survivors, the cross-batch catch a one-shot delta
-    * check cannot make. Result = the accumulated audit, which the
-    * oracle replays batch-sequentially. Scale posture: per-batch cost
-    * ∝ batch × probed cells (partition-pruned postings reads + the
-    * delta-proportional append); the corpus is never rescanned. */
+    * check cannot make. Batch 1 additionally carries the
+    * [[StreamCloneEvery]] intra-batch clone fixture: the verdict's
+    * sibling leg (smaller-id batch docs in the probed cells) must
+    * drop every clone against its original — a re-fetch burst inside
+    * one micro-batch lands exactly one representative. Result = the
+    * accumulated audit, which the oracle replays batch-sequentially.
+    * Scale posture: per-batch cost ∝ batch × probed cells
+    * (partition-pruned postings reads + the delta-proportional
+    * append); the corpus is never rescanned. */
   val q257 = Query("q257_stream_ingest_dedup", annStreamDedupOracle) {
     (s, dir) =>
     import graft.operators.AnnIndex
@@ -1183,7 +1227,13 @@ object Prep {
         false, true, conf)
       fs.setTimes(dest, System.currentTimeMillis() - ageMs, -1)
     }
-    land(emb.filter(col("vec_id") % 10 === 4), "b0", 60000L)
+    // batch 1 carries the re-fetch-burst fixture: exact clones of a
+    // subset of its own docs under shifted ids, landed in the SAME
+    // file — the intra-batch sibling leg must drop every clone
+    land(emb.filter(col("vec_id") % 10 === 4).unionByName(
+      emb.filter(col("vec_id") % StreamCloneEvery === 4)
+        .withColumn("vec_id", col("vec_id") + StreamCloneOff)),
+      "b0", 60000L)
     land(emb.filter(col("vec_id") % 10 === 9), "b1", 30000L)
     val ckpt = "/tmp/graft_annstream_dedup_ckpt_" +
       java.util.UUID.randomUUID().toString.replace("-", "")

@@ -462,8 +462,9 @@ class AnnIndexSpec extends SparkSpec {
       deltaIds.size.toLong)
   }
 
-  test("a crash between a batch's audit and its append replays the " +
-      "batch on restart and converges to the clean run") {
+  test("a crash after a batch's audit OR after its append replays " +
+      "the batch on restart and converges to the clean run, evidence " +
+      "columns included") {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     def landAll(landing: String): Unit = {
@@ -480,11 +481,32 @@ class AnnIndexSpec extends SparkSpec {
           false, true, conf)
         fs.setTimes(dest, System.currentTimeMillis() - ageMs, -1)
       }
-      land(emb.filter(col("vec_id") % 10 === 4), "b0", 60000L)
+      // clones land IN b0 so the crashed/replayed batch carries
+      // intra-batch near-dups — the sibling-leg verdicts must also be
+      // replay-invariant, evidence columns included
+      land(emb.filter(col("vec_id") % 10 === 4).unionByName(
+        emb.filter(col("vec_id") % 50 === 4)
+          .withColumn("vec_id", col("vec_id") + 1000000L)),
+        "b0", 60000L)
       land(emb.filter(col("vec_id") % 10 === 9), "b1", 30000L)
     }
-    def run(name: String, tag: String, crashAt: Long)
-        : (Set[(Long, Long)], Set[(Long, Boolean)]) = {
+    // full audit rows — dup_of and cosine included: a replayed batch
+    // re-verdicting against an index that already holds its own kept
+    // docs can flip the EVIDENCE (best neighbor) even where is_dup
+    // stays put, which is exactly the divergence self-exclusion closes
+    def auditRows(audit: String): Set[(Long, Option[Long], Option[Double],
+        Boolean)] =
+      spark.read.parquet(s"$audit/b*")
+        .select(col("vec_id"), col("dup_of"), col("cosine"),
+          col("is_dup"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getBoolean(3))).toSet
+    def run(name: String, tag: String, crashAudit: Long,
+        crashAppend: Long)
+        : (Set[(Long, Long)],
+           Set[(Long, Option[Long], Option[Double], Boolean)]) = {
       val landing = s"/tmp/graft_test_annsdc_${tag}_landing"
       val audit = s"/tmp/graft_test_annsdc_${tag}_audit"
       val chk = s"/tmp/graft_test_annsdc_${tag}_chk"
@@ -493,23 +515,28 @@ class AnnIndexSpec extends SparkSpec {
       landAll(landing)
       AnnIndex.build(spark, emb.filter(col("vec_id") % 5 =!= 4),
         "vec_id", "embedding", name, K, Dims, Iters)
-      if (crashAt >= 0) {
+      if (crashAudit >= 0 || crashAppend >= 0) {
         val e = intercept[Exception] {
           AnnIndex.streamIngestDedup(spark, name, landing, chk,
             "vec_id", "embedding", 0.4, audit, emb.schema,
-            crashAfterAudit = crashAt)
+            crashAfterAudit = crashAudit, crashAfterAppend = crashAppend)
         }
         // the injected failure, not something else, killed the stream
         val injected = Iterator.iterate[Throwable](e)(_.getCause)
           .takeWhile(_ != null).take(8)
           .exists(_.isInstanceOf[graft.sources.Materialize.CrashInjected])
         assert(injected, s"stream died of something else: $e")
-        // the crashed batch audited but its kept docs never appended
+        // both crash points audited batch 0 before dying
         assert(spark.read.parquet(s"$audit/b0").count() > 0)
-        assert(postings(name).map(_._1)
+        val b0Kept = postings(name).map(_._1)
           .intersect(emb.filter(col("vec_id") % 10 === 4)
             .select("vec_id").collect().map(_.getLong(0)).toSet)
-          .isEmpty, "crash landed postings it should not have")
+        if (crashAudit >= 0)
+          assert(b0Kept.isEmpty, "crash landed postings it should not have")
+        else
+          // the append-then-crash window: postings landed, offset did
+          // not commit — the replay must converge anyway
+          assert(b0Kept.nonEmpty, "crash-after-append landed nothing")
         // restart with the SAME checkpoint, no injection
         AnnIndex.streamIngestDedup(spark, name, landing, chk,
           "vec_id", "embedding", 0.4, audit, emb.schema)
@@ -519,17 +546,21 @@ class AnnIndexSpec extends SparkSpec {
           "vec_id", "embedding", 0.4, audit, emb.schema)
         ()
       }
-      val aud = spark.read.parquet(s"$audit/b*")
-        .select(col("vec_id"), col("is_dup"))
-        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
-      (postings(name), aud)
+      (postings(name), auditRows(audit))
     }
-    val (cleanPost, cleanAud) = run("annspec_sdc_clean", "clean", -1L)
-    val (crashPost, crashAud) = run("annspec_sdc_crash", "crash", 0L)
-    assert(crashAud == cleanAud,
-      "replayed verdicts diverged from the clean run")
-    assert(crashPost == cleanPost,
-      "recovered index state diverged from the clean run")
+    val (cleanPost, cleanAud) = run("annspec_sdc_clean", "clean", -1L, -1L)
+    // the fixture must exercise the sibling leg, not pass vacuously
+    assert(cleanAud.exists { case (id, dupOf, _, dup) =>
+      dup && id >= 1000000L && dupOf.exists(_ == id - 1000000L) },
+      "no intra-batch clone was dropped against its original")
+    for ((tag, cAud, cApp) <- Seq(("audit", 0L, -1L), ("append", -1L, 0L))) {
+      val (crashPost, crashAud) =
+        run(s"annspec_sdc_$tag", s"crash_$tag", cAud, cApp)
+      assert(crashAud == cleanAud,
+        s"replayed verdicts diverged from the clean run (crash-after-$tag)")
+      assert(crashPost == cleanPost,
+        s"recovered index state diverged from the clean run (crash-after-$tag)")
+    }
   }
 
   test("attribute payload survives append/erase/retrain-swap, and " +
