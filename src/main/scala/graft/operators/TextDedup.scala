@@ -262,6 +262,86 @@ object TextDedup {
       shingleN, numHashes, bands, threshold)
   }
 
+  /** Verified canonical (doc_a < doc_b) near-dup pairs assembled from
+    * PRECOMPUTED band rows ([[lshBandRows]]) and gram rows
+    * ([[docShingleRows]]) — for callers that also PUBLISH the band
+    * rows as a persistent index (the composed corpus build), so the
+    * signature pipeline runs once for both purposes. Same output as
+    * [[minhashNearDups]]. Caller should persist both inputs. */
+  def nearDupsFromBandRows(bandRows: DataFrame, rows: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = bandRows.select(col("band_id"), col("band_key"),
+      col("doc_id").as("doc_a"))
+    val b = bandRows.select(col("band_id").as("band_id_b"),
+      col("band_key").as("band_key_b"), col("doc_id").as("doc_b"))
+    val cand = a.join(b,
+        a("band_id") === b("band_id_b") &&
+          a("band_key") === b("band_key_b") &&
+          a("doc_a") < b("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cand, rows, threshold)
+  }
+
+  /** Incremental near-dedup served from a PERSISTED band index — the
+    * form a composed corpus product needs at 100 TB, where
+    * [[minhashNearDupsIncremental]]'s re-signing of the whole corpus
+    * per delta is not affordable. Only the DELTA is shingled and
+    * signed; candidates come from joining the delta's band rows
+    * against `indexBands` — the stored `(doc_id, band_id, band_key)`
+    * rows of every PRIOR candidate, written by earlier runs via
+    * [[lshBandRows]] — plus canonicalized (a < b) within-delta pairs.
+    * Verification then re-shingles ONLY the prior docs named by some
+    * candidate pair, fetching their text from `corpusText`
+    * (doc_id + `textCol`): cost is ∝ delta + candidates, never ∝
+    * corpus.
+    *
+    * A candidate doc_b missing from `corpusText` (e.g. its band rows
+    * outlived an erasure) verifies no pair — stale index entries are
+    * harmless, the same contract as the decontamination gram index.
+    *
+    * Returns verified (doc_a, doc_b, jaccard): delta-vs-index pairs
+    * keep the delta doc as doc_a; within-delta pairs are a < b. */
+  def minhashNearDupsIndexed(delta: DataFrame, idCol: String,
+      textCol: String, indexBands: DataFrame, corpusText: DataFrame,
+      shingleN: Int, numHashes: Int, bands: Int, threshold: Double)
+      : DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = docShingleRows(delta, idCol, textCol, shingleN)
+      .transform(InternalCache.persist(_))
+    val signed = minhashSignatures(rows, numHashes)
+    // read by the index join, the within-delta join, and (appended by
+    // the caller) the index maintenance write
+    val deltaBands = lshBandRows(signed, bands, numHashes / bands)
+      .transform(InternalCache.persist(_))
+    val a = deltaBands.select(col("band_id"), col("band_key"),
+      col("doc_id").as("doc_a"))
+    val bIdx = indexBands.select(col("band_id").as("band_id_b"),
+      col("band_key").as("band_key_b"), col("doc_id").as("doc_b"))
+    // persisted: read by the verify join AND the prior-doc text fetch
+    val candIdx = a.join(bIdx,
+        a("band_id") === bIdx("band_id_b") &&
+          a("band_key") === bIdx("band_key_b") &&
+          a("doc_a") =!= bIdx("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .transform(InternalCache.persist(_))
+    val bNew = deltaBands.select(col("band_id").as("band_id_b"),
+      col("band_key").as("band_key_b"), col("doc_id").as("doc_b"))
+    val candNew = a.join(bNew,
+        a("band_id") === bNew("band_id_b") &&
+          a("band_key") === bNew("band_key_b") &&
+          a("doc_a") < bNew("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val cand = candIdx.unionByName(candNew).distinct()
+    // shingle only the PRIOR docs some candidate names (left_semi on
+    // the candidate doc_bs) — within-delta doc_bs are already in `rows`
+    val priorRows = docShingleRows(
+      corpusText.join(
+        candIdx.select(col("doc_b").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN)
+    verifyJaccard(cand, rows.unionByName(priorRows), threshold)
+  }
+
   private def minhashNearDupsIncrementalBy(docs: DataFrame, idCol: String,
       textCol: String, markNew: DataFrame => DataFrame, shingleN: Int,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {

@@ -105,16 +105,62 @@ object CorpusBuild {
       "rows_kept" -> lit(true),
       "eval_docs" -> (pmod(col("doc_id"), lit(Llm.DcProbeEvery)) === 0)))
 
+    // ---- NEAR-dedup stage (the q23 minhash configuration, wired into
+    // the product with the q85 precedence: exact_dup beats near_dup —
+    // a doc dropped by the hash window never reaches this stage).
+    // Keep-first against every earlier-SEEN candidate, dropped or
+    // not: a doc loses iff some verified pair names a smaller-id
+    // candidate — the rule whose incremental form ([[runIncremental]])
+    // converges to this full form by construction under append-only
+    // ids. Candidates are re-derived WITHOUT the observe nodes (the
+    // near-dup legs ride the same action as the staging write; a
+    // second occurrence of an observe node would double-fire its
+    // counters), and persisted: read by the shingle legs, the band
+    // publish, and the removed-archive publish.
+    val candidates = graft.operators.InternalCache.persist(
+      enriched
+        .filter(col("score") >= QualityMin && col("predicted") === "en")
+        .withColumn("__h", contentHash)
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__h")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
+        .filter(pmod(col("doc_id"), lit(Llm.DcProbeEvery)) =!= 0)
+        .select(col("doc_id"), col("text")))
+    val ndRows = graft.operators.InternalCache.persist(
+      TextDedup.docShingleRows(candidates, "doc_id", "text",
+        Llm.MhShingle))
+    val ndBands = graft.operators.InternalCache.persist(
+      TextDedup.lshBandRows(
+        TextDedup.minhashSignatures(ndRows, Llm.MhHashes),
+        Llm.MhBands, Llm.MhHashes / Llm.MhBands))
+    val nearLosers = TextDedup
+      .nearDupsFromBandRows(ndBands, ndRows, Llm.MhThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+
     // ---- materialize the staged corpus: the ONE action that fires
-    // both observe nodes; everything downstream reads the stored copy.
+    // the observe nodes; everything downstream reads the stored copy.
     // the normalized content hash is STORED at admission: the
     // incremental path's dedup anti-join then reads one pruned column
-    // instead of re-hashing every text in the corpus
+    // instead of re-hashing every text in the corpus. rows_staged
+    // rides the same write (near_dup_removed is then arithmetic).
+    val stObs = org.apache.spark.sql.Observation()
     val staged = Materialize.table(
       dedupObserved.filter(pmod(col("doc_id"), lit(Llm.DcProbeEvery)) =!= 0)
+        .join(nearLosers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("text"), col("tok").cast("long"),
-          col("__h").as("h")),
+          col("__h").as("h"))
+        .observe(stObs, count(lit(1)).as("rows_staged")),
       s"e2e_corpus_stage_$h")
+    val rowsStaged = Quality.obsLong(stObs, "rows_staged")
+
+    // ---- publish the band index of EVERY candidate, admitted or not
+    // (PARTITIONED like the gram index): [[runIncremental]]'s
+    // near-dedup candidates come from here, and a later delta must be
+    // able to lose against a doc this run dropped — forward-only
+    // keep-first needs the losers' fingerprints to stay visible
+    Materialize.partitionedTable(
+      ndBands.withColumn("pt", ptCol), s"e2e_corpus_bands_$h", "pt")
 
     // ---- decontamination vs the raw probe set (broadcast grams; the
     // stored corpus is scanned once and never shuffled for candidates).
@@ -151,6 +197,22 @@ object CorpusBuild {
         .withColumn("pt", ptCol),
       s"e2e_corpus_grams_$h", "pt")
 
+    // ---- the REMOVED-candidate archive: every candidate that did not
+    // reach the curated table (near-dup losers + decontamination
+    // removals) with text and stored content hash — the incremental
+    // path absorbs exact re-submissions through the hash and fetches
+    // these texts to verify near-dup candidates against dropped docs,
+    // exactly as a full rebuild would see them. Derived as candidates
+    // MINUS published curated ids, so the stage attribution can never
+    // drift from what actually published.
+    Materialize.partitionedTable(
+      candidates
+        .join(curated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("h", contentHash)
+        .withColumn("pt", ptCol)
+        .select(col("doc_id"), col("text"), col("h"), col("pt")),
+      s"e2e_corpus_removed_$h", "pt")
+
     // ---- shard packing over the curated table: distributed
     // range-partitioned exclusive prefix sum (q82's contract — a doc
     // starts in the shard its prefix lands in), published through the
@@ -176,17 +238,20 @@ object CorpusBuild {
     // published=0 rather than the read-back killing the build)
     val m = manifestReadBack(spark, h)
 
-    def obsVal(o: org.apache.spark.sql.Observation, k: String): Long =
-      o.get(k).asInstanceOf[Number].longValue()
-    val rowsIn = obsVal(gateObs, "rows_in")
-    val dropQ = obsVal(gateObs, "dropped_low_quality")
-    val dropL = obsVal(gateObs, "dropped_non_en")
-    val keptDedup = obsVal(dedupObs, "rows_kept")
-    // staged rows = kept minus the eval docs filtered at staging;
-    // whatever of those did not reach the curated table was removed by
-    // decontamination — arithmetic, not a count action
-    val contamRemoved =
-      (keptDedup - obsVal(dedupObs, "eval_docs")) - rowsFinal
+    // Quality.obsLong, not a strict map read: on an EMPTY corpus the
+    // staging plan collapses under AQE empty-relation propagation and
+    // the CollectMetrics nodes are pruned — zero is then exact
+    val rowsIn = Quality.obsLong(gateObs, "rows_in")
+    val dropQ = Quality.obsLong(gateObs, "dropped_low_quality")
+    val dropL = Quality.obsLong(gateObs, "dropped_non_en")
+    val keptDedup = Quality.obsLong(dedupObs, "rows_kept")
+    // candidates = kept minus the eval docs filtered at staging; what
+    // the staging write then dropped was the near-dedup stage, and
+    // whatever of the staged rows did not reach the curated table was
+    // removed by decontamination — all arithmetic, no count actions
+    val nearRemoved =
+      (keptDedup - Quality.obsLong(dedupObs, "eval_docs")) - rowsStaged
+    val contamRemoved = rowsStaged - rowsFinal
     val report: Seq[Metric] = Seq[Metric](
       ("quality", "corpus", "rows_in", rowsIn),
       ("quality", "corpus", "dropped_low_quality", dropQ),
@@ -194,8 +259,9 @@ object CorpusBuild {
       ("dedup", "corpus", "rows_kept", keptDedup),
       ("dedup", "corpus", "dup_rows_removed",
         (rowsIn - dropQ - dropL) - keptDedup),
+      ("dedup", "corpus", "near_dup_removed", nearRemoved),
       ("decontam", "corpus", "eval_docs_removed",
-        obsVal(dedupObs, "eval_docs")),
+        Quality.obsLong(dedupObs, "eval_docs")),
       ("decontam", "corpus", "contaminated_removed", contamRemoved),
       ("corpus", "curated", "rows_final", rowsFinal),
       ("shards", "manifest", "n_shards", m.getAs[Long]("n_shards")),
@@ -205,6 +271,9 @@ object CorpusBuild {
       ("shards", "manifest", "published", if (publishOk) 1L else 0L),
       ("shards", "manifest", "audit_violations",
         audit.map(_.violations).sum))
+    // every published artifact is on disk; drop the candidate/shingle/
+    // band caches (the report frame below is driver-local)
+    graft.operators.InternalCache.release()
     import spark.implicits._
     report.toDF("step", "relation", "metric", "value")
   }
@@ -245,10 +314,15 @@ object CorpusBuild {
     val probesT = s"e2e_corpus_probes_$h"
     val manifestT = s"e2e_corpus_manifest_$h"
     val gramsT = s"e2e_corpus_grams_$h"
+    val bandsT = s"e2e_corpus_bands_$h"
+    val removedT = s"e2e_corpus_removed_$h"
     require(spark.catalog.tableExists(curatedT) &&
       spark.catalog.tableExists(probesT) &&
-      spark.catalog.tableExists(gramsT),
-      s"runIncremental continues a prior run: $curatedT/$probesT/$gramsT missing")
+      spark.catalog.tableExists(gramsT) &&
+      spark.catalog.tableExists(bandsT) &&
+      spark.catalog.tableExists(removedT),
+      s"runIncremental continues a prior run: $curatedT/$probesT/" +
+        s"$gramsT/$bandsT/$removedT missing")
 
     // ---- delta gates ride one scan, counters via observe (the same
     // instrumentation contract as the full build)
@@ -276,15 +350,24 @@ object CorpusBuild {
     val evalAdded = Quality.obsLong(peObs, "eval_added")
 
     // ---- candidate dedup: keep-first within the delta, then one
-    // hash anti-join against everything already admitted (published
-    // corpus, published eval set, the delta's own eval docs). The
-    // admitted hashes are STORED columns — this reads one pruned
-    // column per table, never the corpus text
-    val existingH = spark.table(curatedT).select(col("h").as("__h"))
+    // hash anti-join against everything already SEEN (published
+    // corpus, published eval set, the delta's own eval docs, and the
+    // removed-candidate archive — a re-submission of a dropped doc is
+    // absorbed here, which also makes the near-dedup maintenance
+    // appends below replay-safe). The stored hashes are pruned
+    // columns — this never reads corpus text
+    // a def, not a val: each use constructs FRESH catalog reads, so a
+    // consumer built after the probe republish resolves the CURRENT
+    // file listing instead of a frozen pre-swap one (post-republish the
+    // probe table already contains the deltaEval hashes, so the set is
+    // identical on both sides of the swap)
+    def existingH: DataFrame = spark.table(curatedT)
+      .select(col("h").as("__h"))
       .unionByName(spark.table(probesT).select(col("h").as("__h")))
       .unionByName(deltaEval.select(contentHash.as("__h")))
+      .unionByName(spark.table(removedT).select(col("h").as("__h")))
       .distinct()
-    val fresh = gated
+    def freshOf(g: DataFrame): DataFrame = g
       .filter(pmod(col("doc_id"), lit(Llm.DcProbeEvery)) =!= 0)
       .withColumn("__h", contentHash)
       .withColumn("__rn", row_number().over(
@@ -292,14 +375,75 @@ object CorpusBuild {
           .partitionBy(col("__h")).orderBy(col("doc_id"))))
       .filter(col("__rn") === 1)
       .join(existingH, Seq("__h"), "left_anti")
+    val fresh = freshOf(gated)
+
+    // ---- NEAR-dedup of the delta, served from the PERSISTED band
+    // index (delta-proportional: only the delta is shingled/signed;
+    // prior docs named by a candidate pair are fetched individually
+    // from the curated table or the removed archive). Losers: a
+    // delta-vs-prior pair drops the delta doc (the existing copy won
+    // — which IS keep-first under append-only ids, dropped priors
+    // included); a within-delta pair (canonical a < b) drops doc_b.
+    // The legs re-derive the fresh chain WITHOUT the observe nodes
+    // (same one-action contract as the full build).
+    val freshPlain = graft.operators.InternalCache.persist(
+      freshOf(enrich(delta)
+        .filter(col("score") >= QualityMin && col("predicted") === "en"))
+        .select(col("doc_id"), col("text")))
+    val ndPairs = TextDedup.minhashNearDupsIndexed(freshPlain,
+      "doc_id", "text",
+      spark.table(bandsT).select(col("doc_id"), col("band_id"),
+        col("band_key")),
+      spark.table(curatedT).select(col("doc_id"), col("text"))
+        .unionByName(
+          spark.table(removedT).select(col("doc_id"), col("text"))),
+      Llm.MhShingle, Llm.MhHashes, Llm.MhBands, Llm.MhThreshold)
+    val ndNewIds = freshPlain.select(col("doc_id").as("__nid"))
+    val losers = ndPairs
+      .join(ndNewIds, ndPairs("doc_b") === col("__nid"), "left")
+      .select(when(col("__nid").isNotNull, col("doc_b"))
+        .otherwise(col("doc_a")).as("doc_id"))
+      .distinct()
+
     val (freshObserved, dedupObs) = Quality.observed(fresh, Seq(
       "rows_kept" -> lit(true)))
-    // the ONE action that fires both observe nodes (and it reads the
-    // OLD probe table — so it must run before the probe republish)
+    // the ONE action that fires the observe nodes (and it reads the
+    // OLD probe table — so it must run before the probe republish;
+    // likewise the near-dedup legs read the PRE-append band index)
+    val stObs = org.apache.spark.sql.Observation()
     val stagedDelta = Materialize.table(
-      freshObserved.select(col("doc_id"), col("text"),
-        col("tok").cast("long"), col("__h").as("h")),
+      freshObserved
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text"),
+          col("tok").cast("long"), col("__h").as("h"))
+        .observe(stObs, count(lit(1)).as("rows_staged")),
       s"e2e_corpus_delta_stage_$h")
+    val rowsStaged = Quality.obsLong(stObs, "rows_staged")
+
+    // ---- band-index maintenance: EVERY delta candidate's band rows
+    // append (losers included — a later delta loses against them,
+    // exactly as a full rebuild would pair them). doc_id-guarded
+    // within the delta's own pt slices so a crash-window replay
+    // cannot double-append. Must run AFTER the staging action above
+    // (whose verdict read the pre-append index) and before anything
+    // re-reads the band table.
+    val deltaBandRows = TextDedup.lshBandRows(
+      TextDedup.minhashSignatures(
+        TextDedup.docShingleRows(freshPlain, "doc_id", "text",
+          Llm.MhShingle),
+        Llm.MhHashes), Llm.MhBands, Llm.MhHashes / Llm.MhBands)
+      .withColumn("pt", ptCol)
+    // bounded collect: <= delta-partition VALUES
+    val bandPts = deltaBandRows.select(col("pt")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    if (bandPts.nonEmpty) {
+      deltaBandRows
+        .join(spark.table(bandsT).filter(col("pt").isin(bandPts: _*))
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .repartition(col("pt"))
+        .write.mode("append").insertInto(bandsT)
+      spark.catalog.refreshTable(bandsT)
+    }
 
     // ---- republish the eval set (WAP staging+swap makes rewriting a
     // table the plan reads safe)
@@ -347,6 +491,44 @@ object CorpusBuild {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val removedNew = removed("new")
     val removedOld = removed("old")
+
+    // ---- removed-archive maintenance: every delta candidate denied
+    // admission (near-dup losers = fresh candidates missing from the
+    // staged table; decontaminated staged docs) plus the
+    // retro-decontaminated base docs — the latter captured from the
+    // curated table BEFORE the merge deletes them. Their stored hashes
+    // absorb future re-submissions; their texts serve future near-dup
+    // verifications. doc_id-guarded like the band append. The loser
+    // set is re-derived as a FRESH candidate chain MINUS staged ids —
+    // not the `losers` plan (it reads the band table this run already
+    // appended to) and not `freshPlain` (analyzed before the probe
+    // republish, so its frozen relation would read swapped-away files).
+    val removedDelta =
+      freshOf(enrich(delta)
+        .filter(col("score") >= QualityMin && col("predicted") === "en"))
+        .select(col("doc_id"), col("text"))
+        .join(stagedDelta.select(col("doc_id")), Seq("doc_id"),
+          "left_anti")
+        .withColumn("h", contentHash)
+        .select(col("doc_id"), col("text"), col("h"))
+      .unionByName(stagedDelta
+        .join(contamNew, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"), col("h")))
+      .unionByName(spark.table(curatedT)
+        .join(contamOld, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"), col("h")))
+      .withColumn("pt", ptCol)
+    // bounded collect: <= delta-partition + removal-partition VALUES
+    val rmPts = removedDelta.select(col("pt")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    if (rmPts.nonEmpty) {
+      removedDelta
+        .join(spark.table(removedT).filter(col("pt").isin(rmPts: _*))
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .repartition(col("pt"))
+        .write.mode("append").insertInto(removedT)
+      spark.catalog.refreshTable(removedT)
+    }
 
     // ---- partition-scoped merge of the curated corpus: with
     // append-only ids the additions land in the tail partitions and
@@ -416,10 +598,11 @@ object CorpusBuild {
       ("langid", "delta", "dropped_non_en",
         obsVal(gateObs, "dropped_non_en")),
       ("dedup", "delta", "rows_kept", kept),
+      ("dedup", "delta", "near_dup_removed", kept - rowsStaged),
       ("decontam", "delta", "eval_docs_added", evalAdded),
       ("decontam", "delta", "contaminated_removed", removedNew),
       ("decontam", "corpus", "retro_contaminated_removed", removedOld),
-      ("corpus", "curated", "rows_added", kept - removedNew),
+      ("corpus", "curated", "rows_added", rowsStaged - removedNew),
       ("corpus", "curated", "rows_final", rowsFinal),
       ("shards", "manifest", "n_shards", m.getAs[Long]("n_shards")),
       ("shards", "manifest", "total_tokens", m.getAs[Long]("total_tokens")),
@@ -519,10 +702,15 @@ object CorpusBuild {
     val curatedT = s"e2e_corpus_curated_$h"
     val probesT = s"e2e_corpus_probes_$h"
     val gramsT = s"e2e_corpus_grams_$h"
+    val bandsT = s"e2e_corpus_bands_$h"
+    val removedT = s"e2e_corpus_removed_$h"
     require(spark.catalog.tableExists(curatedT) &&
       spark.catalog.tableExists(probesT) &&
-      spark.catalog.tableExists(gramsT),
-      s"eraseDocs amends a prior run: $curatedT/$probesT/$gramsT missing")
+      spark.catalog.tableExists(gramsT) &&
+      spark.catalog.tableExists(bandsT) &&
+      spark.catalog.tableExists(removedT),
+      s"eraseDocs amends a prior run: $curatedT/$probesT/$gramsT/" +
+        s"$bandsT/$removedT missing")
     val ids = eraseIds
       .select(col(eraseIds.columns.head).cast("long").as("doc_id"))
       .distinct()
@@ -540,15 +728,26 @@ object CorpusBuild {
         .join(broadcast(ids), Seq("doc_id"), "left_semi")))
       .unionByName(leg("probes", spark.table(probesT)
         .join(broadcast(ids), Seq("doc_id"), "left_semi")))
+      .unionByName(leg("bands", spark.table(bandsT)
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")))
+      .unionByName(leg("removed", spark.table(removedT)
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nCurated = pre("curated")
     val nParts = pre("parts")
     val nGrams = pre("grams")
     val nProbes = pre("probes")
+    val nBands = pre("bands")
+    val nRemoved = pre("removed")
 
-    // partition-scoped physical deletes
+    // partition-scoped physical deletes — band rows and the removed
+    // archive carry content FINGERPRINTS and text, so erasure must
+    // reach them too (a stale band entry would merely stop verifying,
+    // but the right to erasure is about the bytes, not the behavior)
     Materialize.eraseKeys(spark, curatedT, "doc_id", ids, "pt")
     Materialize.eraseKeys(spark, gramsT, "doc_id", ids, "pt")
+    Materialize.eraseKeys(spark, bandsT, "doc_id", ids, "pt")
+    Materialize.eraseKeys(spark, removedT, "doc_id", ids, "pt")
     // the probe set is corpus-bounded-small (1/DcProbeEvery of the
     // docs) — a WAP republish, so a failed audit can never leave a
     // half-erased eval set
@@ -569,6 +768,8 @@ object CorpusBuild {
       ("erase", "curated", "partitions_rewritten", nParts),
       ("erase", "grams", "rows_erased", nGrams),
       ("erase", "probes", "docs_erased", nProbes),
+      ("erase", "bands", "rows_erased", nBands),
+      ("erase", "removed", "docs_erased", nRemoved),
       ("corpus", "curated", "rows_final", rowsFinal),
       ("shards", "manifest", "n_shards", m.getAs[Long]("n_shards")),
       ("shards", "manifest", "total_tokens", m.getAs[Long]("total_tokens")),
@@ -667,6 +868,23 @@ object CorpusBuild {
        |  WHERE rn = 1),
        |corpus AS (
        |  SELECT * FROM dk WHERE doc_id % ${Llm.DcProbeEvery} <> 0),
+       |${Llm.minhashChainCtes("corpus", "nd")},
+       |ndpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ndbands a JOIN ndbands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |ndlosers AS (
+       |  SELECT DISTINCT c.doc_b AS doc_id
+       |  FROM ndpairs c
+       |  JOIN ndsh x ON x.doc_id = c.doc_a
+       |  JOIN ndsh y ON y.doc_id = c.doc_b
+       |  WHERE len(list_intersect(x.s, y.s))::DOUBLE /
+       |        len(list_distinct(list_concat(x.s, y.s)))::DOUBLE
+       |          >= ${Llm.MhThreshold}),
+       |corpus2 AS (
+       |  SELECT * FROM corpus
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ndlosers)),
        |ptoks AS (
        |  SELECT doc_id, ${Llm.DTokens} AS w FROM documents
        |  WHERE doc_id % ${Llm.DcProbeEvery} = 0),
@@ -677,7 +895,7 @@ object CorpusBuild {
        |  FROM ptoks WHERE len(w) >= ${Llm.DcN}),
        |pg AS (SELECT doc_id AS probe_id, unnest(s) AS gram FROM psh),
        |ctoks AS (
-       |  SELECT doc_id, ${Llm.DTokens} AS w FROM corpus),
+       |  SELECT doc_id, ${Llm.DTokens} AS w FROM corpus2),
        |csh AS (
        |  SELECT doc_id, list_distinct(
        |    [array_to_string(list_slice(w, i, i + ${Llm.DcN - 1}), ' ')
@@ -690,7 +908,7 @@ object CorpusBuild {
        |    FROM cg JOIN pg USING (gram) WHERE cg.doc_id != pg.probe_id
        |    GROUP BY 1, 2 HAVING COUNT(*) >= ${Llm.DcMinShared})),
        |fin AS (
-       |  SELECT * FROM corpus
+       |  SELECT * FROM corpus2
        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
        |pk AS (
        |  SELECT doc_id, tok,
@@ -722,6 +940,8 @@ object CorpusBuild {
        |  (SELECT COUNT(*) FROM dk)
        |UNION ALL SELECT 'dedup', 'corpus', 'dup_rows_removed',
        |  (SELECT COUNT(*) FROM keptq) - (SELECT COUNT(*) FROM dk)
+       |UNION ALL SELECT 'dedup', 'corpus', 'near_dup_removed',
+       |  (SELECT COUNT(*) FROM ndlosers)
        |UNION ALL SELECT 'decontam', 'corpus', 'eval_docs_removed',
        |  (SELECT COUNT(*) FROM dk WHERE doc_id % ${Llm.DcProbeEvery} = 0)
        |UNION ALL SELECT 'decontam', 'corpus', 'contaminated_removed',
@@ -793,6 +1013,13 @@ object CorpusBuild {
        |  (SELECT COUNT(*) FROM documents
        |   WHERE doc_id % ${Llm.DcProbeEvery} = 0
        |     AND doc_id % $EraseMod = $EraseRes)
+       |UNION ALL SELECT 'erase', 'bands', 'rows_erased',
+       |  (SELECT ${Llm.MhBands}::BIGINT * COUNT(*) FROM ndsh
+       |   WHERE doc_id % $EraseMod = $EraseRes)
+       |UNION ALL SELECT 'erase', 'removed', 'docs_erased',
+       |  (SELECT COUNT(*) FROM corpus
+       |   WHERE doc_id % $EraseMod = $EraseRes
+       |     AND doc_id NOT IN (SELECT doc_id FROM fin))
        |UNION ALL SELECT 'corpus', 'curated', 'rows_final',
        |  (SELECT COUNT(*) FROM fin2)
        |UNION ALL SELECT 'shards', 'manifest', 'n_shards',

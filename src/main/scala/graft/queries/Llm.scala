@@ -90,20 +90,26 @@ object Llm {
 
   // ------------------------------------------------------------ q23
 
-  private val MhShingle = 3
-  private val MhHashes = 16
-  private val MhBands = 4
-  private val MhThreshold = 0.5
+  // shared with the composed corpus build's near-dedup stage — the
+  // flagship product runs the SAME minhash configuration q23 checks
+  private[queries] val MhShingle = 3
+  private[queries] val MhHashes = 16
+  private[queries] val MhBands = 4
+  private[queries] val MhThreshold = 0.5
 
   private[queries] def minhashOracle: String =
     minhashOracleCand("AND a.doc_id < b.doc_id")
 
-  /** The shared CTE prefix of every minhash oracle: tokens → distinct
-    * shingle sets → Carter-Wegman signatures → banded bucket keys. */
-  private def minhashBandsCtes: String = {
+  /** The minhash CTE chain (tokens → distinct shingle sets →
+    * Carter-Wegman signatures → banded bucket keys) as a WITH-list
+    * FRAGMENT, reading docs from relation `src` and emitting CTEs
+    * `${p}toks/${p}sh/${p}sig/${p}bands` — lets a composite oracle
+    * (the corpus build's near-dedup stage) embed the q23-checked
+    * pipeline over an intermediate CTE without name collisions. */
+  private[queries] def minhashChainCtes(src: String, p: String): String = {
     val r = MhHashes / MhBands
     // Carter-Wegman family: member i = h1 + i * (h2 mod 2^50) — must
-    // match TextDedup.withMinhashSignature exactly
+    // match TextDedup.minhashSignatures exactly
     val sigs = (0 until MhHashes)
       .map(i => s"list_min([${dHash64("x")} + $i * " +
         s"(${dHash64("'999:' || x")} % ${1L << 50}) for x in s]) AS sig$i")
@@ -111,20 +117,25 @@ object Llm {
     val bandLegs = (0 until MhBands).map { j =>
       val cols = (j * r until (j + 1) * r).map(i => s"sig$i")
         .mkString(" || '|' || ")
-      s"SELECT doc_id, $j AS band_id, md5($cols) AS band_key FROM sig"
+      s"SELECT doc_id, $j AS band_id, md5($cols) AS band_key FROM ${p}sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS (
-  SELECT doc_id, $DTokens AS w FROM documents),
-sh AS (
+    s"""${p}toks AS (
+  SELECT doc_id, $DTokens AS w FROM $src),
+${p}sh AS (
   SELECT doc_id,
     list_distinct([array_to_string(list_slice(w, i, i + ${MhShingle - 1}), ' ')
                    for i in range(1, len(w) - ${MhShingle - 2})]) AS s
-  FROM toks WHERE len(w) >= $MhShingle),
-sig AS (
-  SELECT doc_id, s, $sigs FROM sh),
-bands AS (
+  FROM ${p}toks WHERE len(w) >= $MhShingle),
+${p}sig AS (
+  SELECT doc_id, s, $sigs FROM ${p}sh),
+${p}bands AS (
   $bandLegs)"""
   }
+
+  /** The shared CTE prefix of every minhash oracle: the chain over the
+    * raw `documents` table, unprefixed. */
+  private def minhashBandsCtes: String =
+    "WITH " + minhashChainCtes("documents", "")
 
   /** The minhash pipeline oracle with a pluggable candidate-join
     * predicate (q23 uses the canonical a<b; q81's incremental variant

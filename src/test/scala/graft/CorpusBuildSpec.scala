@@ -26,15 +26,18 @@ class CorpusBuildSpec extends SparkSpec {
       rep(("langid", "corpus", "dropped_non_en")) +
       rep(("dedup", "corpus", "dup_rows_removed")) +
       rep(("dedup", "corpus", "rows_kept")))
-    // every gate is live on the fixture
+    // every gate is live on the fixture — the near-dedup stage
+    // included (non-vacuous denominator: the counter must move)
     assert(rep(("quality", "corpus", "dropped_low_quality")) > 0)
     assert(rep(("langid", "corpus", "dropped_non_en")) > 0)
+    assert(rep(("dedup", "corpus", "near_dup_removed")) > 0)
     assert(rep(("decontam", "corpus", "eval_docs_removed")) > 0)
     assert(rep(("decontam", "corpus", "contaminated_removed")) > 0)
     // the curated count reconciles against the removals
     assert(rep(("corpus", "curated", "rows_final")) ==
       rep(("dedup", "corpus", "rows_kept")) -
       rep(("decontam", "corpus", "eval_docs_removed")) -
+      rep(("dedup", "corpus", "near_dup_removed")) -
       rep(("decontam", "corpus", "contaminated_removed")))
     // greedy exclusive-prefix packing: a doc may straddle its shard's
     // tail, so n_shards is within one of the ideal token-budget count
@@ -63,7 +66,8 @@ class CorpusBuildSpec extends SparkSpec {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rep = report(dir)
-    assert(rep.size == 13)
+    assert(rep.size == 14)
+    assert(rep(("dedup", "corpus", "near_dup_removed")) == 0)
     assert(rep(("quality", "corpus", "rows_in")) == 0)
     assert(rep(("corpus", "curated", "rows_final")) == 0)
     assert(rep(("shards", "manifest", "n_shards")) == 0)
@@ -105,8 +109,13 @@ class CorpusBuildSpec extends SparkSpec {
     val dupId = (maxId + 1) + (if ((maxId + 1) % probeEvery == 0) 1 else 0)
     val evalId = ((maxId / probeEvery) + 2) * probeEvery
     import spark.implicits._
+    // ...and a NEAR-duplicate (same text, short stopword tail): the
+    // incremental near-dedup must drop it against the published copy
+    val nearText = curatedBaseText + " and then some more of it"
+    val nearId = if ((dupId + 1) % probeEvery == 0) dupId + 2 else dupId + 1
     val crafted = Seq(
       (dupId, curatedBaseText, "en", "crafted", curatedBaseText.length.toLong),
+      (nearId, nearText, "en", "crafted", nearText.length.toLong),
       (evalId, retroTarget, "en", "crafted", retroTarget.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val delta = src.filter(col("doc_id") >= cut)
@@ -118,6 +127,8 @@ class CorpusBuildSpec extends SparkSpec {
       .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
         r.getLong(3))).toMap
     assert(rep1(("decontam", "corpus", "retro_contaminated_removed")) >= 1,
+      rep1.toString)
+    assert(rep1(("dedup", "delta", "near_dup_removed")) >= 1,
       rep1.toString)
     assert(rep1(("shards", "manifest", "published")) == 1)
     assert(rep1(("shards", "manifest", "audit_violations")) == 0)
@@ -133,17 +144,21 @@ class CorpusBuildSpec extends SparkSpec {
     def snap(h: String, t: String): Set[Seq[Any]] =
       spark.table(s"e2e_corpus_${t}_$h").collect()
         .map(_.toSeq).toSet
-    for (t <- Seq("curated", "probes", "manifest"))
+    for (t <- Seq("curated", "probes", "manifest", "bands", "removed"))
       assert(snap(hB, t) == snap(hF, t), s"$t diverged from full rebuild")
 
     // replay: applying the identical delta again changes nothing
-    val before = Seq("curated", "probes", "manifest").map(snap(hB, _))
+    val before =
+      Seq("curated", "probes", "manifest", "bands", "removed")
+        .map(snap(hB, _))
     val rep2 = rows(CorpusBuild.runIncremental(spark, dirB, delta))
       .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
         r.getLong(3))).toMap
     assert(rep2(("corpus", "curated", "rows_added")) == 0, rep2.toString)
     assert(rep2(("decontam", "delta", "eval_docs_added")) == 0)
-    val after = Seq("curated", "probes", "manifest").map(snap(hB, _))
+    val after =
+      Seq("curated", "probes", "manifest", "bands", "removed")
+        .map(snap(hB, _))
     assert(before == after, "replay mutated the published state")
   }
 
@@ -192,14 +207,18 @@ class CorpusBuildSpec extends SparkSpec {
       (math.abs(dirB.hashCode).toString, math.abs(dirF.hashCode).toString)
     def snap(h: String, t: String): Set[Seq[Any]] =
       spark.table(s"e2e_corpus_${t}_$h").collect().map(_.toSeq).toSet
-    for (t <- Seq("curated", "probes", "manifest"))
+    for (t <- Seq("curated", "probes", "manifest", "bands", "removed"))
       assert(snap(hB, t) == snap(hF, t), s"$t diverged from full rebuild")
 
     // restart from the same checkpoint with no new files: offsets
     // carry, nothing refolds, the published state is untouched
-    val before = Seq("curated", "probes", "manifest").map(snap(hB, _))
+    val before =
+      Seq("curated", "probes", "manifest", "bands", "removed")
+        .map(snap(hB, _))
     CorpusBuild.streamIncremental(spark, dirB, landing, chk)
-    val after = Seq("curated", "probes", "manifest").map(snap(hB, _))
+    val after =
+      Seq("curated", "probes", "manifest", "bands", "removed")
+        .map(snap(hB, _))
     assert(before == after, "checkpoint restart mutated published state")
   }
 
@@ -236,6 +255,7 @@ class CorpusBuildSpec extends SparkSpec {
       spark.table(s"e2e_corpus_${t}_$h").collect().map(_.toSeq).toSet
     val (cur0, grams0, probes0) = (snap("curated"), snap("grams"),
       snap("probes"))
+    val (bands0, removed0) = (snap("bands"), snap("removed"))
     // keep-first admitted the winner, not the crafted duplicate
     assert(cur0.exists(_.head == wId) && !cur0.exists(_.head == dupId))
     val probeId = probes0.head.head.asInstanceOf[Long]
@@ -250,6 +270,12 @@ class CorpusBuildSpec extends SparkSpec {
     assert(rep(("erase", "curated", "docs_erased")) == 1)
     assert(rep(("erase", "grams", "rows_erased")) == wGrams)
     assert(rep(("erase", "probes", "docs_erased")) == 1)
+    // the winner's band fingerprints leave too; it was curated, not
+    // in the removed archive, so the archive count is the probe's own
+    // presence there (eval docs never enter the archive) = 0
+    assert(rep(("erase", "bands", "rows_erased")) ==
+      bands0.count(_.head == wId).toLong)
+    assert(rep(("erase", "removed", "docs_erased")) == 0)
     assert(rep(("shards", "manifest", "published")) == 1)
     assert(rep(("shards", "manifest", "audit_violations")) == 0)
     // every artifact dropped exactly the erased rows; the dedup loser
@@ -257,6 +283,8 @@ class CorpusBuildSpec extends SparkSpec {
     assert(snap("curated") == cur0.filterNot(_.head == wId))
     assert(snap("grams") == grams0.filterNot(_.head == wId))
     assert(snap("probes") == probes0.filterNot(_.head == probeId))
+    assert(snap("bands") == bands0.filterNot(_.head == wId))
+    assert(snap("removed") == removed0)
     assert(!snap("curated").exists(_.head == dupId))
     // the repacked manifest accounts the remaining tokens exactly
     val remTok = spark.table(s"e2e_corpus_curated_$h")
@@ -270,6 +298,7 @@ class CorpusBuildSpec extends SparkSpec {
     assert(rep2(("erase", "curated", "docs_erased")) == 0)
     assert(rep2(("erase", "grams", "rows_erased")) == 0)
     assert(rep2(("erase", "probes", "docs_erased")) == 0)
+    assert(rep2(("erase", "bands", "rows_erased")) == 0)
     assert((snap("curated"), snap("grams"), snap("probes")) ==
       ((cur1, grams1, probes1)))
   }
