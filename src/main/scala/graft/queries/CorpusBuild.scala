@@ -79,9 +79,15 @@ object CorpusBuild {
   /** Run the full curation build against the fixture at `dir`.
     * Returns the audit report: (step, relation, metric, value BIGINT).
     * Tables are suffixed per-`dir` so scale factors don't collide. */
-  def run(spark: SparkSession, dir: String): DataFrame = {
-    val h = math.abs(dir.hashCode).toString
-    val raw = Tables.documents(spark, dir)
+  def run(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, Tables.documents(spark, dir))
+
+  /** [[run]] over an explicit documents frame (a subset fixture), with
+    * an optional extra table-name `suffix` so a query that stages its
+    * own base build (q258) cannot collide with q245/q246's tables. */
+  def run(spark: SparkSession, dir: String, raw: DataFrame,
+      suffix: String = ""): DataFrame = {
+    val h = math.abs(dir.hashCode).toString + suffix
     val enriched = enrich(raw)
     val (observed, gateObs) = Quality.observed(enriched, Seq(
       "rows_in" -> lit(true),
@@ -308,8 +314,8 @@ object CorpusBuild {
     * published state (dedup absorbs resurvivors, probe append is
     * id-guarded, manifest recompute is deterministic). */
   def runIncremental(spark: SparkSession, dir: String,
-      delta: DataFrame): DataFrame = {
-    val h = math.abs(dir.hashCode).toString
+      delta: DataFrame, suffix: String = ""): DataFrame = {
+    val h = math.abs(dir.hashCode).toString + suffix
     val curatedT = s"e2e_corpus_curated_$h"
     val probesT = s"e2e_corpus_probes_$h"
     val manifestT = s"e2e_corpus_manifest_$h"
@@ -1037,5 +1043,187 @@ object CorpusBuild {
         .filter(pmod(col("doc_id"), lit(EraseMod)) === EraseRes))
   }
 
-  val all: Seq[Query] = Seq(q245, q246)
+  // ------------------------------------------------------------ q258
+
+  /** q258's oracle: the INCREMENTAL report recomputed from scratch.
+    * The corpus is split at the 80th-percentile doc_id (both engines
+    * derive the cut from the data); the base chain is replayed in
+    * full (gates → exact dedup → near-dedup → decontamination), then
+    * every delta-relative counter: fresh candidates (keep-first
+    * within the delta, hashes of every base candidate + probe + delta
+    * eval doc absorbed), near-dup losers against the base band index
+    * and within the delta, contamination against ALL probes, and the
+    * retroactive removals the new probes cause. The final-state
+    * metrics (rows_final + manifest) come from the FULL chain over
+    * base ∪ delta — the convergence property, checked by value here
+    * and by table equality in the spec. */
+  private def incrementalOracle: String = {
+    val pe = Llm.DcProbeEvery
+    val nh = """md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"""
+    val dcShingle: (String, String) => String = (out, in) =>
+      s"""${out}toks AS (
+         |  SELECT doc_id, ${Llm.DTokens} AS w FROM $in),
+         |${out}sh AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(list_slice(w, i, i + ${Llm.DcN - 1}), ' ')
+         |     for i in range(1, len(w) - ${Llm.DcN - 2})]) AS s
+         |  FROM ${out}toks WHERE len(w) >= ${Llm.DcN}),
+         |${out}g AS (
+         |  SELECT doc_id, unnest(s) AS gram FROM ${out}sh)"""
+        .stripMargin
+    val jac: (String, String) => String = (x, y) =>
+      s"""len(list_intersect($x.s, $y.s))::DOUBLE /
+         |        len(list_distinct(list_concat($x.s, $y.s)))::DOUBLE"""
+        .stripMargin
+    s"""WITH $corpusCtes,
+       |cut AS (
+       |  SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS c
+       |  FROM documents),
+       |bdk AS (
+       |  SELECT doc_id, text, tok, h FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY h ORDER BY doc_id) AS rn
+       |    FROM dd WHERE doc_id <= (SELECT c FROM cut))
+       |  WHERE rn = 1),
+       |bcorpus AS (SELECT * FROM bdk WHERE doc_id % $pe <> 0),
+       |${Llm.minhashChainCtes("bcorpus", "nb")},
+       |bprobes AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id <= (SELECT c FROM cut) AND doc_id % $pe = 0),
+       |nbpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM nbbands a JOIN nbbands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |nblosers AS (
+       |  SELECT DISTINCT c.doc_b AS doc_id FROM nbpairs c
+       |  JOIN nbsh x ON x.doc_id = c.doc_a
+       |  JOIN nbsh y ON y.doc_id = c.doc_b
+       |  WHERE ${jac("x", "y")} >= ${Llm.MhThreshold}),
+       |bcorpus2 AS (
+       |  SELECT * FROM bcorpus
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM nblosers)),
+       |${dcShingle("bc2", "bcorpus2")},
+       |${dcShingle("bp", "bprobes")},
+       |bcontam AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT g.doc_id, p.doc_id AS probe_id
+       |    FROM bc2g g JOIN bpg p USING (gram)
+       |    WHERE g.doc_id != p.doc_id
+       |    GROUP BY 1, 2 HAVING COUNT(*) >= ${Llm.DcMinShared})),
+       |bfin AS (
+       |  SELECT * FROM bcorpus2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM bcontam)),
+       |dsc AS (SELECT * FROM sc WHERE doc_id > (SELECT c FROM cut)),
+       |deval AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id > (SELECT c FROM cut) AND doc_id % $pe = 0),
+       |hh AS (
+       |  SELECT h FROM bcorpus
+       |  UNION SELECT $nh AS h FROM bprobes
+       |  UNION SELECT $nh AS h FROM deval),
+       |dfresh AS (
+       |  SELECT doc_id, text, tok, h FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY h ORDER BY doc_id) AS rn
+       |    FROM dd WHERE doc_id > (SELECT c FROM cut)
+       |      AND doc_id % $pe <> 0)
+       |  WHERE rn = 1 AND h NOT IN (SELECT h FROM hh)),
+       |${Llm.minhashChainCtes("dfresh", "dl")},
+       |dlx AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM dlbands a JOIN nbbands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key),
+       |dln AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM dlbands a JOIN dlbands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |dlosers AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT c.doc_a AS doc_id FROM dlx c
+       |    JOIN dlsh x ON x.doc_id = c.doc_a
+       |    JOIN nbsh y ON y.doc_id = c.doc_b
+       |    WHERE ${jac("x", "y")} >= ${Llm.MhThreshold}
+       |    UNION ALL
+       |    SELECT c.doc_b AS doc_id FROM dln c
+       |    JOIN dlsh x ON x.doc_id = c.doc_a
+       |    JOIN dlsh y ON y.doc_id = c.doc_b
+       |    WHERE ${jac("x", "y")} >= ${Llm.MhThreshold})),
+       |dstaged AS (
+       |  SELECT * FROM dfresh
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dlosers)),
+       |allprobes AS (
+       |  SELECT * FROM bprobes UNION ALL SELECT * FROM deval),
+       |${dcShingle("ds", "dstaged")},
+       |${dcShingle("ap", "allprobes")},
+       |dcontam AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT g.doc_id, p.doc_id AS probe_id
+       |    FROM dsg g JOIN apg p USING (gram)
+       |    WHERE g.doc_id != p.doc_id
+       |    GROUP BY 1, 2 HAVING COUNT(*) >= ${Llm.DcMinShared})),
+       |${dcShingle("de", "deval")},
+       |retro AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT g.doc_id, p.doc_id AS probe_id
+       |    FROM bc2g g JOIN deg p USING (gram)
+       |    WHERE g.doc_id != p.doc_id
+       |      AND g.doc_id IN (SELECT doc_id FROM bfin)
+       |    GROUP BY 1, 2 HAVING COUNT(*) >= ${Llm.DcMinShared}))
+       |SELECT 'quality' AS step, 'delta' AS relation,
+       |  'rows_in' AS metric,
+       |  (SELECT COUNT(*) FROM documents
+       |   WHERE doc_id > (SELECT c FROM cut))::BIGINT AS value
+       |UNION ALL SELECT 'quality', 'delta', 'dropped_low_quality',
+       |  (SELECT COUNT(*) FROM dsc WHERE score < $QualityMin)
+       |UNION ALL SELECT 'langid', 'delta', 'dropped_non_en',
+       |  (SELECT COUNT(*) FROM dsc
+       |   WHERE score >= $QualityMin AND predicted <> 'en')
+       |UNION ALL SELECT 'dedup', 'delta', 'rows_kept',
+       |  (SELECT COUNT(*) FROM dfresh)
+       |UNION ALL SELECT 'dedup', 'delta', 'near_dup_removed',
+       |  (SELECT COUNT(*) FROM dfresh) - (SELECT COUNT(*) FROM dstaged)
+       |UNION ALL SELECT 'decontam', 'delta', 'eval_docs_added',
+       |  (SELECT COUNT(*) FROM deval)
+       |UNION ALL SELECT 'decontam', 'delta', 'contaminated_removed',
+       |  (SELECT COUNT(*) FROM dcontam)
+       |UNION ALL SELECT 'decontam', 'corpus', 'retro_contaminated_removed',
+       |  (SELECT COUNT(*) FROM retro)
+       |UNION ALL SELECT 'corpus', 'curated', 'rows_added',
+       |  (SELECT COUNT(*) FROM dstaged) - (SELECT COUNT(*) FROM dcontam)
+       |UNION ALL SELECT 'corpus', 'curated', 'rows_final',
+       |  (SELECT COUNT(*) FROM fin)
+       |UNION ALL SELECT 'shards', 'manifest', 'n_shards',
+       |  (SELECT n_shards FROM m)
+       |UNION ALL SELECT 'shards', 'manifest', 'total_tokens',
+       |  (SELECT total_tokens FROM m)
+       |UNION ALL SELECT 'shards', 'manifest', 'max_shard_tokens',
+       |  (SELECT max_shard_tokens FROM m)
+       |UNION ALL SELECT 'shards', 'manifest', 'published', 1::BIGINT
+       |UNION ALL SELECT 'shards', 'manifest', 'audit_violations',
+       |  0::BIGINT""".stripMargin
+  }
+
+  /** The composed build's INCREMENTAL form, driver-checked end to end
+    * (the spec proves table-level convergence; this checks every
+    * report counter against an independent recomputation): a base
+    * build over the first 80% of doc_ids, then [[runIncremental]]
+    * over the remaining 20% — gates, delta-keep-first dedup, the
+    * index-served near-dedup, bidirectional decontamination, the
+    * partition-scoped merge, and the manifest republish, with cost ∝
+    * delta (the base corpus is read only through pruned hash/band/
+    * gram columns and the partitions the delta touches). */
+  val q258 = Query("q258_corpus_build_incremental", incrementalOracle) {
+    (s, dir) =>
+    val raw = Tables.documents(s, dir)
+    // bounded collect: ONE scalar — the data-derived 80th-percentile
+    // id split both engines compute identically
+    val cut = raw.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
+      .head().getLong(0)
+    run(s, dir, raw.filter(col("doc_id") <= cut), suffix = "i")
+    runIncremental(s, dir, raw.filter(col("doc_id") > cut), suffix = "i")
+  }
+
+  val all: Seq[Query] = Seq(q245, q246, q258)
 }
