@@ -967,6 +967,175 @@ object Prep {
       "query_id", "qvec", Llm.IvfK, col("label") < Llm.FannLabelMax)
   }
 
+  // ------------------------------------------------------------ q259
+
+  /** q259's oracle: the q255 chain with the probe window kept to
+    * rk ≤ 8 (probe lists are prefixes of one another — the spec-pinned
+    * [[graft.operators.KMeans.withCellN]] property), two filtered
+    * candidate sets, an exact filtered top-k per selectivity, and one
+    * approximate top-k per (selectivity × nProbe) leg; every leg also
+    * counts its candidate pairs and the brute-force bill, so the
+    * recall AND the cost column are independently recomputed. */
+  private def annNprobeCurveOracle: String = {
+    def topkCte(sel: Int, p: Int): String =
+      s"""ap${sel}_$p AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, id) AS rk2
+         |    FROM (SELECT qp.query_id, f.vec_id AS id,
+         |            ${Llm.dCosine("qe", "e")} AS score
+         |          FROM f$sel f JOIN qp
+         |            ON f.cell = qp.cell AND qp.rk <= $p
+         |            AND f.vec_id != qp.query_id))
+         |  WHERE rk2 <= ${Llm.IvfK})""".stripMargin
+    def exCte(sel: Int): String =
+      s"""ex$sel AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, id) AS rk2
+         |    FROM (SELECT q.query_id, f.vec_id AS id,
+         |            ${Llm.dCosine("qe", "e")} AS score
+         |          FROM f$sel f, qv q WHERE f.vec_id != q.query_id))
+         |  WHERE rk2 <= ${Llm.IvfK})""".stripMargin
+    val combos = for { sel <- Seq(1, 3); p <- Seq(1, 2, 4, 8) }
+      yield (sel, p)
+    val legs = combos.map { case (sel, p) =>
+      s"""SELECT CAST($sel AS BIGINT) AS filter_max,
+         |  CAST($p AS BIGINT) AS nprobe,
+         |  (SELECT COUNT(*) FROM ex$sel) AS n_exact,
+         |  (SELECT COUNT(*) FROM ex$sel e JOIN ap${sel}_$p a
+         |     ON e.query_id = a.query_id
+         |    AND e.neighbor_id = a.neighbor_id) AS n_hit,
+         |  (SELECT COUNT(*) FROM f$sel f JOIN qp
+         |     ON f.cell = qp.cell AND qp.rk <= $p
+         |    AND f.vec_id != qp.query_id) AS n_cand,
+         |  (SELECT COUNT(*) FROM f$sel f, qv q
+         |   WHERE f.vec_id != q.query_id) AS n_brute"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings),
+       |$dKmChain,
+       |va AS (
+       |  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS e,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings),
+       |bc AS (
+       |  SELECT vec_id, label, e, cell FROM (
+       |    SELECT vec_id, label, e, cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT va.vec_id, va.label, va.e, c.cell, $dKmDist AS dist
+       |          FROM va, c$KmIters c))
+       |  WHERE rk = 1),
+       |qv AS (
+       |  SELECT vec_id AS query_id, [x::DOUBLE for x in embedding] AS qe,
+       |    [CAST(floor(x::DOUBLE * $KmQL + 0.5) AS BIGINT)
+       |     for x in embedding] AS vq
+       |  FROM embeddings WHERE vec_id % ${Llm.TopkEvery} = 0),
+       |qp AS (
+       |  SELECT query_id, qe, cell, rk FROM (
+       |    SELECT query_id, qe, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dist, cell) AS rk
+       |    FROM (SELECT q.query_id, q.qe, c.cell, $dKmDist AS dist
+       |          FROM qv q, c$KmIters c))
+       |  WHERE rk <= $KmK),
+       |f1 AS (SELECT vec_id, e, cell FROM bc WHERE label < 1),
+       |f3 AS (SELECT vec_id, e, cell FROM bc WHERE label < 3),
+       |${exCte(1)},
+       |${exCte(3)},
+       |${combos.map { case (s0, p) => topkCte(s0, p) }.mkString(",\n")}
+       |SELECT filter_max, nprobe, n_exact, n_hit,
+       |  ROUND(n_hit::DOUBLE / n_exact, 6) AS recall,
+       |  n_cand, n_brute,
+       |  ROUND(n_cand::DOUBLE / n_brute, 6) AS cand_frac
+       |FROM (
+       |  $legs)""".stripMargin
+  }
+
+  /** The nProbe RECALL/COST CURVE on the persisted filtered index —
+    * the q254 strategy panel's missing axis, measured instead of
+    * argued: for two filter selectivities (label < 1 ≈ 10% and
+    * label < 3 ≈ 31% of the corpus) and nProbe ∈ {1, 2, 4, 8}, the
+    * recall@[[Llm.IvfK]] of [[graft.operators.AnnIndex.topKWhere]]
+    * against the exact filtered top-k, NEXT TO what each point costs:
+    * `n_cand` (candidate pairs actually scored — at scale, the
+    * postings rows read from the probed partitions) over `n_brute`
+    * (the full filtered bill) as `cand_frac`. The curve is the
+    * operating manual for the knob: narrow filters start lower and
+    * buy recall back with more probes at cand_frac ≈ nProbe/cells,
+    * and nProbe = cells = exact by construction (recall 1.0,
+    * cand_frac 1.0) — the endpoint that pins both columns. */
+  val q259 = Query("q259_ann_nprobe_curve", annNprobeCurveOracle) {
+    (s, dir) =>
+    import graft.operators.{AnnIndex, InternalCache, KMeans, Similarity}
+    val name = s"annc_idx_${math.abs(dir.hashCode)}"
+    val emb = Tables.embeddings(s, dir)
+    AnnIndex.build(s, emb, "vec_id", "embedding", name, KmK, KmDims,
+      KmIters, attrCols = Seq("label"))
+    val q = emb.filter(col("vec_id") % Llm.TopkEvery === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val posts = s.table(AnnIndex.postingsTable(name))
+    // the full 8-probe list per query, rank kept: the p-probe set is
+    // its prefix (spec-pinned), so one frame serves every leg's
+    // candidate-cost count. Persisted: read by 8 legs in one action.
+    val qpr = InternalCache.persist(
+      KMeans.withCellN(
+          q.withColumn("__vq", KMeans.quantize(col("qvec"))),
+          "__vq", AnnIndex.loadCentroids(s, name), KmK)
+        .select(col("query_id"),
+          posexplode(array((0 until KmK)
+            .map(i => col(s"__probe$i").cast("long")): _*))
+            .as(Seq("pidx", "probe"))))
+    def legsFor(selMax: Int): org.apache.spark.sql.DataFrame = {
+      val f = posts.filter(col("label") < selMax)
+      val exact = InternalCache.persist(
+        Similarity.bruteForceTopK(
+            emb.filter(col("label") < selMax), "vec_id", "embedding",
+            q, "query_id", "qvec", Llm.IvfK)
+          .select(col("query_id"), col("neighbor_id")))
+      // brute bill = |f| × |q| minus self-pairs — scalar aggregates,
+      // never a materialized cross product
+      val brute = f.agg(count(lit(1)).as("__nf"))
+        .crossJoin(q.agg(count(lit(1)).as("__nq")))
+        .crossJoin(f.join(q.select(col("query_id").as("id")),
+            Seq("id"), "left_semi")
+          .agg(count(lit(1)).as("__nself")))
+        .select((col("__nf") * col("__nq") - col("__nself"))
+          .as("n_brute"))
+      Seq(1, 2, 4, 8).map { p =>
+        val approx = AnnIndex.topKWhere(s, name, q, "query_id", "qvec",
+          Llm.IvfK, col("label") < selMax, nProbe = p)
+        val hit = exact.join(
+            approx.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        val cand = f.join(qpr.filter(col("pidx") < p),
+            col("cell") === col("probe") &&
+              col("id") =!= col("query_id"))
+          .agg(count(lit(1)).as("n_cand"))
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(hit).crossJoin(cand).crossJoin(brute)
+          .select(lit(selMax.toLong).as("filter_max"),
+            lit(p.toLong).as("nprobe"),
+            col("n_exact"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 6)
+              .as("recall"),
+            col("n_cand"), col("n_brute"),
+            round(col("n_cand").cast("double") / col("n_brute"), 6)
+              .as("cand_frac"))
+      }.reduce(_ unionByName _)
+    }
+    legsFor(1).unionByName(legsFor(3))
+  }
+
   // ------------------------------------------------------------ q256
 
   /** q256's oracle: the Lloyd's chain trained on the BASE subset (the
@@ -1932,5 +2101,6 @@ object Prep {
   }
 
   val all: Seq[Query] = Seq(q90, q91, q92, q93, q94, q95, q99, q100,
-    q120, q148, q191, q213, q214, q215, q247, q249, q255, q256, q257)
+    q120, q148, q191, q213, q214, q215, q247, q249, q255, q256, q257,
+    q259)
 }
