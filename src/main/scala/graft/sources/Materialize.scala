@@ -575,6 +575,70 @@ object Materialize {
     * broadcast through both uses — an erasure batch is a bounded
     * request list, not data. Returns the affected partition values
     * (the audit trail a DPO wants). */
+  /** Right-to-erasure for an INCREMENTAL aggregate — the
+    * [[aggIncremental]] state pair: deletes every row of the requested
+    * keys from BOTH the published table and the stored batch partials,
+    * rewriting only the partition slices that hold them. Erasing only
+    * the published table would be an illusion: the next batch touching
+    * the partition recomputes from the stored partials and resurrects
+    * the key. A partials (partition, batch) slice emptied by the
+    * erasure is dropped explicitly — dynamic overwrite rewrites only
+    * slices PRESENT in the output, so a fully-erased slice would
+    * otherwise keep its stale files and resurrect the key anyway.
+    *
+    * Composes with the fold cadence in any order (spec: the
+    * interleaved fold/erase/apply property): a fold merges slices but
+    * never changes content, and this erase treats a synthetic
+    * `#ckpt_*` slice like any other. Replay-safe: a second identical
+    * request finds no slices and touches nothing; a crash between the
+    * partials scrub and the published erase replays into the
+    * published-only leg. Returns (published partitions rewritten,
+    * partials slices touched). */
+  def eraseAggKeys(spark: SparkSession, name: String, keyCol: String,
+      keys: DataFrame, partitionCol: String): (Seq[Any], Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val partials = s"${name}__partials"
+    val k = broadcast(keys.select(col(keys.columns.head).as(keyCol))
+      .distinct())
+    val nSlices =
+      if (!spark.catalog.tableExists(partials)) 0L
+      else {
+        val t = spark.table(partials)
+        // bounded collect: the (partition, batch) slice pairs that
+        // hold the requested keys
+        val slices = t.join(k, Seq(keyCol), "left_semi")
+          .select(col(partitionCol), col("__batch")).distinct()
+          .collect().map(r => (r.get(0), r.getString(1))).toSeq
+        if (slices.nonEmpty) {
+          val parts = slices.map(_._1).distinct
+          val schema = t.schema
+          val kept = t.filter(col(partitionCol).isin(parts: _*))
+            .join(k, Seq(keyCol), "left_anti")
+          // bounded: <= |slices| — taken BEFORE the overwrite so the
+          // drop list reads one consistent snapshot
+          val keptSlices = kept
+            .select(col(partitionCol), col("__batch")).distinct()
+            .collect().map(r => (r.get(0), r.getString(1))).toSet
+          withDynamicOverwrite(spark) {
+            kept.select(schema.map(f => col(f.name)): _*)
+              .repartition(col(partitionCol))
+              .write.mode("overwrite").insertInto(partials)
+          }
+          slices.filterNot(keptSlices.contains).foreach { case (p, b) =>
+            spark.sql(s"ALTER TABLE $partials DROP IF EXISTS PARTITION " +
+              s"($partitionCol='$p', __batch='$b')")
+          }
+          spark.catalog.refreshTable(partials)
+        }
+        slices.size.toLong
+      }
+    val published =
+      if (spark.catalog.tableExists(name))
+        eraseKeys(spark, name, keyCol, keys, partitionCol)
+      else Seq.empty[Any]
+    (published, nSlices)
+  }
+
   def eraseKeys(spark: SparkSession, name: String, keyCol: String,
       keys: DataFrame, partitionCol: String): Seq[Any] = {
     import org.apache.spark.sql.functions.{broadcast, col}

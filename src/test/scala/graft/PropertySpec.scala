@@ -170,4 +170,80 @@ class PropertySpec extends SparkSpec {
       Materialize.dropAggState(spark, name)
     }
   }
+
+  /** One interleaved lifecycle op: a partial batch, a key erasure, or
+    * an explicit history fold. */
+  private val aggOpsGen: Gen[List[Either[List[(String, String, Long)],
+      Either[List[String], Unit]]]] =
+    Gen.listOfN(8, Gen.frequency(
+      5 -> (for {
+        rows <- Gen.listOfN(5, for {
+          p <- Gen.oneOf("p1", "p2", "p3")
+          k <- Gen.oneOf("k1", "k2", "k3")
+          v <- Gen.choose(1L, 9L)
+        } yield (p, k, v))
+      } yield Left(rows)),
+      2 -> Gen.someOf(Seq("k1", "k2", "k3"))
+        .map(ks => Right(Left(ks.toList))),
+      2 -> Gen.const(Right(Right(())))))
+
+  test("interleaved aggIncremental batches, folds, and key erasures " +
+      "converge to the replayed model for any order and fold cadence") {
+    import graft.sources.Materialize
+    var liveErases = 0
+    var liveFolds = 0
+    for ((ops, ci) <- samples(aggOpsGen, 4).zipWithIndex) {
+      // three engines over the SAME op sequence: no folding, the
+      // automatic foldEvery cadence, and a fold forced after every op
+      // — content must be cadence-invariant AND match the model
+      val variants = Seq(("n", 0, false), ("c", 2, false), ("f", 0, true))
+      val model =
+        scala.collection.mutable.Map.empty[(String, String), Long]
+      var applied = 0
+      for ((op, oi) <- ops.zipWithIndex) {
+        val bid = f"b$oi%03d"
+        op match {
+          case Left(rows) if rows.nonEmpty =>
+            for ((tag, fe, _) <- variants)
+              Materialize.aggIncremental(spark,
+                s"prop_aggmix_${ci}_$tag", rows.toDF("p", "k", "v"),
+                Seq("p", "k"), "p", bid, foldEvery = fe)
+            rows.foreach { case (p, k, v) =>
+              model((p, k)) = model.getOrElse((p, k), 0L) + v }
+            applied += 1
+          case Left(_) => ()
+          case Right(Left(ks)) if ks.nonEmpty && applied > 0 =>
+            for ((tag, _, _) <- variants)
+              Materialize.eraseAggKeys(spark, s"prop_aggmix_${ci}_$tag",
+                "k", ks.toDF("k"), "p")
+            model.keys.filter(pk => ks.contains(pk._2)).toList
+              .foreach(model.remove)
+            liveErases += 1
+          case Right(Left(_)) => ()
+          case Right(Right(())) if applied > 0 =>
+            // explicit fold variant only; watermark = everything so far
+            Materialize.checkpointPartials(spark,
+              s"prop_aggmix_${ci}_f", Seq("p", "k"), "p", bid)
+            liveFolds += 1
+          case Right(Right(())) => ()
+        }
+      }
+      val want = model.map { case ((p, k), v) => (p, k, v) }.toSet
+      for ((tag, fe, _) <- variants) {
+        val name = s"prop_aggmix_${ci}_$tag"
+        if (applied > 0) {
+          val got = rows(spark.table(name).select("p", "k", "v"))
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+            .toSet
+          assert(got == want,
+            s"case $ci variant $tag (foldEvery=$fe) diverged")
+        }
+        Materialize.dropAggState(spark, name)
+      }
+    }
+    // the generator must have exercised both op kinds against live
+    // state — a fold-free or erase-free pass would prove nothing new
+    assert(liveErases > 0 && liveFolds > 0,
+      s"vacuous fixture: $liveErases erases, $liveFolds folds")
+  }
 }
