@@ -260,6 +260,75 @@ object ScaleBench {
       col("label") < 3)
   }
 
+  /** UNFILTERED serving on the SAME index [[annFilteredProbe]] built —
+    * the comparison row its claim needs: the filtered serve should
+    * cost LESS than this (it reads only the ~30% matching row groups
+    * of the probed partitions), and both should grow with the probed
+    * cells' size, not the index. */
+  private def annUnfilteredProbe(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.AnnIndex
+    val name = s"scale_annf_${math.abs(dir.hashCode)}"
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+    if (!spark.catalog.tableExists(AnnIndex.postingsTable(name))) {
+      AnnIndex.build(spark, v, "vec_id", "embedding", name, 16, 64, 3,
+        attrCols = Seq("label"))
+      ()
+    }
+    val q = v.filter(col("vec_id") % 40 === 0 &&
+        col("vec_id") < ReplicaStride)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    AnnIndex.topK(spark, name, q, "query_id", "qvec", 3)
+  }
+
+  /** Monotone per-probe batch tag: every timed [[streamIngestProbe]]
+    * call lands FRESH ids, so the append anti-join never absorbs the
+    * batch and each call pays the full verdict + audit + append bill. */
+  private var streamBatchSeq = 0
+
+  /** CONTINUOUS ingest-with-dedup at scale: an index built once per
+    * dir with the cell count sized TO the corpus (~125 postings per
+    * cell — the production posture; a fixed cell count would grow
+    * every probed cell linearly and measure the sizing mistake, not
+    * the operator), then one fixed-size micro-batch drained through
+    * [[graft.operators.AnnIndex.streamIngestDedup]] (verdict + audit
+    * + append). Per-batch cost is ∝ batch × probed-cell size, so with
+    * corpus-sized cells the 10× curve should be ~flat — the claim
+    * that the ingest front door survives corpus growth. */
+  private def streamIngestProbe(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.AnnIndex
+    val tag = math.abs(dir.hashCode)
+    val name = s"scale_annsd_$tag"
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+    if (!spark.catalog.tableExists(AnnIndex.postingsTable(name))) {
+      val cells = math.max(16, (v.count() / 125L).toInt)
+      AnnIndex.build(spark, v, "vec_id", "embedding", name, cells, 64, 3)
+      ()
+    }
+    streamBatchSeq += 1
+    val seq = streamBatchSeq
+    // id base derived from the CURRENT index state, so a rerun against
+    // a persisted index from an earlier panel still lands fresh ids
+    // (a collided batch would be absorbed by the append anti-join and
+    // time a different operation). Bounded: one pruned-column max.
+    val base = spark.table(AnnIndex.postingsTable(name))
+      .agg(max(col("id"))).head().getLong(0) / ReplicaStride + 1L
+    val batch = v.filter(col("vec_id") % 40 === 0 &&
+        col("vec_id") < ReplicaStride)
+      .withColumn("vec_id",
+        col("vec_id") + lit((base + seq) * ReplicaStride))
+    val landing = s"/tmp/graft_scale_sd_land_${tag}_$seq"
+    val audit = s"/tmp/graft_scale_sd_audit_${tag}_$seq"
+    val ckpt = s"/tmp/graft_scale_sd_ckpt_${tag}_$seq"
+    Seq(landing, audit, ckpt)
+      .foreach(p => graft.sources.Ingest.deletePath(spark, p))
+    batch.coalesce(1).write.mode("overwrite").parquet(landing)
+    AnnIndex.streamIngestDedup(spark, name, landing, ckpt, "vec_id",
+      "embedding", 0.4, audit, batch.schema)
+    spark.read.parquet(s"$audit/b*")
+  }
+
   /** The history-folded incremental aggregate at scale (q253's shape
     * over the replica events): four hash-split batches through
     * `aggIncremental(foldEvery = 2)` — two mid-run folds — into a
@@ -362,6 +431,8 @@ object ScaleBench {
           ("hardneg_fixedq", hardNegFixedQ _),
           ("ann_retrain_lifecycle", annRetrainProbe _),
           ("ann_filtered_serve", annFilteredProbe _),
+          ("ann_serve_unfiltered", annUnfilteredProbe _),
+          ("stream_ingest_dedup", streamIngestProbe _),
           ("agg_fold_lifecycle", aggFoldProbe _))
           if only.forall(_.contains(name))) {
         val t = math.min(timeOne(name, probe(spark, dir)),

@@ -69,21 +69,36 @@ object KMeans {
       }),
       lit(0.0), (acc, x) => acc + x)
 
+  /** (distance, cell) structs for every centroid as ONE row-local
+    * array expression: the centroid table is a single `typedlit`
+    * constant and the fold body appears once inside a `transform`
+    * lambda, so plan size is O(1) in k. (The previous
+    * column-per-centroid `foldLeft(withColumn)` form made analysis
+    * and codegen O(k²) — measured catastrophic at a corpus-sized 160
+    * cells: the stream-ingest scale probe read 55× at 10× data from
+    * plan compilation alone.) The per-element fold is the exact
+    * [[distTo]] term sequence, so distances are bit-identical; struct
+    * ordering is (d, m), so `array_min`/`array_sort` ARE the oracle's
+    * `ORDER BY dist, cell` first-wins ranking. */
+  private def distStructs(vq: Column,
+      cents: Array[Array[Double]]): Column =
+    transform(
+      typedlit(cents.map(_.toIndexedSeq).toIndexedSeq),
+      (c, m) => struct(
+        aggregate(
+          zip_with(vq, c, (q, cc) => {
+            val e = q.cast("double") / lit(Q) - cc; e * e
+          }),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        m.as("m")))
+
   /** Appends `__cell` (first-wins argmin assignment) and `__kdist`
     * (the min distance) for the given centroid table. */
   def withCellDist(df: DataFrame, vqCol: String,
       cents: Array[Array[Double]]): DataFrame = {
-    val k = cents.length
-    val withD = cents.zipWithIndex.foldLeft(df) { case (d, (c, m)) =>
-      d.withColumn(s"__kd$m", distTo(col(vqCol), c))
-    }
-    withD
-      .withColumn("__cell",
-        Similarity.argminCell(k, m => col(s"__kd$m")))
-      .withColumn("__kdist",
-        if (k == 1) col("__kd0")
-        else least((0 until k).map(m => col(s"__kd$m")): _*))
-      .drop((0 until k).map(m => s"__kd$m"): _*)
+    val best = array_min(distStructs(col(vqCol), cents))
+    df.withColumn("__cell", best.getField("m"))
+      .withColumn("__kdist", best.getField("d"))
   }
 
   /** [[withCellDist]] plus `__kdist2`: the distance to the BEST OTHER
@@ -93,21 +108,11 @@ object KMeans {
     * silhouette's b-term. */
   def withCellDist2(df: DataFrame, vqCol: String,
       cents: Array[Array[Double]]): DataFrame = {
-    val k = cents.length
-    require(k >= 2, "runner-up distance needs k >= 2")
-    val withD = cents.zipWithIndex.foldLeft(df) { case (d, (c, m)) =>
-      d.withColumn(s"__kd$m", distTo(col(vqCol), c))
-    }
-    val cell = Similarity.argminCell(k, m => col(s"__kd$m"))
-    withD
-      .withColumn("__cell", cell)
-      .withColumn("__kdist",
-        least((0 until k).map(m => col(s"__kd$m")): _*))
-      .withColumn("__kdist2",
-        least((0 until k).map(m =>
-          when(col("__cell") === m, lit(Double.MaxValue))
-            .otherwise(col(s"__kd$m"))): _*))
-      .drop((0 until k).map(m => s"__kd$m"): _*)
+    require(cents.length >= 2, "runner-up distance needs k >= 2")
+    val sorted = array_sort(distStructs(col(vqCol), cents))
+    df.withColumn("__cell", element_at(sorted, 1).getField("m"))
+      .withColumn("__kdist", element_at(sorted, 1).getField("d"))
+      .withColumn("__kdist2", element_at(sorted, 2).getField("d"))
   }
 
   /** [[withCellDist]] plus `__cell2` — the runner-up CELL id (the rk=2
@@ -116,19 +121,10 @@ object KMeans {
     * second probe of a 2-probe IVF search ([[AnnIndex.topK]]). */
   def withCell2(df: DataFrame, vqCol: String,
       cents: Array[Array[Double]]): DataFrame = {
-    val k = cents.length
-    require(k >= 2, "a second probe needs k >= 2")
-    val withD = cents.zipWithIndex.foldLeft(df) { case (d, (c, m)) =>
-      d.withColumn(s"__kd$m", distTo(col(vqCol), c))
-    }
-    withD
-      .withColumn("__cell",
-        Similarity.argminCell(k, m => col(s"__kd$m")))
-      .withColumn("__cell2",
-        Similarity.argminCell(k, m =>
-          when(col("__cell") === m, lit(Double.MaxValue))
-            .otherwise(col(s"__kd$m"))))
-      .drop((0 until k).map(m => s"__kd$m"): _*)
+    require(cents.length >= 2, "a second probe needs k >= 2")
+    val sorted = array_sort(distStructs(col(vqCol), cents))
+    df.withColumn("__cell", element_at(sorted, 1).getField("m"))
+      .withColumn("__cell2", element_at(sorted, 2).getField("m"))
   }
 
   /** [[withCell2]] generalized: appends `__probe0..__probe{n-1}` — the
@@ -142,19 +138,10 @@ object KMeans {
       cents: Array[Array[Double]], n: Int): DataFrame = {
     val k = cents.length
     require(n >= 1 && n <= k, "1 <= nProbe <= cells")
-    val withD = cents.zipWithIndex.foldLeft(df) { case (d, (c, m)) =>
-      d.withColumn(s"__kd$m", distTo(col(vqCol), c))
+    val sorted = array_sort(distStructs(col(vqCol), cents))
+    (0 until n).foldLeft(df) { (d, i) =>
+      d.withColumn(s"__probe$i", element_at(sorted, i + 1).getField("m"))
     }
-    val staged = (0 until n).foldLeft(withD) { (d, i) =>
-      val masked: Int => Column = m => {
-        val prior = (0 until i).map(j => col(s"__probe$j") === m)
-        if (prior.isEmpty) col(s"__kd$m")
-        else when(prior.reduce(_ || _), lit(Double.MaxValue))
-          .otherwise(col(s"__kd$m"))
-      }
-      d.withColumn(s"__probe$i", Similarity.argminCell(k, masked))
-    }
-    staged.drop((0 until k).map(m => s"__kd$m"): _*)
   }
 
   /** `iters` Lloyd's iterations from the deterministic init; returns

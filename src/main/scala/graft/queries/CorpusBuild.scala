@@ -13,7 +13,8 @@ import graft.sources.{Materialize, Tables}
   * (reference basis: the corpus table + declared quality rules,
   * `/root/reference/data_gen/generate_and_load_script.py:43-45`,
   * `models/schema.yml:122-141`): quality gate → language filter →
-  * exact dedup → eval-set removal → decontamination → curated-corpus
+  * exact dedup → NEAR-dedup (MinHash, the q23 configuration) →
+  * eval-set removal → decontamination → curated-corpus
   * materialization → token-budget shard packing → audited manifest
   * publish, chained as a single run that returns ONE audit report.
   *
@@ -28,10 +29,12 @@ import graft.sources.{Materialize, Tables}
   *
   * Scale posture (100 TB): every stage is declarative — the quality
   * and language features are codegen'd column expressions on the one
-  * corpus scan, dedup is a hash-partitioned window, the probe gram
-  * set is BROADCAST (the corpus never shuffles for candidates), shard
-  * packing is the distributed range-partitioned prefix sum — and the
-  * only driver-side values are the report's ~13 bounded Longs.
+  * corpus scan, exact dedup is a hash-partitioned window, near-dedup
+  * is banded-bucket joins only (and delta × stored-index in the
+  * incremental form), the probe gram set is BROADCAST (the corpus
+  * never shuffles for candidates), shard packing is the distributed
+  * range-partitioned prefix sum — and the only driver-side values are
+  * the report's ~14 bounded Longs.
   */
 object CorpusBuild {
 
