@@ -161,7 +161,12 @@ object ScaleBench {
     "q256_index_incremental_dedup",
     // the same dedup as a continuous ingest: per-batch verdict + audit
     // + append (two micro-batches, cross-batch dedup included)
-    "q257_stream_ingest_dedup")
+    "q257_stream_ingest_dedup",
+    // round-12 additions: the incremental composed corpus build
+    // (base run + delta continuation, near-dedup served from the
+    // persisted band index) and the nProbe recall/cost curve (8
+    // search legs + 2 brute baselines over a fresh attribute index)
+    "q258_corpus_build_incremental", "q259_ann_nprobe_curve")
 
   /** Relational + graph pipelines under scale test (round 8, VERDICT
     * r7 #7: the q233-q242 family and the lineitem-graph operators were
@@ -408,6 +413,25 @@ object ScaleBench {
     for (m <- Seq(1, mult)) {
       buildReplica(spark, baseDir, m, s"/tmp/graft_scale_x$m")
       buildRelationalReplica(spark, baseDir, m, s"/tmp/graft_scale_x$m")
+    }
+    // untimed warmup of each SELECTED query against the x1 dir: in the
+    // full panel the first queries absorb the JVM's codegen/JIT
+    // ramp-up for everyone, but a RESTRICTED panel (SCALE_ONLY=...)
+    // otherwise times the first-ever compilation of its own path
+    // inside the mult=1 leg and reads an inverted ratio (measured:
+    // q245 36.7 s cold-x1 vs 10.6 s warm-x10 — the composed builds'
+    // dozens of distinct codegen stages dominate the small fixture)
+    if (only.isDefined) {
+      val wdir = "/tmp/graft_scale_x1"
+      for (q <- (corpusQueries ++ relationalQueries)
+          .filter(q => only.forall(_.contains(q)))) {
+        try { SparkEntry.queries(q)(spark, wdir).count(); () }
+        catch { case _: Throwable => () }
+      }
+      graft.operators.InternalCache.release()
+      graft.operators.SharedFrames.release()
+      spark.catalog.clearCache()
+      System.gc()
     }
     for (m <- Seq(1, mult)) {
       val dir = s"/tmp/graft_scale_x$m"
