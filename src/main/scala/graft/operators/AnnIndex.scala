@@ -27,12 +27,19 @@ import graft.sources.Materialize
   *    ∝ delta, never ∝ index;
   *  - [[erase]] is the partition-scoped [[Materialize.eraseKeys]]
   *    delete (the GDPR story, same contract as the corpus build's);
-  *  - [[topK]] is a 2-probe search: each query probes its nearest and
-  *    runner-up cells, the probed cell VALUES (bounded ≤ k) become a
-  *    `PartitionFilters` entry on the postings scan — unprobed
-  *    partitions are never listed or read (spec-locked) — and
-  *    candidates are scored with exact cosine into the
-  *    partial-aggregatable TopK.
+  *  - [[topK]] is a 2-probe search (the `nProbe` knob buys recall at
+  *    nProbe/cells of the postings read — q259 measures the curve):
+  *    each query probes its nearest cells, the probed cell VALUES
+  *    (bounded ≤ k) become a `PartitionFilters` entry on the postings
+  *    scan — unprobed partitions are never listed or read
+  *    (spec-locked) — and candidates are scored with exact cosine
+  *    into the partial-aggregatable TopK;
+  *  - [[topKWhere]] is the FILTERED serve: the predicate lands on the
+  *    postings parquet scan itself, under the cell partition filters;
+  *  - [[streamIngestDedup]] is the continuous front door: per-batch
+  *    replay-invariant dedup verdict → idempotent audit → append;
+  *  - [[maintain]]/[[maintainMonitored]] compact fragmented cells and
+  *    run the measured retrain-swap decision.
   *
   * Determinism: assignment is the [[KMeans]] quantized-grid
   * first-wins argmin; centroid doubles round-trip parquet bit-exactly,
