@@ -597,15 +597,17 @@ object CorpusBuild {
     // rows_final rides the manifest repack's curated scan — no count
     // action of its own
     val (publishOk, audit, m, rowsFinal) = republishManifest(spark, h)
-    def obsVal(o: org.apache.spark.sql.Observation, k: String): Long =
-      o.get(k).asInstanceOf[Number].longValue()
-    val kept = obsVal(dedupObs, "rows_kept")
+    // Quality.obsLong, NEVER a raw map read: a fully-duplicate or
+    // replayed delta stages ZERO rows, AQE's empty-relation propagation
+    // then prunes the CollectMetrics nodes, and a strict o.get(k) dies
+    // with "key not found" — found live as the 538/539 r12 flake
+    val kept = Quality.obsLong(dedupObs, "rows_kept")
     val report: Seq[Metric] = Seq[Metric](
-      ("quality", "delta", "rows_in", obsVal(gateObs, "rows_in")),
+      ("quality", "delta", "rows_in", Quality.obsLong(gateObs, "rows_in")),
       ("quality", "delta", "dropped_low_quality",
-        obsVal(gateObs, "dropped_low_quality")),
+        Quality.obsLong(gateObs, "dropped_low_quality")),
       ("langid", "delta", "dropped_non_en",
-        obsVal(gateObs, "dropped_non_en")),
+        Quality.obsLong(gateObs, "dropped_non_en")),
       ("dedup", "delta", "rows_kept", kept),
       ("dedup", "delta", "near_dup_removed", kept - rowsStaged),
       ("decontam", "delta", "eval_docs_added", evalAdded),

@@ -134,8 +134,11 @@ object WarehouseBuild {
 
     // ---- marts + publish (one all-or-nothing set), then the report.
     val martRows = publishMarts(spark, h)
+    // Quality.obsLong, NEVER a raw map read: on an empty source AQE's
+    // empty-relation propagation prunes the CollectMetrics nodes and a
+    // strict o.get(k) dies with "key not found" (zero is then exact)
     def obsVal(o: org.apache.spark.sql.Observation, k: String): Long =
-      o.get(k).asInstanceOf[Number].longValue()
+      Quality.obsLong(o, k)
     import spark.implicits._
     (stagingMetrics(
         obsVal(ordersInObs, "rows_in"),
@@ -496,8 +499,11 @@ object WarehouseBuild {
       .unionByName(leg("current_violations",
         Scd2.currentViolations(checkedSlice, Seq("user_id"))))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Quality.obsLong, NEVER a raw map read: an all-duplicate replayed
+    // delta keeps zero rows, AQE prunes the CollectMetrics node, and a
+    // strict o.get(k) dies with "key not found" (zero is then exact)
     def obsVal(o: org.apache.spark.sql.Observation, k: String): Long =
-      o.get(k).asInstanceOf[Number].longValue()
+      Quality.obsLong(o, k)
     import spark.implicits._
     Seq[Metric](
       ("staging", "stg_orders_delta", "rows_in", obsVal(oInObs, "rows_in")),

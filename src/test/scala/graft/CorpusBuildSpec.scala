@@ -162,6 +162,56 @@ class CorpusBuildSpec extends SparkSpec {
     assert(before == after, "replay mutated the published state")
   }
 
+  test("a fully-duplicate delta stages ZERO rows and still reports " +
+      "(the AQE empty-prune crash window)") {
+    // the r12 flake: when every delta doc is absorbed by the hash
+    // anti-join, zero rows reach the staging write, AQE's
+    // empty-relation propagation prunes the CollectMetrics nodes, and
+    // a raw Observation.get(k) dies with "key not found: rows_kept".
+    // This case FORCES that shape (the convergence test's replay leg
+    // only sometimes plans into it): a delta of nothing but exact
+    // duplicates of curated docs, under fresh append-only ids.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val probeEvery = 20L // Llm.DcProbeEvery
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val dirD = "/tmp/graft_test_inc_dupdelta"
+    graft.sources.Ingest.deletePath(spark, dirD)
+    src.write.mode("overwrite").parquet(s"$dirD/documents.parquet")
+    CorpusBuild.run(spark, dirD)
+    val h = math.abs(dirD.hashCode).toString
+    val maxId = src.agg(max(col("doc_id"))).head().getLong(0)
+    // delta = exact copies of the first 5 curated docs, ids appended
+    // past the base range and kept off the eval grid (non-vacuous: the
+    // delta itself is non-empty, every row is a duplicate)
+    val dupTexts = spark.table(s"e2e_corpus_curated_$h")
+      .orderBy(col("doc_id")).select("text").limit(5)
+      .collect().map(_.getString(0))
+    assert(dupTexts.length == 5)
+    val delta = dupTexts.zipWithIndex.map { case (t, i) =>
+      val id0 = maxId + 1 + i * 2
+      val id = if (id0 % probeEvery == 0) id0 + 1 else id0
+      (id, t, "en", "crafted", t.length.toLong)
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def snap(t: String): Set[Seq[Any]] =
+      spark.table(s"e2e_corpus_${t}_$h").collect().map(_.toSeq).toSet
+    val before =
+      Seq("curated", "probes", "manifest", "bands", "removed")
+        .map(snap)
+    val rep = rows(CorpusBuild.runIncremental(spark, dirD, delta))
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3))).toMap
+    assert(rep(("quality", "delta", "rows_in")) == 5L)
+    assert(rep(("dedup", "delta", "rows_kept")) == 0L)
+    assert(rep(("corpus", "curated", "rows_added")) == 0L)
+    assert(rep(("shards", "manifest", "published")) == 1L)
+    val after =
+      Seq("curated", "probes", "manifest", "bands", "removed")
+        .map(snap)
+    assert(before == after, "an all-duplicate delta mutated state")
+  }
+
   test("continuous curation: landed files stream through the " +
       "incremental build and match the full rebuild") {
     import org.apache.spark.sql.functions._
