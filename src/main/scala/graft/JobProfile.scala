@@ -53,15 +53,23 @@ object JobProfile {
         }
       }
     })
+    graft.sources.MetaOps.reset()
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, sfDir).count()
     val total = (System.nanoTime() - t0) / 1e9
+    val meta = graft.sources.MetaOps.snapshot
     // listener events drain asynchronously
     Thread.sleep(2000)
     import scala.jdk.CollectionConverters._
     val jobs = done.asScala.toSeq
     val jobSum = jobs.map(_._2).sum
     println(f"TOTAL ${total}%.2f s, jobs=${jobs.size}, job-time sum=$jobSum%.2f s (gap=${total - jobSum}%.2f s driver-side)")
+    // the commit bill: driver-side catalog/metadata ops the query paid
+    // (the q246/q258 scale axis — see sources/MetaOps.scala)
+    println("METAOPS " + (if (meta.isEmpty) "{}"
+      else meta.toSeq.sorted
+        .map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")))
     jobs.sortBy(-_._2).take(40).foreach { case (id, d, site) =>
       println(f"  job $id%4d  $d%7.3f s  $site")
     }

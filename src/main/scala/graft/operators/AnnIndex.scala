@@ -241,6 +241,11 @@ object AnnIndex {
     * dropped — the evidence chain, not necessarily the surviving
     * copy. [[append]]'s id anti-join still collapses exact id
     * replays. Returns (batchId, dropped, appended) per batch.
+    * `appended` counts rows physically landed by THIS invocation: a
+    * replayed batch whose rows already landed reports `appended = 0`
+    * (the append anti-join absorbed it) where the clean run reported
+    * n — the crash-recovery contract guarantees index/audit STATE
+    * convergence, not return-value equality.
     *
     * Crash recovery: the batch's offset commits only after the whole
     * foreachBatch body, so a crash ANYWHERE inside it (after the

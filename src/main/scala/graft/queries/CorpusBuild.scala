@@ -55,7 +55,16 @@ object CorpusBuild {
     * target a few hundred MB of text per partition). */
   private val CuratedPartSpan = 10000L
 
-  private def ptCol = floor(col("doc_id") / lit(CuratedPartSpan))
+  /** The effective span: the `graft.corpus.partSpan` system property
+    * overrides the default — a SCALE-HARNESS-ONLY knob
+    * ([[graft.ScaleBench]]'s partitions axis grows partition count at
+    * constant data to time the commit chains). Oracle SQL interpolates
+    * the DEFAULT, so correctness runs must never set the property. */
+  private[graft] def curatedPartSpan: Long =
+    sys.props.get("graft.corpus.partSpan").map(_.toLong)
+      .getOrElse(CuratedPartSpan)
+
+  private def ptCol = floor(col("doc_id") / lit(curatedPartSpan))
     .cast("long").as("pt")
 
   private type Metric = (String, String, String, Long)
@@ -451,7 +460,7 @@ object CorpusBuild {
           .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         .repartition(col("pt"))
         .write.mode("append").insertInto(bandsT)
-      spark.catalog.refreshTable(bandsT)
+      Materialize.refresh(spark, bandsT)
     }
 
     // ---- republish the eval set (WAP staging+swap makes rewriting a
@@ -536,7 +545,7 @@ object CorpusBuild {
           .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         .repartition(col("pt"))
         .write.mode("append").insertInto(removedT)
-      spark.catalog.refreshTable(removedT)
+      Materialize.refresh(spark, removedT)
     }
 
     // ---- partition-scoped merge of the curated corpus: with
@@ -574,11 +583,9 @@ object CorpusBuild {
         case Some(v) => spark.conf.set(PoKey, v)
         case None => spark.conf.unset(PoKey)
       }
-      touched.filterNot(keptParts.contains).foreach { v =>
-        spark.sql(
-          s"ALTER TABLE $curatedT DROP IF EXISTS PARTITION (pt=$v)")
-      }
-      spark.catalog.refreshTable(curatedT)
+      Materialize.dropPartitions(spark, curatedT,
+        touched.filterNot(keptParts.contains).map(v => Seq("pt" -> v)))
+      Materialize.refresh(spark, curatedT)
     }
     // the gram index learns the additions (append-only; source is
     // addKept, empty on replay, so a re-applied delta appends nothing).
@@ -592,7 +599,7 @@ object CorpusBuild {
     // command invalidates only the micro-batch clone's relation cache
     // (the Materialize.table contract note) — without this, the next
     // batch's retro lookup reads the pre-append index listing
-    spark.catalog.refreshTable(gramsT)
+    Materialize.refresh(spark, gramsT)
     graft.operators.InternalCache.release() // see probes republish
     // rows_final rides the manifest repack's curated scan — no count
     // action of its own
@@ -726,39 +733,69 @@ object CorpusBuild {
       .select(col(eraseIds.columns.head).cast("long").as("doc_id"))
       .distinct()
 
-    // audit counts BEFORE deletion (bounded scalars), all four in one
-    // collected union — one action, not four
+    // audit counts AND affected-partition lists BEFORE deletion, all
+    // five artifacts in one collected union — ONE discovery action
+    // (each collect_set is bounded: the touched partition VALUES of a
+    // bounded erasure request, the tableIncremental contract)
     val inCurated = spark.table(curatedT)
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
-    def leg(name: String, v: DataFrame) =
-      v.agg(count(lit(1)).cast("long").as("value"))
-        .select(lit(name).as("metric"), col("value"))
-    val pre = leg("curated", inCurated)
-      .unionByName(leg("parts", inCurated.select(col("pt")).distinct()))
+    def leg(name: String, v: DataFrame, withPts: Boolean) =
+      v.agg(count(lit(1)).cast("long").as("value"),
+        (if (withPts) collect_set(col("pt"))
+         else array().cast("array<bigint>")).as("pts"))
+        .select(lit(name).as("metric"), col("value"), col("pts"))
+    val pre = leg("curated", inCurated, withPts = true)
       .unionByName(leg("grams", spark.table(gramsT)
-        .join(broadcast(ids), Seq("doc_id"), "left_semi")))
+        .join(broadcast(ids), Seq("doc_id"), "left_semi"), withPts = true))
       .unionByName(leg("probes", spark.table(probesT)
-        .join(broadcast(ids), Seq("doc_id"), "left_semi")))
+        .join(broadcast(ids), Seq("doc_id"), "left_semi"), withPts = false))
       .unionByName(leg("bands", spark.table(bandsT)
-        .join(broadcast(ids), Seq("doc_id"), "left_semi")))
+        .join(broadcast(ids), Seq("doc_id"), "left_semi"), withPts = true))
       .unionByName(leg("removed", spark.table(removedT)
-        .join(broadcast(ids), Seq("doc_id"), "left_semi")))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nCurated = pre("curated")
-    val nParts = pre("parts")
-    val nGrams = pre("grams")
-    val nProbes = pre("probes")
-    val nBands = pre("bands")
-    val nRemoved = pre("removed")
+        .join(broadcast(ids), Seq("doc_id"), "left_semi"), withPts = true))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2))))
+      .toMap
+    val nCurated = pre("curated")._1
+    val nParts = pre("curated")._2.size.toLong
+    val nGrams = pre("grams")._1
+    val nProbes = pre("probes")._1
+    val nBands = pre("bands")._1
+    val nRemoved = pre("removed")._1
 
     // partition-scoped physical deletes — band rows and the removed
     // archive carry content FINGERPRINTS and text, so erasure must
     // reach them too (a stale band entry would merely stop verifying,
-    // but the right to erasure is about the bytes, not the behavior)
-    Materialize.eraseKeys(spark, curatedT, "doc_id", ids, "pt")
-    Materialize.eraseKeys(spark, gramsT, "doc_id", ids, "pt")
-    Materialize.eraseKeys(spark, bandsT, "doc_id", ids, "pt")
-    Materialize.eraseKeys(spark, removedT, "doc_id", ids, "pt")
+    // but the right to erasure is about the bytes, not the behavior).
+    // STAGED-PARALLEL, one commit discipline (the r12 scale finding:
+    // four serial rewrite chains were pure driver-side metadata
+    // latency): the four artifacts are four DIFFERENT tables — each
+    // write has its own committer staging dir (contrast
+    // checkpointPartials' same-table serial loop), so the distributed
+    // rewrites run CONCURRENTLY and each table's emptied slices drop
+    // in ONE batched ALTER. The outer dynamic-overwrite wrap pins the
+    // session conf for the whole block — the per-thread restores
+    // inside eraseKeysIn then always restore to "dynamic", so no
+    // thread can yank the mode out from under a sibling's in-flight
+    // write.
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    Materialize.withDynamicOverwrite(spark) {
+      val threads = Seq(
+        curatedT -> pre("curated")._2, gramsT -> pre("grams")._2,
+        bandsT -> pre("bands")._2, removedT -> pre("removed")._2)
+        .map { case (t, pts) =>
+          val th = new Thread(() => {
+            org.apache.spark.sql.SparkSession.setActiveSession(spark)
+            try Materialize.eraseKeysIn(spark, t, "doc_id", ids, "pt",
+              pts)
+            catch { case e: Throwable => failures.add(e); () }
+          })
+          th.start(); th
+        }
+      threads.foreach(_.join())
+    }
+    if (!failures.isEmpty) throw failures.peek()
     // the probe set is corpus-bounded-small (1/DcProbeEvery of the
     // docs) — a WAP republish, so a failed audit can never leave a
     // half-erased eval set
@@ -978,8 +1015,8 @@ object CorpusBuild {
     * some in the eval probe set, some already removed by the gates
     * (an erasure request may name docs that are not published; the
     * report counts what was actually present). */
-  private val EraseMod = 97L
-  private val EraseRes = 3L
+  private[graft] val EraseMod = 97L
+  private[graft] val EraseRes = 3L
 
   /** The corpus-erasure lifecycle step, oracle-checked end to end:
     * [[run]] publishes the full curated state, then [[eraseDocs]]

@@ -33,7 +33,7 @@ object Materialize {
     // relation cache while the outer session — the one this library
     // reads through — keeps serving the stale pre-write file listing
     // (found live: batch N+1 joined against batch N's gram index)
-    df.sparkSession.catalog.refreshTable(name)
+    refresh(df.sparkSession, name)
     df.sparkSession.table(name)
   }
 
@@ -51,7 +51,7 @@ object Materialize {
       .write.mode("overwrite").format("parquet").partitionBy(partitionCol)
     path.foreach(p => w.option("path", p))
     w.saveAsTable(name)
-    df.sparkSession.catalog.refreshTable(name) // see table()
+    refresh(df.sparkSession, name) // see table()
     df.sparkSession.table(name)
   }
 
@@ -82,7 +82,7 @@ object Materialize {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
     path.foreach(p => w.option("path", p)) // external location when given
     w.saveAsTable(name)
-    df.sparkSession.catalog.refreshTable(name) // see table()
+    refresh(df.sparkSession, name) // see table()
     df.sparkSession.table(name)
   }
 
@@ -170,10 +170,9 @@ object Materialize {
         // must be dropped explicitly
         val kept = rewritten.select(col(partitionCol)).distinct()
           .collect().map(_.get(0)).toSet
-        affected.filterNot(kept.contains).foreach { v =>
-          spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION " +
-            s"($partitionCol='$v')")
-        }
+        dropPartitions(spark, name,
+          affected.filterNot(kept.contains)
+            .map(v => Seq(partitionCol -> v)))
         val PoKey = "spark.sql.sources.partitionOverwriteMode"
         val prev = spark.conf.getOption(PoKey)
         spark.conf.set(PoKey, "dynamic")
@@ -262,7 +261,7 @@ object Materialize {
           .write.mode("overwrite").insertInto(partials)
       }
     }
-    spark.catalog.refreshTable(partials)
+    refresh(spark, partials)
     val touched = graft.quality.Quality.obsSeq(obs, "touched")
     // ---- 2. recompute from stored partials. First create of `name`
     // recomputes EVERY partition present in the partials table, not
@@ -296,7 +295,7 @@ object Materialize {
           .write.mode("overwrite").insertInto(name)
       }
     }
-    spark.catalog.refreshTable(name)
+    refresh(spark, name)
     // ---- 4. fold cadence: with foldEvery > 0, once any partition
     // holds more than foldEvery slices, everything strictly below THIS
     // batch id folds into one synthetic slice ([[checkpointPartials]])
@@ -449,6 +448,7 @@ object Materialize {
     // lever is the single distributed staging write above, which left
     // each of these commits metadata-sized.
     try affected.foreach { v =>
+      MetaOps.inc("insert_overwrite_commit")
       spark.sql(
         s"INSERT OVERWRITE TABLE $partials " +
           s"PARTITION ($partitionCol='$v', __batch) " +
@@ -460,7 +460,7 @@ object Materialize {
       }
       spark.catalog.dropTempView(tmp)
     }
-    spark.catalog.refreshTable(partials)
+    refresh(spark, partials)
     Ingest.deletePath(spark, scratch)
     affected
   }
@@ -471,13 +471,50 @@ object Materialize {
     * that the next run's recompute silently folds back in). */
   def dropAggState(spark: SparkSession, name: String): Unit =
     Seq(name, s"${name}__partials").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
+      dropTable(spark, s"$t")
       dropOrphanLocation(spark, t)
     }
 
+  /** The ONE builder for every `ALTER TABLE … DROP PARTITION` in the
+    * repo: all `specs` (each a (column → value) list) go into a SINGLE
+    * batched statement — the emptied-slice metadata pass is O(1)
+    * statements, not O(#partitions) of serial driver round-trips, the
+    * shape that made the r12 erasure queries metadata-bound. Values are
+    * single-quote-escaped, so a value containing `'` can never break
+    * the statement. No-op on an empty spec list. */
+  private[graft] def dropPartitions(spark: SparkSession, table: String,
+      specs: Seq[Seq[(String, Any)]]): Unit =
+    if (specs.nonEmpty) {
+      def q(v: Any): String =
+        "'" + String.valueOf(v).replace("'", "''") + "'"
+      val parts = specs.map(_.map { case (c, v) => s"$c=${q(v)}" }
+        .mkString("PARTITION (", ", ", ")")).mkString(", ")
+      MetaOps.inc("alter_drop_partitions_stmt")
+      MetaOps.add("partitions_dropped", specs.size.toLong)
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS $parts")
+      ()
+    }
+
+  /** Counted wrapper for every relation-cache invalidation the library
+    * issues (each one re-lists table files on the next read — driver
+    * metadata work the [[MetaOps]] bill must see). */
+  private[graft] def refresh(spark: SparkSession, name: String): Unit = {
+    MetaOps.inc("refresh_table")
+    spark.catalog.refreshTable(name)
+  }
+
+  /** Counted `DROP TABLE IF EXISTS` — every catalog drop in the
+    * publish/recover protocols goes through here so the [[MetaOps]]
+    * bill sees it. */
+  private[graft] def dropTable(spark: SparkSession, name: String): Unit = {
+    MetaOps.inc("drop_table")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    ()
+  }
+
   /** Run `body` under dynamic partition-overwrite mode, restoring the
     * previous setting after. */
-  private def withDynamicOverwrite(spark: SparkSession)(
+  private[graft] def withDynamicOverwrite(spark: SparkSession)(
       body: => Unit): Unit = {
     val PoKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(PoKey)
@@ -557,10 +594,8 @@ object Materialize {
         p.stripPrefix(s"$partitionCol=")
       }
       .filter(_ < cutoff)
-    expired.foreach { v =>
-      spark.sql(
-        s"ALTER TABLE $name DROP IF EXISTS PARTITION ($partitionCol='$v')")
-    }
+    dropPartitions(spark, name,
+      expired.toSeq.map(v => Seq(partitionCol -> (v: Any))))
     spark.table(name)
   }
 
@@ -575,11 +610,61 @@ object Materialize {
     * broadcast through both uses — an erasure batch is a bounded
     * request list, not data. Returns the affected partition values
     * (the audit trail a DPO wants). */
+  def eraseKeys(spark: SparkSession, name: String, keyCol: String,
+      keys: DataFrame, partitionCol: String): Seq[Any] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val k = broadcast(keys.select(col(keys.columns.head).as(keyCol))
+      .distinct())
+    val affected = spark.table(name).join(k, Seq(keyCol), "left_semi")
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    eraseKeysIn(spark, name, keyCol, keys, partitionCol, affected)
+    affected
+  }
+
+  /** The rewrite half of [[eraseKeys]], with the affected partition
+    * values already discovered: a multi-artifact erasure (the corpus
+    * [[graft.queries.CorpusBuild.eraseDocs]]) finds every table's
+    * affected list in ONE combined action, then runs these rewrites in
+    * PARALLEL — safe because each call targets its own table (own
+    * committer staging dir; contrast [[checkpointPartials]]' same-table
+    * serial commit loop), and the emptied-slice drop is one batched
+    * statement per table via [[dropPartitions]]. */
+  private[graft] def eraseKeysIn(spark: SparkSession, name: String,
+      keyCol: String, keys: DataFrame, partitionCol: String,
+      affected: Seq[Any]): Unit =
+    if (affected.nonEmpty) {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val k = broadcast(keys.select(col(keys.columns.head).as(keyCol))
+        .distinct())
+      val t = spark.table(name)
+      val schema = t.schema
+      val kept = t.filter(col(partitionCol).isin(affected: _*))
+        .join(k, Seq(keyCol), "left_anti")
+      // dynamic overwrite only rewrites partitions PRESENT in the
+      // output: a partition erased down to zero rows must be dropped
+      // explicitly or its stale files survive
+      val keptParts = kept.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      withDynamicOverwrite(spark) {
+        kept
+          .select(schema.map(f => col(f.name)): _*)
+          .repartition(col(partitionCol))
+          .write.mode("overwrite").insertInto(name)
+      }
+      dropPartitions(spark, name,
+        affected.filterNot(keptParts.contains)
+          .map(v => Seq(partitionCol -> v)))
+    }
+
   /** Right-to-erasure for an INCREMENTAL aggregate — the
     * [[aggIncremental]] state pair: deletes every row of the requested
     * keys from BOTH the published table and the stored batch partials,
-    * rewriting only the partition slices that hold them. Erasing only
-    * the published table would be an illusion: the next batch touching
+    * rewriting only the (partition, batch) slices that hold them (a
+    * `kept` filtered on the partition value alone would rewrite every
+    * batch slice of an affected partition — pure write amplification
+    * when a hot partition holds many slices). Erasing only the
+    * published table would be an illusion: the next batch touching
     * the partition recomputes from the stored partials and resurrects
     * the key. A partials (partition, batch) slice emptied by the
     * erasure is dropped explicitly — dynamic overwrite rewrites only
@@ -596,7 +681,7 @@ object Materialize {
     * partials slices touched). */
   def eraseAggKeys(spark: SparkSession, name: String, keyCol: String,
       keys: DataFrame, partitionCol: String): (Seq[Any], Long) = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val partials = s"${name}__partials"
     val k = broadcast(keys.select(col(keys.columns.head).as(keyCol))
       .distinct())
@@ -610,10 +695,14 @@ object Materialize {
           .select(col(partitionCol), col("__batch")).distinct()
           .collect().map(r => (r.get(0), r.getString(1))).toSeq
         if (slices.nonEmpty) {
-          val parts = slices.map(_._1).distinct
           val schema = t.schema
-          val kept = t.filter(col(partitionCol).isin(parts: _*))
-            .join(k, Seq(keyCol), "left_anti")
+          // ONLY the touched slices: untouched batch slices of an
+          // affected partition never enter the output, so dynamic
+          // overwrite never rewrites them
+          val touched = slices.map { case (p, b) =>
+            col(partitionCol) === lit(p) && col("__batch") === lit(b)
+          }.reduce(_ || _)
+          val kept = t.filter(touched).join(k, Seq(keyCol), "left_anti")
           // bounded: <= |slices| — taken BEFORE the overwrite so the
           // drop list reads one consistent snapshot
           val keptSlices = kept
@@ -624,11 +713,11 @@ object Materialize {
               .repartition(col(partitionCol))
               .write.mode("overwrite").insertInto(partials)
           }
-          slices.filterNot(keptSlices.contains).foreach { case (p, b) =>
-            spark.sql(s"ALTER TABLE $partials DROP IF EXISTS PARTITION " +
-              s"($partitionCol='$p', __batch='$b')")
-          }
-          spark.catalog.refreshTable(partials)
+          dropPartitions(spark, partials,
+            slices.filterNot(keptSlices.contains).map { case (p, b) =>
+              Seq(partitionCol -> p, "__batch" -> b)
+            })
+          refresh(spark, partials)
         }
         slices.size.toLong
       }
@@ -637,43 +726,6 @@ object Materialize {
         eraseKeys(spark, name, keyCol, keys, partitionCol)
       else Seq.empty[Any]
     (published, nSlices)
-  }
-
-  def eraseKeys(spark: SparkSession, name: String, keyCol: String,
-      keys: DataFrame, partitionCol: String): Seq[Any] = {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    val k = broadcast(keys.select(col(keys.columns.head).as(keyCol))
-      .distinct())
-    val t = spark.table(name)
-    val affected = t.join(k, Seq(keyCol), "left_semi")
-      .select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSeq
-    if (affected.nonEmpty) {
-      val schema = spark.table(name).schema
-      val kept = t.filter(col(partitionCol).isin(affected: _*))
-        .join(k, Seq(keyCol), "left_anti")
-      // dynamic overwrite only rewrites partitions PRESENT in the
-      // output: a partition erased down to zero rows must be dropped
-      // explicitly or its stale files survive
-      val keptParts = kept.select(col(partitionCol)).distinct()
-        .collect().map(_.get(0)).toSet
-      val PoKey = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(PoKey)
-      spark.conf.set(PoKey, "dynamic")
-      try kept
-        .select(schema.map(f => col(f.name)): _*)
-        .repartition(col(partitionCol))
-        .write.mode("overwrite").insertInto(name)
-      finally prev match {
-        case Some(v) => spark.conf.set(PoKey, v)
-        case None => spark.conf.unset(PoKey)
-      }
-      affected.filterNot(keptParts.contains).foreach { v =>
-        spark.sql(
-          s"ALTER TABLE $name DROP IF EXISTS PARTITION ($partitionCol='$v')")
-      }
-    }
-    affected
   }
 
   /** Small-file compaction: rewrite every partition whose FILE COUNT
@@ -765,7 +817,7 @@ object Materialize {
       // <name> resolves to nothing) is inherent to a catalog without
       // multi-op transactions; recoverPrev() documents the repair.
       val prev = name + "__prev"
-      spark.sql(s"DROP TABLE IF EXISTS $prev")
+      dropTable(spark, s"$prev")
       dropOrphanLocation(spark, prev)
       crash(2)
       if (spark.catalog.tableExists(name))
@@ -782,7 +834,7 @@ object Materialize {
       // stale blocks to every post-publish reader in this session —
       // found live when runIncremental's manifest read the pre-merge
       // corpus. Publishing must invalidate readers' caches.
-      spark.catalog.refreshTable(name)
+      refresh(spark, name)
       // the audits ran on the STAGED files; a PARTITIONED rename is
       // the one step that can lose them (partition metadata left at
       // the old path — the class renameTable repairs). One limit-1
@@ -794,9 +846,9 @@ object Materialize {
         require(!spark.table(name).isEmpty,
           s"publish of $name: staged rows lost in the swap")
       crash(4)
-      spark.sql(s"DROP TABLE IF EXISTS $prev")
+      dropTable(spark, s"$prev")
     } else {
-      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      dropTable(spark, s"$staging")
     }
     (ok, results)
   }
@@ -821,8 +873,10 @@ object Materialize {
       to: String): Boolean = {
     val partitioned =
       spark.catalog.listColumns(from).collect().exists(_.isPartition)
+    MetaOps.inc("rename_table")
     spark.sql(s"ALTER TABLE $from RENAME TO $to")
-    if (partitioned) spark.sql(s"MSCK REPAIR TABLE $to")
+    if (partitioned) { MetaOps.inc("msck_repair")
+      spark.sql(s"MSCK REPAIR TABLE $to"); () }
     partitioned
   }
 
@@ -837,7 +891,7 @@ object Materialize {
         spark.catalog.tableExists(prev)) {
       dropOrphanLocation(spark, name)
       renameTable(spark, prev, name)
-      spark.catalog.refreshTable(name) // same staleness class as publish
+      refresh(spark, name) // same staleness class as publish
       true
     } else false
   }
@@ -946,20 +1000,20 @@ object Materialize {
     val ok = results.forall(_._2.forall(_.passed))
     if (!ok) {
       tables.foreach { case (_, name, _, _) =>
-        spark.sql(s"DROP TABLE IF EXISTS ${name}__staging") }
+        dropTable(spark, s"${name}__staging") }
       spark.sql(s"DROP TABLE $marker")
       return (false, results)
     }
     tables.zipWithIndex.foreach { case ((_, name, _, _), i) =>
       val prev = s"${name}__prev"
-      spark.sql(s"DROP TABLE IF EXISTS $prev")
+      dropTable(spark, s"$prev")
       dropOrphanLocation(spark, prev)
       if (spark.catalog.tableExists(name))
         renameTable(spark, name, prev)
       dropOrphanLocation(spark, name)
       val renamedPartitioned =
         renameTable(spark, s"${name}__staging", name)
-      spark.catalog.refreshTable(name) // the publish staleness class
+      refresh(spark, name) // the publish staleness class
       // audits ran on the STAGED files; a PARTITIONED rename is the
       // one step that can lose them (see publishAudited). One limit-1
       // probe, paid only for partitioned members, fails while __prev +
@@ -972,7 +1026,7 @@ object Materialize {
     if (crashAfterSwap == tables.size)
       throw new CrashInjected(tables.size)
     tables.foreach { case (_, name, _, _) =>
-      spark.sql(s"DROP TABLE IF EXISTS ${name}__prev") }
+      dropTable(spark, s"${name}__prev") }
     spark.sql(s"DROP TABLE $marker")
     (true, results)
   }
@@ -993,14 +1047,14 @@ object Materialize {
     if (!spark.catalog.tableExists(marker)) {
       val any = names.exists(n => spark.catalog.tableExists(staging(n)))
       names.foreach(n =>
-        spark.sql(s"DROP TABLE IF EXISTS ${staging(n)}"))
+        dropTable(spark, s"${staging(n)}"))
       return if (any) "back" else "noop"
     }
     val anyStaging = names.exists(n =>
       spark.catalog.tableExists(staging(n)))
     if (!anyStaging) {
-      names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS ${prev(n)}"))
-      spark.sql(s"DROP TABLE IF EXISTS $marker")
+      names.foreach(n => dropTable(spark, s"${prev(n)}"))
+      dropTable(spark, s"$marker")
       "forward"
     } else {
       names.foreach { n =>
@@ -1012,19 +1066,19 @@ object Materialize {
             dropOrphanLocation(spark, n)
             renameTable(spark, prev(n), n)
           }
-          spark.sql(s"DROP TABLE IF EXISTS ${staging(n)}")
+          dropTable(spark, s"${staging(n)}")
         } else {
           // swapped: the name holds the NEW version — roll it back to
           // the kept prev (or to unpublished for a first release)
-          spark.sql(s"DROP TABLE IF EXISTS $n")
+          dropTable(spark, s"$n")
           dropOrphanLocation(spark, n)
           if (spark.catalog.tableExists(prev(n)))
             renameTable(spark, prev(n), n)
         }
         if (spark.catalog.tableExists(n))
-          spark.catalog.refreshTable(n) // publish staleness class
+          refresh(spark, n) // publish staleness class
       }
-      spark.sql(s"DROP TABLE IF EXISTS $marker")
+      dropTable(spark, s"$marker")
       "back"
     }
   }

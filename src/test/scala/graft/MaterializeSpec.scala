@@ -38,6 +38,44 @@ class MaterializeSpec extends SparkSpec {
     spark.sql("DROP TABLE mz_gdpr")
   }
 
+  test("eraseAggKeys rewrites only the touched (partition, batch) " +
+      "slices; untouched batch slices keep their exact files") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    Materialize.dropAggState(spark, "mz_aggslice")
+    // two batches: b0 holds keys 1/2 in partition d1; b1 holds key 3
+    // in d1 and key 4 in d2. Erasing key 1 touches ONLY (d1, b0) —
+    // (d1, b1) is an untouched batch slice of an AFFECTED partition,
+    // the write-amplification case: its files must not be rewritten
+    def partial(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("uid", "d", "n")
+    Materialize.aggIncremental(spark, "mz_aggslice",
+      partial(Seq((1L, "d1", 10L), (2L, "d1", 20L))),
+      Seq("uid", "d"), "d", "b0")
+    Materialize.aggIncremental(spark, "mz_aggslice",
+      partial(Seq((3L, "d1", 30L), (4L, "d2", 40L))),
+      Seq("uid", "d"), "d", "b1")
+    def filesOf(b: String): Set[String] =
+      rows(spark.table("mz_aggslice__partials")
+        .filter(col("__batch") === b)
+        .select(input_file_name().as("f")).distinct())
+        .map(_.getString(0)).toSet
+    val b1Before = filesOf("b1")
+    assert(b1Before.nonEmpty)
+    val (pubParts, slices) = Materialize.eraseAggKeys(spark,
+      "mz_aggslice", "uid", Seq(1L).toDF("uid"), "d")
+    assert(slices == 1L, s"expected 1 touched slice, got $slices")
+    assert(pubParts == Seq("d1"))
+    // untouched batch slice: byte-identical files, not a rewrite
+    assert(filesOf("b1") == b1Before,
+      "untouched (d1, b1) slice was rewritten")
+    // content: key 1 gone everywhere, the rest intact
+    assert(rows(spark.table("mz_aggslice__partials").select("uid"))
+      .map(_.getLong(0)).sorted == Seq(2L, 3L, 4L))
+    assert(rows(spark.table("mz_aggslice").select("uid"))
+      .map(_.getLong(0)).sorted == Seq(2L, 3L, 4L))
+    Materialize.dropAggState(spark, "mz_aggslice")
+  }
+
   test("compactFiles: content identical, one file per partition after") {
     spark.sql("DROP TABLE IF EXISTS mz_cmp")
     graft.sources.Ingest.deletePath(spark,
