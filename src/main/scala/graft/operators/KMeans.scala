@@ -69,17 +69,47 @@ object KMeans {
       }),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Assignment-form threshold (VERDICT r12 #4): at k ≤ SmallK the
+    * column-per-centroid form below is measurably faster per row
+    * (isolated q53: 13.2 s vs the HOF form's 19.5 s) and its O(k²)
+    * plan-size term is negligible; above it the `typedlit`+HOF array
+    * is the only form that stays compilable (the column fold read
+    * 54.9× at 10× data with corpus-sized k from plan compilation
+    * alone). Distances are bit-identical on both sides — the same
+    * [[distTo]] fold term sequence — so every consumer, spec, and
+    * oracle is form-agnostic (KMeansSpec pins equality across the
+    * threshold). */
+  private[graft] val SmallK = 32
+
+  /** TEST-ONLY escape hatch (same class as `crashAfterStep` fault
+    * injection): forces the HOF form below the threshold so the spec
+    * can pin bit-equality of BOTH forms at the SAME k. Never set in
+    * production paths; leaving it on merely costs speed, never
+    * correctness (the equality is the property under test). */
+  private[graft] var forceHof: Boolean = false
+
+  private def useCols(k: Int): Boolean = k <= SmallK && !forceHof
+
+  /** Small-k helper: all k distance columns `__kd0..__kd{k-1}` added
+    * in ONE projection (a per-centroid `withColumn` fold would
+    * re-analyze the growing projection k times — the O(k²) analyzer
+    * trap this file already hit once). */
+  private def withDistCols(df: DataFrame, vqCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    df.withColumns(
+      cents.zipWithIndex.map { case (c, m) =>
+        s"__kd$m" -> distTo(col(vqCol), c)
+      }.toMap)
+
   /** (distance, cell) structs for every centroid as ONE row-local
     * array expression: the centroid table is a single `typedlit`
     * constant and the fold body appears once inside a `transform`
-    * lambda, so plan size is O(1) in k. (The previous
-    * column-per-centroid `foldLeft(withColumn)` form made analysis
-    * and codegen O(k²) — measured catastrophic at a corpus-sized 160
-    * cells: the stream-ingest scale probe read 55× at 10× data from
-    * plan compilation alone.) The per-element fold is the exact
-    * [[distTo]] term sequence, so distances are bit-identical; struct
-    * ordering is (d, m), so `array_min`/`array_sort` ARE the oracle's
-    * `ORDER BY dist, cell` first-wins ranking. */
+    * lambda, so plan size is O(1) in k — the ONLY form that stays
+    * compilable at corpus-sized k. The per-element fold is the exact
+    * [[distTo]] term sequence, so distances are bit-identical to the
+    * small-k column form; struct ordering is (d, m), so
+    * `array_min`/`array_sort` ARE the oracle's `ORDER BY dist, cell`
+    * first-wins ranking. */
   private def distStructs(vq: Column,
       cents: Array[Array[Double]]): Column =
     transform(
@@ -93,12 +123,24 @@ object KMeans {
         m.as("m")))
 
   /** Appends `__cell` (first-wins argmin assignment) and `__kdist`
-    * (the min distance) for the given centroid table. */
+    * (the min distance) for the given centroid table. Form picked by
+    * k (see [[SmallK]]); identical output either way. */
   def withCellDist(df: DataFrame, vqCol: String,
       cents: Array[Array[Double]]): DataFrame = {
-    val best = array_min(distStructs(col(vqCol), cents))
-    df.withColumn("__cell", best.getField("m"))
-      .withColumn("__kdist", best.getField("d"))
+    val k = cents.length
+    if (useCols(k)) {
+      withDistCols(df, vqCol, cents)
+        .withColumn("__cell",
+          Similarity.argminCell(k, m => col(s"__kd$m")))
+        .withColumn("__kdist",
+          if (k == 1) col("__kd0")
+          else least((0 until k).map(m => col(s"__kd$m")): _*))
+        .drop((0 until k).map(m => s"__kd$m"): _*)
+    } else {
+      val best = array_min(distStructs(col(vqCol), cents))
+      df.withColumn("__cell", best.getField("m"))
+        .withColumn("__kdist", best.getField("d"))
+    }
   }
 
   /** [[withCellDist]] plus `__kdist2`: the distance to the BEST OTHER
@@ -108,11 +150,26 @@ object KMeans {
     * silhouette's b-term. */
   def withCellDist2(df: DataFrame, vqCol: String,
       cents: Array[Array[Double]]): DataFrame = {
-    require(cents.length >= 2, "runner-up distance needs k >= 2")
-    val sorted = array_sort(distStructs(col(vqCol), cents))
-    df.withColumn("__cell", element_at(sorted, 1).getField("m"))
-      .withColumn("__kdist", element_at(sorted, 1).getField("d"))
-      .withColumn("__kdist2", element_at(sorted, 2).getField("d"))
+    val k = cents.length
+    require(k >= 2, "runner-up distance needs k >= 2")
+    if (useCols(k)) {
+      val withD = withDistCols(df, vqCol, cents)
+      val cell = Similarity.argminCell(k, m => col(s"__kd$m"))
+      withD
+        .withColumn("__cell", cell)
+        .withColumn("__kdist",
+          least((0 until k).map(m => col(s"__kd$m")): _*))
+        .withColumn("__kdist2",
+          least((0 until k).map(m =>
+            when(col("__cell") === m, lit(Double.MaxValue))
+              .otherwise(col(s"__kd$m"))): _*))
+        .drop((0 until k).map(m => s"__kd$m"): _*)
+    } else {
+      val sorted = array_sort(distStructs(col(vqCol), cents))
+      df.withColumn("__cell", element_at(sorted, 1).getField("m"))
+        .withColumn("__kdist", element_at(sorted, 1).getField("d"))
+        .withColumn("__kdist2", element_at(sorted, 2).getField("d"))
+    }
   }
 
   /** [[withCellDist]] plus `__cell2` — the runner-up CELL id (the rk=2
@@ -121,10 +178,22 @@ object KMeans {
     * second probe of a 2-probe IVF search ([[AnnIndex.topK]]). */
   def withCell2(df: DataFrame, vqCol: String,
       cents: Array[Array[Double]]): DataFrame = {
-    require(cents.length >= 2, "a second probe needs k >= 2")
-    val sorted = array_sort(distStructs(col(vqCol), cents))
-    df.withColumn("__cell", element_at(sorted, 1).getField("m"))
-      .withColumn("__cell2", element_at(sorted, 2).getField("m"))
+    val k = cents.length
+    require(k >= 2, "a second probe needs k >= 2")
+    if (useCols(k)) {
+      withDistCols(df, vqCol, cents)
+        .withColumn("__cell",
+          Similarity.argminCell(k, m => col(s"__kd$m")))
+        .withColumn("__cell2",
+          Similarity.argminCell(k, m =>
+            when(col("__cell") === m, lit(Double.MaxValue))
+              .otherwise(col(s"__kd$m"))))
+        .drop((0 until k).map(m => s"__kd$m"): _*)
+    } else {
+      val sorted = array_sort(distStructs(col(vqCol), cents))
+      df.withColumn("__cell", element_at(sorted, 1).getField("m"))
+        .withColumn("__cell2", element_at(sorted, 2).getField("m"))
+    }
   }
 
   /** [[withCell2]] generalized: appends `__probe0..__probe{n-1}` — the
@@ -138,9 +207,24 @@ object KMeans {
       cents: Array[Array[Double]], n: Int): DataFrame = {
     val k = cents.length
     require(n >= 1 && n <= k, "1 <= nProbe <= cells")
-    val sorted = array_sort(distStructs(col(vqCol), cents))
-    (0 until n).foldLeft(df) { (d, i) =>
-      d.withColumn(s"__probe$i", element_at(sorted, i + 1).getField("m"))
+    if (useCols(k)) {
+      val withD = withDistCols(df, vqCol, cents)
+      val staged = (0 until n).foldLeft(withD) { (d, i) =>
+        val masked: Int => Column = m => {
+          val prior = (0 until i).map(j => col(s"__probe$j") === m)
+          if (prior.isEmpty) col(s"__kd$m")
+          else when(prior.reduce(_ || _), lit(Double.MaxValue))
+            .otherwise(col(s"__kd$m"))
+        }
+        d.withColumn(s"__probe$i", Similarity.argminCell(k, masked))
+      }
+      staged.drop((0 until k).map(m => s"__kd$m"): _*)
+    } else {
+      val sorted = array_sort(distStructs(col(vqCol), cents))
+      (0 until n).foldLeft(df) { (d, i) =>
+        d.withColumn(s"__probe$i",
+          element_at(sorted, i + 1).getField("m"))
+      }
     }
   }
 

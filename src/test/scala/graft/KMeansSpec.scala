@@ -83,6 +83,44 @@ class KMeansSpec extends SparkSpec {
     assert(cents(moved.head).toSeq == Seq(5.0, 5.0, 5.0, 5.0))
   }
 
+  test("both assignment forms are bit-identical at the same k, and " +
+      "the form switch at SmallK changes nothing") {
+    // the engine picks the assignment form by k (codegen column fold
+    // at k <= SmallK, the O(1)-plan typedlit+HOF array above); both
+    // compute the exact distTo fold sequence, so distances, cells,
+    // runner-ups, and probe lists must be BIT-identical — including
+    // on ties (both crafted tie rows below land between centroids)
+    val data = Seq.tabulate(40)(i =>
+      (i.toLong, Seq(math.sin(i * 1.7), math.cos(i * 0.9),
+        math.sin(i * 2.3), math.cos(i * 3.1)))) ++
+      Seq((100L, Seq(5.0, 0.0, 0.0, 0.0)),   // tie between cells 0/1
+        (101L, Seq(0.0, 5.0, 0.0, 0.0)))
+    val df = vecs(data).persist()
+    // k on BOTH sides of the threshold: SmallK (column form) and
+    // SmallK+1 (HOF form) — and at each k, force the HOF form and
+    // require equality with whatever the public pick produced
+    for (k <- Seq(2, KMeans.SmallK, KMeans.SmallK + 1)) {
+      val cents = KMeans.initCentroids(k, dims)
+        .updated(0, Array(5.0, 5.0, 0.0, 0.0)) // makes the ties real
+      def all(): Seq[Seq[Any]] = {
+        val d2 = KMeans.withCellDist2(df, "vq", cents)
+        val pn = KMeans.withCellN(df, "vq", cents, math.min(4, k))
+        rows(KMeans.withCellDist(df, "vq", cents)
+          .join(d2.select(col("vec_id"), col("__kdist2"),
+            col("__cell").as("__cell_b")), Seq("vec_id"))
+          .join(pn.drop("__kdist", "__cell"), Seq("vec_id"))
+          .orderBy(col("vec_id"))).map(_.toSeq)
+      }
+      val picked = all()
+      KMeans.forceHof = true
+      val hof = try all() finally KMeans.forceHof = false
+      assert(picked == hof, s"forms diverged at k=$k")
+      assert(picked.nonEmpty && picked.size == data.size)
+    }
+    df.unpersist()
+    ()
+  }
+
   test("assignment is the argmin cell with first-wins ties") {
     val df = vecs(Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))))
     val cents = Array(
