@@ -8,7 +8,9 @@ cd "$(dirname "$0")/.."
 N="${1:?round number}"
 export SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
-TOP="${SPARK_GRAFT_TOP:-q53_ann_recall q134_dedup_method_recall q148_bpe_encode q111_pagerank q216_bootstrap_ci q179_bfs_reach q109_stream_interval_join q128_prefix_filter_join q86_stream_near_dedup q54_dedup_corpus}"
+# r13: q246/q250/q258 added (VERDICT r12 #3) — the official bench's
+# top-cost composed queries now have a stable isolated signal
+TOP="${SPARK_GRAFT_TOP:-q53_ann_recall q134_dedup_method_recall q148_bpe_encode q111_pagerank q216_bootstrap_ci q179_bfs_reach q109_stream_interval_join q128_prefix_filter_join q86_stream_near_dedup q54_dedup_corpus q246_corpus_erasure q250_build_incremental q258_corpus_build_incremental}"
 
 sbt -batch compile >/dev/null 2>&1
 

@@ -12,7 +12,13 @@ cd "$(dirname "$0")/.."
 N="${1:?round number}"
 export SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
-PANEL="q53_ann_recall,q111_pagerank,q148_bpe_encode,q134_dedup_method_recall,q17_sessionize,q8_running_total,q63_scd2_merge,q99_kmeans_centroids,q135_tfidf_cosine_pairs,q214_pca_top_component"
+# r13 (VERDICT r12 #5): q53/q99/q214 ride the KMeans assignment path,
+# which changed in r12 AND r13 — a noise panel must be CODE-STABLE, so
+# they are swapped for queries untouched since r11 (q109 streaming
+# interval join, q179 BFS, q216 bootstrap CI). Cross-round ratios use
+# the intersection of query sets, so the 7 carried queries keep the
+# r12→r13 machine signal alive.
+PANEL="q109_stream_interval_join,q111_pagerank,q148_bpe_encode,q134_dedup_method_recall,q17_sessionize,q8_running_total,q63_scd2_merge,q179_bfs_reach,q135_tfidf_cosine_pairs,q216_bootstrap_ci"
 
 echo "[noise_panel] benching panel (one JVM, reps 3)" >&2
 SPARK_GRAFT_BENCH_ONLY="$PANEL" sbt -batch "runMain graft.Bench" >/dev/null 2>&1

@@ -342,13 +342,20 @@ object ScaleBench {
     * expected shape is ~linear batch merges plus a near-constant fold
     * overhead (the fold reads pre-aggregated partials, not events).
     * State drops first: each timed call is the full lifecycle. */
-  private def aggFoldProbe(spark: SparkSession, dir: String): DataFrame = {
+  private def aggFoldProbe(spark: SparkSession, dir: String,
+      hourly: Boolean = false): DataFrame = {
     import graft.sources.Materialize
     val name = s"scale_aggfold_${math.abs(dir.hashCode)}"
     Materialize.dropAggState(spark, name)
     val ev = spark.read.parquet(s"$dir/events.parquet")
+    // the partitions-axis variant buckets by HOUR (24× the partition
+    // count at identical data volume) — the fold/apply commit chains
+    // are O(#slices) and this is the axis that grows them
     def partial(df: DataFrame): DataFrame =
-      df.groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      df.groupBy(
+        (if (hourly) date_trunc("hour", col("ts"))
+         else col("ts").cast("date")).as("day"),
+        col("event_type"))
         .agg(count(lit(1)).as("n_events"))
     val h = pmod(graft.functions.Functions.md5Long(
       col("event_id").cast("string")), lit(4))
@@ -356,6 +363,95 @@ object ScaleBench {
       Materialize.aggIncremental(spark, name, partial(ev.filter(h === i)),
         Seq("day", "event_type"), "day", f"b$i%02d", foldEvery = 2)
     }.last
+  }
+
+  /** PARTITION-COUNT axis (VERDICT r12 #7): the composed builds'
+    * commit chains — publish renames, MSCK repairs, per-slice drops,
+    * dynamic-overwrite commits — are O(#partitions) DRIVER work, and
+    * the data-volume axis never exercises it (10× data at the same
+    * span is ~10× bytes in the same partition count ballpark). This
+    * mode holds DATA CONSTANT (the x1 replica of the base fixture) and
+    * shrinks the curated-table partition span 10× (the
+    * `graft.corpus.partSpan` knob), so the composed corpus build, its
+    * erasure, and the incremental continuation each commit ~10× the
+    * partitions; the fold probe swaps its day partitioning for hours
+    * (24×). A ratio near 1 says the commit machinery is
+    * partition-count-insensitive; a ratio tracking the partition
+    * growth says the serial metadata chain is the bottleneck at 100×
+    * partition counts. Timed min-of-2 like the data axis; MetaOps
+    * deltas ride each row so the commit bill is a recorded number. */
+  private def partitionsAxis(spark: SparkSession, baseDir: String)
+      : Unit = {
+    import graft.queries.CorpusBuild
+    val dir = "/tmp/graft_scale_x1"
+    buildReplica(spark, baseDir, 1, dir)
+    buildRelationalReplica(spark, baseDir, 1, dir)
+    val spanDefault = CorpusBuild.curatedPartSpan
+    val results = scala.collection.mutable.LinkedHashMap[String,
+      (Double, Double)]()
+    def timeOne(name: String, body: => Unit): (Double, Map[String, Long]) = {
+      graft.sources.MetaOps.reset()
+      val t0 = System.nanoTime()
+      body
+      val e = (System.nanoTime() - t0) / 1e9
+      val meta = graft.sources.MetaOps.snapshot
+      graft.operators.InternalCache.release()
+      graft.operators.SharedFrames.release()
+      spark.catalog.clearCache()
+      System.gc()
+      (e, meta)
+    }
+    val eraseReq = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(CorpusBuild.EraseMod)) ===
+        CorpusBuild.EraseRes)
+    for ((tag, mult) <- Seq(("p1", 1), ("p10", 10))) {
+      sys.props("graft.corpus.partSpan") =
+        math.max(1L, spanDefault / mult).toString
+      try {
+        val raw = spark.read.parquet(s"$dir/documents.parquet")
+        // the q258 split: base 80% / delta 20% by doc_id
+        val cut = raw.agg(floor(max(col("doc_id")) * 0.8).cast("long"))
+          .head().getLong(0)
+        // (probe, untimed prep per rep, timed body): a repeated erase
+        // would hit an already-erased corpus (no-op) and a replayed
+        // incremental a converged state (near-no-op) — min-of-2 would
+        // then time the WRONG operation, so each rep re-prepares state
+        // OUTSIDE the clock
+        for ((q, prep, body) <- Seq[(String, () => Unit, () => Unit)](
+            ("corpus_build_parts", () => (),
+              () => { CorpusBuild.run(spark, dir); () }),
+            ("corpus_erase_parts",
+              () => { CorpusBuild.run(spark, dir); () },
+              () => { CorpusBuild.eraseDocs(spark, dir, eraseReq); () }),
+            ("corpus_inc_parts",
+              () => { CorpusBuild.run(spark, dir,
+                raw.filter(col("doc_id") <= cut), suffix = "pa"); () },
+              () => { CorpusBuild.runIncremental(spark, dir,
+                raw.filter(col("doc_id") > cut), suffix = "pa")
+                .collect(); () }),
+            ("agg_fold_parts", () => (),
+              () => { aggFoldProbe(spark, dir,
+                hourly = mult > 1).count(); () }))) {
+          prep()
+          val (t1, m1) = timeOne(q, body())
+          prep()
+          val (t2, m2) = timeOne(q, body())
+          val t = math.min(t1, t2)
+          val meta = (if (t1 <= t2) m1 else m2).toSeq.sorted
+            .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+          results(q) =
+            if (mult == 1) (t, results.get(q).map(_._2).getOrElse(0.0))
+            else (results.get(q).map(_._1).getOrElse(0.0), t)
+          println(
+            f"""{"q":"$q","axis":"partitions","mult":$mult,"sec":$t%.3f,"metaops":$meta}""")
+        }
+      } finally { sys.props.remove("graft.corpus.partSpan"); () }
+    }
+    val rows = results.map { case (q, (t1, tm)) =>
+      f""""$q":{"t1":$t1%.3f,"t10":$tm%.3f,"ratio":${tm / t1}%.2f}"""
+    }.mkString(",")
+    println(s"""{"scale_axis":"partitions","queries":{$rows}}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -378,6 +474,14 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // SPARK_GRAFT_SCALE_AXIS=partitions: grow PARTITION COUNT at
+    // constant data instead of data volume (the commit-chain axis)
+    if (sys.env.get("SPARK_GRAFT_SCALE_AXIS").contains("partitions")) {
+      partitionsAxis(spark, baseDir)
+      spark.stop()
+      return
+    }
 
     def timeOne(name: String, df: => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -457,7 +561,8 @@ object ScaleBench {
           ("ann_filtered_serve", annFilteredProbe _),
           ("ann_serve_unfiltered", annUnfilteredProbe _),
           ("stream_ingest_dedup", streamIngestProbe _),
-          ("agg_fold_lifecycle", aggFoldProbe _))
+          ("agg_fold_lifecycle",
+            (s: SparkSession, d: String) => aggFoldProbe(s, d)))
           if only.forall(_.contains(name))) {
         val t = math.min(timeOne(name, probe(spark, dir)),
           timeOne(name, probe(spark, dir)))
