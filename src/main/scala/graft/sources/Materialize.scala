@@ -269,10 +269,15 @@ object Materialize {
     // this step (and is never replayed) must not stay invisible until
     // a later batch happens to touch its partition.
     val firstCreate = !spark.catalog.tableExists(name)
-    val scope =
+    // visibleSlices: a crashed fold can leave a partition holding both
+    // its checkpoint and the absorbed originals — the watermark view
+    // reads that as the converged content, so the recompute is correct
+    // in every fold crash window (not just between clean folds)
+    val scope = visibleSlices(
       if (firstCreate) spark.table(partials)
       else spark.table(partials)
-        .filter(col(partitionCol).isin(touched: _*))
+        .filter(col(partitionCol).isin(touched: _*)),
+      partitionCol)
     val merged = scope
       .drop("__batch")
       .groupBy(keys.map(col): _*)
@@ -316,11 +321,11 @@ object Materialize {
         try { checkpointPartials(spark, name, keys, partitionCol,
           batchId); () }
         catch { case e: IllegalArgumentException =>
-          // a value the fold cannot safely embed (or a '#'-leading
-          // batch id): the APPLY already landed and content is
-          // correct, so degrade to growth-with-a-warning — failing
-          // here would turn a maintenance problem into an ingest
-          // outage that replays into the same failure forever
+          // a '#'-leading batch id the fold refuses as a watermark:
+          // the APPLY already landed and content is correct, so
+          // degrade to growth-with-a-warning — failing here would
+          // turn a maintenance problem into an ingest outage that
+          // replays into the same failure forever
           System.err.println(
             s"[aggIncremental] history fold skipped for $name: " +
               e.getMessage)
@@ -342,16 +347,19 @@ object Materialize {
     * incremental-aggregate design; [[compactFiles]] cannot do this,
     * it merges files WITHIN a (partition, batch) slice).
     *
-    * Crash/replay: each affected partition is committed by a single
-    * static-prefix `INSERT OVERWRITE … PARTITION (partitionCol=v)` —
-    * the merged slice plus the `>= olderThan` slices verbatim, one
-    * near-atomic commit per partition — so a crash leaves every
-    * partition either fully folded or fully unfolded, and replaying
-    * the same call converges (a folded partition's only sub-watermark
-    * slice is the synthetic one, which re-merges to itself).
-    * Aggregate CONTENT is untouched: fold-then-recompute ≡ recompute
-    * (associative sums), spec-pinned. Returns the affected partition
-    * values.
+    * Crash/replay: the fold commits with ONE dynamic-overwrite write
+    * (only the synthetic `(partition, #ckpt_X)` slices — surviving
+    * newer slices are untouched bytes) followed by ONE batched
+    * `DROP PARTITION` of every absorbed slice. Neither step is atomic
+    * across partitions, and a crash between them leaves a partition
+    * holding BOTH its fold and the absorbed originals — which is why
+    * every partials reader goes through [[visibleSlices]]: the
+    * absorption watermark makes that state read as exactly the
+    * converged content, so readers are correct in EVERY crash window
+    * and a replayed fold re-derives identical bytes and finishes the
+    * drop. Aggregate CONTENT is untouched: fold-then-recompute ≡
+    * recompute (associative sums), spec-pinned. Returns the folded
+    * partition values.
     *
     * Contract: `olderThan` must trail the REPLAY FRONTIER — a batch
     * replayed after the fold passed its id would re-add content the
@@ -360,24 +368,14 @@ object Materialize {
     * batch id, and only the newest batch can be redelivered (earlier
     * offsets are checkpoint-committed).
     *
-    * Scale: ALL affected partitions' replacement rows are staged in
-    * ONE distributed write (partitioned by `partitionCol`, so each
-    * commit reads only its own staged slice), and the per-partition
-    * commits that follow are metadata-sized — a maintenance window
-    * folding months of history pays one Spark job for the heavy merge
-    * plus one cheap commit per partition, not a full stage-and-merge
-    * round-trip each (spec: "checkpointPartials stages all partitions
-    * in one distributed write"). The commit loop is deliberately
-    * SERIAL: although the commits touch disjoint partition subtrees,
-    * concurrent `INSERT OVERWRITE` statements into one table share
-    * the output committer's staging directory at the table ROOT
-    * (`<table>/_temporary/0`), and one job's commit/abort deletes the
-    * other's in-flight task files (measured: TASK_WRITE_FAILED under
-    * a 4-thread commit pool) — do not parallelize this without a
-    * per-job staging committer. Partition values are interpolated
-    * into the commit statements, so values outside
-    * `[A-Za-z0-9 ._:-]` (the engine's date/month shapes and then
-    * some) are rejected rather than risk a broken statement. */
+    * Scale (the r13 partitions-axis finding): the pre-r13 fold
+    * committed with one serial `INSERT OVERWRITE` statement PER
+    * partition — O(#partitions) driver-side commands, measured 18.5×
+    * at 24× the partition count (SCALEBENCH_r13, agg_fold_parts,
+    * 1 440 commits). The fold is now TWO commands total regardless of
+    * partition count: the heavy merge is one distributed job over the
+    * visible sub-watermark slices, and the cleanup is one batched
+    * metadata statement ([[dropPartitions]]). */
   def checkpointPartials(spark: SparkSession, name: String,
       keys: Seq[String], partitionCol: String,
       olderThan: String): Seq[Any] = {
@@ -387,82 +385,85 @@ object Materialize {
     val partials = s"${name}__partials"
     val syn = s"#ckpt_$olderThan"
     val t = spark.table(partials)
-    val dataCols = t.columns.toSeq
+    val valCols = t.columns.toSeq
       .filterNot(c => c == partitionCol || c == "__batch")
-    val valCols = dataCols.filterNot(keys.contains)
+      .filterNot(keys.contains)
     val schema = t.schema
-    // bounded collect: partition values holding ≥1 REAL sub-watermark
-    // slice (an already-folded partition's only such slice is the
-    // synthetic id — skipping it makes replays metadata-only no-ops)
-    val affected = t
+    // bounded collect (metadata-sized): every sub-watermark slice that
+    // is not this fold's own synthetic id. REAL slices mark a partition
+    // as needing the fold; older `#ckpt_*` slices are absorbed into
+    // the new fold but never trigger one alone (a ckpt-only partition
+    // is already one slice — replays stay metadata-only no-ops).
+    val sub = t
       .filter(col("__batch") < lit(olderThan) &&
         col("__batch") =!= lit(syn))
-      .select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSeq
+      .select(col(partitionCol), col("__batch")).distinct()
+      .collect().map(r => (r.get(0), r.getString(1))).toSeq
+    val affected = sub.collect {
+      case (p, b) if !b.startsWith("#") => p
+    }.distinct
     if (affected.isEmpty) return affected
-    affected.foreach { v =>
-      require(v != null &&
-        v.toString.matches("[A-Za-z0-9 ._:\\-]+"),
-        s"checkpointPartials: partition value '$v' is not safely " +
-          "embeddable in a PARTITION spec (null or outside " +
-          "[A-Za-z0-9 ._:-])")
-    }
-    def ident(s: String) = s.replaceAll("[^A-Za-z0-9_]", "_")
-    // the SQL INSERT OVERWRITE below refuses a plan that reads its own
-    // target, so replacement rows stage to a scratch location first.
-    // ONE distributed write covers every affected partition; the path
-    // and temp-view name carry (table, watermark) so concurrent folds
-    // of different tables cannot collide, and a replay of the same
-    // fold overwrites its own leftovers.
-    val scratch = spark.conf.get("spark.sql.warehouse.dir") +
-      s"/_ckpt_scratch_${ident(name).toLowerCase(java.util.Locale.ROOT)}" +
-      s"_${ident(olderThan)}"
-    val scoped = t.filter(col(partitionCol).isin(affected: _*))
-    val folded = scoped.filter(col("__batch") < lit(olderThan))
+    val affectedSet = affected.toSet
+    // the merge input is the VISIBLE sub-watermark content: in the
+    // normal state that is every real slice + any older checkpoint; in
+    // a crashed-fold state the watermark hides the already-absorbed
+    // originals and the existing synthetic slice re-merges to itself —
+    // the replay convergence this protocol rests on
+    val folded = visibleSlices(
+        t.filter(col(partitionCol).isin(affected: _*)), partitionCol)
+      .filter(col("__batch") < lit(olderThan))
       .groupBy((partitionCol +: keys).distinct.map(col): _*)
       .agg(sum(col(valCols.head)).as(valCols.head),
         valCols.tail.map(c => sum(col(c)).as(c)): _*)
       .withColumn("__batch", lit(syn))
-    folded
-      .select(schema.map(f => col(f.name).cast(f.dataType)): _*)
-      .unionByName(scoped.filter(col("__batch") >= lit(olderThan))
-        .select(schema.map(f => col(f.name)): _*))
-      .repartition(col(partitionCol))
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(scratch)
-    // schema-enforced read: partition-directory type inference must
-    // not drift the partition column's type (a "202401" month would
-    // re-infer as int); the explicit schema pins every column
-    val tmp = s"__graft_ckpt_${ident(name)}_${ident(olderThan)}"
-    spark.read.schema(schema).parquet(scratch).createOrReplaceTempView(tmp)
-    // STATIC-prefix overwrites: each clears the whole partitionCol=v
-    // subtree (every old batch slice) and writes the fold + the
-    // surviving newer slices in one commit, reading only that
-    // partition's staged slice (partition-pruned on the scratch dir)
-    val PoKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(PoKey)
-    spark.conf.set(PoKey, "static")
-    val cols = (dataCols :+ "__batch").map(c => s"`$c`").mkString(", ")
-    // SERIAL by necessity, not oversight: concurrent INSERT OVERWRITEs
-    // into one table share the committer staging at the table root and
-    // destroy each other's task files (see the scaladoc) — the scale
-    // lever is the single distributed staging write above, which left
-    // each of these commits metadata-sized.
-    try affected.foreach { v =>
-      MetaOps.inc("insert_overwrite_commit")
-      spark.sql(
-        s"INSERT OVERWRITE TABLE $partials " +
-          s"PARTITION ($partitionCol='$v', __batch) " +
-          s"SELECT $cols FROM $tmp WHERE `$partitionCol` = '$v'")
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set(PoKey, p)
-        case None => spark.conf.unset(PoKey)
-      }
-      spark.catalog.dropTempView(tmp)
+    // commit 1 of 2: one dynamic-overwrite write replaces exactly the
+    // (partition, syn) leaf slices; surviving >= olderThan slices and
+    // every other partition are untouched bytes
+    MetaOps.inc("insert_overwrite_commit")
+    withDynamicOverwrite(spark) {
+      folded
+        .select(schema.map(f => col(f.name).cast(f.dataType)): _*)
+        .repartition(col(partitionCol))
+        .write.mode("overwrite").insertInto(partials)
     }
+    // commit 2 of 2: one batched metadata statement drops every
+    // absorbed slice (older checkpoints included) in the folded
+    // partitions — quoted/escaped centrally, any partition value
+    val dropSpecs = sub.collect {
+      case (p, b) if affectedSet.contains(p) =>
+        Seq(partitionCol -> p, "__batch" -> (b: Any))
+    }
+    dropPartitions(spark, partials, dropSpecs)
     refresh(spark, partials)
-    Ingest.deletePath(spark, scratch)
     affected
+  }
+
+  /** Crash-window-proof view of an [[aggIncremental]] partials frame.
+    * For each partition, the ABSORPTION WATERMARK `W` is the largest
+    * `X` over `#ckpt_X` slices present; visible content is the
+    * `#ckpt_W` slice plus real slices with `__batch >= W`. In the
+    * normal state (no fold debris) this is the identity — a folded
+    * partition's only sub-watermark slice IS its checkpoint. After a
+    * crash between [[checkpointPartials]]' two commits, a partition
+    * holds its fold AND the absorbed originals (or two generations of
+    * checkpoint): the watermark hides exactly the absorbed rows, so
+    * every reader sees the converged content in every crash window —
+    * the property that lets the fold commit O(1) statements instead
+    * of a serial per-partition loop. */
+  private def visibleSlices(scoped: DataFrame,
+      partitionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, concat, length, lit,
+      max, substring, when}
+    val isSyn = col("__batch").startsWith("#ckpt_")
+    val wm = max(when(isSyn,
+        substring(col("__batch"), 7, Int.MaxValue)))
+      .over(Window.partitionBy(col(partitionCol)))
+    scoped.withColumn("__wm", wm)
+      .filter(col("__wm").isNull ||
+        (!isSyn && col("__batch") >= col("__wm")) ||
+        col("__batch") === concat(lit("#ckpt_"), col("__wm")))
+      .drop("__wm")
   }
 
   /** Drop an [[aggIncremental]] aggregate AND its `__partials` state

@@ -395,10 +395,11 @@ class MaterializeSpec extends SparkSpec {
         frame(days.map(d => (d, "k1", 10L + b))), Seq("d", "k"), "d",
         f"b$b%03d")
     // job-group accounting (thread-local, so only this fold's jobs):
-    // the maintenance-window contract is ONE distributed staging write
-    // for ALL partitions plus one metadata-sized commit per partition —
-    // the pre-r11 shape ran a stage-merge-commit round-trip per
-    // partition (≥3 jobs each, 24+ here)
+    // the maintenance-window contract (r13) is ONE distributed
+    // merge-and-write plus ONE batched drop — O(1) commands in the
+    // partition count. The bound below still admits the pre-r13
+    // one-commit-per-partition shape; the partitions-axis ScaleBench
+    // row is the regression signal for the O(1) claim itself.
     val sc = spark.sparkContext
     sc.setJobGroup("ckpt_job_count", "fold job accounting", false)
     val affected =
@@ -422,29 +423,81 @@ class MaterializeSpec extends SparkSpec {
     Materialize.dropAggState(spark, n)
   }
 
-  test("checkpointPartials rejects partition values it cannot embed " +
-      "in a PARTITION spec") {
+  test("checkpointPartials folds any partition value — quotes " +
+      "included — through the batched quoted drop") {
+    // pre-r13 the fold interpolated partition values into per-partition
+    // INSERT OVERWRITE statements and had to REJECT values outside a
+    // safe charset; the batched dropPartitions helper escapes centrally,
+    // so a quoted value now folds like any other
     val n = "mz_agg_ckpt_badval"
     Materialize.dropAggState(spark, n)
     Materialize.aggIncremental(spark, n,
       Seq(("ok_val", "k1", 1L), ("bad'val", "k1", 2L)).toDF("p", "k", "v"),
       Seq("p", "k"), "p", "b000")
     Materialize.aggIncremental(spark, n,
-      Seq(("ok_val", "k1", 3L)).toDF("p", "k", "v"),
+      Seq(("ok_val", "k1", 3L), ("bad'val", "k1", 5L)).toDF("p", "k", "v"),
       Seq("p", "k"), "p", "b001")
-    val e = intercept[IllegalArgumentException] {
+    val affected =
       Materialize.checkpointPartials(spark, n, Seq("p", "k"), "p", "b001")
-    }
-    assert(e.getMessage.contains("not safely"))
-    // through the CADENCE the same rejection must NOT fail the apply:
-    // the merge already landed, so the fold degrades to a warned skip
-    // (an exception here would replay into the same failure forever)
+    assert(affected.toSet == Set("ok_val", "bad'val"))
+    // both partitions folded: one synthetic slice + the surviving b001,
+    // with the quoted partition's absorbed slice physically dropped
+    val slices = rows(spark.table(s"${n}__partials")
+      .select("p", "__batch").distinct())
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(slices.groupBy(_._1).values
+      .forall(_.map(_._2).toSet == Set("#ckpt_b001", "b001")))
     val out = Materialize.aggIncremental(spark, n,
       Seq(("ok_val", "k1", 4L)).toDF("p", "k", "v"),
       Seq("p", "k"), "p", "b002", foldEvery = 1)
     assert(rows(out.select("p", "k", "v"))
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
-      Set(("ok_val", "k1", 8L), ("bad'val", "k1", 2L)))
+      Set(("ok_val", "k1", 8L), ("bad'val", "k1", 7L)))
+    Materialize.dropAggState(spark, n)
+  }
+
+  test("a crash between the fold's two commits is invisible to " +
+      "readers and converges on replay") {
+    // the r13 fold protocol: commit 1 writes the synthetic slices,
+    // commit 2 drops the absorbed originals. This case manufactures
+    // the mid-crash state — checkpoint AND originals both present —
+    // and requires (a) the recompute reads the CONVERGED content (the
+    // visibleSlices watermark hides absorbed rows), (b) a replayed
+    // fold finishes the drop and changes no content
+    val n = "mz_agg_ckpt_crash"
+    Materialize.dropAggState(spark, n)
+    def frame(xs: Seq[(String, String, Long)]) =
+      xs.toDF("d", "k", "v")
+    Materialize.aggIncremental(spark, n,
+      frame(Seq(("d1", "k1", 10L), ("d2", "k1", 1L))), Seq("d", "k"),
+      "d", "b000")
+    Materialize.aggIncremental(spark, n,
+      frame(Seq(("d1", "k1", 20L))), Seq("d", "k"), "d", "b001")
+    // manufacture commit-1-only state: append the synthetic slice the
+    // fold WOULD write (sum of the sub-watermark slices), keep b000
+    val partials = s"${n}__partials"
+    Seq(("d1", "k1", 10L, "#ckpt_b001"), ("d2", "k1", 1L, "#ckpt_b001"))
+      .toDF("d", "k", "v", "__batch")
+      .select(spark.table(partials).columns.map(col): _*)
+      .write.mode("append").insertInto(partials)
+    spark.catalog.refreshTable(partials)
+    // (a) a batch through the apply in this state must NOT double-count
+    // the absorbed b000 rows: d1 = 10+20+5, d2 untouched = 1
+    val out = Materialize.aggIncremental(spark, n,
+      frame(Seq(("d1", "k1", 5L))), Seq("d", "k"), "d", "b002")
+    assert(rows(out.select("d", "k", "v"))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("d1", "k1", 35L), ("d2", "k1", 1L)))
+    // (b) the replayed fold finishes the drop: b000 gone, content same
+    Materialize.checkpointPartials(spark, n, Seq("d", "k"), "d", "b001")
+    val batches = rows(spark.table(partials).select("d", "__batch")
+      .distinct()).map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!batches.exists(_._2 == "b000"), batches.toString)
+    val recheck = Materialize.aggIncremental(spark, n,
+      frame(Seq(("d2", "k1", 2L))), Seq("d", "k"), "d", "b003")
+    assert(rows(recheck.select("d", "k", "v"))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("d1", "k1", 35L), ("d2", "k1", 3L)))
     Materialize.dropAggState(spark, n)
   }
 
